@@ -1,13 +1,152 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every capability is a pure function `(SparkSession, sfDir) => DataFrame`
+  * registered in `queries`; `oracleSql` carries the DuckDB-equivalent SQL for
+  * every query whose semantics ANSI SQL can express (the driver hash-compares
+  * results). Determinism rules applied throughout: total-order `orderBy` with
+  * explicit tiebreak keys, `round` at float edges, UTC session time.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Aggregates.aggAvg(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2.A scans
+    "scan_documents" -> (Relational.scanDocuments _),
+    "scan_schema" -> (Relational.scanSchema _),
+    // §2.B filters / projections
+    "filter_eq" -> (Relational.filterEq _),
+    "filter_range" -> (Relational.filterRange _),
+    "filter_token" -> (Relational.filterToken _),
+    "project_case" -> (Relational.projectCase _),
+    "project_arith" -> (Relational.projectArith _),
+    // §2.H scalar functions
+    "scalar_math" -> (Relational.scalarMath _),
+    "scalar_string" -> (Relational.scalarString _),
+    "scalar_date" -> (Relational.scalarDate _),
+    "scalar_json" -> (Relational.scalarJson _),
+    // §2.D aggregations
+    "agg_avg" -> (Aggregates.aggAvg _),
+    "agg_sql" -> (Aggregates.aggSql _),
+    "agg_condcount" -> (Aggregates.aggCondCount _),
+    "agg_maxgroup" -> (Aggregates.aggMaxGroup _),
+    "agg_distinct" -> (Aggregates.aggDistinct _),
+    "agg_approx_distinct" -> (Aggregates.aggApproxDistinct _),
+    "agg_median" -> (Aggregates.aggMedian _),
+    "agg_mode" -> (Aggregates.aggMode _),
+    "agg_rollup" -> (Aggregates.aggRollup _),
+    "agg_cube" -> (Aggregates.aggCube _),
+    "agg_typed" -> (Aggregates.aggTyped _),
+    "group_collect" -> (Aggregates.groupCollect _),
+    // §2.G set ops
+    "setop_union" -> (Aggregates.setopUnion _),
+    "setop_except" -> (Aggregates.setopExcept _),
+    "setop_intersect" -> (Aggregates.setopIntersect _),
+    // §2.C joins
+    "join_inner" -> (Joins.joinInner _),
+    "join_star" -> (Joins.joinStar _),
+    "join_anti" -> (Joins.joinAnti _),
+    "join_semi" -> (Joins.joinSemi _),
+    "join_outer" -> (Joins.joinOuter _),
+    // §2.E/F windows + top-k
+    "window_rank" -> (Windows.windowRank _),
+    "window_top1" -> (Windows.windowTop1 _),
+    "window_running" -> (Windows.windowRunning _),
+    "topk" -> (Windows.topk _),
+    // §2.J event-time / streaming-shaped
+    "stream_tumbling" -> (EventOps.streamTumbling _),
+    "stream_sliding" -> (EventOps.streamSliding _),
+    "stream_session" -> (EventOps.streamSession _),
+    "dedup_state" -> (EventOps.dedupState _),
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted keys get a weaker rows-only check.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "scan_documents" ->
+      "SELECT doc_id, text, lang, source, n_chars FROM documents ORDER BY doc_id",
+    "scan_schema" ->
+      "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem ORDER BY l_orderkey, l_linenumber",
+    "filter_eq" ->
+      "SELECT event_id, user_id, value FROM events WHERE event_type = 'purchase' ORDER BY event_id",
+    "filter_range" ->
+      "SELECT l_orderkey, l_linenumber, l_quantity, l_discount FROM lineitem WHERE l_quantity BETWEEN 10 AND 20 AND l_discount < 0.05 ORDER BY l_orderkey, l_linenumber",
+    "filter_token" ->
+      "SELECT doc_id, lang FROM documents WHERE list_contains(string_split(text, ' '), 'spark') ORDER BY doc_id",
+    "project_case" ->
+      "SELECT o_orderkey, CASE WHEN o_totalprice < 1000 THEN 'low' WHEN o_totalprice < 5000 THEN 'mid' ELSE 'high' END AS price_bucket FROM orders ORDER BY o_orderkey",
+    "project_arith" ->
+      "SELECT l_orderkey, l_linenumber, CAST(round(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1.0 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) * (CAST(1.0 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2))), 2) AS DOUBLE) AS net_price FROM lineitem ORDER BY l_orderkey, l_linenumber",
+    "scalar_math" ->
+      "SELECT l_orderkey, l_linenumber, round(sqrt(l_extendedprice), 4) AS sqrt_price, round(pow(l_discount, 2), 6) AS disc_sq, CAST(ceil(l_quantity / 7) AS BIGINT) AS qty_ceil, CAST(floor(l_extendedprice / 100) AS BIGINT) AS price_floor, abs(l_quantity - 25) AS qty_dev FROM lineitem ORDER BY l_orderkey, l_linenumber",
+    "scalar_string" ->
+      "SELECT p_partkey, upper(p_name) AS name_upper, substr(p_name, 1, 5) AS name_pre, concat_ws('#', p_brand, p_type) AS brand_type, CAST(length(p_name) AS INT) AS name_len, regexp_replace(p_name, '[aeiou]', '', 'g') AS name_novowel FROM part ORDER BY p_partkey",
+    "scalar_date" ->
+      "SELECT CAST(year(o_orderdate) AS INT) AS o_year, CAST(month(o_orderdate) AS INT) AS o_month, count(1) AS n_orders, round(sum(o_totalprice), 2) AS sum_total FROM orders GROUP BY 1, 2 ORDER BY 1, 2",
+    "scalar_json" ->
+      "SELECT event_type, CAST(sum(CAST(regexp_extract(props, '\"k\": (-?\\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k, count(1) AS n FROM events GROUP BY 1 ORDER BY 1",
+    "agg_avg" ->
+      "SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_base_price, CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1.0 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS sum_disc_price, CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1.0 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) * (CAST(1.0 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))), 2) AS DOUBLE) AS sum_charge, round(avg(l_quantity), 2) AS avg_qty, round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / count(1), 2) AS avg_price, round(CAST(sum(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / count(1), 4) AS avg_disc, count(1) AS count_order FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' GROUP BY 1, 2 ORDER BY 1, 2",
+    "agg_sql" ->
+      "SELECT o_orderstatus, round(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / count(1), 2) AS avg_total, CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_total, count(1) AS n_orders FROM orders GROUP BY 1 ORDER BY 1",
+    "agg_condcount" ->
+      "SELECT count(CASE WHEN event_type = 'click' THEN 1 END) AS n_click, count(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchase, count(CASE WHEN event_type = 'view' THEN 1 END) AS n_view, count(CASE WHEN event_type = 'error' THEN 1 END) AS n_error, count(CASE WHEN event_type = 'signup' THEN 1 END) AS n_signup, count(1) AS n_total FROM events",
+    "agg_maxgroup" ->
+      "SELECT l_orderkey, round(max(l_extendedprice), 2) AS max_price, count(1) AS n_lines FROM lineitem GROUP BY 1 ORDER BY 1",
+    "agg_distinct" ->
+      "SELECT event_type, count(DISTINCT user_id) AS n_users, count(1) AS n_events FROM events GROUP BY 1 ORDER BY 1",
+    "agg_median" ->
+      "SELECT o_orderpriority, median(CAST(round(o_totalprice * 100, 0) AS BIGINT)) / 100 AS median_total, count(1) AS n FROM orders GROUP BY 1 ORDER BY 1",
+    "agg_mode" ->
+      "WITH c AS (SELECT user_id % 10 AS user_bucket, event_type, count(1) AS n FROM events GROUP BY 1, 2), r AS (SELECT user_bucket, event_type, n, row_number() OVER (PARTITION BY user_bucket ORDER BY n DESC, event_type) AS rn FROM c) SELECT user_bucket, event_type AS top_type, n AS top_n FROM r WHERE rn = 1 ORDER BY user_bucket",
+    "agg_rollup" ->
+      "SELECT l_returnflag, l_linestatus, CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1.0 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue, count(1) AS n FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus) ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST",
+    "agg_cube" ->
+      "SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, count(1) AS n FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus) ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST",
+    "agg_typed" ->
+      "SELECT o_orderstatus, round(avg(o_totalprice), 2) AS avg_total FROM orders GROUP BY 1 ORDER BY 1",
+    "group_collect" ->
+      "SELECT lang, (list_sort(list(doc_id)))[1:20] AS doc_ids, count(1) AS n_docs FROM documents GROUP BY 1 ORDER BY 1",
+    "setop_union" ->
+      "SELECT user_id FROM events WHERE event_type = 'click' UNION SELECT user_id FROM events WHERE event_type = 'view' ORDER BY user_id",
+    "setop_except" ->
+      "SELECT user_id FROM events WHERE event_type = 'click' EXCEPT SELECT user_id FROM events WHERE event_type = 'purchase' ORDER BY user_id",
+    "setop_intersect" ->
+      "SELECT user_id FROM events WHERE event_type = 'click' INTERSECT SELECT user_id FROM events WHERE event_type = 'purchase' ORDER BY user_id",
+    "join_inner" ->
+      "SELECT o_orderstatus, count(1) AS n_lines, CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1.0 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue FROM orders JOIN lineitem ON o_orderkey = l_orderkey GROUP BY 1 ORDER BY 1",
+    "join_star" ->
+      "SELECT r_name, CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS revenue, count(1) AS n_orders FROM orders JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey GROUP BY 1 ORDER BY 1",
+    "join_anti" ->
+      "SELECT c_custkey, c_name FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) ORDER BY c_custkey",
+    "join_semi" ->
+      "SELECT c_custkey, c_name FROM customer WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) ORDER BY c_custkey",
+    "join_outer" ->
+      "SELECT c_custkey, count(o_orderkey) AS n_orders, round(coalesce(sum(o_totalprice), 0), 2) AS sum_total FROM customer LEFT JOIN orders ON c_custkey = o_custkey GROUP BY 1 ORDER BY 1",
+    "window_rank" ->
+      "SELECT s_nationkey, s_suppkey, s_name, s_acctbal, CAST(rank() OVER (PARTITION BY s_nationkey ORDER BY s_acctbal DESC) AS INT) AS rnk FROM supplier ORDER BY s_nationkey, rnk, s_suppkey",
+    "window_top1" ->
+      "WITH r AS (SELECT user_id, event_id, value, row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rn FROM events) SELECT user_id, event_id, value FROM r WHERE rn = 1 ORDER BY user_id",
+    "window_running" ->
+      "SELECT o_custkey, o_orderkey, o_orderdate, round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total, round(o_totalprice - coalesce(lag(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), 0), 2) AS delta_prev FROM orders ORDER BY o_custkey, o_orderdate, o_orderkey",
+    "topk" ->
+      "SELECT o_custkey, CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS revenue FROM orders GROUP BY 1 ORDER BY revenue DESC, o_custkey LIMIT 10",
+    "stream_tumbling" ->
+      "SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS window_start, event_type, count(1) AS n, round(sum(value), 2) AS sum_value FROM events GROUP BY 1, 2 ORDER BY 1, 2",
+    "stream_sliding" ->
+      "SELECT ws AS window_start, count(1) AS n, round(sum(value), 2) AS sum_value FROM (SELECT time_bucket(INTERVAL '15 minutes', CAST(ts AS TIMESTAMP)) - j * INTERVAL '15 minutes' AS ws, value FROM events CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS j)) GROUP BY 1 ORDER BY 1",
+    "stream_session" ->
+      "WITH o AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value, lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM events), b AS (SELECT *, CASE WHEN prev_ts IS NULL OR ts - prev_ts >= INTERVAL '10 minutes' THEN 1 ELSE 0 END AS brk FROM o), sa AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM b) SELECT min(ts) AS session_start, user_id, count(1) AS n_events, round(sum(value), 2) AS sum_value FROM sa GROUP BY user_id, sid ORDER BY user_id, session_start",
+    "dedup_state" ->
+      "WITH r AS (SELECT user_id, event_type, event_id, CAST(ts AS TIMESTAMP) AS ts, row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn FROM events) SELECT user_id, event_type, event_id, ts FROM r WHERE rn = 1 ORDER BY user_id, event_type",
+  )
 }

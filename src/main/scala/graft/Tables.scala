@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Table loaders over the driver's parquet testdata.
+  *
+  * All queries take `(SparkSession, sfDir)` and load through here so that
+  * scale-dependent handling (schema pinning, timestamp precision, partition
+  * sizing) lives in one place. At 100 TB the only change needed is the
+  * directory layout (partitioned datasets instead of single files) — the
+  * operator code is unaffected because everything downstream is declarative.
+  */
+object Tables {
+  private def p(dir: String, name: String) = s"$dir/$name.parquet"
+
+  def region(s: SparkSession, dir: String): DataFrame   = s.read.parquet(p(dir, "region"))
+  def nation(s: SparkSession, dir: String): DataFrame   = s.read.parquet(p(dir, "nation"))
+  def customer(s: SparkSession, dir: String): DataFrame = s.read.parquet(p(dir, "customer"))
+  def supplier(s: SparkSession, dir: String): DataFrame = s.read.parquet(p(dir, "supplier"))
+  def part(s: SparkSession, dir: String): DataFrame     = s.read.parquet(p(dir, "part"))
+  def orders(s: SparkSession, dir: String): DataFrame   = s.read.parquet(p(dir, "orders"))
+  def lineitem(s: SparkSession, dir: String): DataFrame = s.read.parquet(p(dir, "lineitem"))
+  def documents(s: SparkSession, dir: String): DataFrame = s.read.parquet(p(dir, "documents"))
+  def embeddings(s: SparkSession, dir: String): DataFrame = s.read.parquet(p(dir, "embeddings"))
+
+  /** `events.ts` is nanosecond-precision parquet, which Spark's vectorized
+    * reader rejects ([PARQUET_TYPE_ILLEGAL] INT64 TIMESTAMP(NANOS)). We read
+    * the raw int64 nanos via the legacy conf and truncate to Spark's native
+    * microsecond timestamps. Truncation (not rounding) matches DuckDB's
+    * `CAST(ts AS TIMESTAMP)` on TIMESTAMP_NS, keeping the oracle exact.
+    */
+  def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.read.parquet(p(dir, "events"))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+}

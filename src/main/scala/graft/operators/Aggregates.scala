@@ -1,0 +1,187 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.{Num, TypedAvg}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Aggregation family (SURVEY §2.D).
+  *
+  * The reference teaches partial aggregation manually (naive rescan vs
+  * `groupByKey` vs `reduceByKey` [ref: wikipedia/…/WikipediaRanking.scala]);
+  * every `groupBy` below gets the same map-side combine automatically from
+  * Catalyst (`HashAggregate(partial) → Exchange → HashAggregate(final)`),
+  * which is the property that makes these queries hold at 100 TB: shuffle
+  * volume is proportional to group cardinality, not input rows.
+  */
+object Aggregates {
+
+  /** D7 flagship — TPC-H Q1 shape: the reference's `timeUsageGrouped`
+    * capability (groupBy + avg + round + multi-col orderBy)
+    * [ref: timeusage/…/TimeUsage.scala#timeUsageGrouped].
+    */
+  def aggAvg(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        Num.money(sum(Num.dec2(col("l_extendedprice")))).as("sum_base_price"),
+        Num.money(sum(Num.discounted(col("l_extendedprice"), col("l_discount")))).as("sum_disc_price"),
+        Num.money(sum(Num.charged(col("l_extendedprice"), col("l_discount"), col("l_tax")))).as("sum_charge"),
+        round(avg("l_quantity"), 2).as("avg_qty"),
+        round(sum(Num.dec2(col("l_extendedprice"))).cast("double") / count(lit(1)), 2).as("avg_price"),
+        round(sum(Num.rate2(col("l_discount"))).cast("double") / count(lit(1)), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** D8: the same aggregation through the SQL string entry point
+    * [ref: timeusage/…/TimeUsage.scala#timeUsageGroupedSql].
+    */
+  def aggSql(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir).createOrReplaceTempView("graft_orders")
+    s.sql("""
+      SELECT o_orderstatus,
+             round(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / count(1), 2) AS avg_total,
+             CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_total,
+             count(1) AS n_orders
+      FROM graft_orders
+      GROUP BY o_orderstatus
+      ORDER BY o_orderstatus""")
+  }
+
+  /** D1: single-pass conditional counts — the reference's
+    * `rdd.aggregate(0)((a,x) => a + if(pred))` re-expressed as
+    * `count(when(...))` so one scan yields every counter
+    * [ref: wikipedia/…/WikipediaRanking.scala#occurrencesOfLang].
+    */
+  def aggCondCount(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .agg(
+        count(when(col("event_type") === "click", 1)).as("n_click"),
+        count(when(col("event_type") === "purchase", 1)).as("n_purchase"),
+        count(when(col("event_type") === "view", 1)).as("n_view"),
+        count(when(col("event_type") === "error", 1)).as("n_error"),
+        count(when(col("event_type") === "signup", 1)).as("n_signup"),
+        count(lit(1)).as("n_total"))
+
+  /** D6: max-per-group [ref: stackoverflow/…/StackOverflow.scala#scoredPostings]. */
+  def aggMaxGroup(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy("l_orderkey")
+      .agg(round(max("l_extendedprice"), 2).as("max_price"),
+           count(lit(1)).as("n_lines"))
+      .orderBy("l_orderkey")
+
+  /** D13: exact distinct counting. */
+  def aggDistinct(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n_users"),
+           count(lit(1)).as("n_events"))
+      .orderBy("event_type")
+
+  /** D13b: HLL approximate distinct — the 100 TB path where exact
+    * `countDistinct`'s shuffle of every key is unaffordable. Engine-specific
+    * sketch values can't hash-match DuckDB, so this is a rows-only check.
+    */
+  def aggApproxDistinct(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy("event_type")
+      .agg(approx_count_distinct(col("user_id"), 0.01).as("n_users_approx"))
+      .orderBy("event_type")
+
+  /** D11: exact median per group
+    * [ref: stackoverflow/…/StackOverflow.scala#clusterResults].
+    */
+  def aggMedian(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy("o_orderpriority")
+      .agg((median(round(col("o_totalprice") * 100, 0).cast("long")) / 100).as("median_total"),
+           count(lit(1)).as("n"))
+      .orderBy("o_orderpriority")
+
+  /** D12: dominant value per group with deterministic tiebreak (count desc,
+    * then value asc) — `mode()` leaves ties engine-defined, so we use the
+    * two-level count + max_by form the oracle can reproduce exactly
+    * [ref: stackoverflow/…/StackOverflow.scala#clusterResults].
+    */
+  def aggMode(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = Tables.events(s, dir)
+      .groupBy((col("user_id") % 10).as("user_bucket"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("user_bucket").orderBy(desc("n"), asc("event_type"))
+    counts
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_bucket"), col("event_type").as("top_type"), col("n").as("top_n"))
+      .orderBy("user_bucket")
+  }
+
+  /** D14: rollup over the Q1 grouping. */
+  def aggRollup(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(Num.money(sum(Num.discounted(col("l_extendedprice"), col("l_discount")))).as("revenue"),
+           count(lit(1)).as("n"))
+      .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+
+  /** D14b: cube over the same grouping. */
+  def aggCube(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .cube("l_returnflag", "l_linestatus")
+      .agg(round(sum("l_quantity"), 2).as("sum_qty"),
+           count(lit(1)).as("n"))
+      .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+
+  /** D3: groupBy + collect_list (the reference's inverted index
+    * [ref: wikipedia/…/WikipediaRanking.scala#makeIndex]), capped with
+    * `slice` so group payload stays bounded at scale.
+    */
+  def groupCollect(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .groupBy("lang")
+      .agg(slice(sort_array(collect_list(col("doc_id"))), 1, 20).as("doc_ids"),
+           count(lit(1)).as("n_docs"))
+      .orderBy("lang")
+
+  /** D9: typed aggregation through a custom Aggregator (replaces the removed
+    * `typed.avg`) [ref: timeusage/…/TimeUsage.scala#timeUsageGroupedTyped].
+    */
+  def aggTyped(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .select(col("o_orderstatus"), col("o_totalprice"))
+      .as[(String, Double)]
+      .groupByKey(_._1)
+      .agg(TypedAvg.ofSecond.name("avg_total"))
+      .toDF("o_orderstatus", "avg_total")
+      .select(col("o_orderstatus"), round(col("avg_total"), 2).as("avg_total"))
+      .orderBy("o_orderstatus")
+  }
+
+  /** 2.G: set operations — union distinct. */
+  def setopUnion(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val clicks = ev.filter(col("event_type") === "click").select("user_id")
+    val views  = ev.filter(col("event_type") === "view").select("user_id")
+    clicks.union(views).distinct().orderBy("user_id")
+  }
+
+  /** 2.G: except (users who click but never purchase). */
+  def setopExcept(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    ev.filter(col("event_type") === "click").select("user_id")
+      .except(ev.filter(col("event_type") === "purchase").select("user_id"))
+      .orderBy("user_id")
+  }
+
+  /** 2.G: intersect (users who both click and purchase). */
+  def setopIntersect(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    ev.filter(col("event_type") === "click").select("user_id")
+      .intersect(ev.filter(col("event_type") === "purchase").select("user_id"))
+      .orderBy("user_id")
+  }
+}

@@ -1,0 +1,62 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-time / streaming-shaped operators (SURVEY §2.J).
+  *
+  * The reference has no streaming; these run the standard event-time surface
+  * in batch with the SAME functions Structured Streaming executes (`window`,
+  * `session_window`), so the semantics transfer 1:1 to a `readStream` source.
+  * StreamingParitySpec re-runs the tumbling aggregation under `MemoryStream`
+  * to prove batch/stream parity.
+  *
+  * Scale notes: time-windowed aggregation shuffles by (window, key) — group
+  * cardinality is bounded by time-range/window-size × key cardinality, so
+  * these hold at 100 TB. Session windows shuffle by user_id; per-user event
+  * counts are the skew risk, handled by AQE skew-join/partition splitting.
+  */
+object EventOps {
+
+  /** J1: tumbling window aggregation. */
+  def streamTumbling(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("n"), col("sum_value"))
+      .orderBy("window_start", "event_type")
+
+  /** J2: sliding window (1 hour window, 15 minute slide → 4 windows/row). */
+  def streamSliding(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("n"), col("sum_value"))
+      .orderBy("window_start")
+
+  /** J3: session window per user (10 minute gap). Session start is the first
+    * event's timestamp; a new session begins when the gap from the previous
+    * event is >= the gap duration (Spark merges overlapping [ts, ts+gap)).
+    */
+  def streamSession(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(session_window(col("ts"), "10 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_value"))
+      .select(col("session_window.start").as("session_start"), col("user_id"),
+              col("n_events"), col("sum_value"))
+      .orderBy("user_id", "session_start")
+
+  /** J5: keep-first dedup by (user_id, event_type) — the batch equivalent of
+    * streaming `dropDuplicates` with arrival order made deterministic
+    * (earliest ts, then event_id).
+    */
+  def dedupState(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("user_id", "event_type").orderBy(asc("ts"), asc("event_id"))))
+      .filter(col("rn") === 1)
+      .select("user_id", "event_type", "event_id", "ts")
+      .orderBy("user_id", "event_type")
+}

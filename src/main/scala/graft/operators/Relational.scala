@@ -1,0 +1,150 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Scans, filters, projections and scalar functions.
+  *
+  * Capability map (SURVEY §2.A/B/H): the reference's text/CSV scans and
+  * closure predicates re-expressed as parquet scans + Catalyst expressions,
+  * so predicate pushdown and column pruning reach the scan for free.
+  * [ref: wikipedia/…/package.scala#WikipediaArticle.mentionsLanguage,
+  *  timeusage/…/TimeUsage.scala#timeUsageSummary]
+  *
+  * Scale notes: every query here is a narrow scan→filter→project pipeline —
+  * no shuffle except where an aggregate/sort requires one. At 100 TB the
+  * filters and the projected column set are pushed into the parquet reader
+  * (verified via `PushedFilters`/`ReadSchema` in RelationalSpec).
+  */
+object Relational {
+
+  /** A1: full scan of the documents table (projection = all columns). */
+  def scanDocuments(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .orderBy("doc_id")
+
+  /** Expected lineitem schema, pinned programmatically like the reference's
+    * hand-built `dfSchema` [ref: timeusage/…/TimeUsage.scala#dfSchema].
+    * Passing an explicit schema skips inference — mandatory at scale where
+    * schema inference would list-and-sample a 100 TB dataset.
+    */
+  val lineitemSchema: StructType = StructType(Seq(
+    StructField("l_orderkey", LongType),
+    StructField("l_partkey", LongType),
+    StructField("l_suppkey", LongType),
+    StructField("l_linenumber", IntegerType),
+    StructField("l_quantity", DoubleType),
+    StructField("l_extendedprice", DoubleType),
+    StructField("l_discount", DoubleType),
+    StructField("l_tax", DoubleType),
+    StructField("l_returnflag", StringType),
+    StructField("l_linestatus", StringType),
+    StructField("l_shipdate", TimestampType),
+  ))
+
+  /** A3: scan with explicit programmatic schema (no inference). */
+  def scanSchema(s: SparkSession, dir: String): DataFrame =
+    s.read.schema(lineitemSchema).parquet(s"$dir/lineitem.parquet")
+      .select("l_orderkey", "l_linenumber", "l_quantity")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** B2: equality filter [ref: stackoverflow/…/StackOverflow.scala#groupedPostings]. */
+  def filterEq(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "value")
+      .orderBy("event_id")
+
+  /** B3: range predicate [ref: timeusage/…/TimeUsage.scala#timeUsageSummary]. */
+  def filterRange(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_quantity").between(10, 20) && col("l_discount") < 0.05)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** B1/H1: token-membership predicate — the reference's
+    * `text.split(' ').contains(lang)` as pure Catalyst (no UDF)
+    * [ref: wikipedia/…/package.scala#WikipediaArticle.mentionsLanguage].
+    */
+  def filterToken(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .filter(array_contains(split(col("text"), " "), "spark"))
+      .select("doc_id", "lang")
+      .orderBy("doc_id")
+
+  /** B4: conditional projection (when/otherwise 3-way bucket)
+    * [ref: timeusage/…/TimeUsage.scala#timeUsageSummary].
+    */
+  def projectCase(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .select(
+        col("o_orderkey"),
+        when(col("o_totalprice") < 1000, "low")
+          .when(col("o_totalprice") < 5000, "mid")
+          .otherwise("high").as("price_bucket"))
+      .orderBy("o_orderkey")
+
+  /** B5: arithmetic column-group projection (fold of Columns with arithmetic)
+    * [ref: timeusage/…/TimeUsage.scala#timeUsageSummary].
+    */
+  def projectArith(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    // B6-style name-driven column selection: pick the l_* money columns by
+    // prefix from df.columns (driver-side metaprogramming over the schema).
+    val moneyCols: Seq[Column] =
+      li.columns.filter(c => c == "l_extendedprice" || c == "l_tax" || c == "l_discount").toSeq.map(col)
+    require(moneyCols.size == 3)
+    li.select(
+        col("l_orderkey"), col("l_linenumber"),
+        graft.functions.Num.money(
+          graft.functions.Num.charged(col("l_extendedprice"), col("l_discount"), col("l_tax")))
+          .as("net_price"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  /** H3: math scalars [ref: stackoverflow/…/StackOverflow.scala#euclideanDistance]. */
+  def scalarMath(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        round(sqrt(col("l_extendedprice")), 4).as("sqrt_price"),
+        round(pow(col("l_discount"), 2), 6).as("disc_sq"),
+        ceil(col("l_quantity") / 7).as("qty_ceil"),
+        floor(col("l_extendedprice") / 100).as("price_floor"),
+        abs(col("l_quantity") - lit(25)).as("qty_dev"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** H2/H7: string scalars + regex [ref: stackoverflow/…/StackOverflow.scala#rawPostings,
+    * wikipedia/…/WikipediaData.scala#parse].
+    */
+  def scalarString(s: SparkSession, dir: String): DataFrame =
+    Tables.part(s, dir)
+      .select(
+        col("p_partkey"),
+        upper(col("p_name")).as("name_upper"),
+        substring(col("p_name"), 1, 5).as("name_pre"),
+        concat_ws("#", col("p_brand"), col("p_type")).as("brand_type"),
+        length(col("p_name")).as("name_len"),
+        regexp_replace(col("p_name"), "[aeiou]", "").as("name_novowel"))
+      .orderBy("p_partkey")
+
+  /** H4: date/timestamp functions (testdata extension; no dates in reference). */
+  def scalarDate(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(
+        year(col("o_orderdate")).as("o_year"),
+        month(col("o_orderdate")).as("o_month"))
+      .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 2).as("sum_total"))
+      .orderBy("o_year", "o_month")
+
+  /** H6: JSON extraction from the events.props string column. */
+  def scalarJson(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("event_type"), get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("event_type")
+      .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("n"))
+      .orderBy("event_type")
+}

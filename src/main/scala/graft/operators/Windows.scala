@@ -1,0 +1,59 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Window functions, ranking, top-k (SURVEY §2.E/F).
+  *
+  * The reference's global `.sortBy(-count)` rankings and per-question top-1
+  * answer [ref: wikipedia/…/WikipediaRanking.scala,
+  * stackoverflow/…/StackOverflow.scala#scoredPostings] generalize to window
+  * functions. Scale note: window partitions shuffle by the partition key;
+  * all keys here (nation, user, customer) have bounded per-key cardinality,
+  * so no single partition can blow up at 100 TB. Global top-k compiles to
+  * `TakeOrderedAndProject` (per-partition heaps, no global sort).
+  */
+object Windows {
+
+  /** E1: rank within group — suppliers by account balance within nation. */
+  def windowRank(s: SparkSession, dir: String): DataFrame =
+    Tables.supplier(s, dir)
+      .withColumn("rnk",
+        rank().over(Window.partitionBy("s_nationkey").orderBy(desc("s_acctbal"))))
+      .select("s_nationkey", "s_suppkey", "s_name", "s_acctbal", "rnk")
+      .orderBy("s_nationkey", "rnk", "s_suppkey")
+
+  /** E2: per-group top-1 — highest-value event per user
+    * [ref: stackoverflow/…/StackOverflow.scala#scoredPostings as window].
+    */
+  def windowTop1(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("user_id").orderBy(desc("value"), asc("event_id"))))
+      .filter(col("rn") === 1)
+      .select("user_id", "event_id", "value")
+      .orderBy("user_id")
+
+  /** E3: frame-spec analytics — running revenue and lag delta per customer. */
+  def windowRunning(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    Tables.orders(s, dir)
+      .select(
+        col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        round(sum("o_totalprice").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2)
+          .as("running_total"),
+        round(col("o_totalprice") - coalesce(lag("o_totalprice", 1).over(w), lit(0.0)), 2)
+          .as("delta_prev"))
+      .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+  }
+
+  /** F3: global top-k — plans as TakeOrderedAndProject (asserted in spec). */
+  def topk(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy("o_custkey")
+      .agg(graft.functions.Num.money(sum(graft.functions.Num.dec2(col("o_totalprice")))).as("revenue"))
+      .orderBy(desc("revenue"), asc("o_custkey"))
+      .limit(10)
+}
