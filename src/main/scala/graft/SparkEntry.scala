@@ -66,7 +66,69 @@ object SparkEntry {
     "stream_sliding" -> (EventOps.streamSliding _),
     "stream_session" -> (EventOps.streamSession _),
     "dedup_state" -> (EventOps.dedupState _),
+    // §2.B6 column classification
+    "project_classified" -> (Relational.projectClassified _),
+    // §2.D2/D4/D5 + §2.K5 text analysis
+    "rank_tokens" -> (TextOps.rankTokens _),
+    "text_tfidf" -> (TextOps.textTfidf _),
+    "text_tokens" -> (TextOps.textTokens _),
+    "text_quality" -> (TextOps.textQuality _),
+    "text_langid" -> (TextOps.textLangid _),
+    "text_fingerprint" -> (TextOps.textFingerprint _),
+    // §2.K1/K2 deduplication
+    "dedup_exact" -> (TextOps.dedupExact _),
+    "dedup_minhash" -> (TextOps.dedupMinhash _),
+    "dedup_simhash" -> (TextOps.dedupSimhash _),
+    "dedup_ngram" -> (TextOps.dedupNgram _),
+    "dedup_embed" -> (VectorOps.dedupEmbed _),
+    // §2.K3/K4 vectors / similarity / multimodal
+    "vec_norm" -> (VectorOps.vecNorm _),
+    "multimodal_join" -> (VectorOps.multimodalJoin _),
+    "sim_topk" -> (VectorOps.simTopk _),
+    "sim_ann" -> (VectorOps.simAnn _),
+    // §2.I iterative k-means
+    "kmeans_clusters" -> (VectorOps.kmeansClusters _),
   )
+
+  // ---- shared DuckDB oracle fragments (kept in sync with the Scala
+  // constants in TextOps/VectorOps via string interpolation) ----
+
+  /** DuckDB list literal of the ranking lexicon. */
+  private val lexiconSql = TextOps.lexicon.map(t => s"'$t'").mkString("[", ", ", "]")
+  private val stopwordsSql = TextOps.stopwords.map(t => s"'$t'").mkString("(", ", ", ")")
+
+  /** Distinct 3-word shingles of `text` (mirror of TextOps.shingles). */
+  private val sh3 =
+    "list_distinct(list_transform(generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1)), i -> array_to_string((string_split(text, ' '))[i:i+2], ' ')))"
+
+  /** Distinct char 4-grams of `text` (mirror of TextOps.charGrams). */
+  private val cg4 =
+    "list_distinct(list_transform(generate_series(1, greatest(length(text) - 3, 1)), i -> text[i:i+3]))"
+
+  /** Sequential-fold squared-norm of an embedding list (bitwise-matches
+    * Spark's ArrayAggregate fold — see Vec).
+    */
+  private def sqNorm(c: String) =
+    s"list_sum(list_transform($c, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+
+  private def dotSql(a: String, b: String) =
+    s"list_sum(list_transform(list_zip($a, $b), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+
+  /** Sign-bit LSH bucket (mirror of Vec.signBucket, 8 bits). */
+  private val bucket8 =
+    "list_sum(list_transform(generate_series(1, 8), i -> CASE WHEN embedding[i] >= 0 THEN 1 << (i - 1) ELSE 0 END))"
+
+  private def langidScoreSql: String =
+    TextOps.langProfiles.map { case (l, ps) =>
+      ps.map(p => s"CAST((length(text) - length(replace(text, '$p', ''))) / ${p.length} AS INT)")
+        .mkString(" + ") + s" AS score_$l"
+    }.mkString(", ")
+
+  private def langidPredSql: String = {
+    val g = "greatest(" + TextOps.langProfiles.map { case (l, _) => s"score_$l" }.mkString(", ") + ")"
+    "CASE " + TextOps.langProfiles.map { case (l, _) => s"WHEN score_$l = $g THEN '$l'" }.mkString(" ") +
+      " ELSE 'und' END"
+  }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
@@ -91,7 +153,7 @@ object SparkEntry {
     "scalar_string" ->
       "SELECT p_partkey, upper(p_name) AS name_upper, substr(p_name, 1, 5) AS name_pre, concat_ws('#', p_brand, p_type) AS brand_type, CAST(length(p_name) AS INT) AS name_len, regexp_replace(p_name, '[aeiou]', '', 'g') AS name_novowel FROM part ORDER BY p_partkey",
     "scalar_date" ->
-      "SELECT CAST(year(o_orderdate) AS INT) AS o_year, CAST(month(o_orderdate) AS INT) AS o_month, count(1) AS n_orders, round(sum(o_totalprice), 2) AS sum_total FROM orders GROUP BY 1, 2 ORDER BY 1, 2",
+      "SELECT CAST(year(o_orderdate) AS INT) AS o_year, CAST(month(o_orderdate) AS INT) AS o_month, count(1) AS n_orders, CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_total FROM orders GROUP BY 1, 2 ORDER BY 1, 2",
     "scalar_json" ->
       "SELECT event_type, CAST(sum(CAST(regexp_extract(props, '\"k\": (-?\\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k, count(1) AS n FROM events GROUP BY 1 ORDER BY 1",
     "agg_avg" ->
@@ -113,9 +175,9 @@ object SparkEntry {
     "agg_cube" ->
       "SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, count(1) AS n FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus) ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST",
     "agg_typed" ->
-      "SELECT o_orderstatus, round(avg(o_totalprice), 2) AS avg_total FROM orders GROUP BY 1 ORDER BY 1",
+      "SELECT o_orderstatus, round(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / count(1), 2) AS avg_total FROM orders GROUP BY 1 ORDER BY 1",
     "group_collect" ->
-      "SELECT lang, (list_sort(list(doc_id)))[1:20] AS doc_ids, count(1) AS n_docs FROM documents GROUP BY 1 ORDER BY 1",
+      "SELECT lang, array_to_string((list_sort(list(doc_id)))[1:20], ',') AS doc_ids, count(1) AS n_docs FROM documents GROUP BY 1 ORDER BY 1",
     "setop_union" ->
       "SELECT user_id FROM events WHERE event_type = 'click' UNION SELECT user_id FROM events WHERE event_type = 'view' ORDER BY user_id",
     "setop_except" ->
@@ -131,7 +193,7 @@ object SparkEntry {
     "join_semi" ->
       "SELECT c_custkey, c_name FROM customer WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) ORDER BY c_custkey",
     "join_outer" ->
-      "SELECT c_custkey, count(o_orderkey) AS n_orders, round(coalesce(sum(o_totalprice), 0), 2) AS sum_total FROM customer LEFT JOIN orders ON c_custkey = o_custkey GROUP BY 1 ORDER BY 1",
+      "SELECT c_custkey, count(o_orderkey) AS n_orders, coalesce(CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE), 0.0) AS sum_total FROM customer LEFT JOIN orders ON c_custkey = o_custkey GROUP BY 1 ORDER BY 1",
     "window_rank" ->
       "SELECT s_nationkey, s_suppkey, s_name, s_acctbal, CAST(rank() OVER (PARTITION BY s_nationkey ORDER BY s_acctbal DESC) AS INT) AS rnk FROM supplier ORDER BY s_nationkey, rnk, s_suppkey",
     "window_top1" ->
@@ -141,12 +203,44 @@ object SparkEntry {
     "topk" ->
       "SELECT o_custkey, CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS revenue FROM orders GROUP BY 1 ORDER BY revenue DESC, o_custkey LIMIT 10",
     "stream_tumbling" ->
-      "SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS window_start, event_type, count(1) AS n, round(sum(value), 2) AS sum_value FROM events GROUP BY 1, 2 ORDER BY 1, 2",
+      "SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS window_start, event_type, count(1) AS n, CAST(round(sum(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_value FROM events GROUP BY 1, 2 ORDER BY 1, 2",
     "stream_sliding" ->
-      "SELECT ws AS window_start, count(1) AS n, round(sum(value), 2) AS sum_value FROM (SELECT time_bucket(INTERVAL '15 minutes', CAST(ts AS TIMESTAMP)) - j * INTERVAL '15 minutes' AS ws, value FROM events CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS j)) GROUP BY 1 ORDER BY 1",
+      "SELECT ws AS window_start, count(1) AS n, CAST(round(sum(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_value FROM (SELECT time_bucket(INTERVAL '15 minutes', CAST(ts AS TIMESTAMP)) - j * INTERVAL '15 minutes' AS ws, value FROM events CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS j)) GROUP BY 1 ORDER BY 1",
     "stream_session" ->
-      "WITH o AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value, lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM events), b AS (SELECT *, CASE WHEN prev_ts IS NULL OR ts - prev_ts >= INTERVAL '10 minutes' THEN 1 ELSE 0 END AS brk FROM o), sa AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM b) SELECT min(ts) AS session_start, user_id, count(1) AS n_events, round(sum(value), 2) AS sum_value FROM sa GROUP BY user_id, sid ORDER BY user_id, session_start",
+      "WITH o AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value, lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM events), b AS (SELECT *, CASE WHEN prev_ts IS NULL OR ts - prev_ts >= INTERVAL '10 minutes' THEN 1 ELSE 0 END AS brk FROM o), sa AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM b) SELECT min(ts) AS session_start, user_id, count(1) AS n_events, CAST(round(sum(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_value FROM sa GROUP BY user_id, sid ORDER BY user_id, session_start",
     "dedup_state" ->
       "WITH r AS (SELECT user_id, event_type, event_id, CAST(ts AS TIMESTAMP) AS ts, row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn FROM events) SELECT user_id, event_type, event_id, ts FROM r WHERE rn = 1 ORDER BY user_id, event_type",
+    "project_classified" ->
+      "SELECT l_orderkey, l_linenumber, CAST(round(CAST(l_extendedprice AS DECIMAL(12,2)), 2) AS DOUBLE) AS money_sum, CAST(round(CAST(l_discount AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)), 2) AS DOUBLE) AS rate_sum, round(l_quantity, 2) AS qty_sum FROM lineitem ORDER BY l_orderkey, l_linenumber",
+    "rank_tokens" ->
+      s"WITH c AS (SELECT unnest(list_intersect(list_distinct(string_split(text, ' ')), $lexiconSql)) AS token FROM documents), g AS (SELECT token, count(1) AS n_docs FROM c GROUP BY 1) SELECT token, n_docs, CAST(rank() OVER (ORDER BY n_docs DESC) AS INT) AS rnk FROM g ORDER BY n_docs DESC, token",
+    "text_tfidf" ->
+      "WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents), tf AS (SELECT doc_id, token, count(1) AS tf FROM tok GROUP BY 1, 2), df AS (SELECT token, count(1) AS df FROM tf GROUP BY 1), n AS (SELECT count(1) AS n_docs FROM documents) SELECT tf.doc_id, tf.token, tf.tf, df.df, round(tf.tf * ln(CAST(n_docs AS DOUBLE) / df.df), 6) AS tfidf FROM tf JOIN df USING (token) CROSS JOIN n ORDER BY doc_id, token",
+    "text_tokens" ->
+      "SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS n_ws_tokens, CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS INT) AS n_re_tokens, CAST(length(text) AS INT) AS len_chars, CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_bpe_est FROM documents ORDER BY doc_id",
+    "text_quality" ->
+      s"SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS n_tokens, round(CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(string_split(text, ' ')), 4) AS avg_word_len, round(CAST(len(list_filter(string_split(text, ' '), t -> t IN $stopwordsSql)) AS DOUBLE) / len(string_split(text, ' ')), 4) AS stopword_ratio, round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / len(string_split(text, ' ')), 4) AS ttr, CASE WHEN len(string_split(text, ' ')) < 20 THEN 'short' WHEN CAST(len(list_filter(string_split(text, ' '), t -> t IN $stopwordsSql)) AS DOUBLE) / len(string_split(text, ' ')) > 0.12 THEN 'stopword_heavy' ELSE 'ok' END AS quality FROM documents ORDER BY doc_id",
+    "text_langid" ->
+      s"WITH s AS (SELECT doc_id, lang, $langidScoreSql FROM documents) SELECT doc_id, lang, ${TextOps.langProfiles.map { case (l, _) => s"score_$l" }.mkString(", ")}, $langidPredSql AS pred_lang FROM s ORDER BY doc_id",
+    "text_fingerprint" ->
+      s"SELECT doc_id, substr(md5(text), 1, 16) AS fp64, list_aggregate(list_transform($sh3, x -> md5(x)), 'min') AS min_shingle_fp FROM documents ORDER BY doc_id",
+    "dedup_exact" ->
+      "SELECT sha256(text) AS content_hash, min(doc_id) AS keep_id, count(1) AS n_copies FROM documents GROUP BY 1 ORDER BY keep_id",
+    "dedup_minhash" ->
+      s"WITH w AS (SELECT doc_id, $sh3 AS sh FROM documents), s AS (SELECT doc_id, b.band, list_aggregate(list_transform(sh, x -> md5(CAST(b.band AS VARCHAR) || ':' || x)), 'min') AS sig FROM w, (SELECT unnest(generate_series(0, ${TextOps.MinhashBands - 1})) AS band) b), c AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM s a JOIN s b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id), j AS (SELECT doc_a, doc_b, round(CAST(len(list_intersect(wa.sh, wb.sh)) AS DOUBLE) / len(list_distinct(list_concat(wa.sh, wb.sh))), 6) AS jaccard FROM c JOIN w wa ON c.doc_a = wa.doc_id JOIN w wb ON c.doc_b = wb.doc_id) SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= ${TextOps.MinhashTau} ORDER BY doc_a, doc_b",
+    "dedup_simhash" ->
+      "WITH tok AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t FROM documents), h AS (SELECT doc_id, CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) AS hv FROM tok), b AS (SELECT doc_id, g.i, CAST(sum(CASE WHEN (hv >> g.i) & 1 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS w FROM h, (SELECT unnest(generate_series(0, 15)) AS i) g GROUP BY 1, 2), sh AS (SELECT doc_id, CAST(sum(CASE WHEN w > 0 THEN 1 << i ELSE 0 END) AS BIGINT) AS simhash FROM b GROUP BY 1) SELECT simhash, count(1) AS n_docs, min(doc_id) AS min_doc FROM sh GROUP BY 1 ORDER BY simhash",
+    "dedup_ngram" ->
+      s"WITH g AS (SELECT doc_id, $cg4 AS cg FROM documents), gb AS (SELECT doc_id, cg, list_aggregate(list_transform(cg, x -> md5(x)), 'min') AS blk FROM g), c AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.cg AS cg_a, b.cg AS cg_b FROM gb a JOIN gb b ON a.blk = b.blk AND a.doc_id < b.doc_id), j AS (SELECT doc_a, doc_b, round(CAST(len(list_intersect(cg_a, cg_b)) AS DOUBLE) / len(list_distinct(list_concat(cg_a, cg_b))), 6) AS jaccard FROM c) SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= ${TextOps.NgramTau} ORDER BY doc_a, doc_b",
+    "dedup_embed" ->
+      s"WITH e AS (SELECT vec_id, embedding, $bucket8 AS bucket, sqrt(${sqNorm("embedding")}) AS nrm FROM embeddings), p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cos FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id) SELECT vec_a, vec_b, cos FROM p WHERE cos >= ${VectorOps.EmbedDupTau} ORDER BY vec_a, vec_b",
+    "vec_norm" ->
+      s"SELECT vec_id, label, CAST(len(embedding) AS INT) AS dim, sqrt(${sqNorm("embedding")}) AS l2_norm, list_sum(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS l1_norm FROM embeddings ORDER BY vec_id",
+    "multimodal_join" ->
+      s"SELECT doc_id, lang, label, n_chars, CAST(octet_length(encode(text)) AS INT) AS n_bytes, md5(text) AS content_md5, sqrt(${sqNorm("embedding")}) AS l2_norm FROM documents JOIN embeddings ON doc_id = vec_id ORDER BY doc_id",
+    "sim_topk" ->
+      s"WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < ${VectorOps.QuerySetSize}), c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= ${VectorOps.QuerySetSize}), s AS (SELECT q_id, vec_id, ${dotSql("q_emb", "embedding")} / (sqrt(${sqNorm("q_emb")}) * sqrt(${sqNorm("embedding")})) AS cos FROM c CROSS JOIN q), r AS (SELECT q_id, vec_id, cos, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn FROM s) SELECT q_id, vec_id, cos, CAST(rn AS INT) AS rn FROM r WHERE rn <= ${VectorOps.TopK} ORDER BY q_id, rn",
+    "sim_ann" ->
+      s"WITH e AS (SELECT vec_id, embedding, $bucket8 AS bucket FROM embeddings), q AS (SELECT vec_id AS q_id, embedding AS q_emb, bucket FROM e WHERE vec_id < ${VectorOps.QuerySetSize}), c AS (SELECT vec_id, embedding, bucket FROM e WHERE vec_id >= ${VectorOps.QuerySetSize}), s AS (SELECT q_id, c.vec_id, ${dotSql("q_emb", "c.embedding")} / (sqrt(${sqNorm("q_emb")}) * sqrt(${sqNorm("c.embedding")})) AS cos FROM c JOIN q USING (bucket)), r AS (SELECT q_id, vec_id, cos, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn FROM s) SELECT q_id, vec_id, cos, CAST(rn AS INT) AS rn FROM r WHERE rn <= ${VectorOps.AnnTopK} ORDER BY q_id, rn",
   )
 }

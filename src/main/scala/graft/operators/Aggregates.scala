@@ -36,13 +36,18 @@ object Aggregates {
       .orderBy("l_returnflag", "l_linestatus")
 
   /** D8: the same aggregation through the SQL string entry point
-    * [ref: timeusage/…/TimeUsage.scala#timeUsageGroupedSql].
+    * [ref: timeusage/…/TimeUsage.scala#timeUsageGroupedSql]. The typed
+    * Aggregator is registered via `udaf(...)` and exercised from SQL here
+    * (SURVEY §2.L promise): `graft_avg` is TypedAvg — cents-exact, so it
+    * reproduces the oracle's DECIMAL average bit-for-bit.
     */
   def aggSql(s: SparkSession, dir: String): DataFrame = {
+    s.udf.register("graft_avg",
+      org.apache.spark.sql.functions.udaf(TypedAvg.ofDouble, org.apache.spark.sql.Encoders.scalaDouble))
     Tables.orders(s, dir).createOrReplaceTempView("graft_orders")
     s.sql("""
       SELECT o_orderstatus,
-             round(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / count(1), 2) AS avg_total,
+             round(graft_avg(o_totalprice), 2) AS avg_total,
              CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_total,
              count(1) AS n_orders
       FROM graft_orders
@@ -137,12 +142,16 @@ object Aggregates {
 
   /** D3: groupBy + collect_list (the reference's inverted index
     * [ref: wikipedia/…/WikipediaRanking.scala#makeIndex]), capped with
-    * `slice` so group payload stays bounded at scale.
+    * `slice` so group payload stays bounded at scale. The id list is
+    * emitted as a canonical comma-joined string — scalar, so the driver's
+    * hash-compare gate can hash it (round-1 FAIL was the raw array column).
     */
   def groupCollect(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .groupBy("lang")
-      .agg(slice(sort_array(collect_list(col("doc_id"))), 1, 20).as("doc_ids"),
+      .agg(array_join(
+             transform(slice(sort_array(collect_list(col("doc_id"))), 1, 20),
+               x => x.cast("string")), ",").as("doc_ids"),
            count(lit(1)).as("n_docs"))
       .orderBy("lang")
 

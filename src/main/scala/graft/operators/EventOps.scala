@@ -24,7 +24,7 @@ object EventOps {
   def streamTumbling(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .agg(count(lit(1)).as("n"), graft.functions.Num.money(sum(graft.functions.Num.dec2(col("value")))).as("sum_value"))
       .select(col("window.start").as("window_start"), col("event_type"), col("n"), col("sum_value"))
       .orderBy("window_start", "event_type")
 
@@ -32,7 +32,7 @@ object EventOps {
   def streamSliding(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .groupBy(window(col("ts"), "1 hour", "15 minutes"))
-      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .agg(count(lit(1)).as("n"), graft.functions.Num.money(sum(graft.functions.Num.dec2(col("value")))).as("sum_value"))
       .select(col("window.start").as("window_start"), col("n"), col("sum_value"))
       .orderBy("window_start")
 
@@ -43,7 +43,7 @@ object EventOps {
   def streamSession(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .groupBy(session_window(col("ts"), "10 minutes"), col("user_id"))
-      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_value"))
+      .agg(count(lit(1)).as("n_events"), graft.functions.Num.money(sum(graft.functions.Num.dec2(col("value")))).as("sum_value"))
       .select(col("session_window.start").as("session_start"), col("user_id"),
               col("n_events"), col("sum_value"))
       .orderBy("user_id", "session_start")

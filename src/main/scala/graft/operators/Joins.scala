@@ -61,6 +61,7 @@ object Joins {
       .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "left_outer")
       .groupBy("c_custkey")
       .agg(count(col("o_orderkey")).as("n_orders"),
-           round(coalesce(sum("o_totalprice"), lit(0.0)), 2).as("sum_total"))
+           coalesce(graft.functions.Num.money(
+             sum(graft.functions.Num.dec2(col("o_totalprice")))), lit(0.0)).as("sum_total"))
       .orderBy("c_custkey")
 }

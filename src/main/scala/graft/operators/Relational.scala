@@ -90,18 +90,43 @@ object Relational {
   /** B5: arithmetic column-group projection (fold of Columns with arithmetic)
     * [ref: timeusage/…/TimeUsage.scala#timeUsageSummary].
     */
-  def projectArith(s: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(s, dir)
-    // B6-style name-driven column selection: pick the l_* money columns by
-    // prefix from df.columns (driver-side metaprogramming over the schema).
-    val moneyCols: Seq[Column] =
-      li.columns.filter(c => c == "l_extendedprice" || c == "l_tax" || c == "l_discount").toSeq.map(col)
-    require(moneyCols.size == 3)
-    li.select(
+  def projectArith(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .select(
         col("l_orderkey"), col("l_linenumber"),
         graft.functions.Num.money(
           graft.functions.Num.charged(col("l_extendedprice"), col("l_discount"), col("l_tax")))
           .as("net_price"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** B6: name-driven column classification — the reference partitions 455
+    * survey column names into groups by prefix sets and folds each group
+    * with `+` [ref: timeusage/…/TimeUsage.scala#classifiedColumns]. Pure
+    * driver-side metaprogramming over `df.columns`; the data never moves.
+    */
+  def classifiedColumns(names: Seq[String]): (Seq[String], Seq[String], Seq[String]) = {
+    val money = names.filter(_.endsWith("price"))
+    val rates = names.filter(n => n == "l_discount" || n == "l_tax")
+    val qty   = names.filter(_.contains("quantity"))
+    (money, rates, qty)
+  }
+
+  /** B6 exercised: classify lineitem's numeric columns by name, then project
+    * the per-row fold (sum) of each class — the `classifiedColumns` +
+    * column-group-fold capability on our schema. Decimal folds keep the
+    * 2-decimal arithmetic exact (see Num).
+    */
+  def projectClassified(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Num
+    val li = Tables.lineitem(s, dir)
+    val (money, rates, qty) = classifiedColumns(li.columns.toSeq)
+    require(money.nonEmpty && rates.nonEmpty && qty.nonEmpty,
+      s"classification must cover all three groups, got $money / $rates / $qty")
+    li.select(
+        col("l_orderkey"), col("l_linenumber"),
+        Num.money(money.map(c => Num.dec2(col(c))).reduce(_ + _)).as("money_sum"),
+        Num.money(rates.map(c => Num.rate2(col(c))).reduce(_ + _)).as("rate_sum"),
+        round(qty.map(col).reduce(_ + _), 2).as("qty_sum"))
       .orderBy("l_orderkey", "l_linenumber")
   }
 
@@ -131,13 +156,18 @@ object Relational {
         regexp_replace(col("p_name"), "[aeiou]", "").as("name_novowel"))
       .orderBy("p_partkey")
 
-  /** H4: date/timestamp functions (testdata extension; no dates in reference). */
+  /** H4: date/timestamp functions (testdata extension; no dates in
+    * reference). The money sum goes through exact decimals so the result is
+    * partition-order independent (see Num).
+    */
   def scalarDate(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir)
       .groupBy(
         year(col("o_orderdate")).as("o_year"),
         month(col("o_orderdate")).as("o_month"))
-      .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 2).as("sum_total"))
+      .agg(count(lit(1)).as("n_orders"),
+           graft.functions.Num.money(
+             sum(graft.functions.Num.dec2(col("o_totalprice")))).as("sum_total"))
       .orderBy("o_year", "o_month")
 
   /** H6: JSON extraction from the events.props string column. */

@@ -1,0 +1,287 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Text-analysis and document-deduplication operators (SURVEY §2.K1/K2/K5,
+  * plus the wikipedia ranking capability §2.D2/D4/D5).
+  *
+  * Everything here is pure Catalyst — shingling, MinHash, SimHash and
+  * fingerprints are built from `split`/`transform`/`aggregate`/`md5`, so the
+  * hot path stays inside whole-stage codegen and the DuckDB oracle can
+  * recompute identical values (md5 is the portable hash both engines share).
+  *
+  * Scale shapes (the part that must survive 100 TB):
+  *  - ranking/TF-IDF: explode → groupBy — shuffle volume ∝ distinct
+  *    (doc, token) pairs, partial-aggregated map-side.
+  *  - MinHash/n-gram dedup: banded LSH — candidates come from
+  *    `groupBy(band, signature)` buckets and a bucket self-join, NEVER an
+  *    all-pairs cross join; verification joins candidate pairs back to the
+  *    shingle sets by doc_id (shuffle-by-key).
+  *  - SimHash: per-row fold to a 16-bit signature (no shuffle), then one
+  *    groupBy(signature) — near-dups land in the same bucket.
+  */
+object TextOps {
+
+  /** Fixed ranking lexicon (subset of the corpus vocabulary) — the
+    * wikipedia assignment's `langs` list generalized
+    * [ref: wikipedia/…/WikipediaRanking.scala#langs].
+    */
+  val lexicon: Seq[String] =
+    Seq("spark", "query", "join", "window", "stream", "vector", "hash", "merge", "filter", "batch")
+
+  val stopwords: Seq[String] = Seq("the", "a")
+
+  /** MinHash parameters: 8 bands × 1 row (salted-md5 min per band), verify
+    * threshold 0.5 — planted near-dups in the testdata sit at Jaccard ≥ 0.8,
+    * noise pairs at ≤ 0.1, so the gap is wide on both sides.
+    */
+  val MinhashBands = 8
+  val MinhashTau = 0.5
+
+  /** n-gram dedup: char 4-grams, single min-md5 band for blocking. */
+  val NgramTau = 0.5
+
+  private def words(c: Column): Column = split(c, " ")
+
+  /** n-word shingles (1-based `slice`); short docs yield one whole-text
+    * shingle so the expression never produces an empty array.
+    */
+  def shingles(text: Column, n: Int): Column = {
+    val w = words(text)
+    transform(sequence(lit(1), greatest(size(w) - (n - 1), lit(1))),
+      i => concat_ws(" ", slice(w, i, lit(n))))
+  }
+
+  /** Distinct character n-grams of the raw text. */
+  def charGrams(text: Column, n: Int): Column =
+    array_distinct(transform(
+      sequence(lit(1), greatest(length(text) - (n - 1), lit(1))),
+      i => text.substr(i, lit(n))))
+
+  /** md5 hex of a string column's UTF-8 bytes (= DuckDB `md5(varchar)`). */
+  private def md5s(c: Column): Column = md5(c.cast("binary"))
+
+  // ------------------------------------------------------------------
+  // Ranking / TF-IDF (wikipedia capability + §2.K5)
+  // ------------------------------------------------------------------
+
+  /** D2/D4/D5 `rank_tokens`: rank the lexicon by number of documents that
+    * mention each token — the wikipedia assignment's three strategies
+    * collapsed into the one-pass plan its `reduceByKey` variant teaches
+    * [ref: wikipedia/…/WikipediaRanking.scala#rankLangsReduceByKey]:
+    * explode(distinct tokens ∩ lexicon) → groupBy → count → orderBy. One
+    * scan, map-side partial aggregation, shuffle ∝ lexicon size.
+    *
+    * The final rank window is global but runs over ≤ |lexicon| rows (post-
+    * aggregation), so the single-partition window is not a scale concern.
+    */
+  def rankTokens(s: SparkSession, dir: String): DataFrame = {
+    val lex = array(lexicon.map(lit): _*)
+    Tables.documents(s, dir)
+      .select(explode(array_intersect(array_distinct(words(col("text"))), lex)).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("rnk", rank().over(Window.orderBy(desc("n_docs"))).cast("int"))
+      .orderBy(desc("n_docs"), asc("token"))
+  }
+
+  /** K5 `text_tfidf`: per-(doc, token) TF-IDF. The doc-frequency side is
+    * vocabulary-sized, so it broadcasts; N comes from a 1-row broadcast
+    * cross join — no driver-side constants baked into the plan.
+    */
+  def textTfidf(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val tf = docs
+      .select(col("doc_id"), explode(words(col("text"))).as("token"))
+      .groupBy("doc_id", "token")
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    tf.join(broadcast(dfreq), "token")
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("token"), col("tf"), col("df"),
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6).as("tfidf"))
+      .orderBy("doc_id", "token")
+  }
+
+  /** Token counting: whitespace tokens, regex (BPE-ish `[a-z]+|[0-9]+`)
+    * tokens, chars, and the chars/4 BPE-count heuristic. Narrow per-row
+    * projection — no shuffle except the oracle-mandated terminal sort.
+    */
+  def textTokens(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(
+        col("doc_id"),
+        size(words(col("text"))).as("n_ws_tokens"),
+        size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+', 0)")).as("n_re_tokens"),
+        length(col("text")).as("len_chars"),
+        ceil(length(col("text")) / lit(4.0)).cast("long").as("n_bpe_est"))
+      .orderBy("doc_id")
+
+  /** Quality scoring: token count, mean word length, stopword ratio,
+    * type-token ratio, and a when/otherwise quality bucket — the standard
+    * cheap pre-filters of a training-data pipeline.
+    */
+  def textQuality(s: SparkSession, dir: String): DataFrame = {
+    val w = words(col("text"))
+    val stop = array(stopwords.map(lit): _*)
+    val nTok = size(w)
+    val nStop = size(filter(w, t => array_contains(stop, t)))
+    Tables.documents(s, dir)
+      .select(
+        col("doc_id"),
+        nTok.as("n_tokens"),
+        round(length(regexp_replace(col("text"), " ", "")).cast("double") / nTok, 4).as("avg_word_len"),
+        round(nStop.cast("double") / nTok, 4).as("stopword_ratio"),
+        round(size(array_distinct(w)).cast("double") / nTok, 4).as("ttr"),
+        when(nTok < 20, "short")
+          .when(nStop.cast("double") / nTok > 0.12, "stopword_heavy")
+          .otherwise("ok").as("quality"))
+      .orderBy("doc_id")
+  }
+
+  /** Character-bigram profiles per candidate language for `text_langid`.
+    * Order = prediction priority on score ties.
+    */
+  val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("th", "ow", "sc"),
+    "de" -> Seq("ei", "ur"),
+    "es" -> Seq("rr", "do"),
+    "fr" -> Seq("ou", "eu"),
+    "zh" -> Seq("ta", "ng"),
+  )
+
+  /** Language ID by n-gram profile scoring: per language, count occurrences
+    * of its profile bigrams (pure length/replace arithmetic — no regex
+    * engine in the hot loop) and take the argmax with fixed priority order.
+    */
+  def textLangid(s: SparkSession, dir: String): DataFrame = {
+    def occ(pat: String): Column =
+      ((length(col("text")) - length(regexp_replace(col("text"), pat, ""))) / pat.length).cast("int")
+    val scores = langProfiles.map { case (l, ps) => l -> ps.map(occ).reduce(_ + _) }
+    val maxScore = greatest(scores.map(_._2): _*)
+    val pred = scores.tail
+      .foldLeft(when(scores.head._2 === maxScore, lit(scores.head._1))) {
+        case (acc, (l, sc)) => acc.when(sc === maxScore, lit(l))
+      }
+      .otherwise("und")
+    val scoreCols = scores.map { case (l, sc) => sc.as(s"score_$l") }
+    Tables.documents(s, dir)
+      .select(col("doc_id") +: col("lang") +: scoreCols :+ pred.as("pred_lang"): _*)
+      .orderBy("doc_id")
+  }
+
+  /** Document fingerprinting: a 64-bit content fingerprint (md5 prefix of
+    * the raw text) plus the min-md5 of the 3-word shingle set — the latter
+    * is stable under small edits, the standard cheap near-dup pre-key.
+    */
+  def textFingerprint(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(
+        col("doc_id"),
+        substring(md5s(col("text")), 1, 16).as("fp64"),
+        array_min(transform(array_distinct(shingles(col("text"), 3)), x => md5s(x))).as("min_shingle_fp"))
+      .orderBy("doc_id")
+
+  // ------------------------------------------------------------------
+  // Deduplication (§2.K1/K2)
+  // ------------------------------------------------------------------
+
+  /** K1 `dedup_exact`: content-hash dedup — groupBy(sha256(text)) keeps the
+    * lowest doc_id per content group. Shuffle is by hash (uniform by
+    * construction, no skew), volume ∝ distinct contents: the exact shape
+    * that holds at 100 TB.
+    */
+  def dedupExact(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .groupBy(sha2(col("text").cast("binary"), 256).as("content_hash"))
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+      .orderBy("keep_id")
+
+  /** Per-band MinHash signatures: band b's hash is min over shingles of
+    * md5("b:" + shingle) — 8 independent permutation approximations from one
+    * portable hash function.
+    */
+  private def bandSignatures(sh: DataFrame): DataFrame =
+    sh.select(col("doc_id"), explode(
+        transform(sequence(lit(0), lit(MinhashBands - 1)),
+          b => struct(b.as("band"),
+            array_min(transform(col("sh"),
+              x => md5s(concat(b.cast("string"), lit(":"), x)))).as("sig")))
+      ).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+
+  /** K2 `dedup_minhash`: banded MinHash LSH near-dup detection.
+    * shingle(3-word) → per-band min-signature → candidate pairs from a
+    * bucket self-join on (band, sig) → exact Jaccard verification ≥ τ.
+    * The self-join is an equi-join on the band key — candidate count is
+    * Σ bucket² over near-dup buckets, never corpus², which is what makes
+    * this the 100 TB shape (SURVEY §2.K2; VERDICT round-1 mandate).
+    */
+  def dedupMinhash(s: SparkSession, dir: String): DataFrame = {
+    val sh = Tables.documents(s, dir)
+      .select(col("doc_id"), array_distinct(shingles(col("text"), 3)).as("sh"))
+    val sigs = bandSignatures(sh)
+    val cand = sigs.as("a")
+      .join(sigs.as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_distinct(concat(col("sh_a"), col("sh_b")))), 6).as("jaccard"))
+      .filter(col("jaccard") >= MinhashTau)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** K2b `dedup_simhash`: 16-bit SimHash over the distinct token set, folded
+    * per row with HOFs (array accumulator of bit weights) — zero shuffle
+    * until the final groupBy(simhash) bucket report. Token bit i weights
+    * ±1 by bit i of the md5-derived 32-bit token hash.
+    */
+  def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
+    val bits = 16
+    def hv(t: Column): Column = conv(substring(md5s(t), 1, 8), 16, 10).cast("long")
+    def bitVec(h: Column): Column = transform(sequence(lit(0), lit(bits - 1)),
+      i => when(pmod((h / pow(lit(2.0), i)).cast("long"), lit(2)) === 1, lit(1)).otherwise(lit(-1)))
+    val weights = aggregate(array_distinct(words(col("text"))),
+      array_repeat(lit(0), bits),
+      (acc, t) => zip_with(acc, bitVec(hv(t)), (a, b) => a + b))
+    val simhash = aggregate(
+      zip_with(weights, sequence(lit(0), lit(bits - 1)),
+        (w, i) => when(w > 0, pow(lit(2.0), i)).otherwise(lit(0.0))),
+      lit(0.0), (a, x) => a + x).cast("long")
+    Tables.documents(s, dir)
+      .select(col("doc_id"), simhash.as("simhash"))
+      .groupBy("simhash")
+      .agg(count(lit(1)).as("n_docs"), min("doc_id").as("min_doc"))
+      .orderBy("simhash")
+  }
+
+  /** K2c `dedup_ngram`: character-4-gram Jaccard near-dup with single-band
+    * min-md5 blocking (1-band MinHash): two docs collide iff they share the
+    * minimum-md5 char-gram, probability ≈ their Jaccard — cheap recall-τ
+    * screening, same bucket-join scale shape as dedup_minhash.
+    */
+  def dedupNgram(s: SparkSession, dir: String): DataFrame = {
+    val g = Tables.documents(s, dir)
+      .select(col("doc_id"), charGrams(col("text"), 4).as("cg"))
+      .withColumn("blk", array_min(transform(col("cg"), x => md5s(x))))
+    val cand = g.select(col("doc_id").as("doc_a"), col("cg").as("cg_a"), col("blk"))
+      .join(g.select(col("doc_id").as("doc_b"), col("cg").as("cg_b"), col("blk")), "blk")
+      .filter(col("doc_a") < col("doc_b"))
+    cand
+      .select(col("doc_a"), col("doc_b"),
+        round(size(array_intersect(col("cg_a"), col("cg_b"))).cast("double") /
+          size(array_distinct(concat(col("cg_a"), col("cg_b")))), 6).as("jaccard"))
+      .filter(col("jaccard") >= NgramTau)
+      .orderBy("doc_a", "doc_b")
+  }
+}

@@ -1,0 +1,204 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.Vec
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Embedding-column operators (SURVEY §2.K3/K4) and the iterative k-means
+  * dataflow (§2.I) — similarity search, multimodal join, vector stats.
+  *
+  * Scale shapes:
+  *  - `sim_topk`: the query set is tiny and broadcast; the corpus streams
+  *    past it once (broadcast nested loop), then a per-query window takes
+  *    top-k. Never corpus × corpus.
+  *  - `sim_ann` / `dedup_embed`: sign-bit LSH buckets (IVF-style coarse
+  *    index) turn the candidate set from |corpus| into |bucket|; the join is
+  *    an equi-join on the bucket key.
+  *  - `kmeans_clusters`: the reference's driver-coordinated loop
+  *    [ref: stackoverflow/…/StackOverflow.scala#kmeans] — centers live on
+  *    the driver (k × dim doubles), each iteration is one broadcast join +
+  *    one partial-aggregated per-dimension mean; only k × dim rows ever
+  *    reach the driver per iteration.
+  */
+object VectorOps {
+
+  /** Fixed query set for similarity search: vec_id < 5. */
+  val QuerySetSize = 5
+  val TopK = 10
+  val AnnBits = 8
+  val AnnTopK = 5
+  val EmbedDupTau = 0.3
+
+  /** K4 `vec_norm`: per-vector L1/L2 norms and dimensionality via HOF folds.
+    * Raw doubles — the sequential fold is bitwise-reproducible (see Vec).
+    */
+  def vecNorm(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(
+        col("vec_id"), col("label"),
+        size(col("embedding")).as("dim"),
+        Vec.l2(col("embedding")).as("l2_norm"),
+        Vec.l1(col("embedding")).as("l1_norm"))
+      .orderBy("vec_id")
+
+  /** K4 `multimodal_join`: documents ⋈ embeddings — one row carrying text
+    * metadata, an opaque binary payload's features (byte length, content
+    * md5), and vector stats. Both sides scale with the corpus, so this is a
+    * plain shuffle equi-join on the id (co-partitionable / bucketable at
+    * 100 TB); no broadcast hint on purpose.
+    */
+  def multimodalJoin(s: SparkSession, dir: String): DataFrame = {
+    val payload = col("text").cast("binary")
+    Tables.documents(s, dir)
+      .join(Tables.embeddings(s, dir), col("doc_id") === col("vec_id"))
+      .select(
+        col("doc_id"), col("lang"), col("label"), col("n_chars"),
+        length(payload).as("n_bytes"),
+        md5(payload).as("content_md5"),
+        Vec.l2(col("embedding")).as("l2_norm"))
+      .orderBy("doc_id")
+  }
+
+  /** K3 `sim_topk`: brute-force cosine top-k of the corpus against a small
+    * broadcast query set — the exact baseline an ANN variant is judged
+    * against. Corpus scans once; shuffle only for the per-query window over
+    * corpus rows (partitioned by q_id, k queries → bounded).
+    */
+  def simTopk(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val q = emb.filter(col("vec_id") < QuerySetSize)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val corpus = emb.filter(col("vec_id") >= QuerySetSize)
+    corpus.crossJoin(broadcast(q))
+      .select(col("q_id"), col("vec_id"),
+        Vec.cosine(col("q_emb"), col("embedding")).as("cos"))
+      .withColumn("rn", row_number()
+        .over(Window.partitionBy("q_id").orderBy(desc("cos"), asc("vec_id"))).cast("int"))
+      .filter(col("rn") <= TopK)
+      .orderBy("q_id", "rn")
+  }
+
+  /** K3b `sim_ann`: LSH-bucketed approximate nearest neighbours — queries
+    * join the corpus only within their sign-bit bucket (single-probe), so
+    * each query scores ~|corpus| / 2^bits candidates instead of |corpus|.
+    * Recall < 1 by design; `sim_topk` is the exact baseline.
+    */
+  def simAnn(s: SparkSession, dir: String): DataFrame = {
+    val bucketed = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"),
+        Vec.signBucket(col("embedding"), AnnBits).as("bucket"))
+    val q = bucketed.filter(col("vec_id") < QuerySetSize)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("bucket"))
+    val corpus = bucketed.filter(col("vec_id") >= QuerySetSize)
+    corpus.join(broadcast(q), "bucket")
+      .select(col("q_id"), col("vec_id"),
+        Vec.cosine(col("q_emb"), col("embedding")).as("cos"))
+      .withColumn("rn", row_number()
+        .over(Window.partitionBy("q_id").orderBy(desc("cos"), asc("vec_id"))).cast("int"))
+      .filter(col("rn") <= AnnTopK)
+      .orderBy("q_id", "rn")
+  }
+
+  /** K2d `dedup_embed`: embedding-cosine near-dup pairs, candidates limited
+    * to the same sign-bit LSH bucket (bucket self-join, never all-pairs).
+    */
+  def dedupEmbed(s: SparkSession, dir: String): DataFrame = {
+    val b = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"),
+        Vec.signBucket(col("embedding"), AnnBits).as("bucket"))
+    b.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"), col("bucket"))
+      .join(b.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"), col("bucket")), "bucket")
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        Vec.cosine(col("emb_a"), col("emb_b")).as("cos"))
+      .filter(col("cos") >= EmbedDupTau)
+      .orderBy("vec_a", "vec_b")
+  }
+
+  /** §2.I `kmeans_clusters`: the reference's iterative k-means re-expressed
+    * over DataFrames [ref: stackoverflow/…/StackOverflow.scala#kmeans].
+    *
+    *  - I1 init: deterministic first-vector-per-label (window rn=1) instead
+    *    of the reference's seeded reservoir sample — cross-engine RNG does
+    *    not reproduce, determinism is the contract (SURVEY §2.I1).
+    *  - I2 loop: fixed 5 iterations (reference: converge-or-120); each
+    *    iteration broadcasts k×dim centers, assigns via the sqDist HOF +
+    *    min(struct(dist, cid)) argmin, recomputes means via
+    *    posexplode → groupBy(cid, pos) partial aggregation, and collects
+    *    only k×dim (sum, count) rows to the driver.
+    *  - A5: the embeddings input is cached across iterations.
+    *  - I4 report: per-cluster size, dominant label (D12 two-level mode),
+    *    label share, median L2 norm (D11).
+    *
+    * No DuckDB oracle (iterative, driver-coordinated — per SURVEY contract);
+    * covered by the convergence unit test on a separable dataset.
+    */
+  def kmeansClusters(s: SparkSession, dir: String): DataFrame = {
+    val iterations = 5
+    val emb = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label"), col("embedding")).cache()
+
+    // I1: deterministic init — first vector of each label, cluster id = rank
+    // of label (k = #labels).
+    val initW = Window.partitionBy("label").orderBy("vec_id")
+    var centers: Array[Seq[Double]] = emb
+      .withColumn("rn", row_number().over(initW))
+      .filter(col("rn") === 1)
+      .orderBy("label")
+      .select("embedding")
+      .collect()
+      .map(_.getSeq[Float](0).map(_.toDouble))
+    val k = centers.length
+
+    def assign(cdf: DataFrame): DataFrame =
+      emb.crossJoin(broadcast(cdf))
+        .select(col("vec_id"),
+          col("cid"), Vec.sqDist(col("embedding"), col("center")).as("dist"))
+        .groupBy("vec_id")
+        .agg(min(struct(col("dist"), col("cid"))).as("m"))
+        .select(col("vec_id"), col("m.cid").as("cid"))
+
+    def centersDf(cs: Array[Seq[Double]]): DataFrame = {
+      import s.implicits._
+      cs.zipWithIndex.map { case (c, i) => (i, c) }.toSeq.toDF("cid", "center")
+    }
+
+    // I2/I3: fixed-iteration driver loop; each pass = one Spark job chain.
+    for (_ <- 1 to iterations) {
+      val sums = assign(centersDf(centers))
+        .join(emb, "vec_id")
+        .select(col("cid"), posexplode(col("embedding")))
+        .groupBy("cid", "pos")
+        .agg(sum(col("col").cast("double")).as("sv"), count(lit(1)).as("n"))
+        .collect()
+      val byCluster = sums.groupBy(_.getInt(0))
+      centers = centers.zipWithIndex.map { case (old, cid) =>
+        byCluster.get(cid) match {
+          case Some(rows) =>
+            rows.sortBy(_.getInt(1)).map(r => r.getDouble(2) / r.getLong(3)).toSeq
+          case None => old // empty cluster keeps its center
+        }
+      }
+    }
+
+    // I4: cluster report — size, dominant label + share, median norm.
+    val finalAssign = assign(centersDf(centers))
+    val scored = finalAssign.join(emb, "vec_id")
+      .select(col("cid"), col("label"), Vec.l2(col("embedding")).as("nrm"))
+    val labelCounts = scored.groupBy("cid", "label").agg(count(lit(1)).as("n"))
+    val topLabel = labelCounts
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("cid").orderBy(desc("n"), asc("label"))))
+      .filter(col("rn") === 1)
+      .select(col("cid"), col("label").as("top_label"), col("n").as("top_n"))
+    scored.groupBy("cid")
+      .agg(count(lit(1)).as("n_vecs"), round(median(col("nrm")), 6).as("median_norm"))
+      .join(topLabel, "cid")
+      .select(col("cid").as("cluster_id"), col("n_vecs"), col("top_label"),
+        round(col("top_n").cast("double") / col("n_vecs"), 4).as("label_share"),
+        col("median_norm"))
+      .orderBy("cluster_id")
+  }
+}

@@ -50,25 +50,29 @@ def main(sf_dir, out_dir):
             g, e = got[c], exp[c]
             try:
                 if g.dtype.kind == 'f' or e.dtype.kind == 'f':
+                    # The driver gate hashes exact values, so exact float
+                    # mismatch = FAIL here too (no tolerant tier — a tolerant
+                    # selfcheck PASS would not predict a driver PASS).
                     gv, ev = g.astype(float).values, e.astype(float).values
                     nboth = np.isnan(gv) & np.isnan(ev)
-                    neq = ~(nboth | np.isclose(gv, ev, rtol=0, atol=0))
-                    exact_neq = ~(nboth | (gv == ev))
+                    neq = ~(nboth | (gv == ev))
                     if neq.any():
                         i = int(np.argmax(neq))
                         bad = f"col {c} row {i}: spark={gv[i]!r} duck={ev[i]!r}"
                         break
-                    if exact_neq.any():
-                        i = int(np.argmax(exact_neq))
-                        bad = f"col {c} INEXACT row {i}: spark={gv[i]!r} duck={ev[i]!r}"
-                        break
                 elif g.dtype == object:
-                    def norm(v):
-                        if isinstance(v, (list, np.ndarray)): return tuple(v)
-                        return v
-                    if not all(norm(a) == norm(b) for a, b in zip(g, e)):
+                    # The driver's hash-compare dies on array cells
+                    # (unhashable ndarray) — reproduce that as a FAIL instead
+                    # of tuple-normalizing them (round-1 ADVICE: that
+                    # divergence hid the group_collect failure).
+                    if any(isinstance(v, (list, np.ndarray)) for v in g.head(50)) or \
+                       any(isinstance(v, (list, np.ndarray)) for v in e.head(50)):
+                        bad = (f"col {c}: array-typed cells — driver hash gate "
+                               "cannot hash these (emit a joined string instead)")
+                        break
+                    if not all(a == b for a, b in zip(g, e)):
                         for i, (a, b) in enumerate(zip(g, e)):
-                            if norm(a) != norm(b):
+                            if a != b:
                                 bad = f"col {c} row {i}: spark={a!r} duck={b!r}"; break
                         break
                 else:
