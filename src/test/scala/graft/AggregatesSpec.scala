@@ -1,0 +1,87 @@
+package graft
+
+import graft.operators.Aggregates
+import graft.functions.TypedAvg
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class AggregatesSpec extends AnyFunSuite {
+  import SparkTestSession.{spark, sfDir}
+
+  test("approx_count_distinct is within 2% of exact per group (D13 ε-bound)") {
+    val exact = Aggregates.aggDistinct(spark, sfDir)
+      .select("event_type", "n_users").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val approx = Aggregates.aggApproxDistinct(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(approx.keySet == exact.keySet)
+    approx.foreach { case (k, a) =>
+      val e = exact(k)
+      assert(math.abs(a - e) <= math.max(1L, (0.02 * e).toLong),
+        s"$k: approx=$a exact=$e out of 2% bound")
+    }
+  }
+
+  test("agg_median matches a brute-force midpoint median (D11)") {
+    import spark.implicits._
+    val vals = Seq(("a", 1.0), ("a", 2.0), ("a", 10.0), ("b", 4.0), ("b", 8.0), ("b", 5.0), ("b", 7.0))
+    val df = vals.toDF("k", "v")
+    val got = df.groupBy("k").agg(median($"v").as("m")).orderBy("k")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    def brute(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
+    val expected = vals.groupBy(_._1).map { case (k, vs) => k -> brute(vs.map(_._2)) }
+    assert(got == expected)
+  }
+
+  test("agg_mode tiebreak is deterministic: count desc then value asc (D12)") {
+    import spark.implicits._
+    // user_bucket 0: 'click' and 'view' tie at 2 — 'click' wins alphabetically
+    val ev = Seq((0L, "view"), (0L, "view"), (0L, "click"), (0L, "click"))
+      .toDF("user_id", "event_type")
+    val counts = ev.groupBy((col("user_id") % 10).as("user_bucket"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_bucket").orderBy(desc("n"), asc("event_type"))
+    val top = counts.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select("event_type").collect().map(_.getString(0)).toSeq
+    assert(top == Seq("click"))
+  }
+
+  test("TypedAvg equals the built-in avg on 2-decimal money") {
+    import spark.implicits._
+    val df = Seq(("x", 10.01), ("x", 10.02), ("y", 5.55)).toDF("k", "v")
+    val typed = df.as[(String, Double)].groupByKey(_._1)
+      .agg(TypedAvg.ofSecond.name("t")).toDF("k", "t")
+    val builtin = df.groupBy("k").agg(avg("v").as("b"))
+    val j = typed.join(builtin, "k").collect()
+    j.foreach { r =>
+      assert(math.abs(r.getDouble(1) - r.getDouble(2)) < 1e-9, r.toString)
+    }
+  }
+
+  test("TypedAvg cents buffer is exact where double summation drifts") {
+    // 0.1 + 0.2 != 0.3 in float64; in cents it is exact.
+    import spark.implicits._
+    val df = Seq.fill(1000)(0.01).map(("k", _)).toDF("k", "v")
+    val t = df.as[(String, Double)].groupByKey(_._1)
+      .agg(TypedAvg.ofSecond.name("t")).collect().head._2
+    assert(t == 0.01)
+  }
+
+  test("group_collect emits a scalar comma-joined id string (driver-hashable)") {
+    val row = Aggregates.groupCollect(spark, sfDir).limit(1).collect().head
+    val ids = row.getString(row.fieldIndex("doc_ids"))
+    assert(ids.split(",").forall(_.forall(_.isDigit)), ids)
+    assert(ids.split(",").map(_.toLong).sliding(2).forall(p => p.length < 2 || p(0) <= p(1)),
+      s"ids must be sorted: $ids")
+  }
+
+  test("rollup adds the grand-total and per-flag subtotal rows (D14)") {
+    val n = Aggregates.aggRollup(spark, sfDir).count()
+    val base = Aggregates.aggAvg(spark, sfDir).count() // leaf grouping cardinality
+    assert(n > base) // subtotals + grand total present
+  }
+}

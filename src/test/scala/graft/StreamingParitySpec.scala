@@ -1,0 +1,77 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** J4 batch/stream parity: the tumbling-window aggregation produces the same
+  * result under Structured Streaming (`MemoryStream`) as in batch, because
+  * both run the same `window()` expression — the property EventOps' Scaladoc
+  * claims. Also exercises `withWatermark` late-data dropping in append mode.
+  */
+class StreamingParitySpec extends AnyFunSuite {
+  import SparkTestSession.spark
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  private val rows = Seq(
+    (ts("2024-01-01 10:05:00"), "click", 1.0),
+    (ts("2024-01-01 10:45:00"), "click", 2.0),
+    (ts("2024-01-01 10:50:00"), "view", 4.0),
+    (ts("2024-01-01 11:10:00"), "click", 8.0),
+  )
+
+  test("tumbling window aggregation: MemoryStream result == batch result (J1/J4)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    def aggregate(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum("value").as("sv"))
+        .select(col("window.start").as("ws"), col("event_type"), col("n"), col("sv"))
+
+    val batch = aggregate(rows.toDF("ts", "event_type", "value"))
+      .orderBy("ws", "event_type").collect().toSeq
+
+    val stream = MemoryStream[(Timestamp, String, Double)]
+    stream.addData(rows: _*)
+    val q = aggregate(stream.toDF.toDF("ts", "event_type", "value"))
+      .writeStream.format("memory").queryName("parity_t").outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("parity_t")
+      .orderBy("ws", "event_type").collect().toSeq
+
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+  }
+
+  test("withWatermark drops data later than the watermark delay (J4)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val stream = MemoryStream[(Timestamp, String, Double)]
+    val agg = stream.toDF.toDF("ts", "event_type", "value")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("ws"), col("n"))
+    val q = agg.writeStream.format("memory").queryName("wm_t").outputMode("append").start()
+    try {
+      // batch 1: two events in the 10:00 window, then one far ahead that
+      // advances the watermark beyond 10:00+1h+10m and closes the window.
+      stream.addData((ts("2024-01-01 10:05:00"), "click", 1.0))
+      stream.addData((ts("2024-01-01 10:20:00"), "click", 1.0))
+      q.processAllAvailable()
+      stream.addData((ts("2024-01-01 13:00:00"), "click", 1.0))
+      q.processAllAvailable()
+      // batch 2: a late event for the already-closed 10:00 window — dropped.
+      stream.addData((ts("2024-01-01 10:30:00"), "late", 1.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val closed = spark.table("wm_t").collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1))).toMap
+    // the 10:00 window emitted with the 2 on-time events only
+    assert(closed(ts("2024-01-01 10:00:00")) == 2L)
+  }
+}

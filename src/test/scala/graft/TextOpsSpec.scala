@@ -1,0 +1,101 @@
+package graft
+
+import graft.operators.TextOps
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class TextOpsSpec extends AnyFunSuite {
+  import SparkTestSession.{spark, sfDir}
+
+  test("shingles produce overlapping n-word windows") {
+    import spark.implicits._
+    val got = Seq("a b c d").toDF("text")
+      .select(TextOps.shingles(col("text"), 3).as("sh"))
+      .collect().head.getSeq[String](0)
+    assert(got == Seq("a b c", "b c d"))
+  }
+
+  test("shingles of a short doc fall back to one whole-text shingle") {
+    import spark.implicits._
+    val got = Seq("a b").toDF("text")
+      .select(TextOps.shingles(col("text"), 3).as("sh"))
+      .collect().head.getSeq[String](0)
+    assert(got == Seq("a b"))
+  }
+
+  test("dedup_minhash finds planted near-duplicates and no clean pairs") {
+    import spark.implicits._
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val nearDup = ((1 to 38).map(i => s"tok$i") ++ Seq("other1", "other2")).mkString(" ")
+    val unrelated = (100 to 140).map(i => s"tok$i").mkString(" ")
+    val docs = Seq((0L, base), (1L, nearDup), (2L, unrelated)).toDF("doc_id", "text")
+    docs.write.mode("overwrite").parquet("/tmp/graft_test_minhash/documents.parquet")
+    val pairs = TextOps.dedupMinhash(spark, "/tmp/graft_test_minhash")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(pairs == Seq((0L, 1L)))
+  }
+
+  test("dedup_exact groups identical contents, keeps lowest id (idempotence)") {
+    import spark.implicits._
+    val docs = Seq((5L, "same text"), (9L, "same text"), (7L, "different"))
+      .toDF("doc_id", "text")
+    docs.write.mode("overwrite").parquet("/tmp/graft_test_exact/documents.parquet")
+    val got = TextOps.dedupExact(spark, "/tmp/graft_test_exact")
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((5L, 2L), (7L, 1L)))
+    // idempotence: deduping the kept set changes nothing
+    val kept = docs.filter(col("doc_id").isin(5L, 7L))
+    kept.write.mode("overwrite").parquet("/tmp/graft_test_exact2/documents.parquet")
+    val again = TextOps.dedupExact(spark, "/tmp/graft_test_exact2")
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+    assert(again == Seq((5L, 1L), (7L, 1L)))
+  }
+
+  test("dedup_simhash puts identical docs in the same bucket") {
+    import spark.implicits._
+    val docs = Seq((1L, "alpha beta gamma"), (2L, "alpha beta gamma"), (3L, "zeta eta theta iota"))
+      .toDF("doc_id", "text")
+    docs.write.mode("overwrite").parquet("/tmp/graft_test_simhash/documents.parquet")
+    val buckets = TextOps.dedupSimhash(spark, "/tmp/graft_test_simhash")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val dupBucket = buckets.filter(_._2 == 2L)
+    assert(dupBucket.length == 1 && dupBucket.head._3 == 1L, buckets.mkString(","))
+  }
+
+  test("rank_tokens counts mentioning documents once per doc, ranked desc") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spark spark spark query"), // spark counted once for this doc
+      (2L, "spark join"),
+      (3L, "join query zzz"),
+    ).toDF("doc_id", "text")
+    docs.write.mode("overwrite").parquet("/tmp/graft_test_rank/documents.parquet")
+    val got = TextOps.rankTokens(spark, "/tmp/graft_test_rank")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(got == Seq(("join", 2L, 1), ("query", 2L, 1), ("spark", 2L, 1)))
+  }
+
+  test("text_tfidf: corpus-wide tokens get zero idf, rare tokens positive") {
+    val tfidf = TextOps.textTfidf(spark, sfDir)
+    val byDf = tfidf.select("df", "tfidf").collect()
+    val nDocs = Tables.documents(spark, sfDir).count()
+    byDf.foreach { r =>
+      val (df, v) = (r.getLong(0), r.getDouble(1))
+      if (df == nDocs) assert(v == 0.0, s"df=$df should give idf 0, got $v")
+      else assert(v >= 0.0)
+    }
+  }
+
+  test("text_langid prediction is one of the profiled languages") {
+    val langs = TextOps.langProfiles.map(_._1).toSet + "und"
+    val preds = TextOps.textLangid(spark, sfDir)
+      .select("pred_lang").distinct().collect().map(_.getString(0)).toSet
+    assert(preds.subsetOf(langs), preds.mkString(","))
+  }
+
+  test("jaccard in dedup_ngram is bounded in (0, 1]") {
+    val vals = TextOps.dedupNgram(spark, sfDir)
+      .select("jaccard").collect().map(_.getDouble(0))
+    assert(vals.forall(v => v > 0.0 && v <= 1.0))
+  }
+}

@@ -1,0 +1,95 @@
+package graft
+
+import graft.functions.Vec
+import graft.operators.VectorOps
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class VectorOpsSpec extends AnyFunSuite {
+  import SparkTestSession.{spark, sfDir}
+
+  test("Vec.dot / l2 match hand-computed values") {
+    import spark.implicits._
+    val df = Seq((Seq(1.0f, 2.0f, 2.0f), Seq(2.0f, 0.0f, 1.0f))).toDF("a", "b")
+    val r = df.select(Vec.dot(col("a"), col("b")).as("d"), Vec.l2(col("a")).as("n")).collect().head
+    assert(r.getDouble(0) == 4.0)
+    assert(r.getDouble(1) == 3.0)
+  }
+
+  test("cosine is scale-invariant and self-similarity is 1") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val vecs = Seq.fill(20)(Seq.fill(16)(rnd.nextFloat() - 0.5f))
+    val df = vecs.map(v => (v, v.map(x => x * 4.0f))).toDF("a", "scaled")
+    val rows = df.select(
+      Vec.cosine(col("a"), col("a")).as("self"),
+      Vec.cosine(col("a"), col("scaled")).as("cross")).collect()
+    rows.foreach { r =>
+      assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+      // ×4 is a power of two: scaling is exact in binary, cosine identical
+      assert(math.abs(r.getDouble(1) - 1.0) < 1e-12)
+    }
+  }
+
+  test("signBucket maps sign patterns to distinct buckets") {
+    import spark.implicits._
+    val df = Seq(
+      Seq(1.0f, 1.0f, -1.0f, -1.0f),
+      Seq(-1.0f, 1.0f, 1.0f, -1.0f),
+      Seq(1.0f, 1.0f, -1.0f, -1.0f),
+    ).toDF("v").select(Vec.signBucket(col("v"), 4).as("b"))
+    val got = df.collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(3L, 6L, 3L))
+  }
+
+  test("sim_topk ranks by cosine desc with vec_id tiebreak, k per query") {
+    val res = VectorOps.simTopk(spark, sfDir).collect()
+    val byQ = res.groupBy(_.getLong(0))
+    assert(byQ.keySet == (0L until VectorOps.QuerySetSize.toLong).toSet)
+    byQ.values.foreach { rows =>
+      val cs = rows.sortBy(_.getInt(3)).map(_.getDouble(2)).toSeq
+      assert(cs == cs.sorted.reverse, s"cos not descending: $cs")
+      assert(rows.length == VectorOps.TopK)
+    }
+  }
+
+  test("sim_ann results are a subset of brute-force candidates' scores") {
+    // every ANN hit's cosine must equal the brute-force cosine for that pair
+    val ann = VectorOps.simAnn(spark, sfDir)
+      .select("q_id", "vec_id", "cos").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val brute = VectorOps.simTopk(spark, sfDir)
+      .select("q_id", "vec_id", "cos").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    ann.foreach { case (pair, cos) =>
+      brute.get(pair).foreach(b => assert(b == cos, s"$pair: ann=$cos brute=$b"))
+    }
+  }
+
+  test("kmeans converges to pure clusters on a separable dataset (I1-I4)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // 3 well-separated gaussian blobs in 8-d, 30 points each
+    val data = (0 until 90).map { i =>
+      val label = i % 3
+      val center = Array.fill(8)(0.0f).updated(label, 10.0f)
+      val v = center.zipWithIndex.map { case (c, _) => c + (rnd.nextFloat() - 0.5f) }
+      (i.toLong, v.toSeq, label)
+    }
+    data.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet("/tmp/graft_test_kmeans/embeddings.parquet")
+    val report = VectorOps.kmeansClusters(spark, "/tmp/graft_test_kmeans").collect()
+    assert(report.length == 3)
+    report.foreach { r =>
+      assert(r.getLong(r.fieldIndex("n_vecs")) == 30L, r.toString)
+      assert(r.getDouble(r.fieldIndex("label_share")) == 1.0, r.toString)
+    }
+  }
+
+  test("multimodal_join carries binary payload features consistent with text") {
+    val r = VectorOps.multimodalJoin(spark, sfDir)
+      .select("n_chars", "n_bytes").limit(20).collect()
+    // corpus is ASCII: byte length == char count
+    r.foreach(row => assert(row.getLong(0) == row.getInt(1).toLong, row.toString))
+  }
+}
