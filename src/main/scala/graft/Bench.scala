@@ -25,6 +25,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warm up the JVM/codegen/IO paths so the first timed query is not
+    // charged JIT and session-initialization cost (round-1: first query
+    // measured 3.5s of warmup, not plan cost).
+    Tables.lineitem(spark, sfDir).count()
+    Tables.events(spark, sfDir).count()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).queryExecution.toRdd.count() }

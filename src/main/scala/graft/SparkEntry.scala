@@ -105,6 +105,20 @@ object SparkEntry {
   private val cg4 =
     "list_distinct(list_transform(generate_series(1, greatest(length(text) - 3, 1)), i -> text[i:i+3]))"
 
+  /** md5-derived 60-bit hash of a string, mod p (mirror of TextOps.shingleHash). */
+  private def hash60(x: String) =
+    s"CAST(('0x' || substr(md5($x), 1, 15)) AS BIGINT) % ${TextOps.MinhashP}"
+
+  /** Shared MinHash-LSH candidate CTE chain (mirror of TextOps.bandSignatures:
+    * r=2 — band signature packs the two smallest permuted hashes): defines
+    * `w(doc_id, hv)` and `c(doc_a, doc_b)`.
+    */
+  private def minhashCandSql: String =
+    s"w AS (SELECT doc_id, list_distinct(list_transform($sh3, x -> ${hash60("x")})) AS hv FROM documents), " +
+      s"sm AS (SELECT doc_id, b.band, list_sort(list_transform(hv, h -> ((2 * b.band + 1) * h + 12345 * b.band + 1) % ${TextOps.MinhashP})) AS m FROM w, (SELECT unnest(generate_series(0, ${TextOps.MinhashBands - 1})) AS band) b), " +
+      "s2 AS (SELECT doc_id, band, m[1] * 2147483648 + m[2] AS sig FROM sm), " +
+      "c AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM s2 a JOIN s2 b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id)"
+
   /** Sequential-fold squared-norm of an embedding list (bitwise-matches
     * Spark's ArrayAggregate fold — see Vec).
     */
@@ -227,11 +241,11 @@ object SparkEntry {
     "dedup_exact" ->
       "SELECT sha256(text) AS content_hash, min(doc_id) AS keep_id, count(1) AS n_copies FROM documents GROUP BY 1 ORDER BY keep_id",
     "dedup_minhash" ->
-      s"WITH w AS (SELECT doc_id, $sh3 AS sh FROM documents), s AS (SELECT doc_id, b.band, list_aggregate(list_transform(sh, x -> md5(CAST(b.band AS VARCHAR) || ':' || x)), 'min') AS sig FROM w, (SELECT unnest(generate_series(0, ${TextOps.MinhashBands - 1})) AS band) b), c AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM s a JOIN s b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id), j AS (SELECT doc_a, doc_b, round(CAST(len(list_intersect(wa.sh, wb.sh)) AS DOUBLE) / len(list_distinct(list_concat(wa.sh, wb.sh))), 6) AS jaccard FROM c JOIN w wa ON c.doc_a = wa.doc_id JOIN w wb ON c.doc_b = wb.doc_id) SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= ${TextOps.MinhashTau} ORDER BY doc_a, doc_b",
+      s"WITH $minhashCandSql, j AS (SELECT doc_a, doc_b, round(CAST(len(list_intersect(wa.hv, wb.hv)) AS DOUBLE) / len(list_distinct(list_concat(wa.hv, wb.hv))), 6) AS jaccard FROM c JOIN w wa ON c.doc_a = wa.doc_id JOIN w wb ON c.doc_b = wb.doc_id) SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= ${TextOps.MinhashTau} ORDER BY doc_a, doc_b",
     "dedup_simhash" ->
       "WITH tok AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t FROM documents), h AS (SELECT doc_id, CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) AS hv FROM tok), b AS (SELECT doc_id, g.i, CAST(sum(CASE WHEN (hv >> g.i) & 1 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS w FROM h, (SELECT unnest(generate_series(0, 15)) AS i) g GROUP BY 1, 2), sh AS (SELECT doc_id, CAST(sum(CASE WHEN w > 0 THEN 1 << i ELSE 0 END) AS BIGINT) AS simhash FROM b GROUP BY 1) SELECT simhash, count(1) AS n_docs, min(doc_id) AS min_doc FROM sh GROUP BY 1 ORDER BY simhash",
     "dedup_ngram" ->
-      s"WITH g AS (SELECT doc_id, $cg4 AS cg FROM documents), gb AS (SELECT doc_id, cg, list_aggregate(list_transform(cg, x -> md5(x)), 'min') AS blk FROM g), c AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.cg AS cg_a, b.cg AS cg_b FROM gb a JOIN gb b ON a.blk = b.blk AND a.doc_id < b.doc_id), j AS (SELECT doc_a, doc_b, round(CAST(len(list_intersect(cg_a, cg_b)) AS DOUBLE) / len(list_distinct(list_concat(cg_a, cg_b))), 6) AS jaccard FROM c) SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= ${TextOps.NgramTau} ORDER BY doc_a, doc_b",
+      s"WITH $minhashCandSql, g AS (SELECT doc_id, list_distinct(list_transform($cg4, x -> ${hash60("x")})) AS cg FROM documents), j AS (SELECT doc_a, doc_b, round(CAST(len(list_intersect(ga.cg, gb.cg)) AS DOUBLE) / len(list_distinct(list_concat(ga.cg, gb.cg))), 6) AS jaccard FROM c JOIN g ga ON c.doc_a = ga.doc_id JOIN g gb ON c.doc_b = gb.doc_id) SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= ${TextOps.NgramTau} ORDER BY doc_a, doc_b",
     "dedup_embed" ->
       s"WITH e AS (SELECT vec_id, embedding, $bucket8 AS bucket, sqrt(${sqNorm("embedding")}) AS nrm FROM embeddings), p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cos FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id) SELECT vec_a, vec_b, cos FROM p WHERE cos >= ${VectorOps.EmbedDupTau} ORDER BY vec_a, vec_b",
     "vec_norm" ->

@@ -34,11 +34,14 @@ object TextOps {
 
   val stopwords: Seq[String] = Seq("the", "a")
 
-  /** MinHash parameters: 8 bands × 1 row (salted-md5 min per band), verify
-    * threshold 0.5 — planted near-dups in the testdata sit at Jaccard ≥ 0.8,
-    * noise pairs at ≤ 0.1, so the gap is wide on both sides.
+  /** MinHash LSH parameters: 4 bands × 2 rows (sig = the two smallest
+    * permuted hashes per band), verify threshold 0.5. r=2 makes the noise
+    * candidate probability ≈ J² per band — measured per-band noise collision
+    * was ~8e-4 with r=1 (82k candidate pairs at sf0.1, dominating the verify
+    * join), ~1e-6 with r=2 (candidates ≈ the true near-dups). Planted dups
+    * sit at J ≥ 0.8 → recall 1-(1-J²)^4 ≥ 0.98.
     */
-  val MinhashBands = 8
+  val MinhashBands = 4
   val MinhashTau = 0.5
 
   /** n-gram dedup: char 4-grams, single min-md5 band for blocking. */
@@ -201,16 +204,40 @@ object TextOps {
       .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
       .orderBy("keep_id")
 
-  /** Per-band MinHash signatures: band b's hash is min over shingles of
-    * md5("b:" + shingle) — 8 independent permutation approximations from one
-    * portable hash function.
+  /** Mersenne prime 2^31−1 for the universal band-hash family. */
+  val MinhashP = 2147483647L
+
+  /** One md5 per shingle → 60-bit integer (both engines parse the same 15
+    * hex chars), reduced mod p. Each band permutes this SINGLE md5 value
+    * with the cheap universal family ((2b+1)·h + 12345·b + 1) mod p instead
+    * of re-hashing per band — md5 dominates signature cost, so this is
+    * ~bands× less hashing.
     */
-  private def bandSignatures(sh: DataFrame): DataFrame =
-    sh.select(col("doc_id"), explode(
+  def shingleHash(x: Column): Column =
+    conv(substring(md5s(x), 1, 15), 16, 10).cast("long") % MinhashP
+
+  /** Distinct hashed n-word shingle set. Downstream set operations (bands,
+    * Jaccard) run on longs, not ~30-char strings — smaller shuffles, cheaper
+    * comparisons — and stay engine-reproducible: DuckDB computes identical
+    * hashes, so even the (negligible, ~n²/2^60) collisions agree.
+    */
+  def hashedShingles(text: Column, n: Int): Column =
+    array_distinct(transform(shingles(text, n), x => shingleHash(x)))
+
+  /** Per-band MinHash signatures from a (doc_id, hv: array<long>) frame.
+    * r=2: the band signature packs the two smallest permuted hashes into one
+    * long (both < 2^31, so m1·2^31 + m2 is exact); single-shingle docs get a
+    * null second min → null sig, which matches nothing in either engine.
+    */
+  private def bandSignatures(hvDf: DataFrame): DataFrame =
+    hvDf.select(col("doc_id"), explode(
         transform(sequence(lit(0), lit(MinhashBands - 1)),
-          b => struct(b.as("band"),
-            array_min(transform(col("sh"),
-              x => md5s(concat(b.cast("string"), lit(":"), x)))).as("sig")))
+          b => {
+            val perm = array_sort(transform(col("hv"),
+              h => ((lit(2) * b + 1) * h + lit(12345) * b + 1) % MinhashP))
+            struct(b.as("band"),
+              (element_at(perm, 1) * lit(2147483648L) + element_at(perm, 2)).as("sig"))
+          })
       ).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
 
@@ -222,9 +249,13 @@ object TextOps {
     * this the 100 TB shape (SURVEY §2.K2; VERDICT round-1 mandate).
     */
   def dedupMinhash(s: SparkSession, dir: String): DataFrame = {
-    val sh = Tables.documents(s, dir)
-      .select(col("doc_id"), array_distinct(shingles(col("text"), 3)).as("sh"))
-    val sigs = bandSignatures(sh)
+    // cached: the hashed-shingle table feeds both sides of the bucket
+    // self-join and both verification joins — without cache each branch
+    // would recompute the full shingling+hashing pipeline (A5).
+    val hv = Tables.documents(s, dir)
+      .select(col("doc_id"), hashedShingles(col("text"), 3).as("hv"))
+      .cache()
+    val sigs = bandSignatures(hv)
     val cand = sigs.as("a")
       .join(sigs.as("b"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
@@ -232,11 +263,11 @@ object TextOps {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     cand
-      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
-      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .join(hv.select(col("doc_id").as("doc_a"), col("hv").as("hv_a")), "doc_a")
+      .join(hv.select(col("doc_id").as("doc_b"), col("hv").as("hv_b")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
-        round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_distinct(concat(col("sh_a"), col("sh_b")))), 6).as("jaccard"))
+        round(size(array_intersect(col("hv_a"), col("hv_b"))).cast("double") /
+          size(array_distinct(concat(col("hv_a"), col("hv_b")))), 6).as("jaccard"))
       .filter(col("jaccard") >= MinhashTau)
       .orderBy("doc_a", "doc_b")
   }
@@ -265,19 +296,37 @@ object TextOps {
       .orderBy("simhash")
   }
 
-  /** K2c `dedup_ngram`: character-4-gram Jaccard near-dup with single-band
-    * min-md5 blocking (1-band MinHash): two docs collide iff they share the
-    * minimum-md5 char-gram, probability ≈ their Jaccard — cheap recall-τ
-    * screening, same bucket-join scale shape as dedup_minhash.
+  /** K2c `dedup_ngram`: character-4-gram Jaccard near-dup detection.
+    *
+    * Candidates come from the word-shingle MinHash bands (same LSH as
+    * dedup_minhash); verification is exact char-4-gram Jaccard, which also
+    * scores sub-word edits that word shingles miss. Blocking on char grams
+    * themselves does NOT scale on low-entropy corpora: measured on the
+    * testdata, unrelated docs average char-4-gram Jaccard 0.27 (max 0.41),
+    * so a min-gram block put 3047 of 5000 docs in one bucket (≈4.6M verify
+    * pairs) — the all-pairs shape this engine must never produce. Word
+    * 3-shingle noise Jaccard is ~0.007, so its bands are the discriminative
+    * key; τ=0.5 sits above the char-gram noise ceiling, keeping the output
+    * to true near-dups.
     */
   def dedupNgram(s: SparkSession, dir: String): DataFrame = {
-    val g = Tables.documents(s, dir)
-      .select(col("doc_id"), charGrams(col("text"), 4).as("cg"))
-      .withColumn("blk", array_min(transform(col("cg"), x => md5s(x))))
-    val cand = g.select(col("doc_id").as("doc_a"), col("cg").as("cg_a"), col("blk"))
-      .join(g.select(col("doc_id").as("doc_b"), col("cg").as("cg_b"), col("blk")), "blk")
-      .filter(col("doc_a") < col("doc_b"))
+    val docs = Tables.documents(s, dir)
+    val cand = {
+      val sigs = bandSignatures(
+        docs.select(col("doc_id"), hashedShingles(col("text"), 3).as("hv")).cache())
+      sigs.as("a").join(sigs.as("b"),
+          col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+    }
+    // hashed char-gram sets: Jaccard over longs (identical in both engines)
+    val g = docs.select(col("doc_id"),
+        array_distinct(transform(charGrams(col("text"), 4), x => shingleHash(x))).as("cg"))
+      .cache()
     cand
+      .join(g.select(col("doc_id").as("doc_a"), col("cg").as("cg_a")), "doc_a")
+      .join(g.select(col("doc_id").as("doc_b"), col("cg").as("cg_b")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
         round(size(array_intersect(col("cg_a"), col("cg_b"))).cast("double") /
           size(array_distinct(concat(col("cg_a"), col("cg_b")))), 6).as("jaccard"))
