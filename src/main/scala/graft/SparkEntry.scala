@@ -81,9 +81,11 @@ object SparkEntry {
     "dedup_simhash" -> (TextOps.dedupSimhash _),
     "dedup_ngram" -> (TextOps.dedupNgram _),
     "dedup_embed" -> (VectorOps.dedupEmbed _),
-    // §2.K3/K4 vectors / similarity / multimodal
+    // §2.K3/K4 vectors / similarity / multimodal (+ B7 feature scaling)
     "vec_norm" -> (VectorOps.vecNorm _),
+    "vec_scale" -> (VectorOps.vecScale _),
     "multimodal_join" -> (VectorOps.multimodalJoin _),
+    "multimodal_decode" -> (VectorOps.multimodalDecode _),
     "sim_topk" -> (VectorOps.simTopk _),
     "sim_ann" -> (VectorOps.simAnn _),
     // §2.I iterative k-means
@@ -252,6 +254,10 @@ object SparkEntry {
       s"SELECT vec_id, label, CAST(len(embedding) AS INT) AS dim, sqrt(${sqNorm("embedding")}) AS l2_norm, list_sum(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS l1_norm FROM embeddings ORDER BY vec_id",
     "multimodal_join" ->
       s"SELECT doc_id, lang, label, n_chars, CAST(octet_length(encode(text)) AS INT) AS n_bytes, md5(text) AS content_md5, sqrt(${sqNorm("embedding")}) AS l2_norm FROM documents JOIN embeddings ON doc_id = vec_id ORDER BY doc_id",
+    "vec_scale" ->
+      s"SELECT vec_id, label, CAST(label AS BIGINT) * 50000 AS feat_x, sqrt(${sqNorm("embedding")}) AS feat_y FROM embeddings ORDER BY vec_id",
+    "multimodal_decode" ->
+      "SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS n_bytes, CAST(h % 640 + 1 AS INT) AS width, CAST((h // 640) % 480 + 1 AS INT) AS height, CAST(octet_length(encode(text)) // 256 + 1 AS INT) AS n_frames, md5(text) AS checksum FROM (SELECT doc_id, text, CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS h FROM documents) ORDER BY doc_id",
     "sim_topk" ->
       s"WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < ${VectorOps.QuerySetSize}), c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= ${VectorOps.QuerySetSize}), s AS (SELECT q_id, vec_id, ${dotSql("q_emb", "embedding")} / (sqrt(${sqNorm("q_emb")}) * sqrt(${sqNorm("embedding")})) AS cos FROM c CROSS JOIN q), r AS (SELECT q_id, vec_id, cos, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn FROM s) SELECT q_id, vec_id, cos, CAST(rn AS INT) AS rn FROM r WHERE rn <= ${VectorOps.TopK} ORDER BY q_id, rn",
     "sim_ann" ->

@@ -22,6 +22,10 @@ import org.apache.spark.sql.functions._
   *    one partial-aggregated per-dimension mean; only k × dim rows ever
   *    reach the driver per iteration.
   */
+/** Typed output schema of the (stubbed) multimodal decode stage. */
+case class MediaFeatures(doc_id: Long, n_bytes: Int, width: Int, height: Int,
+                         n_frames: Int, checksum: String)
+
 object VectorOps {
 
   /** Fixed query set for similarity search: vec_id < 5. */
@@ -42,6 +46,57 @@ object VectorOps {
         Vec.l2(col("embedding")).as("l2_norm"),
         Vec.l1(col("embedding")).as("l1_norm"))
       .orderBy("vec_id")
+
+  /** B7 `vec_scale`: scaling / feature projection — the reference embeds
+    * posts as `(langIndex * langSpread, highScore)` with langSpread = 50000
+    * so the categorical axis dominates the metric space
+    * [ref: stackoverflow/…/StackOverflow.scala#vectorPostings]. Same shape
+    * here: (label × spread, vector norm) as the 2-D feature pair.
+    */
+  def vecScale(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(
+        col("vec_id"), col("label"),
+        (col("label").cast("long") * 50000L).as("feat_x"),
+        Vec.l2(col("embedding")).as("feat_y"))
+      .orderBy("vec_id")
+
+  /** K4 `multimodal_decode`: the decode / feature-extract stage of a
+    * multimodal pipeline over opaque binary payloads, as a typed
+    * `mapPartitions` — the one operator class where per-row imperative code
+    * is the point (codec libraries are not expressible in Catalyst). The
+    * codec itself is STUBBED with a deterministic md5-derived fake (this
+    * environment ships no image/audio libs), but the Spark plumbing is
+    * real: binary column in, partition-batched iteration, case-class row
+    * out with an explicit schema — swap `fakeDecode` for a real codec and
+    * nothing else changes. Stub is md5-based so the DuckDB oracle can
+    * reproduce it (same bytes → same features in both engines).
+    */
+  def multimodalDecode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) => fakeDecode(id, bytes) })
+      .toDF()
+      .orderBy("doc_id")
+  }
+
+  /** Pseudo-dimensions derived from the payload's md5 — deterministic,
+    * engine-reproducible stand-in for a real `decode(bytes)`.
+    */
+  private def fakeDecode(id: Long, bytes: Array[Byte]): MediaFeatures = {
+    val md = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+    val hex = md.map("%02x".format(_)).mkString
+    val h = java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    MediaFeatures(
+      doc_id = id,
+      n_bytes = bytes.length,
+      width = (h % 640L).toInt + 1,
+      height = ((h / 640L) % 480L).toInt + 1,
+      n_frames = bytes.length / 256 + 1,
+      checksum = hex)
+  }
 
   /** K4 `multimodal_join`: documents ⋈ embeddings — one row carrying text
     * metadata, an opaque binary payload's features (byte length, content
