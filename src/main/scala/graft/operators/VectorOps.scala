@@ -58,7 +58,7 @@ object VectorOps {
       .select(
         col("vec_id"), col("label"),
         (col("label").cast("long") * 50000L).as("feat_x"),
-        Vec.l2(col("embedding")).as("feat_y"))
+        Vec.l2F(col("embedding")).as("feat_y"))
       .orderBy("vec_id")
 
   /** K4 `multimodal_decode`: the decode / feature-extract stage of a
@@ -112,7 +112,7 @@ object VectorOps {
         col("doc_id"), col("lang"), col("label"), col("n_chars"),
         length(payload).as("n_bytes"),
         md5(payload).as("content_md5"),
-        Vec.l2(col("embedding")).as("l2_norm"))
+        Vec.l2F(col("embedding")).as("l2_norm"))
       .orderBy("doc_id")
   }
 
@@ -128,7 +128,7 @@ object VectorOps {
     val corpus = emb.filter(col("vec_id") >= QuerySetSize)
     corpus.crossJoin(broadcast(q))
       .select(col("q_id"), col("vec_id"),
-        Vec.cosine(col("q_emb"), col("embedding")).as("cos"))
+        Vec.cosineF(col("q_emb"), col("embedding")).as("cos"))
       .withColumn("rn", row_number()
         .over(Window.partitionBy("q_id").orderBy(desc("cos"), asc("vec_id"))).cast("int"))
       .filter(col("rn") <= TopK)
@@ -149,7 +149,7 @@ object VectorOps {
     val corpus = bucketed.filter(col("vec_id") >= QuerySetSize)
     corpus.join(broadcast(q), "bucket")
       .select(col("q_id"), col("vec_id"),
-        Vec.cosine(col("q_emb"), col("embedding")).as("cos"))
+        Vec.cosineF(col("q_emb"), col("embedding")).as("cos"))
       .withColumn("rn", row_number()
         .over(Window.partitionBy("q_id").orderBy(desc("cos"), asc("vec_id"))).cast("int"))
       .filter(col("rn") <= AnnTopK)
@@ -167,7 +167,7 @@ object VectorOps {
       .join(b.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"), col("bucket")), "bucket")
       .filter(col("vec_a") < col("vec_b"))
       .select(col("vec_a"), col("vec_b"),
-        Vec.cosine(col("emb_a"), col("emb_b")).as("cos"))
+        Vec.cosineF(col("emb_a"), col("emb_b")).as("cos"))
       .filter(col("cos") >= EmbedDupTau)
       .orderBy("vec_a", "vec_b")
   }

@@ -1,0 +1,45 @@
+package graft
+
+import graft.functions.Vec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The native codegen'd FloatVecDot must be bitwise-identical to the HOF
+  * fold (same sequential float64 accumulation) in BOTH execution paths:
+  * interpreted eval and generated code.
+  */
+class NativeVecSpec extends AnyFunSuite {
+  import SparkTestSession.{spark, sfDir}
+
+  test("native dot == HOF dot bitwise on random vectors") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val vecs = Seq.fill(200)((Seq.fill(64)(rnd.nextFloat() - 0.5f), Seq.fill(64)(rnd.nextFloat() - 0.5f)))
+    val rows = vecs.toDF("a", "b")
+      .select(Vec.dot(col("a"), col("b")).as("hof"), Vec.dotF(col("a"), col("b")).as("native"))
+      .collect()
+    rows.foreach(r => assert(r.getDouble(0) == r.getDouble(1), r.toString))
+  }
+
+  test("native l2/cosine == HOF l2/cosine bitwise on the embeddings table") {
+    val rows = Tables.embeddings(spark, sfDir)
+      .select(
+        Vec.l2(col("embedding")).as("h_l2"), Vec.l2F(col("embedding")).as("n_l2"),
+        Vec.cosine(col("embedding"), col("embedding")).as("h_cos"),
+        Vec.cosineF(col("embedding"), col("embedding")).as("n_cos"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getDouble(0) == r.getDouble(1))
+      assert(r.getDouble(2) == r.getDouble(3))
+    }
+  }
+
+  test("FloatVecDot appears codegen'd in the physical plan") {
+    val df = Tables.embeddings(spark, sfDir)
+      .select(Vec.dotF(col("embedding"), col("embedding")).as("d"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("float_vec_dot"), plan)
+    // the projection stage is inside a WholeStageCodegen span (starred)
+    assert(plan.contains("*(1) Project"), plan)
+  }
+}

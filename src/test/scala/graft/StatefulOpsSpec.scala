@@ -1,0 +1,55 @@
+package graft
+
+import java.sql.Timestamp
+import graft.streaming.StatefulOps
+import graft.streaming.StatefulOps.UserEvent
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+/** mapGroupsWithState: state must persist ACROSS streaming triggers (the
+  * property batch execution cannot show) and the final streamed state must
+  * equal the batch fold of the same events.
+  */
+class StatefulOpsSpec extends AnyFunSuite {
+  import SparkTestSession.spark
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("state accumulates across triggers and matches the batch fold") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val batch1 = Seq(
+      UserEvent(1L, ts("2024-01-01 10:00:00"), 1.10),
+      UserEvent(2L, ts("2024-01-01 10:01:00"), 2.00))
+    val batch2 = Seq(
+      UserEvent(1L, ts("2024-01-01 11:00:00"), 0.15),
+      UserEvent(1L, ts("2024-01-01 09:00:00"), 3.00))
+
+    val stream = MemoryStream[UserEvent]
+    val q = StatefulOps.profileStreamQuery(stream.toDS(), "stateful_t")
+    try {
+      stream.addData(batch1: _*); q.processAllAvailable()
+      stream.addData(batch2: _*); q.processAllAvailable()
+    } finally q.stop()
+
+    // memory sink in Update mode appends each refresh; take the last
+    // emitted profile per user = final state
+    val fromStream = spark.table("stateful_t")
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (u, rows) => u -> rows.maxBy(_.getLong(1)) }
+
+    val u1 = fromStream(1L)
+    assert(u1.getLong(1) == 3L)                       // n_events across triggers
+    assert(u1.getLong(2) == 425L)                     // 110 + 15 + 300 cents
+    assert(u1.getTimestamp(3) == ts("2024-01-01 09:00:00")) // first_ts updated by batch2
+    assert(u1.getTimestamp(4) == ts("2024-01-01 11:00:00"))
+
+    // batch fold of the union equals the streamed final state
+    val batchProfiles = StatefulOps.profile((batch1 ++ batch2).toDS())
+      .collect().map(p => p.user_id -> p).toMap
+    assert(batchProfiles(1L).n_events == 3L && batchProfiles(1L).sum_cents == 425L)
+    assert(batchProfiles(2L).n_events == 1L && batchProfiles(2L).sum_cents == 200L)
+  }
+}
