@@ -82,6 +82,10 @@ object SparkEntry {
     "dedup_simhash" -> (TextOps.dedupSimhash _),
     "dedup_ngram" -> (TextOps.dedupNgram _),
     "dedup_embed" -> (VectorOps.dedupEmbed _),
+    "dedup_cluster" -> (TextOps.dedupCluster _),
+    "text_normalize" -> (TextOps.textNormalize _),
+    "sample_stratified" -> (VectorOps.sampleStratified _),
+    "quantile_bins" -> (VectorOps.quantileBins _),
     // §2.K3/K4 vectors / similarity / multimodal (+ B7 feature scaling)
     "vec_norm" -> (VectorOps.vecNorm _),
     "vec_scale" -> (VectorOps.vecScale _),
@@ -121,6 +125,27 @@ object SparkEntry {
       s"sm AS (SELECT doc_id, b.band, list_sort(list_transform(hv, h -> ((2 * b.band + 1) * h + 12345 * b.band + 1) % ${TextOps.MinhashP})) AS m FROM w, (SELECT unnest(generate_series(0, ${TextOps.MinhashBands - 1})) AS band) b), " +
       "s2 AS (SELECT doc_id, band, m[1] * 2147483648 + m[2] AS sig FROM sm), " +
       "c AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM s2 a JOIN s2 b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id)"
+
+  /** Fixed-iteration min-label propagation over the near-dup pair graph —
+    * the SAME iterations as TextOps.dedupCluster, so both engines reach the
+    * same labels even before the fixed point.
+    */
+  private def dedupClusterSql: String = {
+    val jac = "round(CAST(len(list_intersect(wa.hv, wb.hv)) AS DOUBLE) / len(list_distinct(list_concat(wa.hv, wb.hv))), 6)"
+    val iters = (1 to TextOps.ClusterIters).map { k =>
+      s"l$k AS (SELECT d.doc_id, least(d.lbl, coalesce(min(n.lbl), d.lbl)) AS lbl " +
+        s"FROM l${k - 1} d LEFT JOIN e ON e.src = d.doc_id LEFT JOIN l${k - 1} n ON n.doc_id = e.dst " +
+        "GROUP BY d.doc_id, d.lbl)"
+    }.mkString(", ")
+    val last = s"l${TextOps.ClusterIters}"
+    s"WITH $minhashCandSql, " +
+      s"j AS (SELECT doc_a, doc_b FROM c JOIN w wa ON c.doc_a = wa.doc_id JOIN w wb ON c.doc_b = wb.doc_id WHERE $jac >= ${TextOps.MinhashTau}), " +
+      "e AS (SELECT doc_a AS src, doc_b AS dst FROM j UNION ALL SELECT doc_b AS src, doc_a AS dst FROM j), " +
+      "l0 AS (SELECT DISTINCT src AS doc_id, src AS lbl FROM e), " +
+      iters +
+      s", sz AS (SELECT lbl, count(1) AS cluster_size FROM $last GROUP BY 1) " +
+      s"SELECT doc_id, lbl AS canonical_id, cluster_size FROM $last JOIN sz USING (lbl) ORDER BY doc_id"
+  }
 
   /** Sequential-fold squared-norm of an embedding list (bitwise-matches
     * Spark's ArrayAggregate fold — see Vec).
@@ -255,6 +280,13 @@ object SparkEntry {
       s"WITH e AS (SELECT vec_id, embedding, $bucket8 AS bucket, sqrt(${sqNorm("embedding")}) AS nrm FROM embeddings), p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cos FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id) SELECT vec_a, vec_b, cos FROM p WHERE cos >= ${VectorOps.EmbedDupTau} ORDER BY vec_a, vec_b",
     "vec_norm" ->
       s"SELECT vec_id, label, CAST(len(embedding) AS INT) AS dim, sqrt(${sqNorm("embedding")}) AS l2_norm, list_sum(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS l1_norm FROM embeddings ORDER BY vec_id",
+    "dedup_cluster" -> dedupClusterSql,
+    "text_normalize" ->
+      "SELECT doc_id, regexp_replace(trim(lower(text)), ' +', ' ', 'g') AS norm_text, sha256(regexp_replace(trim(lower(text)), ' +', ' ', 'g')) AS norm_hash FROM documents ORDER BY doc_id",
+    "sample_stratified" ->
+      "SELECT vec_id, label, CAST(rn AS INT) AS rn FROM (SELECT vec_id, label, row_number() OVER (PARTITION BY label ORDER BY vec_id) AS rn FROM embeddings) WHERE rn <= 20 ORDER BY label, rn",
+    "quantile_bins" ->
+      "SELECT doc_id, n_chars, CAST(ntile(10) OVER (ORDER BY n_chars, doc_id) AS INT) AS decile FROM documents ORDER BY doc_id",
     "multimodal_join" ->
       s"SELECT doc_id, lang, label, n_chars, CAST(octet_length(encode(text)) AS INT) AS n_bytes, md5(text) AS content_md5, sqrt(${sqNorm("embedding")}) AS l2_norm FROM documents JOIN embeddings ON doc_id = vec_id ORDER BY doc_id",
     "vec_scale" ->

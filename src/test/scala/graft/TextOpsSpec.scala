@@ -93,6 +93,38 @@ class TextOpsSpec extends AnyFunSuite {
     assert(preds.subsetOf(langs), preds.mkString(","))
   }
 
+  test("dedup_cluster labels equal driver-side union-find on the same pairs") {
+    val pairs = TextOps.dedupMinhash(spark, sfDir)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = parent.keys.map(d => d -> find(d)).toMap
+    val got = TextOps.dedupCluster(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+    // canonical is the minimum member of its cluster
+    got.groupBy(_._2).foreach { case (canon, members) =>
+      assert(members.keys.min == canon)
+    }
+  }
+
+  test("text_normalize is idempotent") {
+    import org.apache.spark.sql.functions._
+    val once = TextOps.textNormalize(spark, sfDir)
+    val twice = once.select(col("doc_id"),
+        regexp_replace(trim(lower(col("norm_text"))), " +", " ").as("renorm"))
+    val j = once.join(twice, "doc_id")
+      .filter(col("norm_text") =!= col("renorm")).count()
+    assert(j == 0)
+  }
+
   test("jaccard in dedup_ngram is bounded in (0, 1]") {
     val vals = TextOps.dedupNgram(spark, sfDir)
       .select("jaccard").collect().map(_.getDouble(0))
