@@ -30,7 +30,11 @@ object Bench {
     // measured 3.5s of warmup, not plan cost).
     Tables.lineitem(spark, sfDir).count()
     Tables.events(spark, sfDir).count()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // SPARK_GRAFT_ONLY=q1,q2 restricts the run (single-query iteration aid).
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).queryExecution.toRdd.count() }
       catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }

@@ -291,10 +291,18 @@ object TextOps {
     * to the driver.
     */
   def dedupCluster(s: SparkSession, dir: String): DataFrame = {
-    val pairs = dedupMinhash(s, dir).select("doc_a", "doc_b").cache()
+    // Truncate lineage at the pair list: each propagation iteration references
+    // the previous labels twice, so without a cut the logical plan doubles per
+    // iteration and every copy embeds the full MinHash self-join plan —
+    // analysis/canonicalization cost explodes exponentially (measured 16.8 s
+    // at sf0.1 with lazy cache() alone). `localCheckpoint(eager)` replaces the
+    // plan with a LogicalRDD, the standard fix for iterative DataFrames; the
+    // checkpointed sets are tiny (dup-pair docs only, a fraction of the
+    // corpus). Checkpointing BEFORE the symmetrize-union also means the
+    // MinHash plan executes exactly once.
+    val pairs = dedupMinhash(s, dir).select("doc_a", "doc_b").localCheckpoint()
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .cache()
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("lbl", col("doc_id"))
     for (_ <- 1 to ClusterIters) {
@@ -305,6 +313,7 @@ object TextOps {
         .join(nbrMin.withColumnRenamed("src", "doc_id"), Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("lbl"), coalesce(col("min_nbr"), col("lbl"))).as("lbl"))
+        .localCheckpoint()
     }
     val sizes = labels.groupBy("lbl").agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, "lbl")
