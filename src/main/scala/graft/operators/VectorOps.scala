@@ -78,17 +78,47 @@ object VectorOps {
       .orderBy("label", "rn")
 
   /** `quantile_bins`: decile bucketing of documents by length (curriculum /
-    * balancing stage of a data pipeline). Exact `ntile` over a total order
-    * here because the oracle needs exactness; the 100 TB path replaces the
-    * global sort with `approx_percentile` cutpoints joined as a tiny
-    * broadcast table — same output schema, no global window.
+    * balancing stage of a data pipeline). Semantics are exactly SQL
+    * `NTILE(10) OVER (ORDER BY n_chars, doc_id)`, but computed WITHOUT the
+    * global window (`ntile` over `Window.orderBy` moves the whole corpus to
+    * one partition — the canonical 100 TB scale-killer):
+    *
+    *  1. range-partition by the sort key and sort within partitions — the
+    *     distributed total order Spark's own global `orderBy` uses;
+    *  2. count rows per partition, prefix-sum ON THE DRIVER (P longs, tiny)
+    *     → per-partition global-row-number offsets;
+    *  3. local `row_number` (window partitioned by partition id — parallel)
+    *     + broadcast offset = exact global row number;
+    *  4. NTILE arithmetic from (rn, N) with integer `div` — buckets differ
+    *     by ≤1 row, larger buckets first, matching SQL NTILE exactly.
+    *
+    * Every shuffle is by range or partition id; nothing ever concentrates on
+    * one task. Output is bitwise-identical to the DuckDB `ntile` oracle.
     */
-  def quantileBins(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
-      .select(col("doc_id"), col("n_chars"))
-      .withColumn("decile", ntile(10).over(
-        Window.orderBy(col("n_chars"), col("doc_id"))).cast("int"))
+  def quantileBins(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = Tables.documents(s, dir).select(col("doc_id"), col("n_chars"))
+    val parts = s.sessionState.conf.numShufflePartitions
+    val ranged = base
+      .repartitionByRange(parts, col("n_chars"), col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+    val counts = ranged.groupBy("pid").agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val n = counts.map(_._2).sum
+    var acc = 0L
+    val offsets = counts.map { case (pid, c) => val o = acc; acc += c; (pid, o) }
+    val offDf = broadcast(offsets.toSeq.toDF("pid", "off"))
+    val q = n / 10
+    val r = n % 10
+    ranged.join(offDf, "pid")
+      .withColumn("rn", col("off") + row_number().over(
+        Window.partitionBy("pid").orderBy("n_chars", "doc_id")))
+      .withColumn("decile", expr(
+        s"case when $q = 0 or rn <= ${r * (q + 1)} then (rn - 1) div ${q + 1} + 1 " +
+        s"else $r + (rn - ${r * (q + 1)} - 1) div $q + 1 end").cast("int"))
+      .select(col("doc_id"), col("n_chars"), col("decile"))
       .orderBy("doc_id")
+  }
 
   /** K4 `multimodal_decode`: the decode / feature-extract stage of a
     * multimodal pipeline over opaque binary payloads, as a typed
