@@ -3,6 +3,7 @@ package graft.operators
 import graft.Tables
 import graft.functions.{Num, TypedAvg}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.functions.OracleSort._
 import org.apache.spark.sql.functions._
 
 /** Aggregation family (SURVEY §2.D).
@@ -33,7 +34,7 @@ object Aggregates {
         round(sum(Num.dec2(col("l_extendedprice"))).cast("double") / count(lit(1)), 2).as("avg_price"),
         round(sum(Num.rate2(col("l_discount"))).cast("double") / count(lit(1)), 4).as("avg_disc"),
         count(lit(1)).as("count_order"))
-      .orderBy("l_returnflag", "l_linestatus")
+      .oracleSorted("l_returnflag", "l_linestatus")
 
   /** D8: the same aggregation through the SQL string entry point
     * [ref: timeusage/…/TimeUsage.scala#timeUsageGroupedSql]. The typed
@@ -76,7 +77,7 @@ object Aggregates {
       .groupBy("l_orderkey")
       .agg(round(max("l_extendedprice"), 2).as("max_price"),
            count(lit(1)).as("n_lines"))
-      .orderBy("l_orderkey")
+      .oracleSorted("l_orderkey")
 
   /** D13: exact distinct counting. */
   def aggDistinct(s: SparkSession, dir: String): DataFrame =
@@ -84,7 +85,7 @@ object Aggregates {
       .groupBy("event_type")
       .agg(countDistinct(col("user_id")).as("n_users"),
            count(lit(1)).as("n_events"))
-      .orderBy("event_type")
+      .oracleSorted("event_type")
 
   /** D13b: HLL approximate distinct — the 100 TB path where exact
     * `countDistinct`'s shuffle of every key is unaffordable. Engine-specific
@@ -94,7 +95,7 @@ object Aggregates {
     Tables.events(s, dir)
       .groupBy("event_type")
       .agg(approx_count_distinct(col("user_id"), 0.01).as("n_users_approx"))
-      .orderBy("event_type")
+      .oracleSorted("event_type")
 
   /** D11: exact median per group
     * [ref: stackoverflow/…/StackOverflow.scala#clusterResults].
@@ -104,7 +105,7 @@ object Aggregates {
       .groupBy("o_orderpriority")
       .agg((median(round(col("o_totalprice") * 100, 0).cast("long")) / 100).as("median_total"),
            count(lit(1)).as("n"))
-      .orderBy("o_orderpriority")
+      .oracleSorted("o_orderpriority")
 
   /** D12: dominant value per group with deterministic tiebreak (count desc,
     * then value asc) — `mode()` leaves ties engine-defined, so we use the
@@ -121,7 +122,7 @@ object Aggregates {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("user_bucket"), col("event_type").as("top_type"), col("n").as("top_n"))
-      .orderBy("user_bucket")
+      .oracleSorted("user_bucket")
   }
 
   /** D14: rollup over the Q1 grouping. */
@@ -130,7 +131,7 @@ object Aggregates {
       .rollup("l_returnflag", "l_linestatus")
       .agg(Num.money(sum(Num.discounted(col("l_extendedprice"), col("l_discount")))).as("revenue"),
            count(lit(1)).as("n"))
-      .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+      .oracleSorted(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
 
   /** D14b: cube over the same grouping. */
   def aggCube(s: SparkSession, dir: String): DataFrame =
@@ -138,7 +139,7 @@ object Aggregates {
       .cube("l_returnflag", "l_linestatus")
       .agg(round(sum("l_quantity"), 2).as("sum_qty"),
            count(lit(1)).as("n"))
-      .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+      .oracleSorted(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
 
   /** D3: groupBy + collect_list (the reference's inverted index
     * [ref: wikipedia/…/WikipediaRanking.scala#makeIndex]), capped with
@@ -153,7 +154,7 @@ object Aggregates {
              transform(slice(sort_array(collect_list(col("doc_id"))), 1, 20),
                x => x.cast("string")), ",").as("doc_ids"),
            count(lit(1)).as("n_docs"))
-      .orderBy("lang")
+      .oracleSorted("lang")
 
   /** D9: typed aggregation through a custom Aggregator (replaces the removed
     * `typed.avg`) [ref: timeusage/…/TimeUsage.scala#timeUsageGroupedTyped].
@@ -167,7 +168,7 @@ object Aggregates {
       .agg(TypedAvg.ofSecond.name("avg_total"))
       .toDF("o_orderstatus", "avg_total")
       .select(col("o_orderstatus"), round(col("avg_total"), 2).as("avg_total"))
-      .orderBy("o_orderstatus")
+      .oracleSorted("o_orderstatus")
   }
 
   /** 2.G: set operations — union distinct. */
@@ -175,7 +176,7 @@ object Aggregates {
     val ev = Tables.events(s, dir)
     val clicks = ev.filter(col("event_type") === "click").select("user_id")
     val views  = ev.filter(col("event_type") === "view").select("user_id")
-    clicks.union(views).distinct().orderBy("user_id")
+    clicks.union(views).distinct().oracleSorted("user_id")
   }
 
   /** 2.G: except (users who click but never purchase). */
@@ -183,7 +184,7 @@ object Aggregates {
     val ev = Tables.events(s, dir)
     ev.filter(col("event_type") === "click").select("user_id")
       .except(ev.filter(col("event_type") === "purchase").select("user_id"))
-      .orderBy("user_id")
+      .oracleSorted("user_id")
   }
 
   /** 2.G: intersect (users who both click and purchase). */
@@ -191,6 +192,6 @@ object Aggregates {
     val ev = Tables.events(s, dir)
     ev.filter(col("event_type") === "click").select("user_id")
       .intersect(ev.filter(col("event_type") === "purchase").select("user_id"))
-      .orderBy("user_id")
+      .oracleSorted("user_id")
   }
 }

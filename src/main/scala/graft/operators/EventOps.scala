@@ -3,6 +3,7 @@ package graft.operators
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
+import graft.functions.OracleSort._
 import org.apache.spark.sql.functions._
 
 /** Event-time / streaming-shaped operators (SURVEY §2.J).
@@ -26,7 +27,7 @@ object EventOps {
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"), graft.functions.Num.money(sum(graft.functions.Num.dec2(col("value")))).as("sum_value"))
       .select(col("window.start").as("window_start"), col("event_type"), col("n"), col("sum_value"))
-      .orderBy("window_start", "event_type")
+      .oracleSorted("window_start", "event_type")
 
   /** J2: sliding window (1 hour window, 15 minute slide → 4 windows/row). */
   def streamSliding(s: SparkSession, dir: String): DataFrame =
@@ -34,7 +35,7 @@ object EventOps {
       .groupBy(window(col("ts"), "1 hour", "15 minutes"))
       .agg(count(lit(1)).as("n"), graft.functions.Num.money(sum(graft.functions.Num.dec2(col("value")))).as("sum_value"))
       .select(col("window.start").as("window_start"), col("n"), col("sum_value"))
-      .orderBy("window_start")
+      .oracleSorted("window_start")
 
   /** J3: session window per user (10 minute gap). Session start is the first
     * event's timestamp; a new session begins when the gap from the previous
@@ -46,7 +47,7 @@ object EventOps {
       .agg(count(lit(1)).as("n_events"), graft.functions.Num.money(sum(graft.functions.Num.dec2(col("value")))).as("sum_value"))
       .select(col("session_window.start").as("session_start"), col("user_id"),
               col("n_events"), col("sum_value"))
-      .orderBy("user_id", "session_start")
+      .oracleSorted("user_id", "session_start")
 
   /** J5: keep-first dedup by (user_id, event_type) — the batch equivalent of
     * streaming `dropDuplicates` with arrival order made deterministic
@@ -58,5 +59,5 @@ object EventOps {
         Window.partitionBy("user_id", "event_type").orderBy(asc("ts"), asc("event_id"))))
       .filter(col("rn") === 1)
       .select("user_id", "event_type", "event_id", "ts")
-      .orderBy("user_id", "event_type")
+      .oracleSorted("user_id", "event_type")
 }

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.functions.OracleSort._
 import org.apache.spark.sql.functions._
 
 /** Join family (SURVEY §2.C).
@@ -26,7 +27,7 @@ object Joins {
         count(lit(1)).as("n_lines"),
         graft.functions.Num.money(
           sum(graft.functions.Num.discounted(col("l_extendedprice"), col("l_discount")))).as("revenue"))
-      .orderBy("o_orderstatus")
+      .oracleSorted("o_orderstatus")
 
   /** C2: multi-way star join with broadcast dimensions — revenue by region. */
   def joinStar(s: SparkSession, dir: String): DataFrame =
@@ -37,21 +38,21 @@ object Joins {
       .groupBy("r_name")
       .agg(graft.functions.Num.money(sum(graft.functions.Num.dec2(col("o_totalprice")))).as("revenue"),
            count(lit(1)).as("n_orders"))
-      .orderBy("r_name")
+      .oracleSorted("r_name")
 
   /** C4: anti join — customers with no orders (NOT EXISTS). */
   def joinAnti(s: SparkSession, dir: String): DataFrame =
     Tables.customer(s, dir)
       .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "left_anti")
       .select("c_custkey", "c_name")
-      .orderBy("c_custkey")
+      .oracleSorted("c_custkey")
 
   /** C4b: semi join — customers with at least one order (EXISTS). */
   def joinSemi(s: SparkSession, dir: String): DataFrame =
     Tables.customer(s, dir)
       .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "left_semi")
       .select("c_custkey", "c_name")
-      .orderBy("c_custkey")
+      .oracleSorted("c_custkey")
 
   /** Left outer join preserving customers with zero orders (count of a
     * nullable column counts only matches).
@@ -63,5 +64,5 @@ object Joins {
       .agg(count(col("o_orderkey")).as("n_orders"),
            coalesce(graft.functions.Num.money(
              sum(graft.functions.Num.dec2(col("o_totalprice")))), lit(0.0)).as("sum_total"))
-      .orderBy("c_custkey")
+      .oracleSorted("c_custkey")
 }

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import graft.functions.OracleSort._
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -24,7 +25,7 @@ object Relational {
   def scanDocuments(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .select("doc_id", "text", "lang", "source", "n_chars")
-      .orderBy("doc_id")
+      .oracleSorted("doc_id")
 
   /** Expected lineitem schema, pinned programmatically like the reference's
     * hand-built `dfSchema` [ref: timeusage/…/TimeUsage.scala#dfSchema].
@@ -49,21 +50,21 @@ object Relational {
   def scanSchema(s: SparkSession, dir: String): DataFrame =
     s.read.schema(lineitemSchema).parquet(s"$dir/lineitem.parquet")
       .select("l_orderkey", "l_linenumber", "l_quantity")
-      .orderBy("l_orderkey", "l_linenumber")
+      .oracleSorted("l_orderkey", "l_linenumber")
 
   /** B2: equality filter [ref: stackoverflow/…/StackOverflow.scala#groupedPostings]. */
   def filterEq(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .filter(col("event_type") === "purchase")
       .select("event_id", "user_id", "value")
-      .orderBy("event_id")
+      .oracleSorted("event_id")
 
   /** B3: range predicate [ref: timeusage/…/TimeUsage.scala#timeUsageSummary]. */
   def filterRange(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
       .filter(col("l_quantity").between(10, 20) && col("l_discount") < 0.05)
       .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
-      .orderBy("l_orderkey", "l_linenumber")
+      .oracleSorted("l_orderkey", "l_linenumber")
 
   /** B1/H1: token-membership predicate — the reference's
     * `text.split(' ').contains(lang)` as pure Catalyst (no UDF)
@@ -73,7 +74,7 @@ object Relational {
     Tables.documents(s, dir)
       .filter(array_contains(split(col("text"), " "), "spark"))
       .select("doc_id", "lang")
-      .orderBy("doc_id")
+      .oracleSorted("doc_id")
 
   /** B4: conditional projection (when/otherwise 3-way bucket)
     * [ref: timeusage/…/TimeUsage.scala#timeUsageSummary].
@@ -85,7 +86,7 @@ object Relational {
         when(col("o_totalprice") < 1000, "low")
           .when(col("o_totalprice") < 5000, "mid")
           .otherwise("high").as("price_bucket"))
-      .orderBy("o_orderkey")
+      .oracleSorted("o_orderkey")
 
   /** B5: arithmetic column-group projection (fold of Columns with arithmetic)
     * [ref: timeusage/…/TimeUsage.scala#timeUsageSummary].
@@ -97,7 +98,7 @@ object Relational {
         graft.functions.Num.money(
           graft.functions.Num.charged(col("l_extendedprice"), col("l_discount"), col("l_tax")))
           .as("net_price"))
-      .orderBy("l_orderkey", "l_linenumber")
+      .oracleSorted("l_orderkey", "l_linenumber")
 
   /** B6: name-driven column classification — the reference partitions 455
     * survey column names into groups by prefix sets and folds each group
@@ -127,7 +128,7 @@ object Relational {
         Num.money(money.map(c => Num.dec2(col(c))).reduce(_ + _)).as("money_sum"),
         Num.money(rates.map(c => Num.rate2(col(c))).reduce(_ + _)).as("rate_sum"),
         round(qty.map(col).reduce(_ + _), 2).as("qty_sum"))
-      .orderBy("l_orderkey", "l_linenumber")
+      .oracleSorted("l_orderkey", "l_linenumber")
   }
 
   /** H3: math scalars [ref: stackoverflow/…/StackOverflow.scala#euclideanDistance]. */
@@ -140,7 +141,7 @@ object Relational {
         ceil(col("l_quantity") / 7).as("qty_ceil"),
         floor(col("l_extendedprice") / 100).as("price_floor"),
         abs(col("l_quantity") - lit(25)).as("qty_dev"))
-      .orderBy("l_orderkey", "l_linenumber")
+      .oracleSorted("l_orderkey", "l_linenumber")
 
   /** H2/H7: string scalars + regex [ref: stackoverflow/…/StackOverflow.scala#rawPostings,
     * wikipedia/…/WikipediaData.scala#parse].
@@ -154,7 +155,7 @@ object Relational {
         concat_ws("#", col("p_brand"), col("p_type")).as("brand_type"),
         length(col("p_name")).as("name_len"),
         regexp_replace(col("p_name"), "[aeiou]", "").as("name_novowel"))
-      .orderBy("p_partkey")
+      .oracleSorted("p_partkey")
 
   /** H4: date/timestamp functions (testdata extension; no dates in
     * reference). The money sum goes through exact decimals so the result is
@@ -168,7 +169,7 @@ object Relational {
       .agg(count(lit(1)).as("n_orders"),
            graft.functions.Num.money(
              sum(graft.functions.Num.dec2(col("o_totalprice")))).as("sum_total"))
-      .orderBy("o_year", "o_month")
+      .oracleSorted("o_year", "o_month")
 
   /** H6: JSON extraction from the events.props string column. */
   def scalarJson(s: SparkSession, dir: String): DataFrame =
@@ -176,5 +177,5 @@ object Relational {
       .select(col("event_type"), get_json_object(col("props"), "$.k").cast("long").as("k"))
       .groupBy("event_type")
       .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("n"))
-      .orderBy("event_type")
+      .oracleSorted("event_type")
 }

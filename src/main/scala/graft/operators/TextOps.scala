@@ -3,6 +3,7 @@ package graft.operators
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
+import graft.functions.OracleSort._
 import org.apache.spark.sql.functions._
 
 /** Text-analysis and document-deduplication operators (SURVEY §2.K1/K2/K5,
@@ -88,7 +89,7 @@ object TextOps {
       .groupBy("token")
       .agg(count(lit(1)).as("n_docs"))
       .withColumn("rnk", rank().over(Window.orderBy(desc("n_docs"))).cast("int"))
-      .orderBy(desc("n_docs"), asc("token"))
+      .oracleSorted(desc("n_docs"), asc("token"))
   }
 
   /** K5 `text_tfidf`: per-(doc, token) TF-IDF. The doc-frequency side is
@@ -107,7 +108,7 @@ object TextOps {
       .crossJoin(broadcast(n))
       .select(col("doc_id"), col("token"), col("tf"), col("df"),
         round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6).as("tfidf"))
-      .orderBy("doc_id", "token")
+      .oracleSorted("doc_id", "token")
   }
 
   /** Token counting: whitespace tokens, regex (BPE-ish `[a-z]+|[0-9]+`)
@@ -122,7 +123,7 @@ object TextOps {
         size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+', 0)")).as("n_re_tokens"),
         length(col("text")).as("len_chars"),
         ceil(length(col("text")) / lit(4.0)).cast("long").as("n_bpe_est"))
-      .orderBy("doc_id")
+      .oracleSorted("doc_id")
 
   /** Quality scoring: token count, mean word length, stopword ratio,
     * type-token ratio, and a when/otherwise quality bucket — the standard
@@ -143,7 +144,7 @@ object TextOps {
         when(nTok < 20, "short")
           .when(nStop.cast("double") / nTok > 0.12, "stopword_heavy")
           .otherwise("ok").as("quality"))
-      .orderBy("doc_id")
+      .oracleSorted("doc_id")
   }
 
   /** Character-bigram profiles per candidate language for `text_langid`.
@@ -174,7 +175,7 @@ object TextOps {
     val scoreCols = scores.map { case (l, sc) => sc.as(s"score_$l") }
     Tables.documents(s, dir)
       .select(col("doc_id") +: col("lang") +: scoreCols :+ pred.as("pred_lang"): _*)
-      .orderBy("doc_id")
+      .oracleSorted("doc_id")
   }
 
   /** Document fingerprinting: a 64-bit content fingerprint (md5 prefix of
@@ -187,7 +188,7 @@ object TextOps {
         col("doc_id"),
         substring(md5s(col("text")), 1, 16).as("fp64"),
         array_min(transform(array_distinct(shingles(col("text"), 3)), x => md5s(x))).as("min_shingle_fp"))
-      .orderBy("doc_id")
+      .oracleSorted("doc_id")
 
   // ------------------------------------------------------------------
   // Deduplication (§2.K1/K2)
@@ -202,7 +203,7 @@ object TextOps {
     Tables.documents(s, dir)
       .groupBy(sha2(col("text").cast("binary"), 256).as("content_hash"))
       .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
-      .orderBy("keep_id")
+      .oracleSorted("keep_id")
 
   /** Mersenne prime 2^31−1 for the universal band-hash family. */
   val MinhashP = 2147483647L
@@ -269,7 +270,7 @@ object TextOps {
         round(size(array_intersect(col("hv_a"), col("hv_b"))).cast("double") /
           size(array_distinct(concat(col("hv_a"), col("hv_b")))), 6).as("jaccard"))
       .filter(col("jaccard") >= MinhashTau)
-      .orderBy("doc_a", "doc_b")
+      .oracleSorted("doc_a", "doc_b")
   }
 
   /** Label-propagation iterations for `dedup_cluster`. Near-dup clusters in
@@ -318,7 +319,7 @@ object TextOps {
     val sizes = labels.groupBy("lbl").agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, "lbl")
       .select(col("doc_id"), col("lbl").as("canonical_id"), col("cluster_size"))
-      .orderBy("doc_id")
+      .oracleSorted("doc_id")
   }
 
   /** `text_normalize`: canonical text form — lowercase, trimmed, whitespace
@@ -330,7 +331,7 @@ object TextOps {
     Tables.documents(s, dir)
       .select(col("doc_id"), norm.as("norm_text"),
         sha2(norm.cast("binary"), 256).as("norm_hash"))
-      .orderBy("doc_id")
+      .oracleSorted("doc_id")
   }
 
   /** K2b `dedup_simhash`: 16-bit SimHash over the distinct token set, folded
@@ -354,7 +355,7 @@ object TextOps {
       .select(col("doc_id"), simhash.as("simhash"))
       .groupBy("simhash")
       .agg(count(lit(1)).as("n_docs"), min("doc_id").as("min_doc"))
-      .orderBy("simhash")
+      .oracleSorted("simhash")
   }
 
   /** K2c `dedup_ngram`: character-4-gram Jaccard near-dup detection.
@@ -392,6 +393,6 @@ object TextOps {
         round(size(array_intersect(col("cg_a"), col("cg_b"))).cast("double") /
           size(array_distinct(concat(col("cg_a"), col("cg_b")))), 6).as("jaccard"))
       .filter(col("jaccard") >= NgramTau)
-      .orderBy("doc_a", "doc_b")
+      .oracleSorted("doc_a", "doc_b")
   }
 }

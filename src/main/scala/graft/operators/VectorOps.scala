@@ -4,6 +4,7 @@ import graft.Tables
 import graft.functions.Vec
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
+import graft.functions.OracleSort._
 import org.apache.spark.sql.functions._
 
 /** Embedding-column operators (SURVEY §2.K3/K4) and the iterative k-means
@@ -45,7 +46,7 @@ object VectorOps {
         size(col("embedding")).as("dim"),
         Vec.l2(col("embedding")).as("l2_norm"),
         Vec.l1(col("embedding")).as("l1_norm"))
-      .orderBy("vec_id")
+      .oracleSorted("vec_id")
 
   /** B7 `vec_scale`: scaling / feature projection — the reference embeds
     * posts as `(langIndex * langSpread, highScore)` with langSpread = 50000
@@ -59,7 +60,7 @@ object VectorOps {
         col("vec_id"), col("label"),
         (col("label").cast("long") * 50000L).as("feat_x"),
         Vec.l2F(col("embedding")).as("feat_y"))
-      .orderBy("vec_id")
+      .oracleSorted("vec_id")
 
   /** I1′ `sample_stratified`: deterministic per-label k-sample — the
     * engine-level form of the reference's `sampleVectors` stratified
@@ -75,7 +76,7 @@ object VectorOps {
         Window.partitionBy("label").orderBy("vec_id")).cast("int"))
       .filter(col("rn") <= 20)
       .select(col("vec_id"), col("label"), col("rn"))
-      .orderBy("label", "rn")
+      .oracleSorted("label", "rn")
 
   /** `quantile_bins`: decile bucketing of documents by length (curriculum /
     * balancing stage of a data pipeline). Semantics are exactly SQL
@@ -117,7 +118,7 @@ object VectorOps {
         s"case when $q = 0 or rn <= ${r * (q + 1)} then (rn - 1) div ${q + 1} + 1 " +
         s"else $r + (rn - ${r * (q + 1)} - 1) div $q + 1 end").cast("int"))
       .select(col("doc_id"), col("n_chars"), col("decile"))
-      .orderBy("doc_id")
+      .oracleSorted("doc_id")
   }
 
   /** K4 `multimodal_decode`: the decode / feature-extract stage of a
@@ -138,7 +139,7 @@ object VectorOps {
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, bytes) => fakeDecode(id, bytes) })
       .toDF()
-      .orderBy("doc_id")
+      .oracleSorted("doc_id")
   }
 
   /** Pseudo-dimensions derived from the payload's md5 — deterministic,
@@ -172,7 +173,7 @@ object VectorOps {
         length(payload).as("n_bytes"),
         md5(payload).as("content_md5"),
         Vec.l2F(col("embedding")).as("l2_norm"))
-      .orderBy("doc_id")
+      .oracleSorted("doc_id")
   }
 
   /** K3 `sim_topk`: brute-force cosine top-k of the corpus against a small
@@ -191,7 +192,7 @@ object VectorOps {
       .withColumn("rn", row_number()
         .over(Window.partitionBy("q_id").orderBy(desc("cos"), asc("vec_id"))).cast("int"))
       .filter(col("rn") <= TopK)
-      .orderBy("q_id", "rn")
+      .oracleSorted("q_id", "rn")
   }
 
   /** K3b `sim_ann`: LSH-bucketed approximate nearest neighbours — queries
@@ -212,7 +213,7 @@ object VectorOps {
       .withColumn("rn", row_number()
         .over(Window.partitionBy("q_id").orderBy(desc("cos"), asc("vec_id"))).cast("int"))
       .filter(col("rn") <= AnnTopK)
-      .orderBy("q_id", "rn")
+      .oracleSorted("q_id", "rn")
   }
 
   /** K2d `dedup_embed`: embedding-cosine near-dup pairs, candidates limited
@@ -228,7 +229,7 @@ object VectorOps {
       .select(col("vec_a"), col("vec_b"),
         Vec.cosineF(col("emb_a"), col("emb_b")).as("cos"))
       .filter(col("cos") >= EmbedDupTau)
-      .orderBy("vec_a", "vec_b")
+      .oracleSorted("vec_a", "vec_b")
   }
 
   /** §2.I `kmeans_clusters`: the reference's iterative k-means re-expressed
@@ -313,6 +314,6 @@ object VectorOps {
       .select(col("cid").as("cluster_id"), col("n_vecs"), col("top_label"),
         round(col("top_n").cast("double") / col("n_vecs"), 4).as("label_share"),
         col("median_norm"))
-      .orderBy("cluster_id")
+      .oracleSorted("cluster_id")
   }
 }

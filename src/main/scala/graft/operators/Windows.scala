@@ -3,6 +3,7 @@ package graft.operators
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
+import graft.functions.OracleSort._
 import org.apache.spark.sql.functions._
 
 /** Window functions, ranking, top-k (SURVEY §2.E/F).
@@ -23,7 +24,7 @@ object Windows {
       .withColumn("rnk",
         rank().over(Window.partitionBy("s_nationkey").orderBy(desc("s_acctbal"))))
       .select("s_nationkey", "s_suppkey", "s_name", "s_acctbal", "rnk")
-      .orderBy("s_nationkey", "rnk", "s_suppkey")
+      .oracleSorted("s_nationkey", "rnk", "s_suppkey")
 
   /** E2: per-group top-1 — highest-value event per user
     * [ref: stackoverflow/…/StackOverflow.scala#scoredPostings as window].
@@ -34,7 +35,7 @@ object Windows {
         Window.partitionBy("user_id").orderBy(desc("value"), asc("event_id"))))
       .filter(col("rn") === 1)
       .select("user_id", "event_id", "value")
-      .orderBy("user_id")
+      .oracleSorted("user_id")
 
   /** E3: frame-spec analytics — running revenue and lag delta per customer. */
   def windowRunning(s: SparkSession, dir: String): DataFrame = {
@@ -46,7 +47,7 @@ object Windows {
           .as("running_total"),
         round(col("o_totalprice") - coalesce(lag("o_totalprice", 1).over(w), lit(0.0)), 2)
           .as("delta_prev"))
-      .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+      .oracleSorted("o_custkey", "o_orderdate", "o_orderkey")
   }
 
   /** F3: global top-k — plans as TakeOrderedAndProject (asserted in spec). */

@@ -3,6 +3,7 @@ package graft.streaming
 import java.sql.Timestamp
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import graft.functions.OracleSort._
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -69,7 +70,7 @@ object StatefulOps {
       .select(col("user_id"), col("n_events"),
         (col("sum_cents").cast("double") / 100).as("sum_value"),
         col("first_ts"), col("last_ts"))
-      .orderBy("user_id")
+      .oracleSorted("user_id")
   }
 
   /** Streaming entry (same pipeline through `writeStream`) — used by the

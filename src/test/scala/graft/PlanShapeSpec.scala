@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{TextOps, VectorOps}
+import graft.operators.{TextOps, VectorOps, Windows}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Scale-shape assertions for the LLM-pipeline operators: every dedup /
@@ -48,5 +48,25 @@ class PlanShapeSpec extends AnyFunSuite {
   test("text_tfidf broadcasts the vocabulary-sized doc-frequency side") {
     val p = planOf(TextOps.textTfidf(spark, sfDir))
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"), p)
+  }
+
+  test("graft.terminalSort=false elides the oracle-contract global sort") {
+    // default (oracle mode): terminal global sort present
+    assert(planOf(VectorOps.vecNorm(spark, sfDir)).contains("Sort ["))
+    spark.conf.set("graft.terminalSort", "false")
+    try {
+      // pure projection: no Sort node of any kind remains
+      val p = planOf(VectorOps.vecNorm(spark, sfDir))
+      assert(!p.contains("Sort ["), p)
+      // window query keeps its per-partition (local) sort, loses the global
+      // one — physical Sort prints `Sort [...], <global>, 0`; local sorts
+      // are inserted by EnsureRequirements, so check the executed plan
+      val w = Windows.windowRank(spark, sfDir).queryExecution.executedPlan.toString
+      assert(w.contains("], false, 0"), w)
+      assert(!w.contains("], true, 0"), w)
+      // semantic order stays: top-k still plans as TakeOrderedAndProject
+      val t = planOf(Windows.topk(spark, sfDir))
+      assert(t.contains("TakeOrderedAndProject"), t)
+    } finally spark.conf.unset("graft.terminalSort")
   }
 }
