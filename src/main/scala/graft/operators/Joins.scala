@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import graft.functions.OracleSort._
 import org.apache.spark.sql.functions._
 
@@ -53,6 +54,64 @@ object Joins {
       .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "left_semi")
       .select("c_custkey", "c_name")
       .oracleSorted("c_custkey")
+
+  /** C5 `join_asof`: as-of join — for each event, the most recent order
+    * (order date ≤ event time) of the same customer. Spark has no ASOF JOIN
+    * operator, and the naive encoding (range join + per-event top-1 window)
+    * explodes to |events| × |orders-per-key| intermediate rows. Scalable
+    * shape instead: tag and union both sides, shuffle ONCE by key, and a
+    * running `last(_, ignoreNulls)` window carries the latest order forward
+    * onto each event row — linear work, per-key partitions, the standard
+    * distributed as-of pattern. Orders are pre-reduced to one row per
+    * (custkey, date) so the as-of winner is unique (tie-free for the
+    * oracle); order rows sort before event rows at equal time, giving
+    * inclusive (≥) semantics. DuckDB checks via its native ASOF LEFT JOIN.
+    */
+  def joinAsof(s: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(s, dir)
+      .groupBy(col("o_custkey").as("key"), col("o_orderdate").cast("timestamp").as("t"))
+      .agg(max("o_orderkey").as("last_orderkey"))
+      .select(col("key"), col("t"), lit(0).as("side"),
+        col("last_orderkey"), lit(null).cast("long").as("event_id"))
+    val ev = Tables.events(s, dir)
+      .select(col("user_id").as("key"), col("ts").as("t"), lit(1).as("side"),
+        lit(null).cast("long").as("last_orderkey"), col("event_id"))
+    val w = Window.partitionBy("key").orderBy("t", "side")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ord.unionByName(ev)
+      .withColumn("lo_key",
+        last(when(col("side") === 0, col("last_orderkey")), ignoreNulls = true).over(w))
+      .withColumn("lo_date",
+        last(when(col("side") === 0, col("t")), ignoreNulls = true).over(w))
+      .filter(col("side") === 1)
+      .select(col("event_id"), col("key").as("user_id"), col("t").as("ts"),
+        col("lo_date").as("last_order_date"), col("lo_key").as("last_orderkey"))
+      .oracleSorted("event_id")
+  }
+
+  /** C6 `join_salted`: explicit skew mitigation for a hot-key equi-join.
+    * The first line of defense at scale is AQE's skew-join split; when a
+    * single key is hot enough that even split shuffle blocks hammer one
+    * reducer, the classic fix is salting — fact rows get a deterministic
+    * salt in [0, S), the other side is replicated S× with `explode`, and
+    * the join key becomes (key, salt), spreading the hot key over S
+    * reducers at the cost of an S× build side. The result is provably
+    * identical to the unsalted join, which is exactly what the oracle runs.
+    */
+  def joinSalted(s: SparkSession, dir: String): DataFrame = {
+    val S = 8
+    val li = Tables.lineitem(s, dir)
+      .withColumn("l_salt", pmod(hash(col("l_orderkey"), col("l_linenumber")), lit(S)))
+    val ord = Tables.orders(s, dir)
+      .withColumn("o_salt", explode(sequence(lit(0), lit(S - 1))))
+    ord.join(li,
+        col("o_orderkey") === col("l_orderkey") && col("o_salt") === col("l_salt"))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_lines"),
+           graft.functions.Num.money(
+             sum(graft.functions.Num.dec2(col("l_extendedprice")))).as("gross"))
+      .oracleSorted("o_orderstatus")
+  }
 
   /** Left outer join preserving customers with zero orders (count of a
     * nullable column counts only matches).

@@ -39,6 +39,40 @@ class JoinsWindowsSpec extends AnyFunSuite {
     assert(got == Seq((1L, 11L), (2L, 20L))) // tie at 9.0 → lower event_id
   }
 
+  test("join_asof matches the brute-force range-join + top-1 definition") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    // Naive oracle: range join events×orders on user, keep the latest
+    // order_date ≤ ts (orderkey max at equal date). Quadratic per key —
+    // fine at sf0.001, exactly what the scalable union+window must equal.
+    val ord = Tables.orders(spark, sfDir)
+      .groupBy(col("o_custkey"), col("o_orderdate").cast("timestamp").as("t"))
+      .agg(max("o_orderkey").as("k"))
+    val ev = Tables.events(spark, sfDir).select("event_id", "user_id", "ts")
+    val naive = ev.join(ord, col("user_id") === col("o_custkey") && col("t") <= col("ts"), "left")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("event_id").orderBy(desc("t"))))
+      .filter(col("rn") === 1 || col("t").isNull)
+      .select(col("event_id"), col("t").as("last_order_date"), col("k").as("last_orderkey"))
+    val got = Joins.joinAsof(spark, sfDir)
+      .select("event_id", "last_order_date", "last_orderkey")
+    assert(got.exceptAll(naive).isEmpty && naive.exceptAll(got).isEmpty)
+  }
+
+  test("join_salted equals the unsalted join and contains no cartesian product") {
+    import org.apache.spark.sql.functions._
+    val plain = Tables.orders(spark, sfDir)
+      .join(Tables.lineitem(spark, sfDir), col("o_orderkey") === col("l_orderkey"))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_lines"),
+        graft.functions.Num.money(
+          sum(graft.functions.Num.dec2(col("l_extendedprice")))).as("gross"))
+    val salted = Joins.joinSalted(spark, sfDir)
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+    val plan = salted.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"), plan)
+  }
+
   test("window_running accumulates in order date order") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
