@@ -95,6 +95,7 @@ object SparkEntry {
     "multimodal_decode" -> (VectorOps.multimodalDecode _),
     "sim_topk" -> (VectorOps.simTopk _),
     "sim_ann" -> (VectorOps.simAnn _),
+    "sim_ivf" -> (VectorOps.simIvf _),
     // §2.I iterative k-means
     "kmeans_clusters" -> (VectorOps.kmeansClusters _),
   )
@@ -157,6 +158,10 @@ object SparkEntry {
 
   private def dotSql(a: String, b: String) =
     s"list_sum(list_transform(list_zip($a, $b), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+
+  /** Squared euclidean distance (mirror of Vec.sqDist's sequential fold). */
+  private def sqDistSql(a: String, b: String) =
+    s"list_sum(list_transform(list_zip($a, $b), p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))))"
 
   /** Sign-bit LSH bucket (mirror of Vec.signBucket, 8 bits). */
   private val bucket8 =
@@ -301,6 +306,8 @@ object SparkEntry {
       "SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS n_bytes, CAST(h % 640 + 1 AS INT) AS width, CAST((h // 640) % 480 + 1 AS INT) AS height, CAST(octet_length(encode(text)) // 256 + 1 AS INT) AS n_frames, md5(text) AS checksum FROM (SELECT doc_id, text, CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS h FROM documents) ORDER BY doc_id",
     "sim_topk" ->
       s"WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < ${VectorOps.QuerySetSize}), c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= ${VectorOps.QuerySetSize}), s AS (SELECT q_id, vec_id, ${dotSql("q_emb", "embedding")} / (sqrt(${sqNorm("q_emb")}) * sqrt(${sqNorm("embedding")})) AS cos FROM c CROSS JOIN q), r AS (SELECT q_id, vec_id, cos, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn FROM s) SELECT q_id, vec_id, cos, CAST(rn AS INT) AS rn FROM r WHERE rn <= ${VectorOps.TopK} ORDER BY q_id, rn",
+    "sim_ivf" ->
+      s"WITH cell AS (SELECT label AS c_label, g.i AS pos, CAST(CAST(embedding[g.i] AS DOUBLE) AS DECIMAL(28,20)) AS v FROM embeddings, (SELECT unnest(generate_series(1, ${VectorOps.Dim})) AS i) g), comp AS (SELECT c_label, pos, CAST(sum(v) AS DOUBLE) / count(1) AS comp FROM cell GROUP BY 1, 2), cent AS (SELECT c_label, list(comp ORDER BY pos) AS cvec FROM comp GROUP BY 1), asg AS (SELECT vec_id, embedding, c_label, row_number() OVER (PARTITION BY vec_id ORDER BY ${sqDistSql("embedding", "cvec")}, c_label) AS rn FROM embeddings, cent), inv AS (SELECT vec_id, embedding, c_label AS ilist FROM asg WHERE rn = 1 AND vec_id >= ${VectorOps.QuerySetSize}), probes AS (SELECT vec_id AS q_id, embedding AS q_emb, c_label AS ilist FROM asg WHERE rn <= ${VectorOps.IvfProbes} AND vec_id < ${VectorOps.QuerySetSize}), sc AS (SELECT q_id, inv.vec_id, ${dotSql("q_emb", "inv.embedding")} / (sqrt(${sqNorm("q_emb")}) * sqrt(${sqNorm("inv.embedding")})) AS cos FROM inv JOIN probes USING (ilist)), r AS (SELECT q_id, vec_id, cos, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn FROM sc) SELECT q_id, vec_id, cos, CAST(rn AS INT) AS rn FROM r WHERE rn <= ${VectorOps.AnnTopK} ORDER BY q_id, rn",
     "sim_ann" ->
       s"WITH e AS (SELECT vec_id, embedding, $bucket8 AS bucket FROM embeddings), q AS (SELECT vec_id AS q_id, embedding AS q_emb, bucket FROM e WHERE vec_id < ${VectorOps.QuerySetSize}), c AS (SELECT vec_id, embedding, bucket FROM e WHERE vec_id >= ${VectorOps.QuerySetSize}), s AS (SELECT q_id, c.vec_id, ${dotSql("q_emb", "c.embedding")} / (sqrt(${sqNorm("q_emb")}) * sqrt(${sqNorm("c.embedding")})) AS cos FROM c JOIN q USING (bucket)), r AS (SELECT q_id, vec_id, cos, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn FROM s) SELECT q_id, vec_id, cos, CAST(rn AS INT) AS rn FROM r WHERE rn <= ${VectorOps.AnnTopK} ORDER BY q_id, rn",
   )

@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.Tables
 import graft.functions.Vec
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import graft.functions.OracleSort._
 import org.apache.spark.sql.functions._
@@ -34,6 +34,9 @@ object VectorOps {
   val TopK = 10
   val AnnBits = 8
   val AnnTopK = 5
+  /** IVF: lists probed per query; embedding dimensionality (testdata). */
+  val IvfProbes = 2
+  val Dim = 64
   val EmbedDupTau = 0.3
 
   /** K4 `vec_norm`: per-vector L1/L2 norms and dimensionality via HOF folds.
@@ -208,6 +211,67 @@ object VectorOps {
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("bucket"))
     val corpus = bucketed.filter(col("vec_id") >= QuerySetSize)
     corpus.join(broadcast(q), "bucket")
+      .select(col("q_id"), col("vec_id"),
+        Vec.cosineF(col("q_emb"), col("embedding")).as("cos"))
+      .withColumn("rn", row_number()
+        .over(Window.partitionBy("q_id").orderBy(desc("cos"), asc("vec_id"))).cast("int"))
+      .filter(col("rn") <= AnnTopK)
+      .oracleSorted("q_id", "rn")
+  }
+
+  /** K3c `sim_ivf`: IVF (inverted-file) ANN — the second classic coarse
+    * index besides LSH. Structure: (1) k centroids; (2) every corpus vector
+    * joins the inverted list of its nearest centroid; (3) each query probes
+    * its `IvfProbes` nearest lists and scores only those candidates —
+    * |probes|/k of the corpus per query instead of all of it.
+    *
+    * Centroids here are per-label mean vectors rather than k-means-learned
+    * ones so the whole operator is oracle-checkable (kmeans' iterative
+    * driver loop is not SQL-expressible; at deployment the centroids would
+    * come from `kmeans_clusters` and everything downstream is unchanged).
+    * Means use exact decimal cross-row sums (posexplode → partial-agg
+    * sum(DECIMAL(28,20)) → double), so they are bitwise-identical for any
+    * partition count / merge order — the same associativity argument as
+    * `Num` — and reproducible by DuckDB.
+    *
+    * Scale shapes: centroid build is one partial-aggregated shuffle of
+    * (label, pos) cells; assignment is SHUFFLE-FREE — the k×dim centroid
+    * table is collapsed to a single array row, broadcast, and the argmin
+    * runs per-row as a HOF fold; search is a broadcast equi-join on the
+    * list id. Nothing concentrates on one task at any corpus size.
+    */
+  def simIvf(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val emb = Tables.embeddings(s, dir)
+
+    val cent = emb
+      .select(col("label").as("c_label"), posexplode(col("embedding")))
+      .groupBy("c_label", "pos")
+      .agg((sum(col("col").cast("double").cast(DecimalType(28, 20))).cast("double")
+        / count(lit(1))).as("comp"))
+      .groupBy("c_label")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("comp")))),
+        x => x.getField("comp")).as("cvec"))
+    // One row holding all k centroids → broadcast, no shuffle to assign.
+    val centsRow = cent.agg(collect_list(struct(col("c_label"), col("cvec"))).as("cents"))
+
+    def nearest(v: Column): Column = // (dist, label) argmin over the centroid array
+      array_min(transform(col("cents"),
+        c => struct(Vec.sqDist(v, c.getField("cvec")).as("dist"),
+          c.getField("c_label").as("lbl"))))
+
+    val withCents = emb.crossJoin(broadcast(centsRow))
+    val corpus = withCents.filter(col("vec_id") >= QuerySetSize)
+      .select(col("vec_id"), col("embedding"), nearest(col("embedding")).getField("lbl").as("ilist"))
+    // Queries probe their IvfProbes nearest lists (query set is tiny).
+    val probes = withCents.filter(col("vec_id") < QuerySetSize)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        posexplode(slice(array_sort(transform(col("cents"),
+          c => struct(Vec.sqDist(col("embedding"), c.getField("cvec")).as("dist"),
+            c.getField("c_label").as("lbl")))), 1, IvfProbes)))
+      .select(col("q_id"), col("q_emb"), col("col.lbl").as("ilist"))
+
+    corpus.join(broadcast(probes), "ilist")
       .select(col("q_id"), col("vec_id"),
         Vec.cosineF(col("q_emb"), col("embedding")).as("cos"))
       .withColumn("rn", row_number()

@@ -66,6 +66,41 @@ class VectorOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("sim_ivf hits score identically to brute force and respect k/probes") {
+    val ivf = VectorOps.simIvf(spark, sfDir)
+      .select("q_id", "vec_id", "cos").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val brute = VectorOps.simTopk(spark, sfDir)
+      .select("q_id", "vec_id", "cos").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // approximate index must never fabricate a score
+    ivf.foreach { case (pair, cos) =>
+      brute.get(pair).foreach(b => assert(b == cos, s"$pair: ivf=$cos brute=$b"))
+    }
+    assert(ivf.keys.map(_._1).groupBy(identity).values.forall(_.size <= VectorOps.AnnTopK))
+  }
+
+  test("sim_ivf achieves full recall on label-separable data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    // 3 well-separated blobs keyed by label: per-label centroids ARE the
+    // blob centers, so probing 2 of 3 lists must recover the exact top-k.
+    val data = (0 until 90).map { i =>
+      val label = i % 3
+      val center = Array.fill(8)(0.0f).updated(label, 10.0f)
+      val v = center.map(c => c + (rnd.nextFloat() - 0.5f))
+      (i.toLong, v.toSeq, label)
+    }
+    val dir = "/tmp/graft_test_ivf"
+    data.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val ivf = VectorOps.simIvf(spark, dir)
+      .select("q_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = VectorOps.simTopk(spark, dir).filter(col("rn") <= VectorOps.AnnTopK)
+      .select("q_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ivf == brute, s"recall ${(ivf & brute).size.toDouble / brute.size}")
+  }
+
   test("kmeans converges to pure clusters on a separable dataset (I1-I4)") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
