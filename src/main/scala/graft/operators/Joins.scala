@@ -79,10 +79,13 @@ object Joins {
     val w = Window.partitionBy("key").orderBy("t", "side")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     ord.unionByName(ev)
-      .withColumn("lo_key",
-        last(when(col("side") === 0, col("last_orderkey")), ignoreNulls = true).over(w))
-      .withColumn("lo_date",
-        last(when(col("side") === 0, col("t")), ignoreNulls = true).over(w))
+      // both carried values in ONE select → a single Window node (one pass
+      // over each sorted partition instead of two)
+      .select(col("event_id"), col("key"), col("t"), col("side"),
+        last(when(col("side") === 0, col("last_orderkey")), ignoreNulls = true)
+          .over(w).as("lo_key"),
+        last(when(col("side") === 0, col("t")), ignoreNulls = true)
+          .over(w).as("lo_date"))
       .filter(col("side") === 1)
       .select(col("event_id"), col("key").as("user_id"), col("t").as("ts"),
         col("lo_date").as("last_order_date"), col("lo_key").as("last_orderkey"))

@@ -253,7 +253,11 @@ object VectorOps {
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("comp")))),
         x => x.getField("comp")).as("cvec"))
     // One row holding all k centroids → broadcast, no shuffle to assign.
-    val centsRow = cent.agg(collect_list(struct(col("c_label"), col("cvec"))).as("cents"))
+    // Cached: it is referenced by both the corpus-assignment branch and the
+    // query-probe branch, and without the cache each branch would recompute
+    // the full corpus-wide centroid aggregation (the operator's most
+    // expensive stage) independently.
+    val centsRow = cent.agg(collect_list(struct(col("c_label"), col("cvec"))).as("cents")).cache()
 
     def nearest(v: Column): Column = // (dist, label) argmin over the centroid array
       array_min(transform(col("cents"),

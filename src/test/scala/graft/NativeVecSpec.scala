@@ -34,6 +34,29 @@ class NativeVecSpec extends AnyFunSuite {
     }
   }
 
+  test("GraftExtensions registers vec_dot on the SQL path") {
+    import org.apache.spark.sql.SparkSession
+    val base = spark
+    // Extensions apply at session construction. `spark.sql.extensions` is a
+    // STATIC conf read from the SparkContext (ignored on a sibling-session
+    // builder), so inject the class directly — same code path as the conf.
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .withExtensions(new graft.plans.GraftExtensions)
+        .getOrCreate()
+      import s2.implicits._
+      Seq((Seq(1.0f, 2.0f), Seq(3.0f, 4.0f))).toDF("a", "b")
+        .createOrReplaceTempView("graft_vec_dot_v")
+      val r = s2.sql("SELECT vec_dot(a, b) AS d FROM graft_vec_dot_v").collect()
+      assert(r.length == 1 && r(0).getDouble(0) == 11.0)
+    } finally {
+      SparkSession.setDefaultSession(base)
+      SparkSession.setActiveSession(base)
+    }
+  }
+
   test("FloatVecDot appears codegen'd in the physical plan") {
     val df = Tables.embeddings(spark, sfDir)
       .select(Vec.dotF(col("embedding"), col("embedding")).as("d"))
