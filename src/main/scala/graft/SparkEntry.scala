@@ -58,6 +58,7 @@ object SparkEntry {
     "join_outer" -> (Joins.joinOuter _),
     "join_asof" -> (Joins.joinAsof _),
     "join_salted" -> (Joins.joinSalted _),
+    "join_range" -> (Joins.joinRange _),
     // §2.E/F windows + top-k
     "window_rank" -> (Windows.windowRank _),
     "window_top1" -> (Windows.windowTop1 _),
@@ -247,6 +248,8 @@ object SparkEntry {
       "WITH o AS (SELECT o_custkey AS key, CAST(o_orderdate AS TIMESTAMP) AS t, max(o_orderkey) AS last_orderkey FROM orders GROUP BY 1, 2) SELECT e.event_id, e.user_id, CAST(e.ts AS TIMESTAMP) AS ts, o.t AS last_order_date, o.last_orderkey FROM events e ASOF LEFT JOIN o ON e.user_id = o.key AND CAST(e.ts AS TIMESTAMP) >= o.t ORDER BY e.event_id",
     "join_salted" ->
       "SELECT o_orderstatus, count(1) AS n_lines, CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS gross FROM orders JOIN lineitem ON o_orderkey = l_orderkey GROUP BY 1 ORDER BY 1",
+    "join_range" ->
+      "SELECT a.event_id, a.user_id, CAST(a.ts AS TIMESTAMP) AS ts, count(b.event_id) AS n_next_min FROM events a LEFT JOIN events b ON a.user_id = b.user_id AND CAST(b.ts AS TIMESTAMP) > CAST(a.ts AS TIMESTAMP) AND CAST(b.ts AS TIMESTAMP) <= CAST(a.ts AS TIMESTAMP) + INTERVAL 1 MINUTE GROUP BY 1, 2, 3 ORDER BY 1",
     "window_rank" ->
       "SELECT s_nationkey, s_suppkey, s_name, s_acctbal, CAST(rank() OVER (PARTITION BY s_nationkey ORDER BY s_acctbal DESC) AS INT) AS rnk FROM supplier ORDER BY s_nationkey, rnk, s_suppkey",
     "window_top1" ->

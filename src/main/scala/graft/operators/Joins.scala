@@ -116,6 +116,35 @@ object Joins {
       .oracleSorted("o_orderstatus")
   }
 
+  /** C7 `join_range`: interval/range join — for each event, how many events
+    * by the same user land strictly inside the following minute. SURVEY §2.C
+    * notes the reference has no theta/range joins; the naive Spark encoding
+    * (non-equi condition only) plans a BroadcastNestedLoopJoin, which is a
+    * cross product at scale. Scalable shape: bucket time into bins exactly
+    * one range-width wide (60 s), so every match for an anchor lives in the
+    * anchor's bin or the next one; explode each anchor into those two
+    * candidate bins and equi-join on (user, bin) with the exact range
+    * predicate as a post-filter. The join is then a plain shuffle hash/SMJ
+    * on (user, bin) — work ∝ matches, not |events|², and each match joins
+    * exactly one candidate row (bins are disjoint), so no dedup is needed.
+    * Left join + `count(r_id)` keeps zero-match anchors at count 0.
+    */
+  def joinRange(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select("event_id", "user_id", "ts")
+    val bin = expr("unix_micros(ts) div 60000000")
+    val anchors = ev.select(col("event_id"), col("user_id"), col("ts"),
+      explode(array(bin, bin + 1)).as("bin"))
+    val right = ev.select(col("user_id").as("r_user"), col("ts").as("r_ts"),
+      col("event_id").as("r_id"), bin.as("r_bin"))
+    anchors.join(right,
+        col("user_id") === col("r_user") && col("bin") === col("r_bin") &&
+        col("r_ts") > col("ts") &&
+        col("r_ts") <= col("ts") + expr("INTERVAL 1 MINUTE"), "left")
+      .groupBy("event_id", "user_id", "ts")
+      .agg(count(col("r_id")).as("n_next_min"))
+      .oracleSorted("event_id")
+  }
+
   /** Left outer join preserving customers with zero orders (count of a
     * nullable column counts only matches).
     */

@@ -73,6 +73,22 @@ class JoinsWindowsSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"), plan)
   }
 
+  test("join_range equals the naive theta join and plans as an equi-join") {
+    import org.apache.spark.sql.functions._
+    // Naive oracle: pure non-equi self-join (what the bin trick must equal).
+    val ev = Tables.events(spark, sfDir).select("event_id", "user_id", "ts")
+    val r = ev.select(col("user_id").as("r_user"), col("ts").as("r_ts"),
+      col("event_id").as("r_id"))
+    val naive = ev.join(r,
+        col("user_id") === col("r_user") && col("r_ts") > col("ts") &&
+        col("r_ts") <= col("ts") + expr("INTERVAL 1 MINUTE"), "left")
+      .groupBy("event_id").agg(count(col("r_id")).as("n_next_min"))
+    val got = Joins.joinRange(spark, sfDir).select("event_id", "n_next_min")
+    assert(got.exceptAll(naive).isEmpty && naive.exceptAll(got).isEmpty)
+    val plan = got.queryExecution.sparkPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"), plan)
+  }
+
   test("window_running accumulates in order date order") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
