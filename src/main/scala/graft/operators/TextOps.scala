@@ -94,9 +94,11 @@ object TextOps {
 
   /** K5 `text_tfidf`: per-(doc, token) TF-IDF. The doc-frequency side is
     * vocabulary-sized, so it broadcasts; N comes from a 1-row broadcast
-    * cross join — no driver-side constants baked into the plan.
+    * hash join (`attachScalarRow`) — no driver-side constants baked into
+    * the plan.
     */
   def textTfidf(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.ScalarAttach._
     val docs = Tables.documents(s, dir)
     val tf = docs
       .select(col("doc_id"), explode(words(col("text"))).as("token"))
@@ -105,7 +107,7 @@ object TextOps {
     val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
     tf.join(broadcast(dfreq), "token")
-      .crossJoin(broadcast(n))
+      .attachScalarRow(n)
       .select(col("doc_id"), col("token"), col("tf"), col("df"),
         round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6).as("tfidf"))
       .oracleSorted("doc_id", "token")

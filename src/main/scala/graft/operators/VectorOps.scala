@@ -264,7 +264,8 @@ object VectorOps {
         c => struct(Vec.sqDist(v, c.getField("cvec")).as("dist"),
           c.getField("c_label").as("lbl"))))
 
-    val withCents = emb.crossJoin(broadcast(centsRow))
+    import graft.functions.ScalarAttach._
+    val withCents = emb.attachScalarRow(centsRow)
     val corpus = withCents.filter(col("vec_id") >= QuerySetSize)
       .select(col("vec_id"), col("embedding"), nearest(col("embedding")).getField("lbl").as("ilist"))
     // Queries probe their IvfProbes nearest lists (query set is tiny).
@@ -307,8 +308,9 @@ object VectorOps {
     *    of the reference's seeded reservoir sample — cross-engine RNG does
     *    not reproduce, determinism is the contract (SURVEY §2.I1).
     *  - I2 loop: fixed 5 iterations (reference: converge-or-120); each
-    *    iteration broadcasts k×dim centers, assigns via the sqDist HOF +
-    *    min(struct(dist, cid)) argmin, recomputes means via
+    *    iteration bakes the k×dim centers into the plan as a literal array
+    *    column, assigns SHUFFLE-FREE via a per-row sqDist HOF argmin
+    *    (array_min over (dist, cid) structs), recomputes means via
     *    posexplode → groupBy(cid, pos) partial aggregation, and collects
     *    only k×dim (sum, count) rows to the driver.
     *  - A5: the embeddings input is cached across iterations.
@@ -335,23 +337,25 @@ object VectorOps {
       .map(_.getSeq[Float](0).map(_.toDouble))
     val k = centers.length
 
-    def assign(cdf: DataFrame): DataFrame =
-      emb.crossJoin(broadcast(cdf))
-        .select(col("vec_id"),
-          col("cid"), Vec.sqDist(col("embedding"), col("center")).as("dist"))
-        .groupBy("vec_id")
-        .agg(min(struct(col("dist"), col("cid"))).as("m"))
-        .select(col("vec_id"), col("m.cid").as("cid"))
+    // Centers as a LITERAL array-of-structs column (k×dim doubles baked
+    // into the plan — the driver holds them anyway, SURVEY §2.I2): the
+    // argmin is a per-row HOF fold, so assignment is SHUFFLE-FREE and needs
+    // no join back to `emb` — vs the k-row crossJoin form, which blows the
+    // row count up k× and argmin-shuffles by vec_id every iteration.
+    def centersLit(cs: Array[Seq[Double]]): Column =
+      array(cs.zipWithIndex.map { case (c, i) =>
+        struct(lit(i).as("cid"), array(c.map(lit(_)): _*).as("center"))
+      }: _*)
 
-    def centersDf(cs: Array[Seq[Double]]): DataFrame = {
-      import s.implicits._
-      cs.zipWithIndex.map { case (c, i) => (i, c) }.toSeq.toDF("cid", "center")
-    }
+    def assigned(cs: Array[Seq[Double]]): DataFrame =
+      emb.select(col("vec_id"), col("label"), col("embedding"),
+        array_min(transform(centersLit(cs),
+          c => struct(Vec.sqDist(col("embedding"), c.getField("center")).as("dist"),
+            c.getField("cid").as("cid")))).getField("cid").as("cid"))
 
     // I2/I3: fixed-iteration driver loop; each pass = one Spark job chain.
     for (_ <- 1 to iterations) {
-      val sums = assign(centersDf(centers))
-        .join(emb, "vec_id")
+      val sums = assigned(centers)
         .select(col("cid"), posexplode(col("embedding")))
         .groupBy("cid", "pos")
         .agg(sum(col("col").cast("double")).as("sv"), count(lit(1)).as("n"))
@@ -367,8 +371,7 @@ object VectorOps {
     }
 
     // I4: cluster report — size, dominant label + share, median norm.
-    val finalAssign = assign(centersDf(centers))
-    val scored = finalAssign.join(emb, "vec_id")
+    val scored = assigned(centers)
       .select(col("cid"), col("label"), Vec.l2(col("embedding")).as("nrm"))
     val labelCounts = scored.groupBy("cid", "label").agg(count(lit(1)).as("n"))
     val topLabel = labelCounts

@@ -82,4 +82,120 @@ object StatefulOps {
       .queryName(queryName)
       .outputMode(OutputMode.Update())
       .start()
+
+  // ------------------------------------------------------------------
+  // flatMapGroupsWithState sessionization (§2.J6)
+  // ------------------------------------------------------------------
+
+  /** Gap threshold: a new session starts when the inter-event gap is
+    * ≥ 10 minutes — the same boundary as `stream_session`'s built-in
+    * `session_window(ts, "10 minutes")`, so the two operators describe the
+    * same sessions through different machinery.
+    */
+  val SessionGapMs: Long = 10 * 60 * 1000L
+
+  case class SessionEvent(user_id: Long, ts: Timestamp, event_id: Long, value: Double)
+
+  /** An in-progress session (the flatMap state). */
+  case class OpenSession(start: Timestamp, last: Timestamp, n_events: Long, sum_cents: Long)
+
+  /** A closed session — the operator's output row. */
+  case class SessionRow(user_id: Long, session_start: Timestamp, session_end: Timestamp,
+                        n_events: Long, sum_cents: Long)
+
+  /** Pure sessionization core, shared verbatim by the batch and streaming
+    * wrappers: fold time-ordered events into (closed sessions, trailing
+    * open session). Events are sorted by (ts, event_id) — groups arrive
+    * unordered in both modes, and the explicit ordering makes ties
+    * deterministic.
+    */
+  def foldSessions(events: Seq[SessionEvent], open: Option[OpenSession])
+      : (Seq[OpenSession], Option[OpenSession]) = {
+    val sorted = events.sortBy(e => (e.ts.getTime, e.event_id))
+    val closed = Seq.newBuilder[OpenSession]
+    var cur = open
+    sorted.foreach { e =>
+      cur match {
+        case Some(o) if e.ts.getTime - o.last.getTime < SessionGapMs =>
+          cur = Some(OpenSession(o.start, e.ts, o.n_events + 1,
+            o.sum_cents + math.round(e.value * 100)))
+        case Some(o) =>
+          closed += o
+          cur = Some(OpenSession(e.ts, e.ts, 1L, math.round(e.value * 100)))
+        case None =>
+          cur = Some(OpenSession(e.ts, e.ts, 1L, math.round(e.value * 100)))
+      }
+    }
+    (closed.result(), cur)
+  }
+
+  /** Batch transition: each group is seen exactly once, so the trailing
+    * open session is final — emit it along with the closed ones.
+    */
+  def sessionizeBatch(userId: Long, events: Iterator[SessionEvent],
+                      state: GroupState[OpenSession]): Iterator[SessionRow] = {
+    val (closed, open) = foldSessions(events.toSeq, state.getOption)
+    (closed ++ open).iterator
+      .map(o => SessionRow(userId, o.start, o.last, o.n_events, o.sum_cents))
+  }
+
+  /** Streaming transition: emit only CLOSED sessions; the open session
+    * persists in state and is flushed when the event-time timeout fires
+    * (watermark passed start+gap with no new events) — the standard
+    * emission policy for append-mode sessionization. The fold itself is
+    * `foldSessions`, identical to batch.
+    */
+  def sessionizeStream(userId: Long, events: Iterator[SessionEvent],
+                       state: GroupState[OpenSession]): Iterator[SessionRow] = {
+    if (state.hasTimedOut) {
+      val o = state.get
+      state.remove()
+      Iterator.single(SessionRow(userId, o.start, o.last, o.n_events, o.sum_cents))
+    } else {
+      val (closed, open) = foldSessions(events.toSeq, state.getOption)
+      open.foreach { o =>
+        state.update(o)
+        state.setTimeoutTimestamp(o.last.getTime + SessionGapMs)
+      }
+      closed.iterator
+        .map(o => SessionRow(userId, o.start, o.last, o.n_events, o.sum_cents))
+    }
+  }
+
+  /** Batch entry for the correctness gate: custom-state sessionization of
+    * `events` — same sessions as the built-in `session_window` query, built
+    * with `flatMapGroupsWithState` instead (the typed surface for session
+    * logic Spark's windows cannot express: per-session custom accumulators,
+    * early emission policies, …). Shuffle is one exchange by user_id;
+    * per-group work is O(events-per-user · log) for the sort.
+    */
+  def streamSessionize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .as[SessionEvent]
+    ev.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(sessionizeBatch)
+      .toDF()
+      .select(col("user_id"), col("session_start"), col("session_end"), col("n_events"),
+        (col("sum_cents").cast("double") / 100).as("sum_value"))
+      .oracleSorted("user_id", "session_start")
+  }
+
+  /** Streaming entry (same core through `writeStream`): append-mode closed
+    * sessions with event-time timeout flush — used by the parity test.
+    */
+  def sessionizeStreamQuery(events: Dataset[SessionEvent], queryName: String) = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "0 seconds")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout())(sessionizeStream)
+      .writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode(OutputMode.Append())
+      .start()
+  }
 }

@@ -1,0 +1,35 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Whole-inventory plan audit: EVERY query registered in `SparkEntry.queries`
+  * is planned and its physical plan swept for the two 100 TB scale-killers —
+  * `CartesianProduct` (all-pairs shuffle join) and `BroadcastNestedLoopJoin`
+  * (per-row scan of a broadcast side). Targeted shape assertions live in
+  * PlanShapeSpec; this sweep guarantees no FUTURE operator regresses into an
+  * all-pairs plan unnoticed — adding a query to the registry automatically
+  * adds it to the audit.
+  *
+  * `sim_topk` is the one sanctioned BNLJ: the exact-recall baseline
+  * deliberately scans the corpus against a broadcast query set bounded at
+  * QueryVecs (=8) rows, so the "loop" side is a constant — that is the
+  * documented scale story, and the allowlist below is the single place it is
+  * granted.
+  */
+class PlanSweepSpec extends AnyFunSuite {
+  import SparkTestSession.{spark, sfDir}
+
+  private val bnljAllowed = Set("sim_topk")
+
+  SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    test(s"$name plans without CartesianProduct" +
+         (if (bnljAllowed(name)) "" else " or BroadcastNestedLoopJoin")) {
+      val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"$name plan contains CartesianProduct:\n$plan")
+      if (!bnljAllowed(name))
+        assert(!plan.contains("BroadcastNestedLoopJoin"),
+          s"$name plan contains BroadcastNestedLoopJoin:\n$plan")
+    }
+  }
+}

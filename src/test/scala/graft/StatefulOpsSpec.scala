@@ -52,4 +52,48 @@ class StatefulOpsSpec extends AnyFunSuite {
     assert(batchProfiles(1L).n_events == 3L && batchProfiles(1L).sum_cents == 425L)
     assert(batchProfiles(2L).n_events == 1L && batchProfiles(2L).sum_cents == 200L)
   }
+
+  test("flatMapGroupsWithState sessionizer: a session spanning triggers closes once, " +
+       "via gap in-band or event-time timeout") {
+    import spark.implicits._
+    import StatefulOps.SessionEvent
+    implicit val sqlCtx = spark.sqlContext
+
+    // user 1: two events 5 min apart split across triggers (same session),
+    // then a third 20 min later (gap ≥ 10 min → closes session 1 in-band).
+    // user 2: one event, closed only by the watermark-driven timeout.
+    val stream = MemoryStream[SessionEvent]
+    val q = StatefulOps.sessionizeStreamQuery(stream.toDS(), "sessionize_t")
+    try {
+      stream.addData(
+        SessionEvent(1L, ts("2024-01-01 10:00:00"), 1L, 1.00),
+        SessionEvent(2L, ts("2024-01-01 10:00:00"), 2L, 5.00))
+      q.processAllAvailable()
+      stream.addData(SessionEvent(1L, ts("2024-01-01 10:05:00"), 3L, 2.00))
+      q.processAllAvailable()
+      stream.addData(SessionEvent(1L, ts("2024-01-01 10:25:00"), 4L, 4.00))
+      q.processAllAvailable()
+      // advance the watermark far past every open session's timeout so the
+      // trailing sessions flush deterministically
+      stream.addData(SessionEvent(99L, ts("2024-01-01 12:00:00"), 5L, 0.01))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val rows = spark.table("sessionize_t")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).toString,
+        r.getTimestamp(2).toString, r.getLong(3), r.getLong(4)))
+    // user 1 session 1 merged across triggers: 10:00–10:05, 2 events, 300 cents
+    assert(rows.contains((1L, "2024-01-01 10:00:00.0", "2024-01-01 10:05:00.0", 2L, 300L)))
+    // user 2's single-event session flushed by timeout
+    assert(rows.contains((2L, "2024-01-01 10:00:00.0", "2024-01-01 10:00:00.0", 1L, 500L)))
+
+    // batch entry over the same events equals the oracle's session set
+    val batch = Seq(
+      SessionEvent(1L, ts("2024-01-01 10:00:00"), 1L, 1.00),
+      SessionEvent(1L, ts("2024-01-01 10:05:00"), 3L, 2.00),
+      SessionEvent(1L, ts("2024-01-01 10:25:00"), 4L, 4.00)).toDS()
+    val (closed, open) = StatefulOps.foldSessions(batch.collect().toSeq, None)
+    assert(closed.map(o => (o.n_events, o.sum_cents)) == Seq((2L, 300L)))
+    assert(open.exists(o => o.n_events == 1L && o.sum_cents == 400L))
+  }
 }
