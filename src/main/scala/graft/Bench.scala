@@ -32,13 +32,26 @@ object Bench {
     Tables.events(spark, sfDir).count()
     // SPARK_GRAFT_ONLY=q1,q2 restricts the run (single-query iteration aid).
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // Each query runs twice and the SECOND time is recorded: run 1 absorbs
+    // whole-stage-codegen compilation and JIT, run 2 measures the plan's
+    // steady-state cost. At cluster scale compile time amortizes to zero, so
+    // steady-state is the number that predicts 100 TB behavior; single-run
+    // timings charged multi-second codegen chains to whichever query came
+    // first (BASELINE.md round-2 notes). Set SPARK_GRAFT_BENCH_RUNS=1 to
+    // reproduce the old cold-run measurement.
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).queryExecution.toRdd.count() }
-      catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
-      name -> (System.nanoTime() - t0) / 1e9
+      var sec = -1.0
+      try {
+        for (_ <- 1 to runs) {
+          val t0 = System.nanoTime()
+          fn(spark, sfDir).queryExecution.toRdd.count()
+          sec = (System.nanoTime() - t0) / 1e9
+        }
+      } catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
+      name -> sec
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
