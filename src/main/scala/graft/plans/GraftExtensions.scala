@@ -22,5 +22,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 2, "vec_dot(a, b) takes exactly two arguments")
         FloatVecDot(children.head, children(1))
       }))
+    ext.injectFunction((
+      FunctionIdentifier("vec_sq_dist"),
+      new ExpressionInfo(classOf[VecSqDist].getName, "vec_sq_dist"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "vec_sq_dist(a, b) takes exactly two arguments")
+        VecSqDist(children.head, children(1))
+      }))
   }
 }

@@ -57,6 +57,42 @@ class NativeVecSpec extends AnyFunSuite {
     }
   }
 
+  test("native sqDist == HOF sqDist bitwise, for float-float and float-double mixes") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val pairs = Seq.fill(200)((Seq.fill(64)(rnd.nextFloat() - 0.5f), Seq.fill(64)(rnd.nextFloat() - 0.5f)))
+    // float vs float
+    val ff = pairs.toDF("a", "b")
+      .select(Vec.sqDist(col("a"), col("b")).as("hof"), Vec.sqDistF(col("a"), col("b")).as("native"))
+      .collect()
+    ff.foreach(r => assert(r.getDouble(0) == r.getDouble(1), r.toString))
+    // float vs double (the kmeans/IVF centroid mix: corpus f32, centers f64)
+    val fd = pairs.map { case (a, b) => (a, b.map(_.toDouble)) }.toDF("a", "b")
+      .select(Vec.sqDist(col("a"), col("b")).as("hof"), Vec.sqDistF(col("a"), col("b")).as("native"))
+      .collect()
+    fd.foreach(r => assert(r.getDouble(0) == r.getDouble(1), r.toString))
+  }
+
+  test("GraftExtensions registers vec_sq_dist on the SQL path") {
+    import org.apache.spark.sql.SparkSession
+    val base = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .withExtensions(new graft.plans.GraftExtensions)
+        .getOrCreate()
+      import s2.implicits._
+      Seq((Seq(1.0f, 2.0f), Seq(3.0f, 4.0f))).toDF("a", "b")
+        .createOrReplaceTempView("graft_vec_sqdist_v")
+      val r = s2.sql("SELECT vec_sq_dist(a, b) AS d FROM graft_vec_sqdist_v").collect()
+      assert(r.length == 1 && r(0).getDouble(0) == 8.0)
+    } finally {
+      SparkSession.setDefaultSession(base)
+      SparkSession.setActiveSession(base)
+    }
+  }
+
   test("FloatVecDot appears codegen'd in the physical plan") {
     val df = Tables.embeddings(spark, sfDir)
       .select(Vec.dotF(col("embedding"), col("embedding")).as("d"))
