@@ -1,0 +1,27 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Library entry point: a `SparkSession.Builder` pre-configured the way the
+  * engine expects, for users embedding graft in their own application
+  * (the driver-contract mains Verify/Bench configure themselves).
+  *
+  *  - `graft.plans.GraftExtensions` injected → `vec_dot` / `vec_sq_dist`
+  *    available on the SQL path;
+  *  - nanosecond-parquet handling for the events table (see Tables.events);
+  *  - UTC session timezone — date/timestamp semantics independent of the
+  *    submitting machine (and of where each executor runs);
+  *  - AQE left ON (Spark default) — runtime coalescing, skew-join splitting
+  *    and broadcast demotion are part of the engine's 100 TB story.
+  *
+  * Deliberately NOT set here: master, shuffle partitions, memory — cluster
+  * sizing belongs to the deployment, not the library. Callers chain their
+  * own `.master(...)`/`.config(...)` on the returned builder.
+  */
+object GraftSession {
+  def builder(): SparkSession.Builder =
+    SparkSession.builder()
+      .withExtensions(new graft.plans.GraftExtensions)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+}

@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The library session builder must yield a session that (a) reads the
+  * ns-timestamp events table without the caller knowing about the legacy
+  * conf and (b) has the native SQL functions registered.
+  */
+class GraftSessionSpec extends AnyFunSuite {
+  import SparkTestSession.sfDir
+
+  test("GraftSession.builder() reads events and exposes vec_dot/vec_sq_dist in SQL") {
+    val base = SparkTestSession.spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s = GraftSession.builder().getOrCreate()
+      assert(Tables.events(s, sfDir).limit(5).count() == 5)
+      import s.implicits._
+      Seq((Seq(1.0f, 2.0f), Seq(3.0f, 4.0f))).toDF("a", "b")
+        .createOrReplaceTempView("graft_session_v")
+      val r = s.sql(
+        "SELECT vec_dot(a, b) AS d, vec_sq_dist(a, b) AS sq FROM graft_session_v").collect()
+      assert(r(0).getDouble(0) == 11.0 && r(0).getDouble(1) == 8.0)
+    } finally {
+      SparkSession.setDefaultSession(base)
+      SparkSession.setActiveSession(base)
+    }
+  }
+
+  test("Tables.events refuses a session missing the nanos conf instead of mutating it") {
+    val base = SparkTestSession.spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val bare = SparkSession.builder().getOrCreate()
+      bare.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+      val e = intercept[IllegalArgumentException](Tables.events(bare, sfDir))
+      assert(e.getMessage.contains("nanosAsLong"))
+      assert(bare.conf.get("spark.sql.legacy.parquet.nanosAsLong") == "false")
+    } finally {
+      SparkSession.setDefaultSession(base)
+      SparkSession.setActiveSession(base)
+    }
+  }
+}
