@@ -88,7 +88,10 @@ object SparkEntry {
     "dedup_embed" -> (VectorOps.dedupEmbed _),
     "dedup_cluster" -> (TextOps.dedupCluster _),
     "text_normalize" -> (TextOps.textNormalize _),
+    "text_pii" -> (TextOps.textPii _),
     "sample_stratified" -> (VectorOps.sampleStratified _),
+    "sample_hash" -> (Relational.sampleHash _),
+    "stats_profile" -> (Relational.statsProfile _),
     "quantile_bins" -> (VectorOps.quantileBins _),
     // §2.K3/K4 vectors / similarity / multimodal (+ B7 feature scaling)
     "vec_norm" -> (VectorOps.vecNorm _),
@@ -302,6 +305,14 @@ object SparkEntry {
       "SELECT doc_id, regexp_replace(trim(lower(text)), ' +', ' ', 'g') AS norm_text, sha256(regexp_replace(trim(lower(text)), ' +', ' ', 'g')) AS norm_hash FROM documents ORDER BY doc_id",
     "sample_stratified" ->
       "SELECT vec_id, label, CAST(rn AS INT) AS rn FROM (SELECT vec_id, label, row_number() OVER (PARTITION BY label ORDER BY vec_id) AS rn FROM embeddings) WHERE rn <= 20 ORDER BY label, rn",
+    "text_pii" ->
+      s"SELECT doc_id, CAST(len(regexp_extract_all(text, '${TextOps.EmailRe}')) AS INT) AS n_emails, CAST(len(regexp_extract_all(text, '${TextOps.PhoneRe}')) AS INT) AS n_phones, regexp_replace(regexp_replace(text, '${TextOps.EmailRe}', '<EMAIL>', 'g'), '${TextOps.PhoneRe}', '<PHONE>', 'g') AS redacted FROM documents ORDER BY doc_id",
+    "sample_hash" ->
+      s"WITH h AS (SELECT doc_id, lang, source, CAST((CAST(('0x' || substr(md5('graft:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100) AS INT) AS bucket FROM documents) SELECT doc_id, lang, source, bucket FROM h WHERE bucket < ${Relational.SamplePct} ORDER BY doc_id",
+    "stats_profile" ->
+      Relational.ProfileCols.map(c =>
+        s"SELECT '$c' AS col_name, count(1) AS n_rows, CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls, count(DISTINCT $c) AS n_distinct, min($c) AS min_val, max($c) AS max_val FROM lineitem")
+        .mkString("", " UNION ALL ", " ORDER BY col_name"),
     "quantile_bins" ->
       "SELECT doc_id, n_chars, CAST(ntile(10) OVER (ORDER BY n_chars, doc_id) AS INT) AS decile FROM documents ORDER BY doc_id",
     "multimodal_join" ->

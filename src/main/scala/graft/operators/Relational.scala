@@ -178,4 +178,60 @@ object Relational {
       .groupBy("event_type")
       .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("n"))
       .oracleSorted("event_type")
+
+  /** `sample_hash` keep-percentage (rows whose hash bucket < this). */
+  val SamplePct = 10
+
+  /** `sample_hash`: reproducible Bernoulli sampling — keep a row iff an
+    * md5-derived hash of its key lands in the first SamplePct of 100
+    * buckets. Unlike `rand()`-based `df.sample`, the decision is a pure
+    * function of the key: the same rows are kept on every run, on any
+    * cluster size, and in DuckDB (the oracle recomputes the same buckets) —
+    * the property a pipeline needs for debuggable, resumable subsampling.
+    * Per-row hash + filter, no shuffle; the salt prefix decorrelates this
+    * sample from any other hash use of the same key.
+    */
+  def sampleHash(s: SparkSession, dir: String): DataFrame = {
+    val hv = conv(substring(md5(concat(lit("graft:"),
+      col("doc_id").cast("string")).cast("binary")), 1, 15), 16, 10).cast("long")
+    Tables.documents(s, dir)
+      .withColumn("bucket", (hv % 100).cast("int"))
+      .filter(col("bucket") < SamplePct)
+      .select(col("doc_id"), col("lang"), col("source"), col("bucket"))
+      .oracleSorted("doc_id")
+  }
+
+  /** Columns profiled by `stats_profile`. */
+  val ProfileCols: Seq[String] = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+  /** `stats_profile`: per-column data-quality profile (row count, nulls,
+    * exact distinct count, min/max) for a set of numeric columns, in ONE
+    * scan — the validation stage that gates a training-data ingest.
+    *
+    * Shape: a single global aggregate computes every per-column statistic,
+    * then one row per column is exploded out of the 1-row result. Multiple
+    * exact `count_distinct`s rewrite to an Expand (|cols|+1 replicas before
+    * partial aggregation) — the documented exact-profile cost; at 100 TB
+    * the swap is `approx_count_distinct` (mergeable HLL sketches, no
+    * Expand), which `agg_approx_distinct` demonstrates with an ε-bound
+    * test. min/max/count compare exactly across engines (no arithmetic on
+    * the values).
+    */
+  def statsProfile(s: SparkSession, dir: String): DataFrame = {
+    val aggs = ProfileCols.flatMap { c =>
+      Seq(sum(col(c).isNull.cast("long")).as(s"${c}_nulls"),
+        count_distinct(col(c)).as(s"${c}_distinct"),
+        min(col(c)).as(s"${c}_min"),
+        max(col(c)).as(s"${c}_max"))
+    }
+    Tables.lineitem(s, dir)
+      .agg(count(lit(1)).as("n"), aggs: _*)
+      .select(explode(array(ProfileCols.map { c =>
+        struct(lit(c).as("col_name"), col("n").as("n_rows"),
+          col(s"${c}_nulls").as("n_nulls"), col(s"${c}_distinct").as("n_distinct"),
+          col(s"${c}_min").as("min_val"), col(s"${c}_max").as("max_val"))
+      }: _*)).as("p"))
+      .select(col("p.*"))
+      .oracleSorted("col_name")
+  }
 }

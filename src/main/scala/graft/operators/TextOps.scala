@@ -324,6 +324,29 @@ object TextOps {
       .oracleSorted("doc_id")
   }
 
+  /** PII patterns, written WITHOUT backslash escapes so the same literal is
+    * valid in Java regex (Spark) and RE2 (DuckDB) and survives both SQL
+    * string parsers: `[.]` instead of `\.`, no `\b`/`\d` classes.
+    */
+  val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z]{2,}"
+  val PhoneRe = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+  /** `text_pii`: PII detection + redaction — count email/phone matches and
+    * rewrite them to placeholder tags, the scrubbing stage every
+    * training-data pipeline runs before anything else sees the text.
+    * Narrow per-row projection (regex only), no shuffle beyond the oracle
+    * terminal sort; at 100 TB this is embarrassingly parallel scan work.
+    */
+  def textPii(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(
+        col("doc_id"),
+        size(expr(s"regexp_extract_all(text, '$EmailRe', 0)")).as("n_emails"),
+        size(expr(s"regexp_extract_all(text, '$PhoneRe', 0)")).as("n_phones"),
+        regexp_replace(regexp_replace(col("text"), EmailRe, "<EMAIL>"),
+          PhoneRe, "<PHONE>").as("redacted"))
+      .oracleSorted("doc_id")
+
   /** `text_normalize`: canonical text form — lowercase, trimmed, whitespace
     * collapsed — plus the content hash of the normal form (what exact-dedup
     * should key on in a real pipeline). Narrow per-row projection.

@@ -67,4 +67,31 @@ class RelationalSpec extends AnyFunSuite {
       .orderBy("o_orderkey").collect().map(_.getString(1)).toSeq
     assert(got == Seq("low", "mid", "mid", "high"))
   }
+
+  test("sample_hash is deterministic, keyed, and near the target rate") {
+    val a = Relational.sampleHash(spark, sfDir).collect()
+    val b = Relational.sampleHash(spark, sfDir).collect()
+    assert(a.toSeq == b.toSeq, "same rows must be kept on every run")
+    val total = Tables.documents(spark, sfDir).count()
+    val rate = a.length.toDouble / total
+    // md5 buckets are uniform; 10% ± 5pp at sf0.001 (500 docs)
+    assert(rate > 0.05 && rate < 0.15, s"rate $rate")
+    assert(a.forall(_.getInt(3) < Relational.SamplePct))
+  }
+
+  test("stats_profile matches hand-computed stats on inline data") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq[(java.lang.Double, java.lang.Double, java.lang.Double, java.lang.Double)](
+      (1.0, 10.0, 0.1, 0.02), (2.0, 20.0, 0.1, 0.02), (null, 20.0, 0.2, 0.02))
+      .toDF("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    df.write.mode("overwrite").parquet("/tmp/graft_test_profile/lineitem.parquet")
+    val rows = Relational.statsProfile(spark, "/tmp/graft_test_profile")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5)))).toMap
+    assert(rows("l_quantity") == ((3L, 1L, 2L, 1.0, 2.0)))
+    assert(rows("l_extendedprice") == ((3L, 0L, 2L, 10.0, 20.0)))
+    assert(rows("l_discount") == ((3L, 0L, 2L, 0.1, 0.2)))
+    assert(rows("l_tax") == ((3L, 0L, 1L, 0.02, 0.02)))
+  }
 }

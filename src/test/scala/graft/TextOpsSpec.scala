@@ -35,6 +35,21 @@ class TextOpsSpec extends AnyFunSuite {
     assert(pairs == Seq((0L, 1L)))
   }
 
+  test("text_pii redacts emails and phones and counts them") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "contact bob@example.com or 555-123-4567 now"),
+      (2L, "no pii here at all"),
+      (3L, "two mails a@b.io c@d.org one phone 111-222-3333"))
+      .toDF("doc_id", "text")
+    docs.write.mode("overwrite").parquet("/tmp/graft_test_pii/documents.parquet")
+    val rows = TextOps.textPii(spark, "/tmp/graft_test_pii")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+    assert(rows(0) == ((1L, 1, 1, "contact <EMAIL> or <PHONE> now")))
+    assert(rows(1) == ((2L, 0, 0, "no pii here at all")))
+    assert(rows(2) == ((3L, 2, 1, "two mails <EMAIL> <EMAIL> one phone <PHONE>")))
+  }
+
   test("dedup_exact groups identical contents, keeps lowest id (idempotence)") {
     import spark.implicits._
     val docs = Seq((5L, "same text"), (9L, "same text"), (7L, "different"))
