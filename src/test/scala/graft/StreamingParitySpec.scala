@@ -46,6 +46,37 @@ class StreamingParitySpec extends AnyFunSuite {
     assert(batch.nonEmpty)
   }
 
+  test("file-source streaming: readStream over a growing parquet dir == batch (A-series/J1)") {
+    import spark.implicits._
+    val dir = "/tmp/graft_test_stream_src"
+    val (batch1, batch2) = (rows.take(2), rows.drop(2))
+
+    def aggregate(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum("value").as("sv"))
+        .select(col("window.start").as("ws"), col("event_type"), col("n"), col("sv"))
+
+    val schema = batch1.toDF("ts", "event_type", "value").schema
+    new scala.reflect.io.Directory(new java.io.File(dir)).deleteRecursively()
+    batch1.toDF("ts", "event_type", "value").write.parquet(dir)
+
+    val q = aggregate(spark.readStream.schema(schema).parquet(dir))
+      .writeStream.format("memory").queryName("fsrc_t").outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      // a second file lands in the directory mid-stream — the file source
+      // must pick it up on the next trigger
+      batch2.toDF("ts", "event_type", "value").write.mode("append").parquet(dir)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = spark.table("fsrc_t").orderBy("ws", "event_type").collect().toSeq
+    val batch = aggregate(rows.toDF("ts", "event_type", "value"))
+      .orderBy("ws", "event_type").collect().toSeq
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+  }
+
   test("withWatermark drops data later than the watermark delay (J4)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
