@@ -71,6 +71,7 @@ object SparkEntry {
     "dedup_state" -> (EventOps.dedupState _),
     "stream_stateful" -> (graft.streaming.StatefulOps.streamStateful _),
     "stream_sessionize" -> (graft.streaming.StatefulOps.streamSessionize _),
+    "stream_topn_state" -> (graft.streaming.StatefulOps.streamTopnState _),
     // §2.B6 column classification
     "project_classified" -> (Relational.projectClassified _),
     // §2.D2/D4/D5 + §2.K5 text analysis
@@ -274,6 +275,8 @@ object SparkEntry {
       "SELECT user_id, count(1) AS n_events, CAST(round(sum(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_value, min(CAST(ts AS TIMESTAMP)) AS first_ts, max(CAST(ts AS TIMESTAMP)) AS last_ts FROM events GROUP BY 1 ORDER BY 1",
     "stream_sessionize" ->
       "WITH o AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value, lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM events), b AS (SELECT *, CASE WHEN prev_ts IS NULL OR ts - prev_ts >= INTERVAL '10 minutes' THEN 1 ELSE 0 END AS brk FROM o), sa AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM b) SELECT user_id, min(ts) AS session_start, max(ts) AS session_end, count(1) AS n_events, CAST(round(sum(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_value FROM sa GROUP BY user_id, sid ORDER BY user_id, session_start",
+    "stream_topn_state" ->
+      s"SELECT user_id, CAST(rn AS INT) AS rn, event_id, value FROM (SELECT user_id, event_id, value, row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rn FROM events) WHERE rn <= ${graft.streaming.StatefulOps.TopNPerUser} ORDER BY user_id, rn",
     "project_classified" ->
       "SELECT l_orderkey, l_linenumber, CAST(round(CAST(l_extendedprice AS DECIMAL(12,2)), 2) AS DOUBLE) AS money_sum, CAST(round(CAST(l_discount AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)), 2) AS DOUBLE) AS rate_sum, round(l_quantity, 2) AS qty_sum FROM lineitem ORDER BY l_orderkey, l_linenumber",
     "rank_tokens" ->

@@ -5,7 +5,8 @@ import graft.Tables
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import graft.functions.OracleSort._
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, ListState,
+  OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues}
 
 /** Custom stateful processing (SURVEY §2.J extension): the
   * `KeyValueGroupedDataset.mapGroupsWithState` surface the brief names for
@@ -196,6 +197,97 @@ object StatefulOps {
       .format("memory")
       .queryName(queryName)
       .outputMode(OutputMode.Append())
+      .start()
+  }
+
+  // ------------------------------------------------------------------
+  // transformWithState (Spark 4 arbitrary-state API v2) — §2.J7
+  // ------------------------------------------------------------------
+
+  /** Per-user top-N size for `stream_topn_state`. */
+  val TopNPerUser = 3
+
+  case class TopEvent(user_id: Long, event_id: Long, value: Double)
+  case class TopRow(user_id: Long, rn: Int, event_id: Long, value: Double)
+
+  /** `StatefulProcessor` maintaining each user's top-N events by value in a
+    * `ListState` — the Spark 4 `transformWithState` surface (typed state
+    * cells + timers + TTL), demonstrated alongside the two classic APIs
+    * (`mapGroupsWithState` profile, `flatMapGroupsWithState` sessionizer).
+    *
+    * Per trigger: merge the state list with the batch's events, keep the
+    * top N by (value desc, event_id asc — the deterministic tiebreak), store
+    * back, emit the refreshed ranking. State is O(N) per user; shuffled by
+    * user_id like every stateful op here.
+    */
+  class TopNProcessor extends StatefulProcessor[Long, TopEvent, TopRow] {
+    @transient private var top: ListState[TopEvent] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      top = getHandle.getListState[TopEvent]("top",
+        org.apache.spark.sql.Encoders.product[TopEvent], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[TopEvent],
+                                 timers: TimerValues): Iterator[TopRow] = {
+      val merged = (top.get().toSeq ++ rows)
+        .sortBy(e => (-e.value, e.event_id))
+        .take(TopNPerUser)
+      top.put(merged.toArray)
+      merged.iterator.zipWithIndex
+        .map { case (e, i) => TopRow(key, i + 1, e.event_id, e.value) }
+    }
+  }
+
+  /** Batch `transformWithState` (TransformWithStateExec) loads its
+    * executor-side state store through the driver's `StateStoreCoordinator`
+    * RPC endpoint — but Spark only CREATES that endpoint when the session's
+    * StreamingQueryManager starts its first streaming query, so a
+    * batch-only session fails with `RpcEndpointNotFoundException`
+    * (observed against Spark 4.1.2; the API's batch mode is newer than its
+    * streaming mode). Running one empty micro-batch through a no-op sink
+    * registers the endpoint — once per JVM, ~100 ms, stateless (no store
+    * files written).
+    */
+  @volatile private var coordinatorInited = false
+  private def ensureStateStoreCoordinator(s: SparkSession): Unit =
+    if (!coordinatorInited) synchronized {
+      if (!coordinatorInited) {
+        implicit val ctx = s.sqlContext
+        import s.implicits._
+        val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Int]
+        ms.addData(0)
+        val q = ms.toDS().writeStream.format("noop").start()
+        try q.processAllAvailable() finally q.stop()
+        coordinatorInited = true
+      }
+    }
+
+  /** Batch entry for the correctness gate: per-user top-N events via
+    * `transformWithState` (each group processed once with fresh state —
+    * equivalent to a rank-window query, which is what the oracle checks).
+    */
+  def streamTopnState(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    ensureStateStoreCoordinator(s)
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("value"))
+      .as[TopEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(new TopNProcessor, TimeMode.None(), OutputMode.Update())
+      .toDF()
+      .oracleSorted("user_id", "rn")
+  }
+
+  /** Streaming entry — used by the cross-trigger parity test. */
+  def topnStreamQuery(events: Dataset[TopEvent], queryName: String) = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new TopNProcessor, TimeMode.None(), OutputMode.Update())
+      .writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode(OutputMode.Update())
       .start()
   }
 }

@@ -96,4 +96,53 @@ class StatefulOpsSpec extends AnyFunSuite {
     assert(closed.map(o => (o.n_events, o.sum_cents)) == Seq((2L, 300L)))
     assert(open.exists(o => o.n_events == 1L && o.sum_cents == 400L))
   }
+
+  test("transformWithState top-N: ListState merges across triggers (RocksDB store)") {
+    import spark.implicits._
+    import StatefulOps.TopEvent
+    implicit val sqlCtx = spark.sqlContext
+
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    // transformWithState requires the RocksDB state store in streaming
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val stream = MemoryStream[TopEvent]
+    val q = StatefulOps.topnStreamQuery(stream.toDS(), "topn_t")
+    try {
+      stream.addData(TopEvent(1L, 10L, 5.0), TopEvent(1L, 11L, 9.0), TopEvent(1L, 12L, 1.0))
+      q.processAllAvailable()
+      // trigger 2: one value displaces the old rank-3, one ties rank-1 by
+      // value and loses the event_id tiebreak
+      stream.addData(TopEvent(1L, 13L, 7.0), TopEvent(1L, 14L, 9.0))
+      q.processAllAvailable()
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+    // Update-mode memory sink appends per trigger; the last 3 rows are the
+    // final ranking: state (9.0, 7.0) survived and merged with trigger 2
+    val last = spark.table("topn_t").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .takeRight(3).toSeq
+    assert(last == Seq((1L, 1, 11L, 9.0), (1L, 2, 14L, 9.0), (1L, 3, 13L, 7.0)))
+  }
+
+  test("transformWithState batch entry equals the rank-window oracle shape") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val got = StatefulOps.streamTopnState(spark, SparkTestSession.sfDir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    val want = Tables.events(spark, SparkTestSession.sfDir)
+      .select(col("user_id"), col("event_id"), col("value"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("user_id").orderBy(desc("value"), asc("event_id"))).cast("int"))
+      .filter(col("rn") <= StatefulOps.TopNPerUser)
+      .select(col("user_id"), col("rn"), col("event_id"), col("value"))
+      .orderBy("user_id", "rn")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got == want && got.nonEmpty)
+  }
 }
