@@ -316,7 +316,10 @@ object TextOps {
         .join(nbrMin.withColumnRenamed("src", "doc_id"), Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("lbl"), coalesce(col("min_nbr"), col("lbl"))).as("lbl"))
-        .localCheckpoint()
+        // lazy: truncates lineage like the eager form (plan stays linear in
+        // iterations) but materializes during the ONE final job instead of
+        // forcing a blocking job per iteration
+        .localCheckpoint(false)
     }
     val sizes = labels.groupBy("lbl").agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, "lbl")
