@@ -57,4 +57,40 @@ object LawsCheck extends Properties("graft.laws") {
         .collect().head.getDouble(0)
       r == 1.0
     }
+
+  // --- sessionizer fold laws (the batch == streaming property, driver-side) ---
+
+  import graft.streaming.StatefulOps
+  import graft.streaming.StatefulOps.SessionEvent
+
+  private val eventGen: Gen[SessionEvent] = for {
+    // timestamps within a few hours so both sides of the gap threshold occur
+    t <- Gen.chooseNum(0L, 6L * 3600 * 1000)
+    id <- Gen.chooseNum(1L, 1000000L)
+    v <- Gen.chooseNum(0, 99999).map(_ / 100.0)
+  } yield SessionEvent(1L, new java.sql.Timestamp(t), id, v)
+
+  private val eventsGen: Gen[List[SessionEvent]] = Gen.listOfN(12, eventGen)
+
+  property("sessionizer split law: fold(a ++ b) == fold(b over state of fold(a))") =
+    Prop.forAll(eventsGen, Gen.chooseNum(0, 12)) { (evs, cut) =>
+      // time-split (not arbitrary): streaming triggers deliver by arrival,
+      // and the state contract assumes the open session is the LATEST one —
+      // sort then cut, which is exactly what watermarked delivery guarantees
+      val sorted = evs.sortBy(e => (e.ts.getTime, e.event_id))
+      val (a, b) = sorted.splitAt(cut min sorted.length)
+      val whole = StatefulOps.foldSessions(sorted, None)
+      val (closedA, openA) = StatefulOps.foldSessions(a, None)
+      val (closedB, openB) = StatefulOps.foldSessions(b, openA)
+      (closedA ++ closedB, openB) == whole
+    }
+
+  property("sessionizer sessions partition the events: counts and cents are conserved") =
+    Prop.forAll(eventsGen) { evs =>
+      val (closed, open) = StatefulOps.foldSessions(evs, None)
+      val all = closed ++ open
+      all.map(_.n_events).sum == evs.length &&
+        all.map(_.sum_cents).sum == evs.map(e => math.round(e.value * 100)).sum &&
+        all.forall(s => !s.start.after(s.last))
+    }
 }
