@@ -189,7 +189,10 @@ object TextOps {
       .select(
         col("doc_id"),
         substring(md5s(col("text")), 1, 16).as("fp64"),
-        array_min(transform(array_distinct(shingles(col("text"), 3)), x => md5s(x))).as("min_shingle_fp"))
+        // native fused min-digest kernel; == the HOF form
+        // array_min(transform(array_distinct(shingles), md5)) bitwise
+        // (NativeVecSpec parity test)
+        graft.plans.MinGramMd5.minWordGramMd5(col("text"), 3).as("min_shingle_fp"))
       .oracleSorted("doc_id")
 
   // ------------------------------------------------------------------
@@ -223,8 +226,16 @@ object TextOps {
     * Jaccard) run on longs, not ~30-char strings — smaller shuffles, cheaper
     * comparisons — and stay engine-reproducible: DuckDB computes identical
     * hashes, so even the (negligible, ~n²/2^60) collisions agree.
+    *
+    * Computed by the native `HashedGrams` kernel (one fused pass; the HOF
+    * chain below it is kept as `hashedShinglesHof` for the bitwise parity
+    * test in NativeVecSpec).
     */
   def hashedShingles(text: Column, n: Int): Column =
+    graft.plans.HashedGrams.wordGrams(text, n)
+
+  /** Reference HOF form of `hashedShingles` (parity-test oracle). */
+  def hashedShinglesHof(text: Column, n: Int): Column =
     array_distinct(transform(shingles(text, n), x => shingleHash(x)))
 
   /** Per-band MinHash signatures from a (doc_id, hv: array<long>) frame.
@@ -410,9 +421,10 @@ object TextOps {
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         .distinct()
     }
-    // hashed char-gram sets: Jaccard over longs (identical in both engines)
+    // hashed char-gram sets: Jaccard over longs (identical in both engines);
+    // native fused kernel, same value as the HOF chain (NativeVecSpec)
     val g = docs.select(col("doc_id"),
-        array_distinct(transform(charGrams(col("text"), 4), x => shingleHash(x))).as("cg"))
+        graft.plans.HashedGrams.charGrams(col("text"), 4).as("cg"))
       .cache()
     cand
       .join(g.select(col("doc_id").as("doc_a"), col("cg").as("cg_a")), "doc_a")

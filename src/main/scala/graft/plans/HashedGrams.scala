@@ -1,0 +1,178 @@
+package graft.plans
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.spark.sql.{Column, GraftSqlBridge}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native distinct hashed-gram set of a text column — the MinHash/n-gram
+  * dedup kernel (`TextOps.hashedShingles` and the char-gram variant), fused
+  * into one pass.
+  *
+  * The HOF form evaluates, PER GRAM, an interpreted expression chain of
+  * `concat_ws`/`substr` → `md5` (hex string) → `conv` (hex parse via
+  * strings) → `%` — on the dedup hot path that string round-trip dominates.
+  * This expression digests each gram directly and folds the first 15 hex
+  * chars (= 7 bytes + high nibble) into the 60-bit integer arithmetically,
+  * with first-occurrence-order dedup — bitwise-identical output to the HOF
+  * chain (parity-tested in NativeVecSpec over random inputs) and to the
+  * DuckDB oracle's `md5` reconstruction.
+  *
+  * `word = true`: n-word shingles over a single-space split (short texts
+  * fall back to one whole-text shingle). `word = false`: char n-grams.
+  * Contract: tokenized/ASCII-ish text (the documents table) — char
+  * positions count UTF-16 units, as all engine texts are single-byte.
+  */
+case class HashedGrams(child: Expression, n: Int, word: Boolean)
+  extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string input, got ${child.dataType.simpleString}")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "hashed_grams"
+
+  override protected def nullSafeEval(input: Any): Any =
+    HashedGrams.compute(input.asInstanceOf[UTF8String], n, word)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.HashedGrams.compute($c, $n, $word);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object HashedGrams {
+  /** Mersenne prime 2^31−1 (mirror of TextOps.MinhashP). */
+  private val P = 2147483647L
+
+  /** Static kernel, also callable from generated code. */
+  def compute(t: UTF8String, n: Int, word: Boolean): ArrayData = {
+    val text = t.toString
+    val md = java.security.MessageDigest.getInstance("MD5")
+    // LinkedHashSet = first-occurrence order, matching array_distinct
+    val seen = new java.util.LinkedHashSet[java.lang.Long]
+
+    def add(gram: String): Unit = {
+      md.reset()
+      val d = md.digest(gram.getBytes(StandardCharsets.UTF_8))
+      // first 15 hex chars = bytes 0..6 (14 hex) + high nibble of byte 7,
+      // read as one unsigned 60-bit integer (== conv(substr(md5,1,15),16,10))
+      var v = 0L
+      var i = 0
+      while (i < 7) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+      v = (v << 4) | ((d(7) & 0xffL) >>> 4)
+      seen.add(v % P)
+    }
+
+    if (word) {
+      val w = text.split(" ", -1)
+      val count = math.max(w.length - n + 1, 1)
+      var i = 0
+      while (i < count) {
+        val end = math.min(i + n, w.length)
+        add(w.slice(i, end).mkString(" "))
+        i += 1
+      }
+    } else {
+      val count = math.max(text.length - n + 1, 1)
+      var i = 0
+      while (i < count) {
+        add(text.substring(i, math.min(i + n, text.length)))
+        i += 1
+      }
+    }
+
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** Column entry: distinct hashed n-word shingles. */
+  def wordGrams(text: Column, n: Int): Column =
+    GraftSqlBridge.column(HashedGrams(GraftSqlBridge.expression(text), n, word = true))
+
+  /** Column entry: distinct hashed char n-grams. */
+  def charGrams(text: Column, n: Int): Column =
+    GraftSqlBridge.column(HashedGrams(GraftSqlBridge.expression(text), n, word = false))
+
+  private val hexDigits = "0123456789abcdef".toCharArray
+
+  /** Min md5 (as lowercase hex) over the n-word shingle set — the
+    * `text_fingerprint` kernel. Tracks the minimum 16-byte digest with an
+    * unsigned byte compare (equivalent to hex-string ordering, since hex of
+    * unsigned bytes is order-preserving on equal lengths) and hex-formats
+    * ONCE at the end — the HOF form builds and compares a per-shingle hex
+    * STRING array. Identical value (parity-tested).
+    */
+  def minWordGramMd5(t: UTF8String, n: Int): UTF8String = {
+    val text = t.toString
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val w = text.split(" ", -1)
+    val count = math.max(w.length - n + 1, 1)
+    var best: Array[Byte] = null
+    var i = 0
+    while (i < count) {
+      val end = math.min(i + n, w.length)
+      md.reset()
+      val d = md.digest(w.slice(i, end).mkString(" ").getBytes(StandardCharsets.UTF_8))
+      if (best == null || unsignedLess(d, best)) best = d
+      i += 1
+    }
+    val out = new Array[Char](32)
+    i = 0
+    while (i < 16) {
+      out(2 * i) = hexDigits((best(i) & 0xff) >>> 4)
+      out(2 * i + 1) = hexDigits(best(i) & 0x0f)
+      i += 1
+    }
+    UTF8String.fromString(new String(out))
+  }
+
+  private def unsignedLess(a: Array[Byte], b: Array[Byte]): Boolean = {
+    var i = 0
+    while (i < a.length) {
+      val x = a(i) & 0xff
+      val y = b(i) & 0xff
+      if (x != y) return x < y
+      i += 1
+    }
+    false
+  }
+}
+
+/** Native min-shingle-md5 (see HashedGrams.minWordGramMd5). */
+case class MinGramMd5(child: Expression, n: Int) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string input, got ${child.dataType.simpleString}")
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "min_gram_md5"
+
+  override protected def nullSafeEval(input: Any): Any =
+    HashedGrams.minWordGramMd5(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.HashedGrams.minWordGramMd5($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object MinGramMd5 {
+  def minWordGramMd5(text: Column, n: Int): Column =
+    GraftSqlBridge.column(MinGramMd5(GraftSqlBridge.expression(text), n))
+}

@@ -93,6 +93,35 @@ class NativeVecSpec extends AnyFunSuite {
     }
   }
 
+  test("HashedGrams == HOF hashed-gram chain bitwise, word and char modes") {
+    import spark.implicits._
+    import graft.operators.TextOps
+    import org.apache.spark.sql.functions.{array_distinct, transform}
+    val rnd = new scala.util.Random(17)
+    // random token texts incl. edge cases: empty, single word, double spaces
+    val texts = Seq("", "one", "a b", "a  b c") ++
+      Seq.fill(100)(Seq.fill(rnd.nextInt(20) + 1)("tok" + rnd.nextInt(30)).mkString(" "))
+    val df = texts.toDF("text")
+    val words = df.select(
+        TextOps.hashedShingles(col("text"), 3).as("native"),
+        TextOps.hashedShinglesHof(col("text"), 3).as("hof"))
+      .collect()
+    words.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1), r.toString))
+    val chars = df.select(
+        graft.plans.HashedGrams.charGrams(col("text"), 4).as("native"),
+        array_distinct(transform(TextOps.charGrams(col("text"), 4),
+          x => TextOps.shingleHash(x))).as("hof"))
+      .collect()
+    chars.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1), r.toString))
+    val minMd5 = df.select(
+        graft.plans.MinGramMd5.minWordGramMd5(col("text"), 3).as("native"),
+        org.apache.spark.sql.functions.array_min(transform(
+          array_distinct(TextOps.shingles(col("text"), 3)),
+          x => org.apache.spark.sql.functions.md5(x.cast("binary")))).as("hof"))
+      .collect()
+    minMd5.foreach(r => assert(r.getString(0) == r.getString(1), r.toString))
+  }
+
   test("FloatVecDot appears codegen'd in the physical plan") {
     val df = Tables.embeddings(spark, sfDir)
       .select(Vec.dotF(col("embedding"), col("embedding")).as("d"))
