@@ -243,14 +243,28 @@ object TextOps {
     * long (both < 2^31, so m1·2^31 + m2 is exact); single-shingle docs get a
     * null second min → null sig, which matches nothing in either engine.
     */
-  private def bandSignatures(hvDf: DataFrame): DataFrame =
+  private[graft] def bandSignatures(hvDf: DataFrame): DataFrame =
+    hvDf.select(col("doc_id"),
+        posexplode(graft.plans.BandSigs.of(col("hv"), MinhashBands)))
+      .select(col("doc_id"), col("pos").as("band"), col("col").as("sig"))
+
+  /** Reference HOF form of `bandSignatures` (parity-test oracle).
+    * `try_element_at`, not `element_at`: under ANSI mode (Spark 4 default)
+    * `element_at(_, 2)` THROWS on a single-shingle doc instead of giving
+    * the documented null signature — a latent crash the native kernel's
+    * parity test exposed (testdata docs are all long enough to mask it).
+    * DuckDB's `m[2]` is NULL out of bounds, so null is also the
+    * oracle-consistent value.
+    */
+  private[graft] def bandSignaturesHof(hvDf: DataFrame): DataFrame =
     hvDf.select(col("doc_id"), explode(
         transform(sequence(lit(0), lit(MinhashBands - 1)),
           b => {
             val perm = array_sort(transform(col("hv"),
               h => ((lit(2) * b + 1) * h + lit(12345) * b + 1) % MinhashP))
             struct(b.as("band"),
-              (element_at(perm, 1) * lit(2147483648L) + element_at(perm, 2)).as("sig"))
+              (try_element_at(perm, lit(1)) * lit(2147483648L) +
+                try_element_at(perm, lit(2))).as("sig"))
           })
       ).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))

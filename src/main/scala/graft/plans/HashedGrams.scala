@@ -176,3 +176,65 @@ object MinGramMd5 {
   def minWordGramMd5(text: Column, n: Int): Column =
     GraftSqlBridge.column(MinGramMd5(GraftSqlBridge.expression(text), n))
 }
+
+/** Native r=2 banded MinHash signatures over a hashed-shingle array
+  * (`TextOps.bandSignatures` kernel): for each band b, the two smallest
+  * values of the universal permutation ((2b+1)·h + 12345·b + 1) mod p,
+  * packed as m1·2^31 + m2 — computed with a running two-min tracker in ONE
+  * pass over the array, where the HOF form materializes and `array_sort`s a
+  * permuted copy PER BAND. Single-element inputs yield a null signature
+  * (matches nothing in either engine), exactly like the HOF chain
+  * (parity-tested bitwise in NativeVecSpec).
+  */
+case class BandSigs(child: Expression, bands: Int) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<bigint>, got ${dt.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def prettyName: String = "band_sigs"
+
+  override protected def nullSafeEval(input: Any): Any =
+    BandSigs.compute(input.asInstanceOf[ArrayData], bands)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.BandSigs.compute($c, $bands);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object BandSigs {
+  private val P = 2147483647L
+
+  def compute(hv: ArrayData, bands: Int): ArrayData = {
+    val n = hv.numElements()
+    val out = new Array[Any](bands)
+    var b = 0
+    while (b < bands) {
+      if (n < 2) out(b) = null
+      else {
+        val a = 2L * b + 1
+        val c = 12345L * b + 1
+        var m1 = Long.MaxValue
+        var m2 = Long.MaxValue
+        var i = 0
+        while (i < n) {
+          val v = (a * hv.getLong(i) + c) % P
+          if (v < m1) { m2 = m1; m1 = v }
+          else if (v < m2) { m2 = v }
+          i += 1
+        }
+        out(b) = m1 * 2147483648L + m2
+      }
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  def of(hv: Column, bands: Int): Column =
+    GraftSqlBridge.column(BandSigs(GraftSqlBridge.expression(hv), bands))
+}

@@ -122,6 +122,22 @@ class NativeVecSpec extends AnyFunSuite {
     minMd5.foreach(r => assert(r.getString(0) == r.getString(1), r.toString))
   }
 
+  test("BandSigs == HOF band signatures bitwise (incl. null sig for 1-shingle docs)") {
+    import spark.implicits._
+    import graft.operators.TextOps
+    val rnd = new scala.util.Random(19)
+    val texts = Seq("one", "a b c") ++  // 1-shingle docs → null sigs
+      Seq.fill(60)(Seq.fill(rnd.nextInt(30) + 4)("w" + rnd.nextInt(40)).mkString(" "))
+    val hv = texts.toDF("text")
+      .select(monotonically_increasing_id().as("doc_id"),
+        TextOps.hashedShingles(col("text"), 3).as("hv"))
+    def rowsOf(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getLong(0), r.getInt(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).sorted.toSeq
+    assert(rowsOf(TextOps.bandSignatures(hv)) == rowsOf(TextOps.bandSignaturesHof(hv)))
+    assert(rowsOf(TextOps.bandSignatures(hv)).nonEmpty)
+  }
+
   test("FloatVecDot appears codegen'd in the physical plan") {
     val df = Tables.embeddings(spark, sfDir)
       .select(Vec.dotF(col("embedding"), col("embedding")).as("d"))
