@@ -392,23 +392,27 @@ object TextOps {
     * until the final groupBy(simhash) bucket report. Token bit i weights
     * ±1 by bit i of the md5-derived 32-bit token hash.
     */
-  def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
+  def dedupSimhash(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      // native fused kernel; == simhashHof bitwise (NativeVecSpec)
+      .select(col("doc_id"), graft.plans.SimHash16.of(col("text")).as("simhash"))
+      .groupBy("simhash")
+      .agg(count(lit(1)).as("n_docs"), min("doc_id").as("min_doc"))
+      .oracleSorted("simhash")
+
+  /** Reference HOF SimHash column (parity-test oracle for SimHash16). */
+  private[graft] def simhashHof(text: Column): Column = {
     val bits = 16
     def hv(t: Column): Column = conv(substring(md5s(t), 1, 8), 16, 10).cast("long")
     def bitVec(h: Column): Column = transform(sequence(lit(0), lit(bits - 1)),
       i => when(pmod((h / pow(lit(2.0), i)).cast("long"), lit(2)) === 1, lit(1)).otherwise(lit(-1)))
-    val weights = aggregate(array_distinct(words(col("text"))),
+    val weights = aggregate(array_distinct(words(text)),
       array_repeat(lit(0), bits),
       (acc, t) => zip_with(acc, bitVec(hv(t)), (a, b) => a + b))
-    val simhash = aggregate(
+    aggregate(
       zip_with(weights, sequence(lit(0), lit(bits - 1)),
         (w, i) => when(w > 0, pow(lit(2.0), i)).otherwise(lit(0.0))),
       lit(0.0), (a, x) => a + x).cast("long")
-    Tables.documents(s, dir)
-      .select(col("doc_id"), simhash.as("simhash"))
-      .groupBy("simhash")
-      .agg(count(lit(1)).as("n_docs"), min("doc_id").as("min_doc"))
-      .oracleSorted("simhash")
   }
 
   /** K2c `dedup_ngram`: character-4-gram Jaccard near-dup detection.

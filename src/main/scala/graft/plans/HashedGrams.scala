@@ -207,6 +207,69 @@ case class BandSigs(child: Expression, bands: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Native 16-bit SimHash over the distinct whitespace-token set
+  * (`TextOps.dedupSimhash` kernel): per token, bit i of the md5-derived
+  * 32-bit hash votes ±1 on weight i; the signature sets bit i iff the
+  * summed weight is positive. One digest + 16 integer ops per token vs the
+  * HOF form's per-token 16-element array materialization and nested
+  * zip_with folds. Integer additions commute exactly, so token order is
+  * irrelevant and the value is bitwise-identical to the HOF fold
+  * (parity-tested in NativeVecSpec) and to the DuckDB oracle.
+  */
+case class SimHash16(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string input, got ${child.dataType.simpleString}")
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash16"
+
+  override protected def nullSafeEval(input: Any): Any =
+    SimHash16.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.SimHash16.compute($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object SimHash16 {
+  private val Bits = 16
+
+  def compute(t: UTF8String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val tokens = new java.util.LinkedHashSet[String]
+    t.toString.split(" ", -1).foreach(tokens.add)
+    val w = new Array[Int](Bits)
+    val it = tokens.iterator()
+    while (it.hasNext) {
+      md.reset()
+      val d = md.digest(it.next().getBytes(StandardCharsets.UTF_8))
+      // first 8 hex chars = first 4 bytes big-endian, as an unsigned int
+      val h = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      var i = 0
+      while (i < Bits) {
+        w(i) += (if (((h >>> i) & 1L) == 1L) 1 else -1)
+        i += 1
+      }
+    }
+    var sig = 0L
+    var i = 0
+    while (i < Bits) {
+      if (w(i) > 0) sig |= 1L << i
+      i += 1
+    }
+    sig
+  }
+
+  def of(text: Column): Column =
+    GraftSqlBridge.column(SimHash16(GraftSqlBridge.expression(text)))
+}
+
 object BandSigs {
   private val P = 2147483647L
 

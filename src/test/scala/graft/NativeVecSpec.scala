@@ -122,6 +122,19 @@ class NativeVecSpec extends AnyFunSuite {
     minMd5.foreach(r => assert(r.getString(0) == r.getString(1), r.toString))
   }
 
+  test("SimHash16 == HOF simhash bitwise") {
+    import spark.implicits._
+    import graft.operators.TextOps
+    val rnd = new scala.util.Random(23)
+    val texts = Seq("", "one", "a  b") ++
+      Seq.fill(80)(Seq.fill(rnd.nextInt(25) + 1)("t" + rnd.nextInt(50)).mkString(" "))
+    val rows = texts.toDF("text")
+      .select(graft.plans.SimHash16.of(col("text")).as("native"),
+        TextOps.simhashHof(col("text")).as("hof"))
+      .collect()
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1), r.toString))
+  }
+
   test("BandSigs == HOF band signatures bitwise (incl. null sig for 1-shingle docs)") {
     import spark.implicits._
     import graft.operators.TextOps
