@@ -90,6 +90,7 @@ object SparkEntry {
     "dedup_cluster" -> (TextOps.dedupCluster _),
     "text_normalize" -> (TextOps.textNormalize _),
     "text_pii" -> (TextOps.textPii _),
+    "text_ngrams" -> (TextOps.textNgrams _),
     "sample_stratified" -> (VectorOps.sampleStratified _),
     "sample_hash" -> (Relational.sampleHash _),
     "stats_profile" -> (Relational.statsProfile _),
@@ -310,6 +311,8 @@ object SparkEntry {
       "SELECT vec_id, label, CAST(rn AS INT) AS rn FROM (SELECT vec_id, label, row_number() OVER (PARTITION BY label ORDER BY vec_id) AS rn FROM embeddings) WHERE rn <= 20 ORDER BY label, rn",
     "text_pii" ->
       s"SELECT doc_id, CAST(len(regexp_extract_all(text, '${TextOps.EmailRe}')) AS INT) AS n_emails, CAST(len(regexp_extract_all(text, '${TextOps.PhoneRe}')) AS INT) AS n_phones, regexp_replace(regexp_replace(text, '${TextOps.EmailRe}', '<EMAIL>', 'g'), '${TextOps.PhoneRe}', '<PHONE>', 'g') AS redacted FROM documents ORDER BY doc_id",
+    "text_ngrams" ->
+      "WITH g AS (SELECT unnest(list_transform(generate_series(1, greatest(len(string_split(text, ' ')) - 1, 1)), i -> array_to_string((string_split(text, ' '))[i:i+1], ' '))) AS bigram FROM documents) SELECT bigram, count(1) AS n FROM g GROUP BY 1 HAVING count(1) >= 2 ORDER BY n DESC, bigram",
     "sample_hash" ->
       s"WITH h AS (SELECT doc_id, lang, source, CAST((CAST(('0x' || substr(md5('graft:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100) AS INT) AS bucket FROM documents) SELECT doc_id, lang, source, bucket FROM h WHERE bucket < ${Relational.SamplePct} ORDER BY doc_id",
     "stats_profile" ->

@@ -127,6 +127,20 @@ object TextOps {
         ceil(length(col("text")) / lit(4.0)).cast("long").as("n_bpe_est"))
       .oracleSorted("doc_id")
 
+  /** `text_ngrams`: corpus-level bigram counts (every occurrence, not
+    * per-doc distinct) with a ≥2 support floor — the n-gram LM-statistics
+    * stage of a training pipeline. explode → groupBy(count): shuffle volume
+    * ∝ distinct bigrams after map-side partial aggregation; the support
+    * filter runs post-aggregate (HAVING).
+    */
+  def textNgrams(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(explode(shingles(col("text"), 2)).as("bigram"))
+      .groupBy("bigram")
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2)
+      .oracleSorted(desc("n"), asc("bigram"))
+
   /** Quality scoring: token count, mean word length, stopword ratio,
     * type-token ratio, and a when/otherwise quality bucket — the standard
     * cheap pre-filters of a training-data pipeline.
