@@ -39,15 +39,17 @@ object VectorOps {
   val Dim = 64
   val EmbedDupTau = 0.3
 
-  /** K4 `vec_norm`: per-vector L1/L2 norms and dimensionality via HOF folds.
-    * Raw doubles — the sequential fold is bitwise-reproducible (see Vec).
+  /** K4 `vec_norm`: per-vector L1/L2 norms and dimensionality. L2 runs
+    * through the codegen'd dot kernel (bitwise == the HOF fold, see Vec);
+    * L1 stays a HOF fold. Raw doubles — sequential folds are
+    * bitwise-reproducible across engines and partitionings.
     */
   def vecNorm(s: SparkSession, dir: String): DataFrame =
     Tables.embeddings(s, dir)
       .select(
         col("vec_id"), col("label"),
         size(col("embedding")).as("dim"),
-        Vec.l2(col("embedding")).as("l2_norm"),
+        Vec.l2F(col("embedding")).as("l2_norm"),
         Vec.l1(col("embedding")).as("l1_norm"))
       .oracleSorted("vec_id")
 
@@ -372,7 +374,7 @@ object VectorOps {
 
     // I4: cluster report — size, dominant label + share, median norm.
     val scored = assigned(centers)
-      .select(col("cid"), col("label"), Vec.l2(col("embedding")).as("nrm"))
+      .select(col("cid"), col("label"), Vec.l2F(col("embedding")).as("nrm"))
     val labelCounts = scored.groupBy("cid", "label").agg(count(lit(1)).as("n"))
     val topLabel = labelCounts
       .withColumn("rn", row_number().over(
