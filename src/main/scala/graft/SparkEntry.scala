@@ -85,6 +85,7 @@ object SparkEntry {
     "dedup_exact" -> (TextOps.dedupExact _),
     "dedup_minhash" -> (TextOps.dedupMinhash _),
     "dedup_simhash" -> (TextOps.dedupSimhash _),
+    "dedup_simhash_pairs" -> (TextOps.dedupSimhashPairs _),
     "dedup_ngram" -> (TextOps.dedupNgram _),
     "dedup_embed" -> (VectorOps.dedupEmbed _),
     "dedup_cluster" -> (TextOps.dedupCluster _),
@@ -103,8 +104,9 @@ object SparkEntry {
     "sim_topk" -> (VectorOps.simTopk _),
     "sim_ann" -> (VectorOps.simAnn _),
     "sim_ivf" -> (VectorOps.simIvf _),
-    // §2.I iterative k-means
+    // §2.I iterative k-means (+ the oracle-checkable single assignment step)
     "kmeans_clusters" -> (VectorOps.kmeansClusters _),
+    "kmeans_assign" -> (VectorOps.kmeansAssign _),
   )
 
   // ---- shared DuckDB oracle fragments (kept in sync with the Scala
@@ -173,6 +175,22 @@ object SparkEntry {
   /** Sign-bit LSH bucket (mirror of Vec.signBucket, 8 bits). */
   private val bucket8 =
     "list_sum(list_transform(generate_series(1, 8), i -> CASE WHEN embedding[i] >= 0 THEN 1 << (i - 1) ELSE 0 END))"
+
+  /** Per-band sign-bit bucket over dims [band·bits+1 .. band·bits+bits]
+    * (mirror of Vec.signBucket with offset — dedup_embed's banded LSH);
+    * expects a lateral `g(band)`.
+    */
+  private val bandBucket =
+    s"list_sum(list_transform(generate_series(1, ${VectorOps.EmbedBandBits}), i -> CASE WHEN embedding[g.band * ${VectorOps.EmbedBandBits} + i] >= 0 THEN 1 << (i - 1) ELSE 0 END))"
+
+  /** SimHash-per-doc CTE chain (mirror of TextOps.dedupSimhash/SimHash16):
+    * defines `sh(doc_id, simhash)`.
+    */
+  private val simhashShSql =
+    "tok AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t FROM documents), " +
+    "h AS (SELECT doc_id, CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) AS hv FROM tok), " +
+    "b AS (SELECT doc_id, g.i, CAST(sum(CASE WHEN (hv >> g.i) & 1 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS w FROM h, (SELECT unnest(generate_series(0, 15)) AS i) g GROUP BY 1, 2), " +
+    "sh AS (SELECT doc_id, CAST(sum(CASE WHEN w > 0 THEN 1 << i ELSE 0 END) AS BIGINT) AS simhash FROM b GROUP BY 1)"
 
   private def langidScoreSql: String =
     TextOps.langProfiles.map { case (l, ps) =>
@@ -297,11 +315,21 @@ object SparkEntry {
     "dedup_minhash" ->
       s"WITH $minhashCandSql, j AS (SELECT doc_a, doc_b, round(CAST(len(list_intersect(wa.hv, wb.hv)) AS DOUBLE) / len(list_distinct(list_concat(wa.hv, wb.hv))), 6) AS jaccard FROM c JOIN w wa ON c.doc_a = wa.doc_id JOIN w wb ON c.doc_b = wb.doc_id) SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= ${TextOps.MinhashTau} ORDER BY doc_a, doc_b",
     "dedup_simhash" ->
-      "WITH tok AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t FROM documents), h AS (SELECT doc_id, CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) AS hv FROM tok), b AS (SELECT doc_id, g.i, CAST(sum(CASE WHEN (hv >> g.i) & 1 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS w FROM h, (SELECT unnest(generate_series(0, 15)) AS i) g GROUP BY 1, 2), sh AS (SELECT doc_id, CAST(sum(CASE WHEN w > 0 THEN 1 << i ELSE 0 END) AS BIGINT) AS simhash FROM b GROUP BY 1) SELECT simhash, count(1) AS n_docs, min(doc_id) AS min_doc FROM sh GROUP BY 1 ORDER BY simhash",
+      s"WITH $simhashShSql SELECT simhash, count(1) AS n_docs, min(doc_id) AS min_doc FROM sh GROUP BY 1 ORDER BY simhash",
+    "dedup_simhash_pairs" ->
+      (s"WITH $simhashShSql, ds AS (SELECT simhash AS sig, min(doc_id) AS min_doc FROM sh GROUP BY 1), " +
+      s"bd AS (SELECT sig, min_doc, g.band, (sig >> (g.band * 4)) & 15 AS bval FROM ds, (SELECT unnest(generate_series(0, ${TextOps.SimhashBands - 1})) AS band) g), " +
+      "p AS (SELECT DISTINCT a.min_doc AS doc_a, b.min_doc AS doc_b, a.sig AS sig_a, b.sig AS sig_b FROM bd a JOIN bd b ON a.band = b.band AND a.bval = b.bval AND a.sig < b.sig), " +
+      "hp AS (SELECT doc_a, doc_b, sig_a, sig_b, CAST(list_sum(list_transform(generate_series(0, 15), i -> CASE WHEN (xor(sig_a, sig_b) >> i) & 1 = 1 THEN 1 ELSE 0 END)) AS INT) AS hamming FROM p) " +
+      s"SELECT doc_a, doc_b, sig_a, sig_b, hamming FROM hp WHERE hamming <= ${TextOps.SimhashHammingK} ORDER BY doc_a, doc_b"),
     "dedup_ngram" ->
       s"WITH $minhashCandSql, g AS (SELECT doc_id, list_distinct(list_transform($cg4, x -> ${hash60("x")})) AS cg FROM documents), j AS (SELECT doc_a, doc_b, round(CAST(len(list_intersect(ga.cg, gb.cg)) AS DOUBLE) / len(list_distinct(list_concat(ga.cg, gb.cg))), 6) AS jaccard FROM c JOIN g ga ON c.doc_a = ga.doc_id JOIN g gb ON c.doc_b = gb.doc_id) SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= ${TextOps.NgramTau} ORDER BY doc_a, doc_b",
     "dedup_embed" ->
-      s"WITH e AS (SELECT vec_id, embedding, $bucket8 AS bucket, sqrt(${sqNorm("embedding")}) AS nrm FROM embeddings), p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cos FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id) SELECT vec_a, vec_b, cos FROM p WHERE cos >= ${VectorOps.EmbedDupTau} ORDER BY vec_a, vec_b",
+      (s"WITH bd AS (SELECT vec_id, g.band AS band, $bandBucket AS bucket FROM embeddings, (SELECT unnest(generate_series(0, ${VectorOps.EmbedBands - 1})) AS band) g), " +
+      "c AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b FROM bd a JOIN bd b ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id), " +
+      s"e AS (SELECT vec_id, embedding, sqrt(${sqNorm("embedding")}) AS nrm FROM embeddings), " +
+      s"p AS (SELECT vec_a, vec_b, ${dotSql("ea.embedding", "eb.embedding")} / (ea.nrm * eb.nrm) AS cos FROM c JOIN e ea ON c.vec_a = ea.vec_id JOIN e eb ON c.vec_b = eb.vec_id) " +
+      s"SELECT vec_a, vec_b, cos FROM p WHERE cos >= ${VectorOps.EmbedDupTau} ORDER BY vec_a, vec_b"),
     "vec_norm" ->
       s"SELECT vec_id, label, CAST(len(embedding) AS INT) AS dim, sqrt(${sqNorm("embedding")}) AS l2_norm, list_sum(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS l1_norm FROM embeddings ORDER BY vec_id",
     "dedup_cluster" -> dedupClusterSql,
@@ -332,6 +360,16 @@ object SparkEntry {
     "sim_ivf" ->
       s"WITH cell AS (SELECT label AS c_label, g.i AS pos, CAST(CAST(embedding[g.i] AS DOUBLE) AS DECIMAL(28,20)) AS v FROM embeddings, (SELECT unnest(generate_series(1, ${VectorOps.Dim})) AS i) g), comp AS (SELECT c_label, pos, CAST(sum(v) AS DOUBLE) / count(1) AS comp FROM cell GROUP BY 1, 2), cent AS (SELECT c_label, list(comp ORDER BY pos) AS cvec FROM comp GROUP BY 1), asg AS (SELECT vec_id, embedding, c_label, row_number() OVER (PARTITION BY vec_id ORDER BY ${sqDistSql("embedding", "cvec")}, c_label) AS rn FROM embeddings, cent), inv AS (SELECT vec_id, embedding, c_label AS ilist FROM asg WHERE rn = 1 AND vec_id >= ${VectorOps.QuerySetSize}), probes AS (SELECT vec_id AS q_id, embedding AS q_emb, c_label AS ilist FROM asg WHERE rn <= ${VectorOps.IvfProbes} AND vec_id < ${VectorOps.QuerySetSize}), sc AS (SELECT q_id, inv.vec_id, ${dotSql("q_emb", "inv.embedding")} / (sqrt(${sqNorm("q_emb")}) * sqrt(${sqNorm("inv.embedding")})) AS cos FROM inv JOIN probes USING (ilist)), r AS (SELECT q_id, vec_id, cos, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn FROM sc) SELECT q_id, vec_id, cos, CAST(rn AS INT) AS rn FROM r WHERE rn <= ${VectorOps.AnnTopK} ORDER BY q_id, rn",
     "sim_ann" ->
-      s"WITH e AS (SELECT vec_id, embedding, $bucket8 AS bucket FROM embeddings), q AS (SELECT vec_id AS q_id, embedding AS q_emb, bucket FROM e WHERE vec_id < ${VectorOps.QuerySetSize}), c AS (SELECT vec_id, embedding, bucket FROM e WHERE vec_id >= ${VectorOps.QuerySetSize}), s AS (SELECT q_id, c.vec_id, ${dotSql("q_emb", "c.embedding")} / (sqrt(${sqNorm("q_emb")}) * sqrt(${sqNorm("c.embedding")})) AS cos FROM c JOIN q USING (bucket)), r AS (SELECT q_id, vec_id, cos, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn FROM s) SELECT q_id, vec_id, cos, CAST(rn AS INT) AS rn FROM r WHERE rn <= ${VectorOps.AnnTopK} ORDER BY q_id, rn",
+      (s"WITH e AS (SELECT vec_id, embedding, $bucket8 AS bucket FROM embeddings), " +
+      s"q AS (SELECT vec_id AS q_id, embedding AS q_emb, xor(bucket, m.mask) AS bucket FROM e, (SELECT unnest(${VectorOps.AnnProbeMasks.mkString("[", ", ", "]")}) AS mask) m WHERE vec_id < ${VectorOps.QuerySetSize}), " +
+      s"c AS (SELECT vec_id, embedding, bucket FROM e WHERE vec_id >= ${VectorOps.QuerySetSize}), " +
+      s"s AS (SELECT q_id, c.vec_id, ${dotSql("q_emb", "c.embedding")} / (sqrt(${sqNorm("q_emb")}) * sqrt(${sqNorm("c.embedding")})) AS cos FROM c JOIN q USING (bucket)), " +
+      "r AS (SELECT q_id, vec_id, cos, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn FROM s) " +
+      s"SELECT q_id, vec_id, cos, CAST(rn AS INT) AS rn FROM r WHERE rn <= ${VectorOps.AnnTopK} ORDER BY q_id, rn"),
+    "kmeans_assign" ->
+      ("WITH r AS (SELECT vec_id, label, embedding, row_number() OVER (PARTITION BY label ORDER BY vec_id) AS rn FROM embeddings), " +
+      "cent AS (SELECT CAST(row_number() OVER (ORDER BY label) - 1 AS INT) AS cid, embedding AS cvec FROM r WHERE rn = 1), " +
+      s"a AS (SELECT e.vec_id, e.label, c.cid, ${sqDistSql("e.embedding", "c.cvec")} AS dist, row_number() OVER (PARTITION BY e.vec_id ORDER BY ${sqDistSql("e.embedding", "c.cvec")}, c.cid) AS arn FROM embeddings e CROSS JOIN cent c) " +
+      "SELECT vec_id, label, cid, round(dist, 6) AS sq_dist FROM a WHERE arn = 1 ORDER BY vec_id"),
   )
 }

@@ -24,13 +24,23 @@ import org.apache.spark.sql.functions.{broadcast, col, hash, lit, pmod}
   * build row).
   */
 object ScalarAttach {
+  private val JoinKey = "__graft_jk"
+
   implicit class ScalarAttachOps(private val big: DataFrame) extends AnyVal {
-    /** `one` MUST be a 1-row frame (a global aggregate). */
+    /** `one` MUST be a 1-row frame (a global aggregate) — a multi-row build
+      * side would silently fan every big-side row out |one| times, so
+      * callers own that contract (all in-repo call sites pass a global
+      * `agg(...)`, which is 1-row by construction; asserting it here would
+      * cost a count job per call). The key column is collision-checked
+      * rather than silently clobbered (round-2 ADVICE).
+      */
     def attachScalarRow(one: DataFrame): DataFrame = {
+      require(!big.columns.contains(JoinKey) && !one.columns.contains(JoinKey),
+        s"attachScalarRow: input already has a '$JoinKey' column")
       def key(df: DataFrame) = pmod(hash(col(df.columns.head)), lit(1))
-      big.withColumn("__jk", key(big))
-        .join(broadcast(one.withColumn("__jk", key(one))), "__jk")
-        .drop("__jk")
+      big.withColumn(JoinKey, key(big))
+        .join(broadcast(one.withColumn(JoinKey, key(one))), JoinKey)
+        .drop(JoinKey)
     }
   }
 }

@@ -55,14 +55,16 @@ object Vec {
     aggregate(zip_with(a, b, (x, y) => (d(x) - d(y)) * (d(x) - d(y))),
       lit(0.0), (acc, x) => acc + x)
 
-  /** Sign-bit LSH bucket from the first `bits` dimensions: bit i set iff
-    * component i ≥ 0. Axis-aligned random-hyperplane LSH — deterministic, so
-    * the DuckDB oracle rebuilds identical buckets. At scale this is the
-    * coarse index of an IVF-style ANN: candidates shrink by ~2^bits without
-    * any all-pairs work.
+  /** Sign-bit LSH bucket from `bits` consecutive dimensions starting at
+    * `offset` (0-based): bit i set iff component offset+i ≥ 0. Axis-aligned
+    * random-hyperplane LSH — deterministic, so the DuckDB oracle rebuilds
+    * identical buckets. At scale this is the coarse index of an IVF-style
+    * ANN: candidates shrink by ~2^bits without any all-pairs work. A nonzero
+    * `offset` carves INDEPENDENT bands out of one embedding (disjoint
+    * dimension slices), the banded-LSH building block `dedup_embed` uses.
     */
-  def signBucket(a: Column, bits: Int): Column =
+  def signBucket(a: Column, bits: Int, offset: Int = 0): Column =
     (0 until bits)
-      .map(i => when(element_at(a, i + 1) >= 0, lit(1L << i)).otherwise(lit(0L)))
+      .map(i => when(element_at(a, offset + i + 1) >= 0, lit(1L << i)).otherwise(lit(0L)))
       .reduce(_ + _)
 }

@@ -291,12 +291,17 @@ object TextOps {
     * this the 100 TB shape (SURVEY §2.K2; VERDICT round-1 mandate).
     */
   def dedupMinhash(s: SparkSession, dir: String): DataFrame = {
-    // cached: the hashed-shingle table feeds both sides of the bucket
-    // self-join and both verification joins — without cache each branch
-    // would recompute the full shingling+hashing pipeline (A5).
+    // Materialized eagerly with its lineage cut (A5): the hashed-shingle
+    // table feeds both sides of the bucket self-join and both verification
+    // joins — without materialization each branch would recompute the full
+    // shingling+hashing pipeline. `localCheckpoint`, not `cache` (round-2
+    // VERDICT #5): the blocks live in the block manager like a cache but are
+    // released by the ContextCleaner as soon as the result frame is garbage,
+    // so repeated invocations in a long-lived session (Bench's 4×74 runs)
+    // don't accumulate InMemoryRelations.
     val hv = Tables.documents(s, dir)
       .select(col("doc_id"), hashedShingles(col("text"), 3).as("hv"))
-      .cache()
+      .localCheckpoint()
     val sigs = bandSignatures(hv)
     val cand = sigs.as("a")
       .join(sigs.as("b"),
@@ -414,6 +419,49 @@ object TextOps {
       .agg(count(lit(1)).as("n_docs"), min("doc_id").as("min_doc"))
       .oracleSorted("simhash")
 
+  /** SimHash Hamming-distance pairing: 4 bands × 4 bits over the 16-bit
+    * signature; Hamming radius 3 — any pair within the radius differs in ≤3
+    * bits, so by pigeonhole at least one 4-bit band is IDENTICAL: band
+    * equality has exact recall inside the radius.
+    */
+  val SimhashBands = 4
+  val SimhashHammingK = 3
+
+  /** K2b′ `dedup_simhash_pairs`: near-dup DOCUMENT PAIRS within Hamming ≤ k
+    * of the 16-bit SimHash — the step `dedup_simhash`'s exact-signature
+    * buckets stop short of (round-2 VERDICT #3). Classic band-rotation join:
+    * candidates from any-band equality (exact recall in the radius, see
+    * SimhashBands), verification by exact Hamming distance.
+    *
+    * Scale shape: the pairing runs over DISTINCT signatures, not documents —
+    * a 16-bit space holds ≤ 65 536 rows no matter the corpus size, so the
+    * band self-join cost is a CONSTANT, independent of N (each signature
+    * carries its min doc_id as the cluster representative; full membership
+    * is `dedup_simhash`'s bucket table, an equi-join away). At 100 TB one
+    * would widen to a 64-bit signature with 16-bit bands — identical shape,
+    * and the distinct-signature reduction is what keeps the join from ever
+    * seeing corpus-scale row counts either way.
+    */
+  def dedupSimhashPairs(s: SparkSession, dir: String): DataFrame = {
+    val sigs = Tables.documents(s, dir)
+      .select(col("doc_id"), graft.plans.SimHash16.of(col("text")).as("sig"))
+      .groupBy("sig").agg(min("doc_id").as("min_doc"))
+    val bands = sigs.select(col("sig"), col("min_doc"),
+        posexplode(array((0 until SimhashBands).map(b =>
+          shiftright(col("sig"), b * 4).bitwiseAND(lit(15L))): _*)))
+      .select(col("sig"), col("min_doc"), col("pos").as("band"), col("col").as("bval"))
+    bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bval") === col("b.bval") &&
+          col("a.sig") < col("b.sig"))
+      .select(col("a.min_doc").as("doc_a"), col("b.min_doc").as("doc_b"),
+        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+      .filter(col("hamming") <= SimhashHammingK)
+      .oracleSorted("doc_a", "doc_b")
+  }
+
   /** Reference HOF SimHash column (parity-test oracle for SimHash16). */
   private[graft] def simhashHof(text: Column): Column = {
     val bits = 16
@@ -445,8 +493,10 @@ object TextOps {
   def dedupNgram(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val cand = {
+      // lineage-cut materialization instead of cache, as in dedupMinhash
       val sigs = bandSignatures(
-        docs.select(col("doc_id"), hashedShingles(col("text"), 3).as("hv")).cache())
+        docs.select(col("doc_id"), hashedShingles(col("text"), 3).as("hv"))
+          .localCheckpoint())
       sigs.as("a").join(sigs.as("b"),
           col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
             col("a.doc_id") < col("b.doc_id"))
@@ -457,7 +507,7 @@ object TextOps {
     // native fused kernel, same value as the HOF chain (NativeVecSpec)
     val g = docs.select(col("doc_id"),
         graft.plans.HashedGrams.charGrams(col("text"), 4).as("cg"))
-      .cache()
+      .localCheckpoint()
     cand
       .join(g.select(col("doc_id").as("doc_a"), col("cg").as("cg_a")), "doc_a")
       .join(g.select(col("doc_id").as("doc_b"), col("cg").as("cg_b")), "doc_b")

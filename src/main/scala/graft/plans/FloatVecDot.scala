@@ -20,11 +20,22 @@ import org.apache.spark.sql.types._
   *
   * Semantics are IDENTICAL to the HOF form used elsewhere: strict
   * left-to-right float64 accumulation of exactly-widened float32 products —
-  * so results remain bitwise-equal to the DuckDB oracle (see Vec). Vectors
-  * are assumed dense (no null elements), the embedding-column contract.
+  * so results remain bitwise-equal to the DuckDB oracle (see Vec) — and the
+  * malformed-input edges match too (round-2 ADVICE, as in VecSqDist):
+  * mismatched lengths and null elements yield NULL, never a partial sum;
+  * the per-element null check is generated only when the array type says
+  * `containsNull`.
   */
 case class FloatVecDot(left: Expression, right: Expression)
   extends BinaryExpression {
+
+  /** Null can arise from non-null inputs (length mismatch, null element). */
+  override def nullable: Boolean = true
+
+  private def elemNullable(dt: DataType): Boolean = dt match {
+    case ArrayType(_, n) => n
+    case _               => false
+  }
 
   private def isFloatArray(dt: DataType): Boolean = dt match {
     case ArrayType(FloatType, _) => true
@@ -46,10 +57,14 @@ case class FloatVecDot(left: Expression, right: Expression)
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    if (x.numElements() != y.numElements()) return null
+    val checkL = elemNullable(left.dataType)
+    val checkR = elemNullable(right.dataType)
+    val n = x.numElements()
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if ((checkL && x.isNullAt(i)) || (checkR && y.isNullAt(i))) return null
       acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
       i += 1
     }
@@ -61,13 +76,27 @@ case class FloatVecDot(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
+      val bad = ctx.freshName("bad")
+      val nullChecks = Seq(
+        if (elemNullable(left.dataType)) Some(s"$a.isNullAt($i)") else None,
+        if (elemNullable(right.dataType)) Some(s"$b.isNullAt($i)") else None,
+      ).flatten
+      val elemGuard =
+        if (nullChecks.isEmpty) ""
+        else s"if (${nullChecks.mkString(" || ")}) { $bad = true; break; }"
       s"""
-         |final int $n = Math.min($a.numElements(), $b.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  final int $n = $a.numElements();
+         |  double $acc = 0.0;
+         |  boolean $bad = false;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $elemGuard
+         |    $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |  }
+         |  if ($bad) { ${ev.isNull} = true; } else { ${ev.value} = $acc; }
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 

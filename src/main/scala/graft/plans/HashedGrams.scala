@@ -54,10 +54,17 @@ object HashedGrams {
   /** Mersenne prime 2^31−1 (mirror of TextOps.MinhashP). */
   private val P = 2147483647L
 
+  /** One digest per task thread, reused across rows — `getInstance` is a
+    * provider lookup + allocation, measurable on the exact per-row hot path
+    * these kernels exist to speed up (round-2 ADVICE).
+    */
+  private[plans] val md5Local: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
+
   /** Static kernel, also callable from generated code. */
   def compute(t: UTF8String, n: Int, word: Boolean): ArrayData = {
     val text = t.toString
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val md = md5Local.get()
     // LinkedHashSet = first-occurrence order, matching array_distinct
     val seen = new java.util.LinkedHashSet[java.lang.Long]
 
@@ -117,7 +124,7 @@ object HashedGrams {
     */
   def minWordGramMd5(t: UTF8String, n: Int): UTF8String = {
     val text = t.toString
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val md = md5Local.get()
     val w = text.split(" ", -1)
     val count = math.max(w.length - n + 1, 1)
     var best: Array[Byte] = null
@@ -240,7 +247,7 @@ object SimHash16 {
   private val Bits = 16
 
   def compute(t: UTF8String): Long = {
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val md = HashedGrams.md5Local.get()
     val tokens = new java.util.LinkedHashSet[String]
     t.toString.split(" ", -1).foreach(tokens.add)
     val w = new Array[Int](Bits)

@@ -245,22 +245,29 @@ object StatefulOps {
     * batch-only session fails with `RpcEndpointNotFoundException`
     * (observed against Spark 4.1.2; the API's batch mode is newer than its
     * streaming mode). Running one empty micro-batch through a no-op sink
-    * registers the endpoint — once per JVM, ~100 ms, stateless (no store
-    * files written).
+    * registers the endpoint — once per SparkContext, ~100 ms, stateless (no
+    * store files written). The guard is keyed on `applicationId`, NOT a
+    * JVM-wide boolean (round-2 ADVICE): the coordinator endpoint is
+    * per-SparkContext, so a session stopped and rebuilt in the same JVM
+    * must re-register or batch `transformWithState` fails with the same
+    * RpcEndpointNotFoundException. Note: `MemoryStream` is an internal API
+    * — this workaround is pinned to Spark 4.1.2 behavior.
     */
-  @volatile private var coordinatorInited = false
-  private def ensureStateStoreCoordinator(s: SparkSession): Unit =
-    if (!coordinatorInited) synchronized {
-      if (!coordinatorInited) {
+  @volatile private var coordinatorAppId: String = null
+  private def ensureStateStoreCoordinator(s: SparkSession): Unit = {
+    val appId = s.sparkContext.applicationId
+    if (coordinatorAppId != appId) synchronized {
+      if (coordinatorAppId != appId) {
         implicit val ctx = s.sqlContext
         import s.implicits._
         val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Int]
         ms.addData(0)
         val q = ms.toDS().writeStream.format("noop").start()
         try q.processAllAvailable() finally q.stop()
-        coordinatorInited = true
+        coordinatorAppId = appId
       }
     }
+  }
 
   /** Batch entry for the correctness gate: per-user top-N events via
     * `transformWithState` (each group processed once with fresh state —

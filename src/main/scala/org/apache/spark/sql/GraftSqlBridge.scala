@@ -10,4 +10,11 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftSqlBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** True iff the session's CacheManager tracks no InMemoryRelation — the
+    * cache-hygiene law (round-2 VERDICT #5: no cached frame may outlive its
+    * query invocation) needs to observe the `private[sql]` cache registry.
+    */
+  def cacheIsEmpty(s: SparkSession): Boolean =
+    s.asInstanceOf[classic.SparkSession].sharedState.cacheManager.isEmpty
 }

@@ -35,6 +35,42 @@ class TextOpsSpec extends AnyFunSuite {
     assert(pairs == Seq((0L, 1L)))
   }
 
+  test("dedup_simhash_pairs == brute-force distinct-signature pairs within Hamming <= k") {
+    // band-rotation candidates have EXACT recall inside the radius
+    // (pigeonhole: ≤3 differing bits over 4 bands leave one band identical),
+    // so the output must equal the brute-force pair set over distinct sigs.
+    val sigs = Tables.documents(spark, sfDir)
+      .select(graft.plans.SimHash16.of(col("text")).as("sig"))
+      .distinct().collect().map(_.getLong(0)).sorted
+    val expected = (for {
+      i <- sigs.indices
+      j <- (i + 1) until sigs.length
+      h = java.lang.Long.bitCount(sigs(i) ^ sigs(j))
+      if h <= TextOps.SimhashHammingK
+    } yield (sigs(i), sigs(j), h)).toSet
+    val got = TextOps.dedupSimhashPairs(spark, sfDir).collect()
+      .map(r => (r.getLong(r.fieldIndex("sig_a")), r.getLong(r.fieldIndex("sig_b")),
+        r.getInt(r.fieldIndex("hamming")))).toSet
+    assert(got == expected, s"got ${got.size} pairs, expected ${expected.size}")
+  }
+
+  test("minhash r=2 banding keeps candidates within 2x of verified near-dups at sf0.1") {
+    // executes the TextOps banding claim (candidates ≈ true near-dups) as an
+    // assertion on the full sf0.1 corpus (round-2 VERDICT #8)
+    val dir = "/root/testdata/sf0.1"
+    val hv = Tables.documents(spark, dir)
+      .select(col("doc_id"), TextOps.hashedShingles(col("text"), 3).as("hv"))
+      .localCheckpoint()
+    val sigs = TextOps.bandSignatures(hv)
+    val cand = sigs.as("a").join(sigs.as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id")).distinct().count()
+    val verified = TextOps.dedupMinhash(spark, dir).count()
+    assert(cand <= 2L * math.max(verified, 1L),
+      s"candidate pairs $cand vs verified near-dups $verified")
+  }
+
   test("text_pii redacts emails and phones and counts them") {
     import spark.implicits._
     val docs = Seq(

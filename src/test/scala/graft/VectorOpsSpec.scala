@@ -121,6 +121,83 @@ class VectorOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("dedup_embed banded LSH: no band bucket exceeds the quadratic-mass cap") {
+    val dir = "/root/testdata/sf0.01"
+    val emb = Tables.embeddings(spark, dir)
+    val n = emb.count()
+    val sizes = emb.select(posexplode(array((0 until VectorOps.EmbedBands).map(b =>
+        Vec.signBucket(col("embedding"), VectorOps.EmbedBandBits, b * VectorOps.EmbedBandBits)): _*)))
+      .groupBy(col("pos"), col("col")).count()
+      .collect().map(_.getLong(2))
+    // 16-bit sign buckets on sign-balanced data: even with planted near-dup
+    // clusters no bucket should hold more than ~5% of the corpus. (The
+    // round-2 single 8-bit bucket spread N/256 ≈ uniform mass over EVERY
+    // bucket — quadratic at scale; this cap is the law that bans it.)
+    assert(sizes.max <= math.max(n / 20, 8L), s"max band bucket ${sizes.max} of $n rows")
+  }
+
+  test("dedup_embed finds planted high-cosine near-dups (banded LSH recall law)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(43)
+    // 100 random base vectors + 20 slightly-perturbed copies (cos ≈ 0.998):
+    // per-band collision p^16 with p = 1−θ/π ≈ 0.98 → ~0.72, so ≥1-of-4-band
+    // recall ≈ 0.994 — expect essentially all 20 planted pairs.
+    val base = (0 until 100).map(i => (i.toLong, Seq.fill(64)(rnd.nextFloat() - 0.5f)))
+    val dups = base.take(20).map { case (id, v) =>
+      (id + 100L, v.map(x => x + (rnd.nextFloat() - 0.5f) * 0.04f))
+    }
+    val dir = "/tmp/graft_test_dedup_embed"
+    (base ++ dups).map { case (id, v) => (id, v, 0) }
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val found = VectorOps.dedupEmbed(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = (0 until 20).map(i => (i.toLong, i + 100L)).toSet
+    assert((found & planted).size >= 18, s"recall ${(found & planted).size}/20")
+  }
+
+  test("sim_ann multi-probe has full recall when buckets differ by at most one bit") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    // 3 blobs with FIXED sign patterns on dims 1..7 (≥4 bits apart) and one
+    // noisy-sign dim (dim 0): every member's bucket is its blob's pattern or
+    // that pattern with bit 0 flipped. Single probe misses the flipped
+    // members; the 1-bit-flip probes cover Hamming ≤ 1 exactly, so
+    // multi-probe recall must be exactly 1 (cross-blob buckets stay ≥ 3
+    // bits away and are never probed).
+    val patterns = Seq(
+      Seq(1f, 1f, 1f, 1f, -1f, -1f, -1f, -1f),
+      Seq(1f, -1f, -1f, 1f, 1f, 1f, -1f, -1f),
+      Seq(-1f, 1f, -1f, -1f, -1f, 1f, 1f, -1f))
+    val data = (0 until 90).map { i =>
+      val p = patterns(i % 3)
+      val v = p.zipWithIndex.map { case (s, d) =>
+        if (d == 0) s * (rnd.nextFloat() * 2.0f - 0.5f) // sign flips ~25% of rows
+        else s * (1.0f + rnd.nextFloat() * 0.5f)
+      }
+      (i.toLong, v, i % 3)
+    }
+    val dir = "/tmp/graft_test_ann"
+    data.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val ann = VectorOps.simAnn(spark, dir)
+      .select("q_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = VectorOps.simTopk(spark, dir).filter(col("rn") <= VectorOps.AnnTopK)
+      .select("q_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ann == brute, s"recall ${(ann & brute).size.toDouble / brute.size}")
+  }
+
+  test("kmeans_assign assigns every vector; init vectors map to themselves at distance 0") {
+    val res = VectorOps.kmeansAssign(spark, sfDir).collect()
+    val emb = Tables.embeddings(spark, sfDir)
+    assert(res.length.toLong == emb.count())
+    val k = emb.select("label").distinct().count()
+    val cids = res.map(r => r.getInt(r.fieldIndex("cid"))).toSet
+    assert(cids.subsetOf((0 until k.toInt).toSet), s"cids $cids for k=$k")
+    // the init centers are first-vector-per-label — their own nearest centroid
+    assert(res.count(r => r.getDouble(r.fieldIndex("sq_dist")) == 0.0) >= k)
+  }
+
   test("multimodal_join carries binary payload features consistent with text") {
     val r = VectorOps.multimodalJoin(spark, sfDir)
       .select("n_chars", "n_bytes").limit(20).collect()
