@@ -14,6 +14,10 @@ object Explain {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // GRAFT_TERMINAL_SORT=false prints the deployment-shape plans (oracle
+    // ordering contract elided) — the PLANS.md before/after artifact.
+    sys.env.get("GRAFT_TERMINAL_SORT")
+      .foreach(v => spark.conf.set("graft.terminalSort", v))
     val names = args.headOption.map(_.split(",").toSeq)
       .getOrElse(SparkEntry.queries.keys.toSeq.sorted)
     for (name <- names) {

@@ -297,7 +297,7 @@ object TextOps {
     // shingling+hashing pipeline. `localCheckpoint`, not `cache` (round-2
     // VERDICT #5): the blocks live in the block manager like a cache but are
     // released by the ContextCleaner as soon as the result frame is garbage,
-    // so repeated invocations in a long-lived session (Bench's 4×74 runs)
+    // so repeated invocations in a long-lived session (Bench's 4×75 runs)
     // don't accumulate InMemoryRelations.
     val hv = Tables.documents(s, dir)
       .select(col("doc_id"), hashedShingles(col("text"), 3).as("hv"))

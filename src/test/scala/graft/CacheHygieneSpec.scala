@@ -8,7 +8,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * (dedup family, IVF, k-means) now use lineage-cut `localCheckpoint` blocks
   * (freed by the ContextCleaner when the result frame is garbage) or a
   * `try/finally unpersist` — a long-lived session running the inventory in a
-  * loop (Bench: 4 passes × 74 queries) must not accumulate storage memory.
+  * loop (Bench: 4 passes × 75 queries) must not accumulate storage memory.
   */
 class CacheHygieneSpec extends AnyFunSuite {
   import SparkTestSession.{spark, sfDir}

@@ -187,6 +187,22 @@ class VectorOpsSpec extends AnyFunSuite {
     assert(ann == brute, s"recall ${(ann & brute).size.toDouble / brute.size}")
   }
 
+  test("sim_ann / sim_ivf measured recall@5 vs sim_topk stays above the recorded floor") {
+    val dir = "/root/testdata/sf0.01"
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = pairs(VectorOps.simTopk(spark, dir).filter(col("rn") <= VectorOps.AnnTopK))
+    val annR = (pairs(VectorOps.simAnn(spark, dir)) & want).size.toDouble / want.size
+    val ivfR = (pairs(VectorOps.simIvf(spark, dir)) & want).size.toDouble / want.size
+    // Measured 2026-08 on the RANDOM testdata embeddings (no similarity
+    // structure — the hardest regime for any index): sim_ann 0.20 with 9
+    // probes over 256 buckets, sim_ivf 0.36 probing 2 of 10 lists. On
+    // clustered data both reach 1.0 (tests above). Numbers recorded in
+    // PLANS.md; these floors catch a regression in either index shape.
+    assert(annR >= 0.15, s"sim_ann recall@5 $annR below recorded floor")
+    assert(ivfR >= 0.30, s"sim_ivf recall@5 $ivfR below recorded floor")
+  }
+
   test("kmeans_assign assigns every vector; init vectors map to themselves at distance 0") {
     val res = VectorOps.kmeansAssign(spark, sfDir).collect()
     val emb = Tables.embeddings(spark, sfDir)
