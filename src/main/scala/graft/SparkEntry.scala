@@ -92,6 +92,9 @@ object SparkEntry {
     "text_normalize" -> (TextOps.textNormalize _),
     "text_pii" -> (TextOps.textPii _),
     "text_ngrams" -> (TextOps.textNgrams _),
+    "text_repetition" -> (TextOps.textRepetition _),
+    "decontaminate" -> (TextOps.decontaminate _),
+    "pack_sequences" -> (TextOps.packSequences _),
     "sample_stratified" -> (VectorOps.sampleStratified _),
     "sample_hash" -> (Relational.sampleHash _),
     "stats_profile" -> (Relational.statsProfile _),
@@ -127,6 +130,12 @@ object SparkEntry {
   /** md5-derived 60-bit hash of a string, mod p (mirror of TextOps.shingleHash). */
   private def hash60(x: String) =
     s"CAST(('0x' || substr(md5($x), 1, 15)) AS BIGINT) % ${TextOps.MinhashP}"
+
+  /** Raw (non-distinct) n-word shingles of `text` (mirror of
+    * TextOps.shingles — repetition scoring needs totals, not sets).
+    */
+  private def rawShingles(n: Int) =
+    s"list_transform(generate_series(1, greatest(len(string_split(text, ' ')) - ${n - 1}, 1)), i -> array_to_string((string_split(text, ' '))[i:i+${n - 1}], ' '))"
 
   /** Shared MinHash-LSH candidate CTE chain (mirror of TextOps.bandSignatures:
     * r=2 — band signature packs the two smallest permuted hashes): defines
@@ -341,6 +350,22 @@ object SparkEntry {
       s"SELECT doc_id, CAST(len(regexp_extract_all(text, '${TextOps.EmailRe}')) AS INT) AS n_emails, CAST(len(regexp_extract_all(text, '${TextOps.PhoneRe}')) AS INT) AS n_phones, regexp_replace(regexp_replace(text, '${TextOps.EmailRe}', '<EMAIL>', 'g'), '${TextOps.PhoneRe}', '<PHONE>', 'g') AS redacted FROM documents ORDER BY doc_id",
     "text_ngrams" ->
       "WITH g AS (SELECT unnest(list_transform(generate_series(1, greatest(len(string_split(text, ' ')) - 1, 1)), i -> array_to_string((string_split(text, ' '))[i:i+1], ' '))) AS bigram FROM documents) SELECT bigram, count(1) AS n FROM g GROUP BY 1 HAVING count(1) >= 2 ORDER BY n DESC, bigram",
+    "text_repetition" ->
+      (s"WITH s2 AS (SELECT doc_id, ${rawShingles(2)} AS sh2, ${rawShingles(3)} AS sh3 FROM documents), " +
+      s"r AS (SELECT doc_id, round(1.0 - CAST(len(list_distinct(list_transform(sh2, x -> ${hash60("x")}))) AS DOUBLE) / len(sh2), 4) AS rep2, round(1.0 - CAST(len(list_distinct(list_transform(sh3, x -> ${hash60("x")}))) AS DOUBLE) / len(sh3), 4) AS rep3 FROM s2), " +
+      "bc AS (SELECT doc_id, bigram, count(1) AS n FROM (SELECT doc_id, unnest(sh2) AS bigram FROM s2) b GROUP BY 1, 2), " +
+      "tb AS (SELECT doc_id, round(CAST(max(n) AS DOUBLE) / sum(n), 4) AS top_bigram_frac FROM bc GROUP BY 1) " +
+      "SELECT r.doc_id, rep2, rep3, top_bigram_frac, CASE WHEN rep2 > 0.2 OR top_bigram_frac > 0.18 THEN 1 ELSE 0 END AS flagged FROM r JOIN tb USING (doc_id) ORDER BY doc_id"),
+    "decontaminate" ->
+      (s"WITH g AS (SELECT doc_id, list_distinct(list_transform(${rawShingles(TextOps.DecontamShingleN)}, x -> ${hash60("x")})) AS hv FROM documents), " +
+      s"ev AS (SELECT DISTINCT unnest(hv) AS gg FROM g WHERE doc_id % ${TextOps.DecontamModulus} = 0), " +
+      s"tr AS (SELECT doc_id, hv FROM g WHERE doc_id % ${TextOps.DecontamModulus} <> 0), " +
+      "hits AS (SELECT doc_id, count(1) AS n_hit FROM (SELECT doc_id, unnest(hv) AS gg FROM tr) t JOIN ev USING (gg) GROUP BY 1) " +
+      "SELECT tr.doc_id, CAST(len(hv) AS INT) AS n_grams, CAST(COALESCE(n_hit, 0) AS BIGINT) AS n_hit, round(CAST(COALESCE(n_hit, 0) AS DOUBLE) / len(hv), 4) AS hit_frac, CASE WHEN COALESCE(n_hit, 0) > 0 THEN 1 ELSE 0 END AS contaminated FROM tr LEFT JOIN hits USING (doc_id) ORDER BY doc_id"),
+    "pack_sequences" ->
+      (s"WITH t AS (SELECT doc_id, CAST(doc_id % ${TextOps.PackShards} AS INT) AS shard, CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_tokens FROM documents), " +
+      "o AS (SELECT doc_id, shard, n_tokens, CAST(COALESCE(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_off FROM t) " +
+      s"SELECT doc_id, shard, n_tokens, start_off, start_off // ${TextOps.PackCapacity} AS seq_id FROM o ORDER BY doc_id"),
     "sample_hash" ->
       s"WITH h AS (SELECT doc_id, lang, source, CAST((CAST(('0x' || substr(md5('graft:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100) AS INT) AS bucket FROM documents) SELECT doc_id, lang, source, bucket FROM h WHERE bucket < ${Relational.SamplePct} ORDER BY doc_id",
     "stats_profile" ->

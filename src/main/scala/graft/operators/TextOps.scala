@@ -291,17 +291,18 @@ object TextOps {
     * this the 100 TB shape (SURVEY §2.K2; VERDICT round-1 mandate).
     */
   def dedupMinhash(s: SparkSession, dir: String): DataFrame = {
-    // Materialized eagerly with its lineage cut (A5): the hashed-shingle
-    // table feeds both sides of the bucket self-join and both verification
-    // joins — without materialization each branch would recompute the full
-    // shingling+hashing pipeline. `localCheckpoint`, not `cache` (round-2
-    // VERDICT #5): the blocks live in the block manager like a cache but are
-    // released by the ContextCleaner as soon as the result frame is garbage,
-    // so repeated invocations in a long-lived session (Bench's 4×75 runs)
-    // don't accumulate InMemoryRelations.
+    // Lineage-cut materialization (A5): the hashed-shingle table feeds both
+    // sides of the bucket self-join and both verification joins — without
+    // the cut each branch would recompute the full shingling+hashing
+    // pipeline. `localCheckpoint(false)`, not `cache` (round-2 VERDICT #5):
+    // the blocks live in the block manager like a cache but are released by
+    // the ContextCleaner as soon as the result frame is garbage, so repeated
+    // invocations in a long-lived session (Bench's 4×75 runs) don't
+    // accumulate InMemoryRelations; lazy, so no blocking job at plan-build
+    // time.
     val hv = Tables.documents(s, dir)
       .select(col("doc_id"), hashedShingles(col("text"), 3).as("hv"))
-      .localCheckpoint()
+      .localCheckpoint(false) // lazy: cut lineage now, materialize inside the one job
     val sigs = bandSignatures(hv)
     val cand = sigs.as("a")
       .join(sigs.as("b"),
@@ -406,6 +407,99 @@ object TextOps {
       .oracleSorted("doc_id")
   }
 
+  /** `text_repetition`: Gopher-style intra-document repetition signals —
+    * the quality rule that catches boilerplate/spam which length and
+    * stopword ratios miss. Per doc: fraction of repeated 2-word and 3-word
+    * shingles (1 − distinct/total) and the share of the single most
+    * frequent bigram.
+    *
+    * Scale shape: a NARROW ZERO-SHUFFLE PROJECTION — distinct counts via
+    * the fused `HashedGrams` kernel (one codegen'd pass; 60-bit collisions
+    * ~n²/2^60 and engine-identical, DuckDB dedups the same hashes), totals
+    * by arithmetic (#words − n + 1, floored at the whole-text fallback),
+    * and the top-bigram count via the `TopGramCount` kernel (exact string
+    * counting per row). Measured at sf0.1: the naive raw-string-HOF +
+    * explode→groupBy form was 5.15 s — the slowest query in the inventory —
+    * because it shuffled every bigram occurrence of the corpus to take a
+    * per-doc max; this form is a per-row map over the scan.
+    */
+  def textRepetition(s: SparkSession, dir: String): DataFrame = {
+    val nW = size(split(col("text"), " "))
+    def total(n: Int): Column = greatest(nW - (n - 1), lit(1))
+    def repFrac(n: Int): Column =
+      round(lit(1.0) - size(hashedShingles(col("text"), n)).cast("double") / total(n), 4)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), repFrac(2).as("rep2"), repFrac(3).as("rep3"),
+        round(graft.plans.TopGramCount.of(col("text"), 2).cast("double") / total(2), 4)
+          .as("top_bigram_frac"))
+      .withColumn("flagged",
+        when(col("rep2") > 0.2 || col("top_bigram_frac") > 0.18, 1).otherwise(0))
+      .oracleSorted("doc_id")
+  }
+
+  /** Decontamination: eval docs are every `DecontamModulus`-th doc_id (a
+    * deterministic stand-in for a benchmark set); overlap unit is the
+    * hashed 8-word shingle.
+    */
+  val DecontamModulus = 97
+  val DecontamShingleN = 8
+
+  /** `decontaminate`: train/eval n-gram overlap — the contamination check
+    * every training-data pipeline runs against benchmark sets before
+    * training. The eval set's distinct hashed 8-word shingles are BROADCAST
+    * (benchmarks are small by construction — bounded regardless of corpus
+    * size); each training doc joins its exploded shingles against them, so
+    * the only shuffle is the per-doc hit count, ∝ contaminated shingles —
+    * near-zero on a clean corpus. Flag semantics: any 8-gram overlap marks
+    * the doc (the standard conservative rule).
+    */
+  def decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val isEval = pmod(col("doc_id"), lit(DecontamModulus)) === 0
+    val evalGrams = docs.filter(isEval)
+      .select(explode(hashedShingles(col("text"), DecontamShingleN)).as("g"))
+      .distinct()
+    val train = docs.filter(!isEval)
+      .select(col("doc_id"), hashedShingles(col("text"), DecontamShingleN).as("hv"))
+    val hits = train.select(col("doc_id"), explode(col("hv")).as("g"))
+      .join(broadcast(evalGrams), "g")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
+    train.select(col("doc_id"), size(col("hv")).as("n_grams"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+      .withColumn("hit_frac", round(col("n_hit").cast("double") / col("n_grams"), 4))
+      .withColumn("contaminated", when(col("n_hit") > 0, 1).otherwise(0))
+      .oracleSorted("doc_id")
+  }
+
+  /** Sequence packing: target sequence length (tokens) and shard count. */
+  val PackCapacity = 2048L
+  val PackShards = 8
+
+  /** `pack_sequences`: GPT-style concat-and-chunk packing — per shard,
+    * documents are concatenated in doc_id order and the token stream is
+    * chopped every `PackCapacity` tokens; each doc reports its shard,
+    * estimated token count, start offset in the shard's stream, and the
+    * training sequence its first token lands in. This is EXACT for the
+    * concat-and-chunk semantic (not a bin-packing approximation). Scale
+    * shape: one window per shard (`partitionBy(shard)` — parallel across
+    * shards, never a global single-partition window); shard count scales
+    * with the cluster, and the driver holds nothing.
+    */
+  def packSequences(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        pmod(col("doc_id"), lit(PackShards)).cast("int").as("shard"),
+        ceil(length(col("text")) / lit(4.0)).cast("long").as("n_tokens"))
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    toks
+      .withColumn("start_off", coalesce(sum("n_tokens").over(w), lit(0L)))
+      .withColumn("seq_id", expr(s"start_off div $PackCapacity"))
+      .oracleSorted("doc_id")
+  }
+
   /** K2b `dedup_simhash`: 16-bit SimHash over the distinct token set, folded
     * per row with HOFs (array accumulator of bit weights) — zero shuffle
     * until the final groupBy(simhash) bucket report. Token bit i weights
@@ -496,7 +590,7 @@ object TextOps {
       // lineage-cut materialization instead of cache, as in dedupMinhash
       val sigs = bandSignatures(
         docs.select(col("doc_id"), hashedShingles(col("text"), 3).as("hv"))
-          .localCheckpoint())
+          .localCheckpoint(false))
       sigs.as("a").join(sigs.as("b"),
           col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
             col("a.doc_id") < col("b.doc_id"))
@@ -507,7 +601,7 @@ object TextOps {
     // native fused kernel, same value as the HOF chain (NativeVecSpec)
     val g = docs.select(col("doc_id"),
         graft.plans.HashedGrams.charGrams(col("text"), 4).as("cg"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     cand
       .join(g.select(col("doc_id").as("doc_a"), col("cg").as("cg_a")), "doc_a")
       .join(g.select(col("doc_id").as("doc_b"), col("cg").as("cg_b")), "doc_b")

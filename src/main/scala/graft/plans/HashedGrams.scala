@@ -146,6 +146,23 @@ object HashedGrams {
     UTF8String.fromString(new String(out))
   }
 
+  /** Static kernel for TopGramCount (also called from generated code). */
+  def topWordGramCount(t: UTF8String, n: Int): Long = {
+    val w = t.toString.split(" ", -1)
+    val count = math.max(w.length - n + 1, 1)
+    val m = new java.util.HashMap[String, Integer]
+    var best = 0
+    var i = 0
+    while (i < count) {
+      val end = math.min(i + n, w.length)
+      val g = w.slice(i, end).mkString(" ")
+      val c = m.merge(g, 1, (a, b) => a + b)
+      if (c > best) best = c
+      i += 1
+    }
+    best.toLong
+  }
+
   private def unsignedLess(a: Array[Byte], b: Array[Byte]): Boolean = {
     var i = 0
     while (i < a.length) {
@@ -156,6 +173,40 @@ object HashedGrams {
     }
     false
   }
+}
+
+/** Native max-occurrence count over the n-word-shingle MULTISET of a text
+  * column — the `text_repetition` top-bigram kernel. Counting repeats per
+  * row here turns the operator into a narrow zero-shuffle projection; the
+  * compositional form (explode → groupBy(doc, gram) → groupBy(doc).max)
+  * shuffles every bigram occurrence of the corpus just to take a per-doc
+  * max. Counts STRING grams (no hashing), so the value is exactly the
+  * oracle's `max(count(*)) GROUP BY doc, gram`. Short docs fall back to the
+  * single whole-text shingle (count 1), like HashedGrams.
+  */
+case class TopGramCount(child: Expression, n: Int) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string input, got ${child.dataType.simpleString}")
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "top_gram_count"
+
+  override protected def nullSafeEval(input: Any): Any =
+    HashedGrams.topWordGramCount(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.HashedGrams.topWordGramCount($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object TopGramCount {
+  def of(text: Column, n: Int): Column =
+    GraftSqlBridge.column(TopGramCount(GraftSqlBridge.expression(text), n))
 }
 
 /** Native min-shingle-md5 (see HashedGrams.minWordGramMd5). */

@@ -122,6 +122,25 @@ class NativeVecSpec extends AnyFunSuite {
     minMd5.foreach(r => assert(r.getString(0) == r.getString(1), r.toString))
   }
 
+  test("TopGramCount == the explode/groupBy max-count form") {
+    import spark.implicits._
+    import graft.operators.TextOps
+    val rnd = new scala.util.Random(29)
+    val texts = Seq("", "one", "a a a a", "x y x y x") ++
+      Seq.fill(60)(Seq.fill(rnd.nextInt(30) + 1)("t" + rnd.nextInt(8)).mkString(" "))
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val native = df.select(col("doc_id"),
+        graft.plans.TopGramCount.of(col("text"), 2).as("top"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val composed = df
+      .select(col("doc_id"), explode(TextOps.shingles(col("text"), 2)).as("g"))
+      .groupBy("doc_id", "g").count()
+      .groupBy("doc_id").agg(max("count").as("top"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(native == composed)
+    assert(native(2L) == 3L) // "a a a a" → "a a" three times
+  }
+
   test("SimHash16 == HOF simhash bitwise") {
     import spark.implicits._
     import graft.operators.TextOps

@@ -71,6 +71,53 @@ class TextOpsSpec extends AnyFunSuite {
       s"candidate pairs $cand vs verified near-dups $verified")
   }
 
+  test("text_repetition flags boilerplate and passes diverse text") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "buy now buy now buy now buy now buy now buy now"), // pure boilerplate
+      (2L, "a quick brown fox jumps over the lazy sleeping dog")) // all-distinct
+      .toDF("doc_id", "text")
+    docs.write.mode("overwrite").parquet("/tmp/graft_test_rep/documents.parquet")
+    val rows = TextOps.textRepetition(spark, "/tmp/graft_test_rep")
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getDouble(3), r.getInt(4))).toMap
+    val (rep2Spam, topSpam, flagSpam) = rows(1L)
+    assert(rep2Spam > 0.7 && topSpam > 0.4 && flagSpam == 1, rows(1L).toString)
+    val (rep2Ok, _, flagOk) = rows(2L)
+    assert(rep2Ok == 0.0 && flagOk == 0, rows(2L).toString)
+  }
+
+  test("decontaminate flags a train doc sharing an 8-gram with the eval set") {
+    import spark.implicits._
+    val evalText = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    val docs = Seq(
+      (0L, evalText), // doc_id % 97 == 0 → eval set
+      (1L, "intro " + evalText + " outro"), // shares 8-word windows → contaminated
+      (2L, "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10 c11")) // clean
+      .toDF("doc_id", "text")
+    docs.write.mode("overwrite").parquet("/tmp/graft_test_decon/documents.parquet")
+    val rows = TextOps.decontaminate(spark, "/tmp/graft_test_decon")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(r.fieldIndex("n_hit")), r.getInt(r.fieldIndex("contaminated")))).toMap
+    assert(!rows.contains(0L)) // eval docs are not scored
+    assert(rows(1L)._1 >= 1 && rows(1L)._2 == 1, rows(1L).toString)
+    assert(rows(2L) == ((0L, 0)), rows(2L).toString)
+  }
+
+  test("pack_sequences: start offsets are exact per-shard prefix sums, chunks at capacity") {
+    val rows = TextOps.packSequences(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    rows.groupBy(_._2).values.foreach { shard =>
+      var acc = 0L
+      shard.sortBy(_._1).foreach { case (_, _, nTok, startOff, seqId) =>
+        assert(startOff == acc, s"offset $startOff != cumsum $acc")
+        assert(seqId == startOff / TextOps.PackCapacity)
+        acc += nTok
+      }
+    }
+    assert(rows.nonEmpty)
+  }
+
   test("text_pii redacts emails and phones and counts them") {
     import spark.implicits._
     val docs = Seq(
