@@ -454,13 +454,15 @@ object TextOps {
     * the doc (the standard conservative rule).
     */
   def decontaminate(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
-    val isEval = pmod(col("doc_id"), lit(DecontamModulus)) === 0
-    val evalGrams = docs.filter(isEval)
-      .select(explode(hashedShingles(col("text"), DecontamShingleN)).as("g"))
-      .distinct()
-    val train = docs.filter(!isEval)
+    // one shingling pass feeds both branches (lineage-cut, cleaner-freed)
+    val g = Tables.documents(s, dir)
       .select(col("doc_id"), hashedShingles(col("text"), DecontamShingleN).as("hv"))
+      .localCheckpoint(false)
+    val isEval = pmod(col("doc_id"), lit(DecontamModulus)) === 0
+    val evalGrams = g.filter(isEval)
+      .select(explode(col("hv")).as("g"))
+      .distinct()
+    val train = g.filter(!isEval)
     val hits = train.select(col("doc_id"), explode(col("hv")).as("g"))
       .join(broadcast(evalGrams), "g")
       .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))

@@ -14,7 +14,8 @@ class CacheHygieneSpec extends AnyFunSuite {
   import SparkTestSession.{spark, sfDir}
 
   private val formerlyCaching =
-    Seq("dedup_minhash", "dedup_ngram", "dedup_cluster", "sim_ivf", "kmeans_clusters")
+    Seq("dedup_minhash", "dedup_ngram", "dedup_cluster", "sim_ivf",
+      "kmeans_clusters", "decontaminate")
 
   formerlyCaching.foreach { name =>
     test(s"$name leaves the CacheManager empty after full materialization") {
