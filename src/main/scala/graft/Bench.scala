@@ -41,6 +41,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_TERMINAL_SORT=false measures the DEPLOYMENT shape (the
+    // oracle-contract output ordering elided plan-wide) — the delta vs the
+    // default run is the oracle tax, not engine cost (see BASELINE.md).
+    sys.env.get("SPARK_GRAFT_TERMINAL_SORT")
+      .foreach(v => spark.conf.set("graft.terminalSort", v))
     // Warm the session/IO paths before even the warm-up pass so its first
     // query isn't charged session-initialization cost.
     Tables.lineitem(spark, sfDir).count()
