@@ -119,9 +119,19 @@ object VectorOps {
     import s.implicits._
     val base = Tables.documents(s, dir).select(col("doc_id"), col("n_chars"))
     val parts = s.sessionState.conf.numShufflePartitions
+    // EAGER checkpoint, load-bearing for correctness: `repartitionByRange`
+    // samples its boundaries with an RDD-id-derived seed, so re-executing
+    // the lineage can produce DIFFERENT partition boundaries per job. The
+    // per-pid counts below run as their own job; without pinning, the
+    // final window job could see different pid contents than the offsets
+    // were computed from → wrong global row numbers (observed at sf0.1:
+    // 1281/5000 deciles off by one bucket; sf0.01 matched by luck). The
+    // checkpoint materializes the ranged rows ONCE and both jobs read the
+    // same partitions.
     val ranged = base
       .repartitionByRange(parts, col("n_chars"), col("doc_id"))
       .withColumn("pid", spark_partition_id())
+      .localCheckpoint()
     val counts = ranged.groupBy("pid").agg(count(lit(1)).as("cnt"))
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
     val n = counts.map(_._2).sum

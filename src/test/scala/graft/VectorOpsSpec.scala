@@ -121,6 +121,27 @@ class VectorOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("quantile_bins NTILE law at sf0.1: monotone deciles, exact bucket sizes") {
+    // Regression law for the round-3 boundary bug: repartitionByRange
+    // samples boundaries with an RDD-id-derived seed, so the offsets job
+    // and the window job could see different partitions — 1281/5000
+    // deciles off by one at sf0.1 until the ranged frame was pinned with
+    // an eager checkpoint. Sorting by the NTILE key must give a
+    // non-decreasing decile sequence with exact NTILE bucket sizes.
+    val rows = VectorOps.quantileBins(spark, "/root/testdata/sf0.1")
+      .collect().map(r => (r.getLong(r.fieldIndex("n_chars")),
+        r.getLong(r.fieldIndex("doc_id")), r.getInt(r.fieldIndex("decile"))))
+    val n = rows.length
+    val deciles = rows.sortBy(t => (t._1, t._2)).map(_._3)
+    assert(deciles.zip(deciles.tail).forall { case (a, b) => a <= b }, "deciles not monotone")
+    val sizes = deciles.groupBy(identity).view.mapValues(_.length).toMap
+    val (q, r) = (n / 10, n % 10)
+    (1 to 10).foreach { d =>
+      val want = if (d <= r) q + 1 else q
+      assert(sizes.getOrElse(d, 0) == want, s"decile $d size ${sizes.get(d)} != $want")
+    }
+  }
+
   test("dedup_embed banded LSH: no band bucket exceeds the quadratic-mass cap") {
     val dir = "/root/testdata/sf0.01"
     val emb = Tables.embeddings(spark, dir)
