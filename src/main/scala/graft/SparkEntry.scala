@@ -86,6 +86,7 @@ object SparkEntry {
     "dedup_minhash" -> (TextOps.dedupMinhash _),
     "dedup_simhash" -> (TextOps.dedupSimhash _),
     "dedup_simhash_pairs" -> (TextOps.dedupSimhashPairs _),
+    "dedup_simhash_wide" -> (TextOps.dedupSimhashWide _),
     "dedup_ngram" -> (TextOps.dedupNgram _),
     "dedup_embed" -> (VectorOps.dedupEmbed _),
     "dedup_cluster" -> (TextOps.dedupCluster _),
@@ -195,11 +196,28 @@ object SparkEntry {
   /** SimHash-per-doc CTE chain (mirror of TextOps.dedupSimhash/SimHash16):
     * defines `sh(doc_id, simhash)`.
     */
-  private val simhashShSql =
+  private val simhashShSql = simhashShChain(8, 16)
+
+  /** Parameterized SimHash CTE chain: token hash = first `hexChars` md5 hex
+    * chars (a signed-positive BIGINT for ≤15), signature over `bits` bits.
+    * `CAST(1 AS BIGINT) << i` — a plain `1 << i` is a 32-bit shift in
+    * DuckDB and overflows past bit 30.
+    */
+  private def simhashShChain(hexChars: Int, bits: Int): String =
     "tok AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t FROM documents), " +
-    "h AS (SELECT doc_id, CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) AS hv FROM tok), " +
-    "b AS (SELECT doc_id, g.i, CAST(sum(CASE WHEN (hv >> g.i) & 1 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS w FROM h, (SELECT unnest(generate_series(0, 15)) AS i) g GROUP BY 1, 2), " +
-    "sh AS (SELECT doc_id, CAST(sum(CASE WHEN w > 0 THEN 1 << i ELSE 0 END) AS BIGINT) AS simhash FROM b GROUP BY 1)"
+    s"h AS (SELECT doc_id, CAST(('0x' || substr(md5(t), 1, $hexChars)) AS BIGINT) AS hv FROM tok), " +
+    s"b AS (SELECT doc_id, g.i, CAST(sum(CASE WHEN (hv >> g.i) & 1 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS w FROM h, (SELECT unnest(generate_series(0, ${bits - 1})) AS i) g GROUP BY 1, 2), " +
+    s"sh AS (SELECT doc_id, CAST(sum(CASE WHEN w > 0 THEN CAST(1 AS BIGINT) << i ELSE 0 END) AS BIGINT) AS simhash FROM b GROUP BY 1)"
+
+  /** Band-rotation Hamming pairing over a `sh(doc_id, simhash)` chain
+    * (mirror of TextOps.simhashBandPairs).
+    */
+  private def simhashPairsSql(shChain: String, bits: Int, bandBits: Int): String =
+    s"WITH $shChain, ds AS (SELECT simhash AS sig, min(doc_id) AS min_doc FROM sh GROUP BY 1), " +
+    s"bd AS (SELECT sig, min_doc, g.band, (sig >> (g.band * $bandBits)) & ${(1L << bandBits) - 1} AS bval FROM ds, (SELECT unnest(generate_series(0, ${TextOps.SimhashBands - 1})) AS band) g), " +
+    "p AS (SELECT DISTINCT a.min_doc AS doc_a, b.min_doc AS doc_b, a.sig AS sig_a, b.sig AS sig_b FROM bd a JOIN bd b ON a.band = b.band AND a.bval = b.bval AND a.sig < b.sig), " +
+    s"hp AS (SELECT doc_a, doc_b, sig_a, sig_b, CAST(list_sum(list_transform(generate_series(0, ${bits - 1}), i -> CASE WHEN (xor(sig_a, sig_b) >> i) & 1 = 1 THEN 1 ELSE 0 END)) AS INT) AS hamming FROM p) " +
+    s"SELECT doc_a, doc_b, sig_a, sig_b, hamming FROM hp WHERE hamming <= ${TextOps.SimhashHammingK} ORDER BY doc_a, doc_b"
 
   private def langidScoreSql: String =
     TextOps.langProfiles.map { case (l, ps) =>
@@ -325,12 +343,8 @@ object SparkEntry {
       s"WITH $minhashCandSql, j AS (SELECT doc_a, doc_b, round(CAST(len(list_intersect(wa.hv, wb.hv)) AS DOUBLE) / len(list_distinct(list_concat(wa.hv, wb.hv))), 6) AS jaccard FROM c JOIN w wa ON c.doc_a = wa.doc_id JOIN w wb ON c.doc_b = wb.doc_id) SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= ${TextOps.MinhashTau} ORDER BY doc_a, doc_b",
     "dedup_simhash" ->
       s"WITH $simhashShSql SELECT simhash, count(1) AS n_docs, min(doc_id) AS min_doc FROM sh GROUP BY 1 ORDER BY simhash",
-    "dedup_simhash_pairs" ->
-      (s"WITH $simhashShSql, ds AS (SELECT simhash AS sig, min(doc_id) AS min_doc FROM sh GROUP BY 1), " +
-      s"bd AS (SELECT sig, min_doc, g.band, (sig >> (g.band * 4)) & 15 AS bval FROM ds, (SELECT unnest(generate_series(0, ${TextOps.SimhashBands - 1})) AS band) g), " +
-      "p AS (SELECT DISTINCT a.min_doc AS doc_a, b.min_doc AS doc_b, a.sig AS sig_a, b.sig AS sig_b FROM bd a JOIN bd b ON a.band = b.band AND a.bval = b.bval AND a.sig < b.sig), " +
-      "hp AS (SELECT doc_a, doc_b, sig_a, sig_b, CAST(list_sum(list_transform(generate_series(0, 15), i -> CASE WHEN (xor(sig_a, sig_b) >> i) & 1 = 1 THEN 1 ELSE 0 END)) AS INT) AS hamming FROM p) " +
-      s"SELECT doc_a, doc_b, sig_a, sig_b, hamming FROM hp WHERE hamming <= ${TextOps.SimhashHammingK} ORDER BY doc_a, doc_b"),
+    "dedup_simhash_pairs" -> simhashPairsSql(simhashShChain(8, 16), bits = 16, bandBits = 4),
+    "dedup_simhash_wide" -> simhashPairsSql(simhashShChain(15, 60), bits = 60, bandBits = 15),
     "dedup_ngram" ->
       s"WITH $minhashCandSql, g AS (SELECT doc_id, list_distinct(list_transform($cg4, x -> ${hash60("x")})) AS cg FROM documents), j AS (SELECT doc_a, doc_b, round(CAST(len(list_intersect(ga.cg, gb.cg)) AS DOUBLE) / len(list_distinct(list_concat(ga.cg, gb.cg))), 6) AS jaccard FROM c JOIN g ga ON c.doc_a = ga.doc_id JOIN g gb ON c.doc_b = gb.doc_id) SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= ${TextOps.NgramTau} ORDER BY doc_a, doc_b",
     "dedup_embed" ->

@@ -538,13 +538,38 @@ object TextOps {
     * and the distinct-signature reduction is what keeps the join from ever
     * seeing corpus-scale row counts either way.
     */
-  def dedupSimhashPairs(s: SparkSession, dir: String): DataFrame = {
-    val sigs = Tables.documents(s, dir)
-      .select(col("doc_id"), graft.plans.SimHash16.of(col("text")).as("sig"))
-      .groupBy("sig").agg(min("doc_id").as("min_doc"))
+  def dedupSimhashPairs(s: SparkSession, dir: String): DataFrame =
+    simhashBandPairs(
+      Tables.documents(s, dir)
+        .select(col("doc_id"), graft.plans.SimHash16.of(col("text")).as("sig")),
+      bandBits = 4)
+
+  /** Wide-signature variant of the pairing for corpus scale: the 16-bit
+    * space saturates at 65 536 distinct signatures (on a large corpus every
+    * bucket is occupied and the Hamming graph over distinct signatures goes
+    * dense), so `dedup_simhash_wide` runs the SAME band-rotation shape over
+    * a 60-bit SimHash (4 bands × 15 bits; 60 = the widest md5-prefix value
+    * that stays a signed-positive BIGINT in both engines). Band buckets
+    * have 2^15 values and the distinct-signature space is 2^60 — neither
+    * saturates at any realistic corpus size.
+    */
+  def dedupSimhashWide(s: SparkSession, dir: String): DataFrame =
+    simhashBandPairs(
+      Tables.documents(s, dir)
+        .select(col("doc_id"), graft.plans.SimHash60.of(col("text")).as("sig")),
+      bandBits = 15)
+
+  /** Shared band-rotation pairing over a (doc_id, sig) frame: reduce to
+    * DISTINCT signatures (min doc_id as representative), explode
+    * `SimhashBands` bands of `bandBits` bits, equi-join on any-band
+    * equality, verify exact Hamming ≤ k.
+    */
+  private def simhashBandPairs(sigDf: DataFrame, bandBits: Int): DataFrame = {
+    val mask = (1L << bandBits) - 1
+    val sigs = sigDf.groupBy("sig").agg(min("doc_id").as("min_doc"))
     val bands = sigs.select(col("sig"), col("min_doc"),
         posexplode(array((0 until SimhashBands).map(b =>
-          shiftright(col("sig"), b * 4).bitwiseAND(lit(15L))): _*)))
+          shiftright(col("sig"), b * bandBits).bitwiseAND(lit(mask))): _*)))
       .select(col("sig"), col("min_doc"), col("pos").as("band"), col("col").as("bval"))
     bands.as("a")
       .join(bands.as("b"),
@@ -571,6 +596,29 @@ object TextOps {
       zip_with(weights, sequence(lit(0), lit(bits - 1)),
         (w, i) => when(w > 0, pow(lit(2.0), i)).otherwise(lit(0.0))),
       lit(0.0), (a, x) => a + x).cast("long")
+  }
+
+  /** Reference HOF 60-bit SimHash column (parity-test oracle for SimHash60).
+    * All arithmetic stays in LONG: bit i of the 60-bit token hash is read
+    * with pmod(h, 2^(i+1)) ≥ 2^i (casting h to double would lose bits above
+    * 2^53), and the signature accumulates long powers of two — `pow(2, i)`
+    * is exact in double for any i and the cast to long is exact.
+    */
+  private[graft] def simhash60Hof(text: Column): Column = {
+    val bits = 60
+    def hv(t: Column): Column = conv(substring(md5s(t), 1, 15), 16, 10).cast("long")
+    def bitVec(h: Column): Column = transform(sequence(lit(0), lit(bits - 1)),
+      i => {
+        val p = pow(lit(2.0), i).cast("long")
+        when(pmod(h, p * 2) >= p, lit(1)).otherwise(lit(-1))
+      })
+    val weights = aggregate(array_distinct(words(text)),
+      array_repeat(lit(0), bits),
+      (acc, t) => zip_with(acc, bitVec(hv(t)), (a, b) => a + b))
+    aggregate(
+      zip_with(weights, sequence(lit(0), lit(bits - 1)),
+        (w, i) => when(w > 0, pow(lit(2.0), i).cast("long")).otherwise(lit(0L))),
+      lit(0L), (a, x) => a + x)
   }
 
   /** K2c `dedup_ngram`: character-4-gram Jaccard near-dup detection.

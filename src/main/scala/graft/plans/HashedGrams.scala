@@ -328,6 +328,75 @@ object SimHash16 {
     GraftSqlBridge.column(SimHash16(GraftSqlBridge.expression(text)))
 }
 
+/** Native 60-bit SimHash over the distinct whitespace-token set — the
+  * WIDE signature for corpus-scale Hamming dedup. 16 bits saturate at
+  * 65 536 distinct signatures (every bucket non-empty on a large corpus,
+  * so Hamming pairing over distinct signatures returns a dense graph); 60
+  * bits give a 2^60 signature space that never saturates while staying a
+  * signed-positive BIGINT both here and in DuckDB (the same 15-hex-char
+  * trick as the shingle hash — a 64-bit value would overflow DuckDB's
+  * signed CAST). Token bit i weights ±1 by bit i of the token's
+  * md5-derived 60-bit hash (first 15 hex chars). Integer additions
+  * commute exactly → bitwise-identical to the HOF fold (NativeVecSpec)
+  * and the DuckDB oracle.
+  */
+case class SimHash60(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string input, got ${child.dataType.simpleString}")
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash60"
+
+  override protected def nullSafeEval(input: Any): Any =
+    SimHash60.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.SimHash60.compute($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object SimHash60 {
+  private val Bits = 60
+
+  def compute(t: UTF8String): Long = {
+    val md = HashedGrams.md5Local.get()
+    val tokens = new java.util.LinkedHashSet[String]
+    t.toString.split(" ", -1).foreach(tokens.add)
+    val w = new Array[Int](Bits)
+    val it = tokens.iterator()
+    while (it.hasNext) {
+      md.reset()
+      val d = md.digest(it.next().getBytes(StandardCharsets.UTF_8))
+      // first 15 hex chars = bytes 0..6 + high nibble of byte 7, as one
+      // unsigned 60-bit integer (== conv(substr(md5, 1, 15), 16, 10))
+      var h = 0L
+      var j = 0
+      while (j < 7) { h = (h << 8) | (d(j) & 0xffL); j += 1 }
+      h = (h << 4) | ((d(7) & 0xffL) >>> 4)
+      var i = 0
+      while (i < Bits) {
+        w(i) += (if (((h >>> i) & 1L) == 1L) 1 else -1)
+        i += 1
+      }
+    }
+    var sig = 0L
+    var i = 0
+    while (i < Bits) {
+      if (w(i) > 0) sig |= 1L << i
+      i += 1
+    }
+    sig
+  }
+
+  def of(text: Column): Column =
+    GraftSqlBridge.column(SimHash60(GraftSqlBridge.expression(text)))
+}
+
 object BandSigs {
   private val P = 2147483647L
 

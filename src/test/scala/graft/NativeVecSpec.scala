@@ -154,6 +154,24 @@ class NativeVecSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getLong(0) == r.getLong(1), r.toString))
   }
 
+  test("SimHash60 == HOF 60-bit simhash bitwise, and sigs stay in [0, 2^60)") {
+    import spark.implicits._
+    import graft.operators.TextOps
+    val rnd = new scala.util.Random(37)
+    val texts = Seq("", "one", "a  b") ++
+      Seq.fill(80)(Seq.fill(rnd.nextInt(25) + 1)("t" + rnd.nextInt(50)).mkString(" "))
+    val rows = texts.toDF("text")
+      .select(graft.plans.SimHash60.of(col("text")).as("native"),
+        TextOps.simhash60Hof(col("text")).as("hof"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getLong(0) == r.getLong(1), r.toString)
+      assert(r.getLong(0) >= 0L && r.getLong(0) < (1L << 60), r.toString)
+    }
+    // wide sigs must actually exercise the high bits (past the 16-bit space)
+    assert(rows.exists(_.getLong(0) >= (1L << 16)))
+  }
+
   test("BandSigs == HOF band signatures bitwise (incl. null sig for 1-shingle docs)") {
     import spark.implicits._
     import graft.operators.TextOps

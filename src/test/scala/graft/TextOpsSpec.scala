@@ -54,6 +54,22 @@ class TextOpsSpec extends AnyFunSuite {
     assert(got == expected, s"got ${got.size} pairs, expected ${expected.size}")
   }
 
+  test("dedup_simhash_wide == brute-force distinct-60-bit-signature pairs within Hamming <= k") {
+    val sigs = Tables.documents(spark, sfDir)
+      .select(graft.plans.SimHash60.of(col("text")).as("sig"))
+      .distinct().collect().map(_.getLong(0)).sorted
+    val expected = (for {
+      i <- sigs.indices
+      j <- (i + 1) until sigs.length
+      h = java.lang.Long.bitCount(sigs(i) ^ sigs(j))
+      if h <= TextOps.SimhashHammingK
+    } yield (sigs(i), sigs(j), h)).toSet
+    val got = TextOps.dedupSimhashWide(spark, sfDir).collect()
+      .map(r => (r.getLong(r.fieldIndex("sig_a")), r.getLong(r.fieldIndex("sig_b")),
+        r.getInt(r.fieldIndex("hamming")))).toSet
+    assert(got == expected, s"got ${got.size} pairs, expected ${expected.size}")
+  }
+
   test("minhash r=2 banding keeps candidates within 2x of verified near-dups at sf0.1") {
     // executes the TextOps banding claim (candidates ≈ true near-dups) as an
     // assertion on the full sf0.1 corpus (round-2 VERDICT #8)
