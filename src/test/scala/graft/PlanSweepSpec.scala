@@ -31,5 +31,23 @@ class PlanSweepSpec extends AnyFunSuite {
         assert(!plan.contains("BroadcastNestedLoopJoin"),
           s"$name plan contains BroadcastNestedLoopJoin:\n$plan")
     }
+
+    // Third scale-killer class: a single-partition exchange carrying RAW
+    // ROWS — the global-window / global-sort-into-one-task trap. A
+    // SinglePartition exchange is legitimate exactly when its child is an
+    // aggregate (it then moves one partial-state row per task, bounded by
+    // parallelism, not data) or a LocalTableScan (driver-built constant
+    // frame). Anything else under it concentrates the corpus on one task.
+    test(s"$name single-partition exchanges carry only aggregate states") {
+      val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
+      val lines = plan.linesIterator.toVector
+      lines.zipWithIndex.foreach { case (line, i) =>
+        if (line.contains("Exchange SinglePartition")) {
+          val child = lines.drop(i + 1).find(_.trim.nonEmpty).getOrElse("")
+          assert(child.contains("Aggregate") || child.contains("LocalTableScan"),
+            s"$name: Exchange SinglePartition over non-aggregate child:\n$child\n$plan")
+        }
+      }
+    }
   }
 }
