@@ -451,7 +451,11 @@ object TextOps {
     * size); each training doc joins its exploded shingles against them, so
     * the only shuffle is the per-doc hit count, ∝ contaminated shingles —
     * near-zero on a clean corpus. Flag semantics: any 8-gram overlap marks
-    * the doc (the standard conservative rule).
+    * the doc (the standard conservative rule). The check is also STATELESS
+    * per row (n_hit = |hv ∩ evalGrams| with the benchmark set baked in),
+    * so an ingest pipeline can run it per micro-batch under Structured
+    * Streaming — StreamingParitySpec asserts stream flags == this batch
+    * audit.
     */
   def decontaminate(s: SparkSession, dir: String): DataFrame = {
     // one shingling pass feeds both branches (lineage-cut, cleaner-freed)

@@ -46,6 +46,45 @@ class StreamingParitySpec extends AnyFunSuite {
     assert(batch.nonEmpty)
   }
 
+  test("decontaminate is streamable at ingest: per-doc flags on a stream == batch audit") {
+    import graft.operators.TextOps
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = SparkTestSession.sfDir
+    // The benchmark gram set is fixed at ingest time → collect once and bake
+    // it into the (stateless!) per-row check: n_hit = |hv ∩ evalGrams|.
+    // array_intersect over the distinct hashed-shingle array counts exactly
+    // what the batch audit's explode→broadcast-join counts, so an ingest
+    // pipeline can flag contaminated docs per micro-batch with NO state.
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+    val evalGrams = docs
+      .filter(pmod(col("doc_id"), lit(TextOps.DecontamModulus)) === 0)
+      .select(explode(TextOps.hashedShingles(col("text"), TextOps.DecontamShingleN)).as("g"))
+      .distinct().collect().map(_.getLong(0)).toSeq
+    val evalLit = typedLit(evalGrams)
+
+    def flags(df: org.apache.spark.sql.DataFrame) = df
+      .filter(pmod(col("doc_id"), lit(TextOps.DecontamModulus)) =!= 0)
+      .select(col("doc_id"),
+        size(array_intersect(
+          TextOps.hashedShingles(col("text"), TextOps.DecontamShingleN), evalLit))
+          .cast("long").as("n_hit"))
+
+    val stream = MemoryStream[(Long, String)]
+    stream.addData(docs.as[(Long, String)].collect().toSeq: _*)
+    val q = flags(stream.toDF.toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("parity_decon").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("parity_decon")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    // batch oracle-checked operator gives the same per-doc hit counts
+    val batch = TextOps.decontaminate(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(r.fieldIndex("n_hit"))).toMap
+    assert(streamed == batch)
+    assert(batch.values.exists(_ > 0L) || batch.nonEmpty)
+  }
+
   test("file-source streaming: readStream over a growing parquet dir == batch (A-series/J1)") {
     import spark.implicits._
     val dir = "/tmp/graft_test_stream_src"
