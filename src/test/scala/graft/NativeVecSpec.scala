@@ -188,6 +188,38 @@ class NativeVecSpec extends AnyFunSuite {
     assert(rowsOf(TextOps.bandSignatures(hv)).nonEmpty)
   }
 
+  test("GraftExtensions registers the text kernels on the SQL path") {
+    import org.apache.spark.sql.SparkSession
+    val base = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .withExtensions(new graft.plans.GraftExtensions)
+        .getOrCreate()
+      import s2.implicits._
+      Seq(("a b c d a b", 0L)).toDF("text", "junk")
+        .createOrReplaceTempView("graft_textk_v")
+      val r = s2.sql(
+        """SELECT size(hashed_word_grams(text, 3)) AS nw,
+          |       size(hashed_char_grams(text, 4)) AS nc,
+          |       min_gram_md5(text, 3) AS mg,
+          |       top_gram_count(text, 2) AS tg,
+          |       simhash16(text) AS s16,
+          |       simhash60(text) AS s60,
+          |       size(band_sigs(hashed_word_grams(text, 3), 4)) AS nb
+          |FROM graft_textk_v""".stripMargin).collect().head
+      assert(r.getAs[Int]("nw") == 4)   // "a b c","b c d","c d a","d a b"
+      assert(r.getAs[Long]("tg") == 2L) // "a b" appears twice
+      assert(r.getAs[String]("mg").length == 32)
+      assert(r.getAs[Int]("nb") == 4)
+      assert(r.getAs[Long]("s16") >= 0L && r.getAs[Long]("s60") >= 0L)
+    } finally {
+      SparkSession.setDefaultSession(base)
+      SparkSession.setActiveSession(base)
+    }
+  }
+
   test("FloatVecDot appears codegen'd in the physical plan") {
     val df = Tables.embeddings(spark, sfDir)
       .select(Vec.dotF(col("embedding"), col("embedding")).as("d"))
