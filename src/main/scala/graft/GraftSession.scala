@@ -6,8 +6,10 @@ import org.apache.spark.sql.SparkSession
   * engine expects, for users embedding graft in their own application
   * (the driver-contract mains Verify/Bench configure themselves).
   *
-  *  - `graft.plans.GraftExtensions` injected → `vec_dot` / `vec_sq_dist`
-  *    available on the SQL path;
+  *  - `graft.plans.GraftExtensions` injected → every native kernel
+  *    (`vec_dot`, `vec_sq_dist`, `hashed_word_grams`, `hashed_char_grams`,
+  *    `min_gram_md5`, `top_gram_count`, `band_sigs`, `simhash16`,
+  *    `simhash60`) available on the SQL path;
   *  - nanosecond-parquet handling for the events table (see Tables.events);
   *  - UTC session timezone — date/timestamp semantics independent of the
   *    submitting machine (and of where each executor runs);
