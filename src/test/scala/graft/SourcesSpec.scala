@@ -36,6 +36,33 @@ class SourcesSpec extends AnyFunSuite {
     assert(json.collect().toSeq == parquetDocs.collect().toSeq)
   }
 
+  test("ORC source with explicit schema yields the same rows as parquet") {
+    val dir = "/tmp/graft_test_orc_docs"
+    parquetDocs.write.mode("overwrite").orc(dir)
+    val orc = spark.read.schema(docSchema).orc(dir).orderBy("doc_id")
+    assert(orc.collect().toSeq == parquetDocs.collect().toSeq)
+  }
+
+  test("delimited text source parsed with Catalyst expressions (the reference's A1 .dat path)") {
+    // The reference's wikipedia loader reads a raw text file and splits each
+    // line into (title, text) imperatively; the Spark-native form is
+    // spark.read.text + expression-level parsing — stays in codegen, no UDF.
+    import org.apache.spark.sql.functions._
+    val dir = "/tmp/graft_test_dat_docs"
+    parquetDocs
+      .select(concat_ws("", col("doc_id"), col("lang"), col("text")).as("value"))
+      .write.mode("overwrite").text(dir)
+    val parsed = spark.read.text(dir)
+      .select(split(col("value"), "").as("f"))
+      .select(
+        element_at(col("f"), 1).cast(LongType).as("doc_id"),
+        element_at(col("f"), 2).as("lang"),
+        element_at(col("f"), 3).as("text"))
+      .orderBy("doc_id")
+    val expect = parquetDocs.select("doc_id", "lang", "text")
+    assert(parsed.collect().toSeq == expect.collect().toSeq)
+  }
+
   test("parquet sink round-trips every type the engine emits (A4)") {
     import org.apache.spark.sql.functions._
     val out = "/tmp/graft_test_sink"
