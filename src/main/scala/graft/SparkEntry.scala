@@ -148,25 +148,22 @@ object SparkEntry {
       "s2 AS (SELECT doc_id, band, m[1] * 2147483648 + m[2] AS sig FROM sm), " +
       "c AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM s2 a JOIN s2 b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id)"
 
-  /** Fixed-iteration min-label propagation over the near-dup pair graph —
-    * the SAME iterations as TextOps.dedupCluster, so both engines reach the
-    * same labels even before the fixed point.
+  /** Connected-component min labels over the near-dup pair graph as a
+    * RECURSIVE reachability fixpoint — the converged semantics
+    * TextOps.clusterLabels now iterates to (round-3 VERDICT #2: the oracle
+    * previously ran 4 lockstep iterations, so a diameter>4 chain would have
+    * "agreed" on split components). Components are tiny near-dup cliques/
+    * chains, so the transitive closure stays bounded.
     */
   private def dedupClusterSql: String = {
     val jac = "round(CAST(len(list_intersect(wa.hv, wb.hv)) AS DOUBLE) / len(list_distinct(list_concat(wa.hv, wb.hv))), 6)"
-    val iters = (1 to TextOps.ClusterIters).map { k =>
-      s"l$k AS (SELECT d.doc_id, least(d.lbl, coalesce(min(n.lbl), d.lbl)) AS lbl " +
-        s"FROM l${k - 1} d LEFT JOIN e ON e.src = d.doc_id LEFT JOIN l${k - 1} n ON n.doc_id = e.dst " +
-        "GROUP BY d.doc_id, d.lbl)"
-    }.mkString(", ")
-    val last = s"l${TextOps.ClusterIters}"
-    s"WITH $minhashCandSql, " +
+    s"WITH RECURSIVE $minhashCandSql, " +
       s"j AS (SELECT doc_a, doc_b FROM c JOIN w wa ON c.doc_a = wa.doc_id JOIN w wb ON c.doc_b = wb.doc_id WHERE $jac >= ${TextOps.MinhashTau}), " +
       "e AS (SELECT doc_a AS src, doc_b AS dst FROM j UNION ALL SELECT doc_b AS src, doc_a AS dst FROM j), " +
-      "l0 AS (SELECT DISTINCT src AS doc_id, src AS lbl FROM e), " +
-      iters +
-      s", sz AS (SELECT lbl, count(1) AS cluster_size FROM $last GROUP BY 1) " +
-      s"SELECT doc_id, lbl AS canonical_id, cluster_size FROM $last JOIN sz USING (lbl) ORDER BY doc_id"
+      "reach(doc_id, r) AS (SELECT DISTINCT src, src FROM e UNION SELECT reach.doc_id, e.dst FROM reach JOIN e ON e.src = reach.r), " +
+      "lab AS (SELECT doc_id, min(r) AS lbl FROM reach GROUP BY 1), " +
+      "sz AS (SELECT lbl, count(1) AS cluster_size FROM lab GROUP BY 1) " +
+      "SELECT doc_id, lbl AS canonical_id, cluster_size FROM lab JOIN sz USING (lbl) ORDER BY doc_id"
   }
 
   /** Sequential-fold squared-norm of an embedding list (bitwise-matches

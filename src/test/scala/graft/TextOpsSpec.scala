@@ -207,6 +207,31 @@ class TextOpsSpec extends AnyFunSuite {
     assert(preds.subsetOf(langs), preds.mkString(","))
   }
 
+  test("clusterLabels converges on a duplicate chain of diameter 11 → ONE component") {
+    // Round-3 ran a FIXED 4 iterations, silently splitting any chain of
+    // diameter > 4 (round-3 VERDICT "What's wrong" #1). A 12-node path graph
+    // (diameter 11) must now collapse to a single component labelled by its
+    // minimum member.
+    import spark.implicits._
+    val chain = (1L to 11L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val labels = TextOps.clusterLabels(chain)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.keySet == (1L to 12L).toSet)
+    assert(labels.values.toSet == Set(1L), s"split components: $labels")
+  }
+
+  test("clusterLabels fixpoint on a forest: per-component minimum, no cross-talk") {
+    import spark.implicits._
+    // two chains (10..15, 20..23) and one isolated pair (30,31)
+    val pairs = ((10L to 14L).map(i => (i, i + 1)) ++
+      (20L to 22L).map(i => (i, i + 1)) :+ ((30L, 31L))).toDF("doc_a", "doc_b")
+    val labels = TextOps.clusterLabels(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((10L to 15L).forall(labels(_) == 10L))
+    assert((20L to 23L).forall(labels(_) == 20L))
+    assert(labels(30L) == 30L && labels(31L) == 30L)
+  }
+
   test("dedup_cluster labels equal driver-side union-find on the same pairs") {
     val pairs = TextOps.dedupMinhash(spark, sfDir)
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
