@@ -90,6 +90,7 @@ object SparkEntry {
     "dedup_ngram" -> (TextOps.dedupNgram _),
     "dedup_embed" -> (VectorOps.dedupEmbed _),
     "dedup_cluster" -> (TextOps.dedupCluster _),
+    "dedup_pipeline" -> (TextOps.dedupPipeline _),
     "text_normalize" -> (TextOps.textNormalize _),
     "text_pii" -> (TextOps.textPii _),
     "text_ngrams" -> (TextOps.textNgrams _),
@@ -140,13 +141,15 @@ object SparkEntry {
 
   /** Shared MinHash-LSH candidate CTE chain (mirror of TextOps.bandSignatures:
     * r=2 — band signature packs the two smallest permuted hashes): defines
-    * `w(doc_id, hv)` and `c(doc_a, doc_b)`.
+    * `w(doc_id, hv)` and `c(doc_a, doc_b)` over any (doc_id, text) relation.
     */
-  private def minhashCandSql: String =
-    s"w AS (SELECT doc_id, list_distinct(list_transform($sh3, x -> ${hash60("x")})) AS hv FROM documents), " +
+  private def minhashCandSqlOver(rel: String): String =
+    s"w AS (SELECT doc_id, list_distinct(list_transform($sh3, x -> ${hash60("x")})) AS hv FROM $rel), " +
       s"sm AS (SELECT doc_id, b.band, list_sort(list_transform(hv, h -> ((2 * b.band + 1) * h + 12345 * b.band + 1) % ${TextOps.MinhashP})) AS m FROM w, (SELECT unnest(generate_series(0, ${TextOps.MinhashBands - 1})) AS band) b), " +
       "s2 AS (SELECT doc_id, band, m[1] * 2147483648 + m[2] AS sig FROM sm), " +
       "c AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM s2 a JOIN s2 b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id)"
+
+  private def minhashCandSql: String = minhashCandSqlOver("documents")
 
   /** Connected-component min labels over the near-dup pair graph as a
     * RECURSIVE reachability fixpoint — the converged semantics
@@ -164,6 +167,30 @@ object SparkEntry {
       "lab AS (SELECT doc_id, min(r) AS lbl FROM reach GROUP BY 1), " +
       "sz AS (SELECT lbl, count(1) AS cluster_size FROM lab GROUP BY 1) " +
       "SELECT doc_id, lbl AS canonical_id, cluster_size FROM lab JOIN sz USING (lbl) ORDER BY doc_id"
+  }
+
+  /** End-to-end dedup chain (mirror of TextOps.dedupPipeline): normalize →
+    * exact groups over normalized text → MinHash LSH + converged components
+    * over the exact representatives → per-doc verdict. The LSH chain
+    * (`w…c`) runs over `pdocs` (representatives with normalized text), not
+    * raw documents.
+    */
+  private def dedupPipelineSql: String = {
+    val jac = "round(CAST(len(list_intersect(wa.hv, wb.hv)) AS DOUBLE) / len(list_distinct(list_concat(wa.hv, wb.hv))), 6)"
+    s"WITH RECURSIVE " +
+      "pn AS (SELECT doc_id, regexp_replace(trim(lower(text)), ' +', ' ', 'g') AS norm_text FROM documents), " +
+      "pg AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY norm_text) AS exact_rep, norm_text FROM pn), " +
+      "pdocs AS (SELECT doc_id, norm_text AS text FROM pg WHERE doc_id = exact_rep), " +
+      s"${minhashCandSqlOver("pdocs")}, " +
+      s"j AS (SELECT doc_a, doc_b FROM c JOIN w wa ON c.doc_a = wa.doc_id JOIN w wb ON c.doc_b = wb.doc_id WHERE $jac >= ${TextOps.MinhashTau}), " +
+      "e AS (SELECT doc_a AS src, doc_b AS dst FROM j UNION ALL SELECT doc_b AS src, doc_a AS dst FROM j), " +
+      "reach(doc_id, r) AS (SELECT DISTINCT src, src FROM e UNION SELECT reach.doc_id, e.dst FROM reach JOIN e ON e.src = reach.r), " +
+      "lab AS (SELECT doc_id, min(r) AS lbl FROM reach GROUP BY 1), " +
+      "fin AS (SELECT pg.doc_id, pg.exact_rep, coalesce(lab.lbl, pg.exact_rep) AS canonical_id FROM pg LEFT JOIN lab ON lab.doc_id = pg.exact_rep) " +
+      "SELECT doc_id, canonical_id, " +
+      "CASE WHEN doc_id = canonical_id THEN 'keep' ELSE 'drop' END AS verdict, " +
+      "CASE WHEN doc_id = canonical_id THEN NULL WHEN doc_id <> exact_rep THEN 'exact_dup' ELSE 'near_dup' END AS reason " +
+      "FROM fin ORDER BY doc_id"
   }
 
   /** Sequential-fold squared-norm of an embedding list (bitwise-matches
@@ -353,6 +380,7 @@ object SparkEntry {
     "vec_norm" ->
       s"SELECT vec_id, label, CAST(len(embedding) AS INT) AS dim, sqrt(${sqNorm("embedding")}) AS l2_norm, list_sum(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS l1_norm FROM embeddings ORDER BY vec_id",
     "dedup_cluster" -> dedupClusterSql,
+    "dedup_pipeline" -> dedupPipelineSql,
     "text_normalize" ->
       "SELECT doc_id, regexp_replace(trim(lower(text)), ' +', ' ', 'g') AS norm_text, sha256(regexp_replace(trim(lower(text)), ' +', ' ', 'g')) AS norm_hash FROM documents ORDER BY doc_id",
     "sample_stratified" ->

@@ -407,6 +407,55 @@ object TextOps {
       .oracleSorted("doc_id")
   }
 
+  /** `dedup_pipeline`: the END-TO-END dedup chain a training-data pipeline
+    * actually runs, composed from the stages that are each green in
+    * isolation (round-3 VERDICT "What's missing" #3):
+    *
+    *   normalize → exact-dedup (per normalized content, keep min doc_id)
+    *             → MinHash LSH near-dup pairs over the exact REPRESENTATIVES
+    *             → connected components to convergence
+    *             → per-doc keep/drop verdict + canonical_id + reason.
+    *
+    * Composition notes (the part isolation doesn't test):
+    *  - the LSH runs over exact representatives with NORMALIZED text, so
+    *    the near-dup stage never re-scores byte-identical copies — at
+    *    corpus scale that is most of the duplicate mass;
+    *  - `staged` (per-doc exact_rep) is lineage-cut once and feeds both the
+    *    representative set and the final verdict join, and the pair list is
+    *    checkpointed before the iteration loop — the composed plan stays
+    *    linear in stages (no exponential re-analysis; PlanSweep plans it);
+    *  - every shuffle is by a key (norm_hash, band sig, doc_id) — the
+    *    chain inherits each stage's 100 TB shape unchanged.
+    *
+    * Verdict semantics: a doc is kept iff it is its cluster's canonical
+    * (minimum doc_id through both stages); dropped docs carry reason
+    * `exact_dup` (byte-identical after normalization to an earlier doc) or
+    * `near_dup` (its exact representative clustered under an earlier one).
+    */
+  def dedupPipeline(s: SparkSession, dir: String): DataFrame = {
+    val norm = regexp_replace(trim(lower(col("text"))), " +", " ")
+    val staged = Tables.documents(s, dir)
+      .select(col("doc_id"), norm.as("norm_text"))
+      .withColumn("exact_rep", min("doc_id").over(
+        Window.partitionBy(sha2(col("norm_text").cast("binary"), 256))))
+      .localCheckpoint(false) // one materialization feeds reps + verdict join
+    val reps = staged.filter(col("doc_id") === col("exact_rep"))
+      .select(col("doc_id"), col("norm_text").as("text"))
+    val pairs = minhashPairs(reps).select("doc_a", "doc_b").localCheckpoint()
+    val labels = clusterLabels(pairs) // (rep doc_id, converged component min)
+    staged
+      .join(labels.select(col("doc_id").as("exact_rep"), col("lbl")),
+        Seq("exact_rep"), "left")
+      .select(col("doc_id"), col("exact_rep"),
+        coalesce(col("lbl"), col("exact_rep")).as("canonical_id"))
+      .select(col("doc_id"), col("canonical_id"),
+        when(col("doc_id") === col("canonical_id"), "keep").otherwise("drop").as("verdict"),
+        when(col("doc_id") === col("canonical_id"), lit(null).cast("string"))
+          .when(col("doc_id") =!= col("exact_rep"), "exact_dup")
+          .otherwise("near_dup").as("reason"))
+      .oracleSorted("doc_id")
+  }
+
   /** PII patterns, written WITHOUT backslash escapes so the same literal is
     * valid in Java regex (Spark) and RE2 (DuckDB) and survives both SQL
     * string parsers: `[.]` instead of `\.`, no `\b`/`\d` classes.

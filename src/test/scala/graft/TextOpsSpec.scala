@@ -232,6 +232,26 @@ class TextOpsSpec extends AnyFunSuite {
     assert(labels(30L) == 30L && labels(31L) == 30L)
   }
 
+  test("dedup_pipeline: exact dups drop as exact_dup, near dups as near_dup, clean docs keep") {
+    import spark.implicits._
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val nearDup = ((1 to 38).map(i => s"tok$i") ++ Seq("other1", "other2")).mkString(" ")
+    val docs = Seq(
+      (1L, base),
+      (2L, "  " + base.toUpperCase + "  "), // exact dup after normalization
+      (3L, nearDup),                        // near dup of doc 1's representative
+      (4L, (100 to 140).map(i => s"tok$i").mkString(" "))) // clean
+      .toDF("doc_id", "text")
+    docs.write.mode("overwrite").parquet("/tmp/graft_test_pipe/documents.parquet")
+    val got = TextOps.dedupPipeline(spark, "/tmp/graft_test_pipe")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getString(2), Option(r.getString(3)))).toMap
+    assert(got(1L) == ((1L, "keep", None)))
+    assert(got(2L) == ((1L, "drop", Some("exact_dup"))))
+    assert(got(3L) == ((1L, "drop", Some("near_dup"))))
+    assert(got(4L) == ((4L, "keep", None)))
+  }
+
   test("dedup_cluster labels equal driver-side union-find on the same pairs") {
     val pairs = TextOps.dedupMinhash(spark, sfDir)
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
