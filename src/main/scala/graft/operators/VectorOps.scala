@@ -293,6 +293,38 @@ object VectorOps {
       .groupBy("c_label")
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("comp")))),
         x => x.getField("comp")).as("cvec"))
+    simIvfWith(emb, cent)
+  }
+
+  /** The DEPLOYMENT form of IVF (SURVEY §2.K3c): coarse centroids LEARNED by
+    * the k-means loop instead of label means — the shape a user runs on an
+    * unlabeled corpus, where label-mean centroids don't exist. Downstream of
+    * the centroid source everything is `simIvfWith`, identical to `sim_ivf`.
+    * Not oracle-checkable (the k-means loop is iterative/driver-coordinated,
+    * per SURVEY contract); VectorOpsSpec asserts exact-recall parity with
+    * brute force on separable data.
+    */
+  def simIvfKmeans(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label"), col("embedding")).cache()
+    try {
+      val centers = kmeansCenters(emb, iterations = 5)
+      val cent = centers.zipWithIndex
+        .map { case (c, cid) => (cid, c) }.toSeq
+        .toDF("c_label", "cvec")
+      simIvfWith(emb, cent)
+        // materialize before the cache is released below — the frame is
+        // AnnTopK × QuerySetSize rows, driver-tiny
+        .localCheckpoint()
+    } finally emb.unpersist()
+  }
+
+  /** IVF search over ANY (c_label, cvec: array<double>) centroid frame —
+    * assignment + probing + scoring, shared by the oracle-checked `sim_ivf`
+    * (label-mean centroids) and the kmeans-learned deployment form.
+    */
+  private[graft] def simIvfWith(emb: DataFrame, cent: DataFrame): DataFrame = {
     // One row holding all k centroids → broadcast, no shuffle to assign.
     // Lineage cut + materialized once (`localCheckpoint(false)`, not
     // `cache`): both the corpus-assignment branch and the query-probe branch
@@ -451,8 +483,34 @@ object VectorOps {
       .oracleSorted("vec_id")
   }
 
+  /** I2/I3: the k-means center loop — init from first-vector-per-label,
+    * then `iterations` driver-coordinated passes (each: shuffle-free argmin
+    * assignment + partial-aggregated per-dimension means; only k×dim
+    * (sum, count) rows reach the driver per pass). Callers cache `emb`
+    * across the loop. Shared by `kmeans_clusters` (report) and
+    * `simIvfKmeans` (learned IVF centroids).
+    */
+  private[graft] def kmeansCenters(emb: DataFrame, iterations: Int): Array[Seq[Double]] = {
+    var centers = initCenters(emb)
+    for (_ <- 1 to iterations) {
+      val sums = assignedTo(emb, centers)
+        .select(col("cid"), posexplode(col("embedding")))
+        .groupBy("cid", "pos")
+        .agg(sum(col("col").cast("double")).as("sv"), count(lit(1)).as("n"))
+        .collect()
+      val byCluster = sums.groupBy(_.getInt(0))
+      centers = centers.zipWithIndex.map { case (old, cid) =>
+        byCluster.get(cid) match {
+          case Some(rows) =>
+            rows.sortBy(_.getInt(1)).map(r => r.getDouble(2) / r.getLong(3)).toSeq
+          case None => old // empty cluster keeps its center
+        }
+      }
+    }
+    centers
+  }
+
   def kmeansClusters(s: SparkSession, dir: String): DataFrame = {
-    val iterations = 5
     // A5: cached across the iteration loop; the cache is dropped before
     // returning (round-2 VERDICT #5 — no cached frame outlives its query
     // invocation), which is safe because every consumer either collects
@@ -460,24 +518,7 @@ object VectorOps {
     val emb = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("label"), col("embedding")).cache()
     try {
-      var centers = initCenters(emb)
-
-      // I2/I3: fixed-iteration driver loop; each pass = one Spark job chain.
-      for (_ <- 1 to iterations) {
-        val sums = assignedTo(emb, centers)
-          .select(col("cid"), posexplode(col("embedding")))
-          .groupBy("cid", "pos")
-          .agg(sum(col("col").cast("double")).as("sv"), count(lit(1)).as("n"))
-          .collect()
-        val byCluster = sums.groupBy(_.getInt(0))
-        centers = centers.zipWithIndex.map { case (old, cid) =>
-          byCluster.get(cid) match {
-            case Some(rows) =>
-              rows.sortBy(_.getInt(1)).map(r => r.getDouble(2) / r.getLong(3)).toSeq
-            case None => old // empty cluster keeps its center
-          }
-        }
-      }
+      val centers = kmeansCenters(emb, iterations = 5)
 
       // Final assignment, materialized eagerly with its lineage cut: the
       // report below reads it twice, and after the cut it no longer

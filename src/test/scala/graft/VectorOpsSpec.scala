@@ -101,6 +101,29 @@ class VectorOpsSpec extends AnyFunSuite {
     assert(ivf == brute, s"recall ${(ivf & brute).size.toDouble / brute.size}")
   }
 
+  test("sim_ivf over KMEANS-LEARNED centroids: full recall on separable data (§2.K3c deployment shape)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(19)
+    // Same blob construction as the label-mean IVF test — but here the
+    // centroids are LEARNED by the k-means loop (kmeansCenters), the shape a
+    // user runs on an unlabeled corpus. Converged centers sit at the blob
+    // means, so probing 2 of 3 lists must still recover the exact top-k.
+    val data = (0 until 90).map { i =>
+      val label = i % 3
+      val center = Array.fill(8)(0.0f).updated(label, 10.0f)
+      val v = center.map(c => c + (rnd.nextFloat() - 0.5f))
+      (i.toLong, v.toSeq, label)
+    }
+    val dir = "/tmp/graft_test_ivf_km"
+    data.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val ivf = VectorOps.simIvfKmeans(spark, dir)
+      .select("q_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = VectorOps.simTopk(spark, dir).filter(col("rn") <= VectorOps.AnnTopK)
+      .select("q_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ivf == brute, s"recall ${(ivf & brute).size.toDouble / brute.size}")
+  }
+
   test("kmeans converges to pure clusters on a separable dataset (I1-I4)") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
