@@ -417,8 +417,14 @@ object SparkEntry {
       s"SELECT doc_id, lang, label, n_chars, CAST(octet_length(encode(text)) AS INT) AS n_bytes, md5(text) AS content_md5, sqrt(${sqNorm("embedding")}) AS l2_norm FROM documents JOIN embeddings ON doc_id = vec_id ORDER BY doc_id",
     "vec_scale" ->
       s"SELECT vec_id, label, CAST(label AS BIGINT) * 50000 AS feat_x, sqrt(${sqNorm("embedding")}) AS feat_y FROM embeddings ORDER BY vec_id",
+    // mirrors VectorOps.encodeBmp/decodeBmp: w = n%60+4, 4-byte-aligned
+    // 24bpp stride, height covers the content, pixel array = text + space
+    // padding, file = 54 header bytes + pixel array
     "multimodal_decode" ->
-      "SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS n_bytes, CAST(h % 640 + 1 AS INT) AS width, CAST((h // 640) % 480 + 1 AS INT) AS height, CAST(octet_length(encode(text)) // 256 + 1 AS INT) AS n_frames, md5(text) AS checksum FROM (SELECT doc_id, text, CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS h FROM documents) ORDER BY doc_id",
+      ("WITH mb AS (SELECT doc_id, text, octet_length(encode(text)) AS n, octet_length(encode(text)) % 60 + 4 AS w FROM documents), " +
+      "ms AS (SELECT doc_id, text, n, w, (w * 3 + 3) // 4 * 4 AS stride FROM mb), " +
+      "mh AS (SELECT doc_id, text, n, w, stride, (n + stride - 1) // stride AS h FROM ms) " +
+      "SELECT doc_id, CAST(54 + stride * h AS INT) AS n_bytes, CAST(w AS INT) AS width, CAST(h AS INT) AS height, 1 AS n_frames, md5(text || repeat(' ', stride * h - n)) AS checksum FROM mh ORDER BY doc_id"),
     "sim_topk" ->
       s"WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < ${VectorOps.QuerySetSize}), c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= ${VectorOps.QuerySetSize}), s AS (SELECT q_id, vec_id, ${dotSql("q_emb", "embedding")} / (sqrt(${sqNorm("q_emb")}) * sqrt(${sqNorm("embedding")})) AS cos FROM c CROSS JOIN q), r AS (SELECT q_id, vec_id, cos, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn FROM s) SELECT q_id, vec_id, cos, CAST(rn AS INT) AS rn FROM r WHERE rn <= ${VectorOps.TopK} ORDER BY q_id, rn",
     "sim_ivf" ->

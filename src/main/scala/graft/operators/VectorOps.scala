@@ -23,7 +23,10 @@ import org.apache.spark.sql.functions._
   *    one partial-aggregated per-dimension mean; only k × dim rows ever
   *    reach the driver per iteration.
   */
-/** Typed output schema of the (stubbed) multimodal decode stage. */
+/** Typed output schema of the multimodal decode stage: container size and
+  * dimensions parsed from real BMP header fields, frame count (1 — BMP is a
+  * still; the field is the video-format slot), md5 of the pixel array.
+  */
 case class MediaFeatures(doc_id: Long, n_bytes: Int, width: Int, height: Int,
                          n_frames: Int, checksum: String)
 
@@ -151,46 +154,98 @@ object VectorOps {
   }
 
   /** K4 `multimodal_decode`: the decode / feature-extract stage of a
-    * multimodal pipeline over opaque binary payloads, as a typed
-    * `mapPartitions` — the one operator class where per-row imperative code
-    * is the point (codec libraries are not expressible in Catalyst). The
-    * codec itself is STUBBED with a deterministic md5-derived fake (this
-    * environment ships no image/audio libs), but the Spark plumbing is
-    * real: binary column in, partition-batched iteration, case-class row
-    * out with an explicit schema — swap `fakeDecode` for a real codec and
-    * nothing else changes. Stub is md5-based so the DuckDB oracle can
-    * reproduce it (same bytes → same features in both engines).
+    * multimodal pipeline over opaque binary payloads, as typed
+    * `mapPartitions` stages — the one operator class where per-row
+    * imperative code is the point (codec libraries are not expressible in
+    * Catalyst). Round 3 stubbed the codec with an md5 fake; now the input
+    * path wraps each document's bytes in a REAL BMP container (`encodeBmp`:
+    * 14-byte file header + 40-byte BITMAPINFOHEADER + 4-byte-aligned 24bpp
+    * pixel array) and the decode stage parses the actual little-endian
+    * header fields — magic, bfSize, bfOffBits, biWidth, biHeight, biPlanes,
+    * biBitCount — rejecting malformed payloads (this environment ships no
+    * image libs, so the container is built here; a production ingest would
+    * read payload columns written upstream and only the encode stage
+    * disappears). Dimensions are deterministic functions of payload size,
+    * and the checksum covers the pixel array (content bytes + space
+    * padding), so the DuckDB oracle reproduces every field from `text`
+    * without parsing binary.
+    *
+    * Scale shape: two narrow per-row map stages, zero shuffle — the BMP
+    * bytes exist only inside the pipeline (never shuffled, never collected).
     */
   def multimodalDecode(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.documents(s, dir)
       .select(col("doc_id"), col("text").cast("binary").as("payload"))
       .as[(Long, Array[Byte])]
+      // ingest: wrap the raw content bytes in a real binary container
+      .mapPartitions(_.map { case (id, raw) => (id, encodeBmp(raw)) })
       .mapPartitions { it =>
         // one digest instance per partition, not per row
         val md = java.security.MessageDigest.getInstance("MD5")
-        it.map { case (id, bytes) => fakeDecode(md, id, bytes) }
+        it.map { case (id, bmp) => decodeBmp(md, id, bmp) }
       }
       .toDF()
       .oracleSorted("doc_id")
   }
 
-  /** Pseudo-dimensions derived from the payload's md5 — deterministic,
-    * engine-reproducible stand-in for a real `decode(bytes)`.
+  /** Wrap raw content bytes in a valid 24bpp BMP: width is a deterministic
+    * function of content size (so dimensions vary per doc), height covers
+    * the content at the 4-byte-aligned row stride, and the pixel array is
+    * the content right-padded with spaces to stride×height (spaces, so the
+    * oracle can rebuild the array as `text || repeat(' ', pad)`).
     */
-  private def fakeDecode(digest: java.security.MessageDigest, id: Long,
-                         bytes: Array[Byte]): MediaFeatures = {
+  private[graft] def encodeBmp(raw: Array[Byte]): Array[Byte] = {
+    import java.nio.{ByteBuffer, ByteOrder}
+    val n = raw.length
+    val w = n % 60 + 4
+    val stride = (w * 3 + 3) / 4 * 4
+    val h = (n + stride - 1) / stride
+    val pixelLen = stride * h
+    val b = ByteBuffer.allocate(54 + pixelLen).order(ByteOrder.LITTLE_ENDIAN)
+    b.put('B'.toByte).put('M'.toByte)
+    b.putInt(54 + pixelLen)                  // bfSize
+    b.putShort(0).putShort(0)                // bfReserved1/2
+    b.putInt(54)                             // bfOffBits
+    b.putInt(40)                             // biSize (BITMAPINFOHEADER)
+    b.putInt(w).putInt(h)                    // biWidth / biHeight
+    b.putShort(1).putShort(24)               // biPlanes / biBitCount
+    b.putInt(0)                              // biCompression = BI_RGB
+    b.putInt(pixelLen)                       // biSizeImage
+    b.putInt(2835).putInt(2835)              // 72 DPI
+    b.putInt(0).putInt(0)                    // biClrUsed / biClrImportant
+    b.put(raw)
+    var i = n
+    while (i < pixelLen) { b.put(' '.toByte); i += 1 }
+    b.array()
+  }
+
+  /** Parse the BMP headers (actual offsets, little-endian) and md5 the
+    * pixel array. Throws on anything that is not the 24bpp uncompressed
+    * layout — a decoder that silently passes garbage hides corrupt
+    * payloads from the pipeline.
+    */
+  private[graft] def decodeBmp(digest: java.security.MessageDigest, id: Long,
+                               bytes: Array[Byte]): MediaFeatures = {
+    import java.nio.{ByteBuffer, ByteOrder}
+    require(bytes.length >= 54 && bytes(0) == 'B'.toByte && bytes(1) == 'M'.toByte,
+      s"doc $id: payload is not a BMP (${bytes.length} bytes)")
+    val b = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    val fileSize = b.getInt(2)
+    val dataOff = b.getInt(10)
+    val hdrSize = b.getInt(14)
+    val width = b.getInt(18)
+    val height = b.getInt(22)
+    val planes = b.getShort(26)
+    val bpp = b.getShort(28)
+    require(fileSize == bytes.length && hdrSize == 40 && planes == 1 &&
+      bpp == 24 && dataOff >= 54 && dataOff <= bytes.length,
+      s"doc $id: unsupported BMP layout (size=$fileSize/${bytes.length} hdr=$hdrSize " +
+        s"planes=$planes bpp=$bpp off=$dataOff)")
     digest.reset()
-    val md = digest.digest(bytes)
-    val hex = md.map("%02x".format(_)).mkString
-    val h = java.lang.Long.parseLong(hex.substring(0, 15), 16)
-    MediaFeatures(
-      doc_id = id,
-      n_bytes = bytes.length,
-      width = (h % 640L).toInt + 1,
-      height = ((h / 640L) % 480L).toInt + 1,
-      n_frames = bytes.length / 256 + 1,
-      checksum = hex)
+    digest.update(bytes, dataOff, bytes.length - dataOff)
+    val hex = digest.digest().map("%02x".format(_)).mkString
+    MediaFeatures(id, fileSize, width, height, n_frames = 1, checksum = hex)
   }
 
   /** K4 `multimodal_join`: documents ⋈ embeddings — one row carrying text

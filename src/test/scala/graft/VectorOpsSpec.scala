@@ -258,6 +258,38 @@ class VectorOpsSpec extends AnyFunSuite {
     assert(res.count(r => r.getDouble(r.fieldIndex("sq_dist")) == 0.0) >= k)
   }
 
+  test("encodeBmp produces a valid BMP that decodeBmp parses back field-for-field") {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    for (n <- Seq(1, 59, 60, 61, 200, 4096)) {
+      val raw = Array.tabulate(n)(i => ('a' + i % 26).toByte)
+      val bmp = VectorOps.encodeBmp(raw)
+      // real header bytes: magic + little-endian size/offset fields
+      assert(bmp(0) == 'B'.toByte && bmp(1) == 'M'.toByte)
+      val feats = VectorOps.decodeBmp(md, 7L, bmp)
+      val w = n % 60 + 4
+      val stride = (w * 3 + 3) / 4 * 4
+      val h = (n + stride - 1) / stride
+      assert(feats.width == w && feats.height == h, s"n=$n: $feats")
+      assert(feats.n_bytes == 54 + stride * h && feats.n_bytes == bmp.length)
+      // checksum covers pixel array = content + space padding
+      md.reset()
+      val pixels = raw ++ Array.fill(stride * h - n)(' '.toByte)
+      val want = md.digest(pixels).map("%02x".format(_)).mkString
+      assert(feats.checksum == want)
+    }
+  }
+
+  test("decodeBmp rejects non-BMP and truncated payloads") {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    intercept[IllegalArgumentException] {
+      VectorOps.decodeBmp(md, 1L, "not a bitmap at all".getBytes)
+    }
+    val valid = VectorOps.encodeBmp(Array.fill(100)('x'.toByte))
+    intercept[IllegalArgumentException] { // header claims more bytes than present
+      VectorOps.decodeBmp(md, 2L, valid.take(valid.length - 4))
+    }
+  }
+
   test("multimodal_join carries binary payload features consistent with text") {
     val r = VectorOps.multimodalJoin(spark, sfDir)
       .select("n_chars", "n_bytes").limit(20).collect()
