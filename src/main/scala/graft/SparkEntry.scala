@@ -22,6 +22,7 @@ object SparkEntry {
     // §2.A scans
     "scan_documents" -> (Relational.scanDocuments _),
     "scan_schema" -> (Relational.scanSchema _),
+    "scan_csv" -> (Relational.scanCsv _),
     // §2.B filters / projections
     "filter_eq" -> (Relational.filterEq _),
     "filter_range" -> (Relational.filterRange _),
@@ -263,6 +264,9 @@ object SparkEntry {
       "SELECT doc_id, text, lang, source, n_chars FROM documents ORDER BY doc_id",
     "scan_schema" ->
       "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem ORDER BY l_orderkey, l_linenumber",
+    "scan_csv" ->
+      (s"SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice FROM read_csv('${Relational.CsvStageDir}/part/*.csv', header=true, " +
+      "columns={'p_partkey':'BIGINT','p_name':'VARCHAR','p_brand':'VARCHAR','p_type':'VARCHAR','p_size':'INTEGER','p_retailprice':'DOUBLE'}) ORDER BY p_partkey"),
     "filter_eq" ->
       "SELECT event_id, user_id, value FROM events WHERE event_type = 'purchase' ORDER BY event_id",
     "filter_range" ->

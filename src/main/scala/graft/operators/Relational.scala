@@ -52,6 +52,55 @@ object Relational {
       .select("l_orderkey", "l_linenumber", "l_quantity")
       .oracleSorted("l_orderkey", "l_linenumber")
 
+  /** Expected part-table schema for the CSV scan (explicit, no inference). */
+  val partCsvSchema: StructType = StructType(Seq(
+    StructField("p_partkey", LongType),
+    StructField("p_name", StringType),
+    StructField("p_brand", StringType),
+    StructField("p_type", StringType),
+    StructField("p_size", IntegerType),
+    StructField("p_retailprice", DoubleType),
+  ))
+
+  /** Fixed staging path of the CSV mirror `scan_csv` reads — fixed because
+    * the DuckDB oracle (a static SQL string) must `read_csv` the same
+    * files. A marker records which sfDir the mirror was staged from.
+    */
+  val CsvStageDir = "/tmp/graft_scan_csv"
+
+  /** Stage the part table as CSV once per sfDir (the driver testdata ships
+    * parquet only, so the CSV input is materialized here; the staging is
+    * fixture plumbing, not the measured capability). Re-staged only when
+    * the marker's sfDir changes, so bench passes pay the write once.
+    */
+  private def stageCsv(s: SparkSession, dir: String): Unit = synchronized {
+    import java.nio.file.{Files, Paths}
+    val marker = Paths.get(CsvStageDir, "_GRAFT_SRC")
+    val current = if (Files.exists(marker)) Files.readString(marker) else ""
+    if (current != dir) {
+      Tables.part(s, dir).coalesce(1)
+        .write.mode("overwrite").option("header", "true").csv(s"$CsvStageDir/part")
+      Files.createDirectories(Paths.get(CsvStageDir))
+      Files.writeString(marker, dir)
+    }
+  }
+
+  /** A2 `scan_csv`: CSV scan with explicit programmatic schema — the
+    * reference's delimited-text ingestion path as a first-class registered
+    * query (round-3 VERDICT #5; the JSON/ORC/raw-text variants stay in
+    * SourcesSpec). No inference: at 100 TB schema inference would
+    * list-and-sample the whole dataset before the first byte of real work.
+    * The DuckDB oracle parses the SAME files with `read_csv` under the same
+    * explicit column types, so the hash match proves the PARSE (types,
+    * quoting, header handling), not just the row count.
+    */
+  def scanCsv(s: SparkSession, dir: String): DataFrame = {
+    stageCsv(s, dir)
+    s.read.schema(partCsvSchema).option("header", "true")
+      .csv(s"$CsvStageDir/part")
+      .oracleSorted("p_partkey")
+  }
+
   /** B2: equality filter [ref: stackoverflow/…/StackOverflow.scala#groupedPostings]. */
   def filterEq(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)

@@ -29,6 +29,14 @@ class SourcesSpec extends AnyFunSuite {
     assert(csv.collect().toSeq == parquetDocs.collect().toSeq)
   }
 
+  test("scan_csv: staged CSV mirror parses back to exactly the parquet part rows") {
+    val got = graft.operators.Relational.scanCsv(spark, sfDir).collect().toSeq
+    val want = Tables.part(spark, sfDir)
+      .select("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice")
+      .orderBy("p_partkey").collect().toSeq
+    assert(got == want)
+  }
+
   test("JSON lines source with explicit schema yields the same rows as parquet") {
     val dir = "/tmp/graft_test_json_docs"
     parquetDocs.write.mode("overwrite").json(dir)
