@@ -58,6 +58,7 @@ object SparkEntry {
     "join_semi" -> (Joins.joinSemi _),
     "join_outer" -> (Joins.joinOuter _),
     "join_asof" -> (Joins.joinAsof _),
+    "join_asof_salted" -> (Joins.joinAsofSalted _),
     "join_salted" -> (Joins.joinSalted _),
     "join_range" -> (Joins.joinRange _),
     // §2.E/F windows + top-k
@@ -324,6 +325,10 @@ object SparkEntry {
     "join_outer" ->
       "SELECT c_custkey, count(o_orderkey) AS n_orders, coalesce(CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE), 0.0) AS sum_total FROM customer LEFT JOIN orders ON c_custkey = o_custkey GROUP BY 1 ORDER BY 1",
     "join_asof" ->
+      "WITH o AS (SELECT o_custkey AS key, CAST(o_orderdate AS TIMESTAMP) AS t, max(o_orderkey) AS last_orderkey FROM orders GROUP BY 1, 2) SELECT e.event_id, e.user_id, CAST(e.ts AS TIMESTAMP) AS ts, o.t AS last_order_date, o.last_orderkey FROM events e ASOF LEFT JOIN o ON e.user_id = o.key AND CAST(e.ts AS TIMESTAMP) >= o.t ORDER BY e.event_id",
+    // identical semantics to join_asof — the salted plan must reproduce the
+    // same native ASOF JOIN result
+    "join_asof_salted" ->
       "WITH o AS (SELECT o_custkey AS key, CAST(o_orderdate AS TIMESTAMP) AS t, max(o_orderkey) AS last_orderkey FROM orders GROUP BY 1, 2) SELECT e.event_id, e.user_id, CAST(e.ts AS TIMESTAMP) AS ts, o.t AS last_order_date, o.last_orderkey FROM events e ASOF LEFT JOIN o ON e.user_id = o.key AND CAST(e.ts AS TIMESTAMP) >= o.t ORDER BY e.event_id",
     "join_salted" ->
       "SELECT o_orderstatus, count(1) AS n_lines, CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS gross FROM orders JOIN lineitem ON o_orderkey = l_orderkey GROUP BY 1 ORDER BY 1",

@@ -92,6 +92,81 @@ object Joins {
       .oracleSorted("event_id")
   }
 
+  /** Time-bin width of `join_asof_salted` (1 day in microseconds). The
+    * trade: smaller bins spread a hot key over more tasks but grow the
+    * per-key carry table (one summary row per active bin); a day keeps the
+    * carry table ∝ active days — thousands of rows per key at most — while
+    * bounding any window partition to one key-day of data.
+    */
+  val AsofBinMicros: Long = 86400L * 1000000L
+
+  /** C5′ `join_asof_salted`: skew-resistant as-of join. `join_asof`'s
+    * running-last window partitions by key alone, so ONE task sees every
+    * row of a hot key (and AQE cannot split a window partition — skew
+    * handling applies to joins only). This variant salts the window with a
+    * TIME BIN, the order-preserving analogue of `join_salted`'s key salt
+    * (a random salt would break the running-order semantics; binning by
+    * floor(t) keeps every window frame contiguous in time):
+    *
+    *  1. within-bin pass: the same running `last(_, ignoreNulls)` window,
+    *     but partitioned by (key, bin) — a hot key spreads over its active
+    *     bins, max task load = one key-day;
+    *  2. per-bin summary: groupBy (key, bin) → latest order in the bin
+    *     (partial-aggregated, no skew);
+    *  3. carry pass: running last over the SUMMARY rows per key — this
+    *     window is per-key again, but over #active-bins rows, not data
+    *     rows (bounded by days-in-range regardless of corpus size);
+    *  4. events resolve to coalesce(within-bin last, carried last from
+    *     prior bins).
+    *
+    * Result is provably identical to `join_asof` (bin boundaries respect
+    * the time order: t1 < t2 ⇒ bin1 ≤ bin2, and ties stay inside one bin
+    * where the original ordering applies) — the oracle runs the same
+    * native ASOF JOIN to prove it. JoinsWindowsSpec adds the hot-key law:
+    * parity under a planted hot key plus the bin-spread bound.
+    */
+  def joinAsofSalted(s: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(s, dir)
+      .groupBy(col("o_custkey").as("key"), col("o_orderdate").cast("timestamp").as("t"))
+      .agg(max("o_orderkey").as("last_orderkey"))
+      .select(col("key"), col("t"), lit(0).as("side"),
+        col("last_orderkey"), lit(null).cast("long").as("event_id"))
+    val ev = Tables.events(s, dir)
+      .select(col("user_id").as("key"), col("ts").as("t"), lit(1).as("side"),
+        lit(null).cast("long").as("last_orderkey"), col("event_id"))
+    val tagged = ord.unionByName(ev)
+      .withColumn("bin", expr(s"unix_micros(t) div $AsofBinMicros"))
+      // feeds the within-bin window AND the bin-summary aggregate
+      .localCheckpoint(false)
+
+    // (1) within-bin running last, partitioned by (key, bin)
+    val wBin = Window.partitionBy("key", "bin").orderBy("t", "side")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val within = tagged.select(col("event_id"), col("key"), col("bin"), col("t"), col("side"),
+      last(when(col("side") === 0, col("last_orderkey")), ignoreNulls = true)
+        .over(wBin).as("in_key"),
+      last(when(col("side") === 0, col("t")), ignoreNulls = true)
+        .over(wBin).as("in_date"))
+
+    // (2) latest order per (key, bin) — null for event-only bins
+    val summaries = tagged.groupBy("key", "bin")
+      .agg(max(when(col("side") === 0, struct(col("t"), col("last_orderkey"))))
+        .as("bin_last"))
+    // (3) carry from strictly earlier bins; window rows = active bins per key
+    val wCarry = Window.partitionBy("key").orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carries = summaries.select(col("key"), col("bin"),
+      last(col("bin_last"), ignoreNulls = true).over(wCarry).as("carry"))
+
+    // (4) resolve: within-bin hit wins, else the carried prior-bin order
+    within.filter(col("side") === 1)
+      .join(carries, Seq("key", "bin"))
+      .select(col("event_id"), col("key").as("user_id"), col("t").as("ts"),
+        coalesce(col("in_date"), col("carry.t")).as("last_order_date"),
+        coalesce(col("in_key"), col("carry.last_orderkey")).as("last_orderkey"))
+      .oracleSorted("event_id")
+  }
+
   /** C6 `join_salted`: explicit skew mitigation for a hot-key equi-join.
     * The first line of defense at scale is AQE's skew-join split; when a
     * single key is hot enough that even split shuffle blocks hammer one

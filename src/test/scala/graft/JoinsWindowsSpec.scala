@@ -26,6 +26,40 @@ class JoinsWindowsSpec extends AnyFunSuite {
     assert(anti + semi == all)
   }
 
+  test("join_asof_salted: parity with join_asof under a planted hot key + bin-spread law") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = "/tmp/graft_test_asof_skew"
+    val dayNs = 86400L * 1000000000L
+    val baseNs = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime * 1000000L
+    // hot user 1: 2000 events spread over 10 days; 10 cold users: 20 each.
+    // ts written as int64 nanos (the driver testdata's events encoding).
+    val hot = (0 until 2000).map(i => (i.toLong, 1L, baseNs + i * (10 * dayNs / 2000)))
+    val cold = (0 until 200).map(i => (10000L + i, 2L + i % 10, baseNs + i * (10 * dayNs / 200)))
+    (hot ++ cold).toDF("event_id", "user_id", "ts")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    // 5 orders per user on alternating days straddling the event range:
+    // pre-range orders exercise the carry path, in-range the within-bin path
+    val orders = for { u <- 1L to 11L; k <- 0 until 5 }
+      yield (u * 100 + k, u,
+        java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(k * 2 - 4)))
+    orders.toDF("o_orderkey", "o_custkey", "o_orderdate")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+
+    val salted = Joins.joinAsofSalted(spark, dir).collect().toSeq
+    val plain = Joins.joinAsof(spark, dir).collect().toSeq
+    assert(salted == plain, "salted as-of result diverges from the per-key window form")
+
+    // the law: join_asof's per-key window puts all 2000 hot rows on ONE
+    // task; the salted window partitions by (key, day-bin), so no task
+    // sees more than one key-day (~1/10 of the hot key here)
+    val maxBin = Tables.events(spark, dir)
+      .select(col("user_id"), expr(s"unix_micros(ts) div ${Joins.AsofBinMicros}").as("bin"))
+      .groupBy("user_id", "bin").count()
+      .agg(max("count")).head().getLong(0)
+    assert(maxBin <= 2000 / 8, s"hot key not spread: max (key,bin) load $maxBin")
+  }
+
   test("window_top1 picks the highest value per user with id tiebreak") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
