@@ -9,21 +9,34 @@ import java.nio.file.{Files, Paths}
   * `df.count()` would let Catalyst prune per-row projections, under-measuring
   * exactly the compute-heavy queries (round-1 VERDICT "What's wrong" #4).
   *
-  * Measurement protocol (round-3, replacing the per-query run-twice scheme):
-  * one untimed warm-up pass over the whole inventory (absorbs whole-stage
-  * codegen, JIT and IO warmup), then SPARK_GRAFT_BENCH_RUNS measured passes
-  * (default 3), INTERLEAVED — pass 1 runs q1..qN, then pass 2 runs q1..qN
-  * again, and so on. The recorded number per query is the MEDIAN across
-  * passes, with the max−min spread published alongside it. Rationale
-  * (round-2 VERDICT "What's wrong" #2): a transient machine stall during a
-  * single sequential pass poisons an alphabetically contiguous block of
-  * queries and is indistinguishable from a plan regression; with interleaved
-  * passes a stall lands on different queries each pass and the median rejects
-  * it, while a genuine regression shows up in every pass (small spread).
+  * Measurement protocol (round-3: interleaved median-of-N; round-4: made
+  * SELF-DIAGNOSING): one untimed warm-up pass over the whole inventory
+  * (absorbs whole-stage codegen, JIT and IO warmup), then
+  * SPARK_GRAFT_BENCH_RUNS measured passes (default 3), INTERLEAVED — pass 1
+  * runs q1..qN, then pass 2 runs q1..qN again, and so on. The recorded
+  * number per query is the MEDIAN across passes, with the max−min spread
+  * published alongside it. Rationale (round-2 VERDICT): a transient machine
+  * stall during a single sequential pass poisons an alphabetically
+  * contiguous block of queries and is indistinguishable from a plan
+  * regression; interleaving makes a stall land on different queries each
+  * pass so the median rejects it — UNLESS the stall spans multiple passes,
+  * which round 3 could not detect mechanically (round-3 VERDICT #1). Hence:
   *
-  * A query that throws is retired from later passes, reported under
-  * "failed", and EXCLUDED from the total (it previously recorded −1.0 s and
-  * deflated the sum — round-2 ADVICE).
+  *  - CONTENTION CANARY: a fixed trivial query (1k-row range sum, no IO)
+  *    is timed at the start of EVERY pass, warm-up included, and published
+  *    as `canary` in the JSON. A quiet run keeps the canary flat at
+  *    milliseconds; a poisoned pass shows up as an inflated canary entry,
+  *    so a bad run self-identifies without comparing artifacts by hand.
+  *  - PER-PASS TIMES: `pass_times` carries every query's individual pass
+  *    wall times, not just median+spread — a stall is then attributable to
+  *    the exact pass whose canary spiked.
+  *
+  * Failure handling (round-3 ADVICE #1): a failing query is RETRIED once in
+  * the same pass; if the retry also fails the query keeps any
+  * already-recorded pass timings (its median still enters the total, and it
+  * is reported under "flaky") and is skipped in later passes. Only a query
+  * with NO successful pass is excluded from the total and reported under
+  * "failed". SPARK_GRAFT_BENCH_RUNS < 1 is a usage error.
   *
   * The JSON line is printed to stdout AND written to a file
   * (SPARK_GRAFT_BENCH_OUT, default bench.json in the CWD) so the number
@@ -53,22 +66,40 @@ object Bench {
     // SPARK_GRAFT_ONLY=q1,q2 restricts the run (single-query iteration aid).
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    require(passes >= 1,
+      s"SPARK_GRAFT_BENCH_RUNS must be >= 1 measured pass, got $passes")
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
+
+    def timed(body: => Unit): Double = {
+      val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+    }
+    // fixed no-IO reference work: a machine stall inflates this, a plan
+    // regression in the inventory cannot
+    def canaryOnce(): Double =
+      timed(spark.range(1000).selectExpr("sum(id)").queryExecution.toRdd.count())
+
     val times = scala.collection.mutable.Map.empty[String, Vector[Double]]
-    val failed = scala.collection.mutable.LinkedHashSet.empty[String]
-    // Pass 0 is the warm-up: executed, not recorded.
-    for (pass <- 0 to passes; name <- names if !failed.contains(name)) {
-      try {
-        val t0 = System.nanoTime()
-        SparkEntry.queries(name)(spark, sfDir).queryExecution.toRdd.count()
-        val sec = (System.nanoTime() - t0) / 1e9
-        if (pass > 0) times(name) = times.getOrElse(name, Vector.empty) :+ sec
-      } catch {
-        case e: Throwable =>
-          failed += name
-          times.remove(name)
-          System.err.println(s"[bench] $name failed (pass $pass): ${e.getMessage}")
+    val retired = scala.collection.mutable.LinkedHashSet.empty[String]
+    val canaries = scala.collection.mutable.ArrayBuffer.empty[Double]
+    // Pass 0 is the warm-up: executed (canary included), queries unrecorded.
+    for (pass <- 0 to passes) {
+      canaries += canaryOnce()
+      for (name <- names if !retired.contains(name)) {
+        def runOnce(): Double =
+          timed(SparkEntry.queries(name)(spark, sfDir).queryExecution.toRdd.count())
+        try {
+          val sec = try runOnce() catch {
+            case e: Throwable => // transient? one retry inside the same pass
+              System.err.println(s"[bench] $name failed once (pass $pass), retrying: ${e.getMessage}")
+              runOnce()
+          }
+          if (pass > 0) times(name) = times.getOrElse(name, Vector.empty) :+ sec
+        } catch {
+          case e: Throwable =>
+            retired += name // keep any recorded passes; skip from now on
+            System.err.println(s"[bench] $name failed twice (pass $pass), retired: ${e.getMessage}")
+        }
       }
     }
     def median(v: Vector[Double]): Double = {
@@ -76,13 +107,20 @@ object Bench {
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
     def fmt(x: Double): String = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
-    val meds = names.filterNot(failed.contains).map(n => n -> median(times(n)))
-    val spreads = names.filterNot(failed.contains).map(n => n -> (times(n).max - times(n).min))
-    val qs = meds.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
-    val sp = spreads.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
-    val fl = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    def obj(kvs: Seq[(String, String)]): String =
+      kvs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val measured = names.filter(times.contains) // ≥1 successful measured pass
+    val failed = names.filterNot(times.contains)
+    val flaky = measured.filter(retired.contains)
+    val meds = measured.map(n => n -> median(times(n)))
+    val qs = obj(meds.map { case (k, v) => k -> fmt(v) })
+    val sp = obj(measured.map(n => n -> fmt(times(n).max - times(n).min)))
+    val pt = obj(measured.map(n =>
+      n -> times(n).map(fmt).mkString("[", ",", "]")))
+    val cn = canaries.map(fmt).mkString("[", ",", "]")
+    def arr(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = meds.map(_._2).sum
-    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"spread":$sp,"passes":$passes,"failed":$fl,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"spread":$sp,"pass_times":$pt,"canary":$cn,"passes":$passes,"failed":${arr(failed)},"flaky":${arr(flaky)},"sf":"$sfDir"}"""
     println(json)
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.json")
     Files.writeString(Paths.get(out), json + "\n")

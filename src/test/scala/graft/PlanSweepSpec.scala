@@ -1,5 +1,10 @@
 package graft
 
+import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
+import org.apache.spark.sql.execution.{InputAdapter, LocalTableScanExec, SparkPlan, WholeStageCodegenExec}
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanHelper, QueryStageExec}
+import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeExec}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Whole-inventory plan audit: EVERY query registered in `SparkEntry.queries`
@@ -16,10 +21,23 @@ import org.scalatest.funsuite.AnyFunSuite
   * documented scale story, and the allowlist below is the single place it is
   * granted.
   */
-class PlanSweepSpec extends AnyFunSuite {
+class PlanSweepSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
   import SparkTestSession.{spark, sfDir}
 
   private val bnljAllowed = Set("sim_topk")
+
+  /** Unwrap the execution-detail nodes that can sit between an exchange and
+    * its semantic child (round-3 ADVICE #3: the previous adjacent-plan-LINE
+    * check could mis-classify through WholeStageCodegen / AQE wrappers).
+    */
+  @annotation.tailrec
+  private def semanticChild(p: SparkPlan): SparkPlan = p match {
+    case w: WholeStageCodegenExec => semanticChild(w.child)
+    case i: InputAdapter          => semanticChild(i.child)
+    case q: QueryStageExec        => semanticChild(q.plan)
+    case r: ReusedExchangeExec    => semanticChild(r.child)
+    case other                    => other
+  }
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name plans without CartesianProduct" +
@@ -39,15 +57,18 @@ class PlanSweepSpec extends AnyFunSuite {
     // parallelism, not data) or a LocalTableScan (driver-built constant
     // frame). Anything else under it concentrates the corpus on one task.
     test(s"$name single-partition exchanges carry only aggregate states") {
-      val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
-      val lines = plan.linesIterator.toVector
-      lines.zipWithIndex.foreach { case (line, i) =>
-        if (line.contains("Exchange SinglePartition")) {
-          val child = lines.drop(i + 1).find(_.trim.nonEmpty).getOrElse("")
-          assert(child.contains("Aggregate") || child.contains("LocalTableScan"),
-            s"$name: Exchange SinglePartition over non-aggregate child:\n$child\n$plan")
-        }
+      // walk the SparkPlan tree (AQE-aware via AdaptiveSparkPlanHelper's
+      // collect) instead of matching adjacent plan-string lines
+      val plan = fn(spark, sfDir).queryExecution.executedPlan
+      val offenders = collect(plan) {
+        case e: ShuffleExchangeExec if e.outputPartitioning == SinglePartition =>
+          e -> semanticChild(e.child)
+      }.filterNot { case (_, c) =>
+        c.isInstanceOf[BaseAggregateExec] || c.isInstanceOf[LocalTableScanExec]
       }
+      assert(offenders.isEmpty,
+        s"$name: SinglePartition exchange over raw rows:\n" +
+          offenders.map { case (e, c) => s"child ${c.nodeName} of:\n$e" }.mkString("\n"))
     }
   }
 }
