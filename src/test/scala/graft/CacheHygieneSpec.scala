@@ -14,8 +14,8 @@ class CacheHygieneSpec extends AnyFunSuite {
   import SparkTestSession.{spark, sfDir}
 
   private val formerlyCaching =
-    Seq("dedup_minhash", "dedup_ngram", "dedup_cluster", "sim_ivf",
-      "kmeans_clusters", "decontaminate")
+    Seq("dedup_minhash", "dedup_ngram", "dedup_cluster", "dedup_pipeline",
+      "sim_ivf", "kmeans_clusters", "decontaminate", "join_asof_salted")
 
   formerlyCaching.foreach { name =>
     test(s"$name leaves the CacheManager empty after full materialization") {

@@ -60,6 +60,17 @@ class JoinsWindowsSpec extends AnyFunSuite {
     assert(maxBin <= 2000 / 8, s"hot key not spread: max (key,bin) load $maxBin")
   }
 
+  test("join_asof_salted plans its data-sized window over (key, bin), never key alone") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val plan = Joins.joinAsofSalted(spark, sfDir).queryExecution.optimizedPlan
+    val specs = plan.collect { case w: LWindow => w.partitionSpec.length }
+    // exactly two windows: the (key, bin) pass over data rows and the
+    // per-key carry pass over bin-summary rows — a refactor that drops the
+    // bin from the data window reintroduces the hot-key bottleneck
+    assert(specs.count(_ == 2) == 1 && specs.count(_ == 1) == 1,
+      s"window partition-spec sizes: $specs")
+  }
+
   test("window_top1 picks the highest value per user with id tiebreak") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

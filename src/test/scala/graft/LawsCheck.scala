@@ -93,4 +93,20 @@ object LawsCheck extends Properties("graft.laws") {
         all.map(_.sum_cents).sum == evs.map(e => math.round(e.value * 100)).sum &&
         all.forall(s => !s.start.after(s.last))
     }
+
+  property("BMP codec round-trip: decode(encode(raw)) fields match the container arithmetic") =
+    Prop.forAll(Gen.chooseNum(1, 8192), Gen.long) { (n, seed) =>
+      val rnd = new scala.util.Random(seed)
+      val raw = Array.fill(n)(rnd.nextInt(256).toByte)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val feats = graft.operators.VectorOps.decodeBmp(md,
+        0L, graft.operators.VectorOps.encodeBmp(raw))
+      val w = n % 60 + 4
+      val stride = (w * 3 + 3) / 4 * 4
+      val h = (n + stride - 1) / stride
+      feats.width == w && feats.height == h &&
+        feats.n_bytes == 54 + stride * h && feats.n_frames == 1 &&
+        stride % 4 == 0 && stride * h >= n // valid container invariants
+    }
+
 }

@@ -220,6 +220,28 @@ class TextOpsSpec extends AnyFunSuite {
     assert(labels.values.toSet == Set(1L), s"split components: $labels")
   }
 
+  test("clusterLabels on random graphs == driver-side union-find (3 seeds)") {
+    import spark.implicits._
+    for (seed <- Seq(1, 7, 42)) {
+      val rnd = new scala.util.Random(seed)
+      val pairs = Seq.fill(25)((rnd.nextInt(30).toLong + 1, rnd.nextInt(30).toLong + 1))
+        .collect { case (a, b) if a != b => (a min b, a max b) }.distinct
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(ra max rb) = ra min rb
+      }
+      val expected = parent.keys.map(d => d -> find(d)).toMap
+      val got = TextOps.clusterLabels(pairs.toDF("doc_a", "doc_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"seed $seed")
+    }
+  }
+
   test("clusterLabels fixpoint on a forest: per-component minimum, no cross-talk") {
     import spark.implicits._
     // two chains (10..15, 20..23) and one isolated pair (30,31)
