@@ -93,6 +93,7 @@ object SparkEntry {
     "dedup_embed" -> (VectorOps.dedupEmbed _),
     "dedup_cluster" -> (TextOps.dedupCluster _),
     "dedup_pipeline" -> (TextOps.dedupPipeline _),
+    "dedup_substring" -> (TextOps.dedupSubstring _),
     "text_normalize" -> (TextOps.textNormalize _),
     "text_pii" -> (TextOps.textPii _),
     "text_ngrams" -> (TextOps.textNgrams _),
@@ -390,6 +391,12 @@ object SparkEntry {
       s"SELECT vec_id, label, CAST(len(embedding) AS INT) AS dim, sqrt(${sqNorm("embedding")}) AS l2_norm, list_sum(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS l1_norm FROM embeddings ORDER BY vec_id",
     "dedup_cluster" -> dedupClusterSql,
     "dedup_pipeline" -> dedupPipelineSql,
+    "dedup_substring" ->
+      (s"WITH sg AS (SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, greatest(length(text) - ${TextOps.SubstrGramN - 1}, 1)), i -> ${hash60(s"text[i:i+${TextOps.SubstrGramN - 1}]")}))) AS g FROM documents), " +
+      s"f AS (SELECT doc_id, g FROM sg WHERE g % ${TextOps.SubstrWinnowMod} = 0) " +
+      "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(1) AS n_shared " +
+      "FROM f a JOIN f b ON a.g = b.g AND a.doc_id < b.doc_id " +
+      "GROUP BY 1, 2 ORDER BY doc_a, doc_b"),
     "text_normalize" ->
       "SELECT doc_id, regexp_replace(trim(lower(text)), ' +', ' ', 'g') AS norm_text, sha256(regexp_replace(trim(lower(text)), ' +', ' ', 'g')) AS norm_hash FROM documents ORDER BY doc_id",
     "sample_stratified" ->

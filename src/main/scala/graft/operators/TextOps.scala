@@ -407,6 +407,51 @@ object TextOps {
       .oracleSorted("doc_id")
   }
 
+  /** `dedup_substring` parameters: the exact-match unit is a 32-char
+    * window; fingerprints are the windows whose 60-bit hash ≡ 0 mod
+    * `SubstrWinnowMod` (winnowing-style 1/8 sampling). Any shared exact
+    * substring of length L ≥ 32 contains L−31 windows, so it survives the
+    * sampling with probability 1−(7/8)^(L−31) — ≈0.99 at L=64, →1 for the
+    * long boilerplate/plagiarism runs this operator exists to catch; the
+    * sampling is by HASH VALUE, so both docs keep or drop the same
+    * windows (never a one-sided miss).
+    */
+  val SubstrGramN = 32
+  val SubstrWinnowMod = 8
+
+  /** K19 `dedup_substring`: exact-substring overlap pairs — documents
+    * sharing at least one verbatim 32-char window, with the count of
+    * shared (winnowed, distinct) windows as the overlap mass. This is the
+    * EXACT-MATCH complement of the similarity family: MinHash/SimHash
+    * score whole-document resemblance and miss a long copied paragraph
+    * inside otherwise-unrelated documents, which is precisely the
+    * train-set contamination/boilerplate case (cf. the exact-substring
+    * dedup of Lee et al., "Deduplicating Training Data Makes Language
+    * Models Better", 2021 — re-expressed as fingerprint joins instead of
+    * a suffix array).
+    *
+    * Scale shape: fused `HashedGrams` kernel (one codegen'd pass per doc)
+    * → explode → winnow filter (drops 7/8 of rows BEFORE the shuffle) →
+    * fingerprint self-join. The join key is the full 60-bit hash of an
+    * exact 32-char window, so bucket sizes = documents sharing that
+    * verbatim window — boilerplate clusters, never the corpus; random
+    * collisions are ~n²/2^60 and engine-identical (DuckDB recomputes the
+    * same md5-derived hashes, so the oracle agrees bitwise).
+    */
+  def dedupSubstring(s: SparkSession, dir: String): DataFrame = {
+    val fps = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        explode(graft.plans.HashedGrams.charGrams(col("text"), SubstrGramN)).as("g"))
+      .filter(pmod(col("g"), lit(SubstrWinnowMod)) === 0)
+      .localCheckpoint(false) // feeds both sides of the fingerprint join
+    fps.as("a")
+      .join(fps.as("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .oracleSorted("doc_a", "doc_b")
+  }
+
   /** `dedup_pipeline`: the END-TO-END dedup chain a training-data pipeline
     * actually runs, composed from the stages that are each green in
     * isolation (round-3 VERDICT "What's missing" #3):

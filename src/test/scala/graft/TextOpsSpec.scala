@@ -254,6 +254,26 @@ class TextOpsSpec extends AnyFunSuite {
     assert(labels(30L) == 30L && labels(31L) == 30L)
   }
 
+  test("dedup_substring finds a verbatim copied paragraph inside unrelated documents") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    def prose(n: Int) = Seq.fill(n)(s"w${rnd.nextInt(5000)}").mkString(" ")
+    val paragraph = prose(40) // ~250 chars — far above the 32-char window
+    val docs = Seq(
+      (1L, prose(60) + " " + paragraph + " " + prose(60)), // source
+      (2L, prose(80) + " " + paragraph),                   // copied the paragraph
+      (3L, prose(120)))                                    // unrelated
+      .toDF("doc_id", "text")
+    docs.write.mode("overwrite").parquet("/tmp/graft_test_substr/documents.parquet")
+    val got = TextOps.dedupSubstring(spark, "/tmp/graft_test_substr")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // MinHash-style whole-doc similarity would score this pair ~J=0.25 and
+    // miss it at tau=0.5 — the exact-substring fingerprints must not
+    assert(got.contains((1L, 2L)), s"copied paragraph not found: $got")
+    assert(got((1L, 2L)) >= 10, s"overlap mass too low: ${got((1L, 2L))}")
+    assert(!got.contains((1L, 3L)) && !got.contains((2L, 3L)), got.toString)
+  }
+
   test("dedup_pipeline: exact dups drop as exact_dup, near dups as near_dup, clean docs keep") {
     import spark.implicits._
     val base = (1 to 40).map(i => s"tok$i").mkString(" ")
