@@ -23,6 +23,7 @@ object SparkEntry {
     "scan_documents" -> (Relational.scanDocuments _),
     "scan_schema" -> (Relational.scanSchema _),
     "scan_csv" -> (Relational.scanCsv _),
+    "scan_partitioned" -> (Relational.scanPartitioned _),
     // §2.B filters / projections
     "filter_eq" -> (Relational.filterEq _),
     "filter_range" -> (Relational.filterRange _),
@@ -269,6 +270,10 @@ object SparkEntry {
     "scan_csv" ->
       (s"SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice FROM read_csv('${Relational.CsvStageDir}/part/*.csv', header=true, " +
       "columns={'p_partkey':'BIGINT','p_name':'VARCHAR','p_brand':'VARCHAR','p_type':'VARCHAR','p_size':'INTEGER','p_retailprice':'DOUBLE'}) ORDER BY p_partkey"),
+    // oracle filters the ORIGINAL flat table — the hash match proves the
+    // hive-partitioned round-trip preserved the data
+    "scan_partitioned" ->
+      "SELECT doc_id, lang, source, n_chars FROM documents WHERE lang = 'en' ORDER BY doc_id",
     "filter_eq" ->
       "SELECT event_id, user_id, value FROM events WHERE event_type = 'purchase' ORDER BY event_id",
     "filter_range" ->

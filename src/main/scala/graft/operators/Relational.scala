@@ -101,6 +101,41 @@ object Relational {
       .oracleSorted("p_partkey")
   }
 
+  /** Fixed staging path of the hive-partitioned mirror `scan_partitioned`
+    * reads (fixed for the same oracle-path reason as `CsvStageDir`).
+    */
+  val PartStageDir = "/tmp/graft_scan_part"
+
+  private def stagePartitioned(s: SparkSession, dir: String): Unit = synchronized {
+    import java.nio.file.{Files, Paths}
+    val marker = Paths.get(PartStageDir, "_GRAFT_SRC")
+    val current = if (Files.exists(marker)) Files.readString(marker) else ""
+    if (current != dir) {
+      Tables.documents(s, dir).select("doc_id", "lang", "source", "n_chars")
+        .write.partitionBy("lang").mode("overwrite")
+        .parquet(s"$PartStageDir/documents")
+      Files.writeString(marker, dir)
+    }
+  }
+
+  /** A1′ `scan_partitioned`: selective scan over a hive-partitioned layout
+    * — documents staged once as `lang=<v>/` partition directories, then
+    * read with a partition-column predicate. The predicate resolves at
+    * PLAN time against directory names (`PartitionFilters` in the scan;
+    * asserted in SourcesSpec), so the scan reads |matching partitions|,
+    * not |table| — at 100 TB this is the difference between one
+    * partition's files and the whole dataset before a single row is
+    * decoded. The oracle filters the ORIGINAL flat table, so the hash
+    * match also proves the partitioned round-trip preserves the data.
+    */
+  def scanPartitioned(s: SparkSession, dir: String): DataFrame = {
+    stagePartitioned(s, dir)
+    s.read.parquet(s"$PartStageDir/documents")
+      .filter(col("lang") === "en")
+      .select("doc_id", "lang", "source", "n_chars")
+      .oracleSorted("doc_id")
+  }
+
   /** B2: equality filter [ref: stackoverflow/…/StackOverflow.scala#groupedPostings]. */
   def filterEq(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)

@@ -37,6 +37,21 @@ class SourcesSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("scan_partitioned prunes at plan time and round-trips the partitioned layout") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.functions.col
+    val q = graft.operators.Relational.scanPartitioned(spark, sfDir)
+    // sparkPlan, not executedPlan: the oracle-sort exchange makes AQE wrap
+    // the plan in AdaptiveSparkPlanExec, which hides its leaves until run
+    val scan = q.queryExecution.sparkPlan.collectLeaves()
+      .collectFirst { case s: FileSourceScanExec => s }
+      .getOrElse(fail("no file scan in plan"))
+    assert(scan.partitionFilters.nonEmpty, scan.toString) // pruning is plan-time
+    val want = Tables.documents(spark, sfDir).filter(col("lang") === "en")
+      .select("doc_id", "lang", "source", "n_chars").orderBy("doc_id").collect().toSeq
+    assert(q.collect().toSeq == want)
+  }
+
   test("JSON lines source with explicit schema yields the same rows as parquet") {
     val dir = "/tmp/graft_test_json_docs"
     parquetDocs.write.mode("overwrite").json(dir)
