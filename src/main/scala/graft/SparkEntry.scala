@@ -105,6 +105,7 @@ object SparkEntry {
     "sample_hash" -> (Relational.sampleHash _),
     "stats_profile" -> (Relational.statsProfile _),
     "quantile_bins" -> (VectorOps.quantileBins _),
+    "shuffle_rows" -> (VectorOps.shuffleRows _),
     // §2.K3/K4 vectors / similarity / multimodal (+ B7 feature scaling)
     "vec_norm" -> (VectorOps.vecNorm _),
     "vec_scale" -> (VectorOps.vecScale _),
@@ -434,6 +435,9 @@ object SparkEntry {
         .mkString("", " UNION ALL ", " ORDER BY col_name"),
     "quantile_bins" ->
       "SELECT doc_id, n_chars, CAST(ntile(10) OVER (ORDER BY n_chars, doc_id) AS INT) AS decile FROM documents ORDER BY doc_id",
+    "shuffle_rows" ->
+      ("WITH h AS (SELECT doc_id, CAST(('0x' || substr(md5('shuf:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hkey FROM documents) " +
+      "SELECT doc_id, hkey, row_number() OVER (ORDER BY hkey, doc_id) - 1 AS shuffle_pos FROM h ORDER BY doc_id"),
     "multimodal_join" ->
       s"SELECT doc_id, lang, label, n_chars, CAST(octet_length(encode(text)) AS INT) AS n_bytes, md5(text) AS content_md5, sqrt(${sqNorm("embedding")}) AS l2_norm FROM documents JOIN embeddings ON doc_id = vec_id ORDER BY doc_id",
     "vec_scale" ->

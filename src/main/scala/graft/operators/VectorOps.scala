@@ -119,20 +119,46 @@ object VectorOps {
     * one task. Output is bitwise-identical to the DuckDB `ntile` oracle.
     */
   def quantileBins(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
     val base = Tables.documents(s, dir).select(col("doc_id"), col("n_chars"))
+    val (ranked, n) = withGlobalRowNumber(s, base, Seq("n_chars", "doc_id"))
+    val q = n / 10
+    val r = n % 10
+    ranked
+      .withColumn("decile", expr(
+        s"case when $q = 0 or rn <= ${r * (q + 1)} then (rn - 1) div ${q + 1} + 1 " +
+        s"else $r + (rn - ${r * (q + 1)} - 1) div $q + 1 end").cast("int"))
+      .select(col("doc_id"), col("n_chars"), col("decile"))
+      .oracleSorted("doc_id")
+  }
+
+  /** Distributed exact global row number over a total order — the machinery
+    * behind `quantile_bins` and `shuffle_rows` (semantics of
+    * `row_number() OVER (ORDER BY keys)` WITHOUT the single-partition
+    * global window, the canonical 100 TB scale-killer):
+    *
+    *  1. range-partition by the sort keys and sort within partitions — the
+    *     distributed total order Spark's own global `orderBy` uses;
+    *  2. count rows per partition, prefix-sum ON THE DRIVER (P longs) →
+    *     per-partition global offsets;
+    *  3. local `row_number` (window partitioned by partition id — parallel)
+    *     + broadcast offset = exact global row number `rn` (1-based).
+    *
+    * EAGER checkpoint, load-bearing for correctness: `repartitionByRange`
+    * samples its boundaries with an RDD-id-derived seed, so re-executing
+    * the lineage can produce DIFFERENT partition boundaries per job. The
+    * per-pid counts run as their own job; without pinning, the final
+    * window job could see different pid contents than the offsets were
+    * computed from → wrong global row numbers (observed at sf0.1: 1281/5000
+    * deciles off by one bucket; sf0.01 matched by luck). The checkpoint
+    * materializes the ranged rows ONCE and both jobs read the same
+    * partitions. Returns (frame + rn, total row count).
+    */
+  private[graft] def withGlobalRowNumber(s: SparkSession, base: DataFrame,
+                                         keys: Seq[String]): (DataFrame, Long) = {
+    import s.implicits._
     val parts = s.sessionState.conf.numShufflePartitions
-    // EAGER checkpoint, load-bearing for correctness: `repartitionByRange`
-    // samples its boundaries with an RDD-id-derived seed, so re-executing
-    // the lineage can produce DIFFERENT partition boundaries per job. The
-    // per-pid counts below run as their own job; without pinning, the
-    // final window job could see different pid contents than the offsets
-    // were computed from → wrong global row numbers (observed at sf0.1:
-    // 1281/5000 deciles off by one bucket; sf0.01 matched by luck). The
-    // checkpoint materializes the ranged rows ONCE and both jobs read the
-    // same partitions.
     val ranged = base
-      .repartitionByRange(parts, col("n_chars"), col("doc_id"))
+      .repartitionByRange(parts, keys.map(col): _*)
       .withColumn("pid", spark_partition_id())
       .localCheckpoint()
     val counts = ranged.groupBy("pid").agg(count(lit(1)).as("cnt"))
@@ -140,16 +166,29 @@ object VectorOps {
     val n = counts.map(_._2).sum
     var acc = 0L
     val offsets = counts.map { case (pid, c) => val o = acc; acc += c; (pid, o) }
-    val offDf = broadcast(offsets.toSeq.toDF("pid", "off"))
-    val q = n / 10
-    val r = n % 10
-    ranged.join(offDf, "pid")
+    val ranked = ranged.join(broadcast(offsets.toSeq.toDF("pid", "off")), "pid")
       .withColumn("rn", col("off") + row_number().over(
-        Window.partitionBy("pid").orderBy("n_chars", "doc_id")))
-      .withColumn("decile", expr(
-        s"case when $q = 0 or rn <= ${r * (q + 1)} then (rn - 1) div ${q + 1} + 1 " +
-        s"else $r + (rn - ${r * (q + 1)} - 1) div $q + 1 end").cast("int"))
-      .select(col("doc_id"), col("n_chars"), col("decile"))
+        Window.partitionBy("pid").orderBy(keys.map(col): _*)))
+      .drop("pid", "off")
+    (ranked, n)
+  }
+
+  /** `shuffle_rows`: DETERMINISTIC global shuffle — the row-order
+    * randomization every training run needs before sharding, as a pure
+    * function of the key (same order on every run, any cluster size,
+    * reproducible by the oracle — `rand()` is none of those). Each row's
+    * shuffle key is an md5-derived hash of its id (salt-prefixed so this
+    * order is decorrelated from `sample_hash`'s buckets); the exact global
+    * position comes from the distributed row-number machinery above —
+    * never a single-partition window. Downstream a writer shards by
+    * `shuffle_pos div rows_per_shard` for fixed-size training shards.
+    */
+  def shuffleRows(s: SparkSession, dir: String): DataFrame = {
+    val hkey = conv(substring(md5(concat(lit("shuf:"),
+      col("doc_id").cast("string")).cast("binary")), 1, 15), 16, 10).cast("long")
+    val base = Tables.documents(s, dir).select(col("doc_id"), hkey.as("hkey"))
+    val (ranked, _) = withGlobalRowNumber(s, base, Seq("hkey", "doc_id"))
+    ranked.select(col("doc_id"), col("hkey"), (col("rn") - 1).as("shuffle_pos"))
       .oracleSorted("doc_id")
   }
 

@@ -165,6 +165,20 @@ class VectorOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("shuffle_rows: positions are a permutation of 0..n-1, deterministic, and hash-ordered") {
+    val rows = VectorOps.shuffleRows(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val n = rows.length
+    assert(rows.map(_._3).sorted.toSeq == (0L until n).toSeq, "not a permutation")
+    // position order == (hkey, doc_id) order — the deterministic total order
+    val byPos = rows.sortBy(_._3).map(t => (t._2, t._1)).toSeq
+    assert(byPos == byPos.sorted, "positions do not follow the hash order")
+    // pure function of the key: a second run gives identical positions
+    val again = VectorOps.shuffleRows(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(again.toSeq == rows.map(t => (t._1, t._3)).toSeq)
+  }
+
   test("dedup_embed banded LSH: no band bucket exceeds the quadratic-mass cap") {
     val dir = "/root/testdata/sf0.01"
     val emb = Tables.embeddings(spark, dir)
