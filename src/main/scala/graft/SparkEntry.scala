@@ -108,6 +108,7 @@ object SparkEntry {
     "shuffle_rows" -> (VectorOps.shuffleRows _),
     // §2.K3/K4 vectors / similarity / multimodal (+ B7 feature scaling)
     "vec_norm" -> (VectorOps.vecNorm _),
+    "vec_quantize" -> (VectorOps.vecQuantize _),
     "vec_scale" -> (VectorOps.vecScale _),
     "multimodal_join" -> (VectorOps.multimodalJoin _),
     "multimodal_decode" -> (VectorOps.multimodalDecode _),
@@ -395,6 +396,14 @@ object SparkEntry {
       s"SELECT vec_a, vec_b, cos FROM p WHERE cos >= ${VectorOps.EmbedDupTau} ORDER BY vec_a, vec_b"),
     "vec_norm" ->
       s"SELECT vec_id, label, CAST(len(embedding) AS INT) AS dim, sqrt(${sqNorm("embedding")}) AS l2_norm, list_sum(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS l1_norm FROM embeddings ORDER BY vec_id",
+    // mirrors VectorOps.vecQuantize: floor-based affine int8 codes — floor
+    // of an IEEE double is engine-exact, so q_sum/max_err hash-match
+    "vec_quantize" ->
+      ("WITH vq AS (SELECT vec_id, label, embedding, CAST(list_min(embedding) AS DOUBLE) AS mn, CAST(list_max(embedding) AS DOUBLE) AS mx FROM embeddings), " +
+      "vc AS (SELECT vec_id, label, embedding, mn, mx, list_transform(embedding, x -> CASE WHEN mx = mn THEN 0 ELSE CAST(least(greatest(floor((CAST(x AS DOUBLE) - mn) * 255.0 / (mx - mn)), 0.0), 255.0) AS BIGINT) END) AS q FROM vq) " +
+      "SELECT vec_id, label, round(mn, 6) AS q_min, round(mx, 6) AS q_max, CAST(list_sum(q) AS BIGINT) AS q_sum, " +
+      "round(list_max(list_transform(list_zip(embedding, q), p -> abs(CAST(p[1] AS DOUBLE) - (mn + CAST(p[2] AS DOUBLE) * ((mx - mn) / 255.0))))), 6) AS max_err " +
+      "FROM vc ORDER BY vec_id"),
     "dedup_cluster" -> dedupClusterSql,
     "dedup_pipeline" -> dedupPipelineSql,
     "dedup_substring" ->

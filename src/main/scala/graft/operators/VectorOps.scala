@@ -305,6 +305,37 @@ object VectorOps {
       .oracleSorted("doc_id")
   }
 
+  /** K21 `vec_quantize`: per-vector int8 quantization — the embedding
+    * compression stage an ANN/storage pipeline runs before indexing (4×
+    * smaller vectors, 4× more candidates per shuffled byte). Affine
+    * per-vector scheme: q = floor((x − min) · 255 / (max − min)),
+    * clamped to [0, 255] (floor, not round — floor of an IEEE double is
+    * engine-exact, so the oracle reproduces every code bitwise).
+    * Output stays hash-comparable (the driver gate can't hash array
+    * cells): code sum as the array checksum plus the quantization-grid
+    * bounds and the max reconstruction error |x − (min + q·scale)|.
+    * Zero-shuffle narrow projection; constant vectors (max == min)
+    * quantize to all-zero codes with zero error.
+    */
+  def vecQuantize(s: SparkSession, dir: String): DataFrame = {
+    val e = col("embedding")
+    val mn = array_min(e).cast("double")
+    val mx = array_max(e).cast("double")
+    val scale = (mx - mn) / 255.0
+    def codes = transform(e, x =>
+      when(mx === mn, lit(0L)).otherwise(
+        least(greatest(floor((x.cast("double") - mn) * 255.0 / (mx - mn)), lit(0.0)), lit(255.0))
+          .cast("long")))
+    val errs = zip_with(e, codes, (x, q) =>
+      abs(x.cast("double") - (mn + q.cast("double") * scale)))
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label"),
+        round(mn, 6).as("q_min"), round(mx, 6).as("q_max"),
+        aggregate(codes, lit(0L), (a, q) => a + q).as("q_sum"),
+        round(array_max(errs), 6).as("max_err"))
+      .oracleSorted("vec_id")
+  }
+
   /** K3 `sim_topk`: brute-force cosine top-k of the corpus against a small
     * broadcast query set — the exact baseline an ANN variant is judged
     * against. Corpus scans once; shuffle only for the per-query window over

@@ -165,6 +165,26 @@ class VectorOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("vec_quantize: max reconstruction error is bounded by the grid step; constants are exact") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Seq(-2.0f, 0.0f, 1.0f, 3.5f), 0),
+      (2L, Seq(0.25f, 0.25f, 0.25f, 0.25f), 0), // constant → zero codes, zero error
+      (3L, (0 until 64).map(i => (i * 0.1f) - 3.0f), 1))
+    vecs.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet("/tmp/graft_test_quant/embeddings.parquet")
+    val rows = VectorOps.vecQuantize(spark, "/tmp/graft_test_quant")
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(r.fieldIndex("q_min")), r.getDouble(r.fieldIndex("q_max")),
+          r.getLong(r.fieldIndex("q_sum")), r.getDouble(r.fieldIndex("max_err")))).toMap
+    val (mn1, mx1, _, err1) = rows(1L)
+    assert(mn1 == -2.0 && mx1 == 3.5)
+    assert(err1 <= (mx1 - mn1) / 255.0 + 1e-9, s"error $err1 exceeds one grid step")
+    assert(rows(2L) == ((0.25, 0.25, 0L, 0.0)), rows(2L).toString)
+    val (mn3, mx3, _, err3) = rows(3L)
+    assert(err3 <= (mx3 - mn3) / 255.0 + 1e-9)
+  }
+
   test("shuffle_rows: positions are a permutation of 0..n-1, deterministic, and hash-ordered") {
     val rows = VectorOps.shuffleRows(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
