@@ -80,6 +80,7 @@ object SparkEntry {
     // §2.D2/D4/D5 + §2.K5 text analysis
     "rank_tokens" -> (TextOps.rankTokens _),
     "text_tfidf" -> (TextOps.textTfidf _),
+    "text_logprob" -> (TextOps.textLogprob _),
     "text_tokens" -> (TextOps.textTokens _),
     "text_quality" -> (TextOps.textQuality _),
     "text_langid" -> (TextOps.textLangid _),
@@ -370,6 +371,13 @@ object SparkEntry {
       s"WITH c AS (SELECT unnest(list_intersect(list_distinct(string_split(text, ' ')), $lexiconSql)) AS token FROM documents), g AS (SELECT token, count(1) AS n_docs FROM c GROUP BY 1) SELECT token, n_docs, CAST(rank() OVER (ORDER BY n_docs DESC) AS INT) AS rnk FROM g ORDER BY n_docs DESC, token",
     "text_tfidf" ->
       "WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents), tf AS (SELECT doc_id, token, count(1) AS tf FROM tok GROUP BY 1, 2), df AS (SELECT token, count(1) AS df FROM tf GROUP BY 1), n AS (SELECT count(1) AS n_docs FROM documents) SELECT tf.doc_id, tf.token, tf.tf, df.df, round(tf.tf * ln(CAST(n_docs AS DOUBLE) / df.df), 6) AS tfidf FROM tf JOIN df USING (token) CROSS JOIN n ORDER BY doc_id, token",
+    "text_logprob" ->
+      ("WITH lt AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents), " +
+      "lc AS (SELECT token, count(1) AS tf FROM lt GROUP BY 1), " +
+      "ln_tot AS (SELECT sum(tf) AS n_total FROM lc) " +
+      "SELECT doc_id, count(1) AS n_tokens, " +
+      "round(CAST(sum(CAST(-ln(CAST(tf AS DOUBLE) / n_total) AS DECIMAL(28,18))) AS DOUBLE) / count(1), 6) AS avg_neg_logprob " +
+      "FROM lt JOIN lc USING (token) CROSS JOIN ln_tot GROUP BY doc_id ORDER BY doc_id"),
     "text_tokens" ->
       "SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS n_ws_tokens, CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS INT) AS n_re_tokens, CAST(length(text) AS INT) AS len_chars, CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_bpe_est FROM documents ORDER BY doc_id",
     "text_quality" ->

@@ -163,6 +163,37 @@ object TextOps {
       .oracleSorted("doc_id")
   }
 
+  /** K22 `text_logprob`: unigram-LM quality score — per doc, the mean
+    * negative log-probability of its tokens under the corpus unigram
+    * distribution (the CCNet-style perplexity proxy: boilerplate and
+    * natural prose score low, token salad scores high — the quality
+    * signal length/stopword ratios miss). Two aggregations:
+    * corpus token counts (explode → partial-agg groupBy, shuffle ∝
+    * distinct tokens), then a scoring join back on token (hot tokens are
+    * exactly what AQE's skew split handles; the counts side is 1 row per
+    * distinct token and broadcastable on bounded vocabularies) and a
+    * per-doc mean. Cross-row float sums go through exact decimals
+    * (DECIMAL(28,18)) so the result is partition-order independent and
+    * hash-matches the oracle — the same associativity discipline as Num.
+    */
+  def textLogprob(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.ScalarAttach._
+    import org.apache.spark.sql.types.DecimalType
+    val tok = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(words(col("text"))).as("token"))
+      .localCheckpoint(false) // feeds the counts build AND the scoring join
+    val counts = tok.groupBy("token").agg(count(lit(1)).as("tf"))
+    val total = counts.agg(sum("tf").as("n_total"))
+    tok.join(counts, "token")
+      .attachScalarRow(total)
+      .select(col("doc_id"),
+        (-log(col("tf").cast("double") / col("n_total"))).cast(DecimalType(28, 18)).as("nlp"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        round((sum(col("nlp")).cast("double") / count(lit(1))), 6).as("avg_neg_logprob"))
+      .oracleSorted("doc_id")
+  }
+
   /** Character-bigram profiles per candidate language for `text_langid`.
     * Order = prediction priority on score ties.
     */

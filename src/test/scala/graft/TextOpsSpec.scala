@@ -200,6 +200,22 @@ class TextOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("text_logprob: rare-token salad scores higher than common-token prose") {
+    import spark.implicits._
+    val common = Seq.fill(30)("the quick fox").mkString(" ") // tokens repeat corpus-wide
+    val docs = Seq(
+      (1L, common),
+      (2L, common),
+      (3L, (1 to 90).map(i => s"rare$i").mkString(" "))) // every token unique
+      .toDF("doc_id", "text")
+    docs.write.mode("overwrite").parquet("/tmp/graft_test_lp/documents.parquet")
+    val rows = TextOps.textLogprob(spark, "/tmp/graft_test_lp")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(rows(3L) > rows(1L), s"salad ${rows(3L)} should out-score prose ${rows(1L)}")
+    assert(rows(1L) == rows(2L)) // identical docs score identically
+    assert(rows.values.forall(_ > 0.0))
+  }
+
   test("text_langid prediction is one of the profiled languages") {
     val langs = TextOps.langProfiles.map(_._1).toSet + "und"
     val preds = TextOps.textLangid(spark, sfDir)
