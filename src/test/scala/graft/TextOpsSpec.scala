@@ -216,6 +216,31 @@ class TextOpsSpec extends AnyFunSuite {
     assert(rows.values.forall(_ > 0.0))
   }
 
+  test("text_logprob under a hot token: scores match a driver-side model exactly") {
+    import spark.implicits._
+    // one token is ~half of all occurrences — the skewed scoring-join case
+    // (AQE skew-split territory at scale); values must still match the
+    // closed-form unigram model
+    val docs = Seq(
+      (1L, (Seq.fill(50)("the") ++ (1 to 10).map(i => s"u$i")).mkString(" ")),
+      (2L, Seq.fill(40)("the").mkString(" ")),
+      (3L, (11 to 30).map(i => s"u$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    docs.write.mode("overwrite").parquet("/tmp/graft_test_lp_skew/documents.parquet")
+    val texts = Map(1L -> (Seq.fill(50)("the") ++ (1 to 10).map(i => s"u$i")),
+      2L -> Seq.fill(40)("the"), 3L -> (11 to 30).map(i => s"u$i").toSeq)
+    val tf = texts.values.flatten.groupBy(identity).view.mapValues(_.size).toMap
+    val total = tf.values.sum.toDouble
+    val rows = TextOps.textLogprob(spark, "/tmp/graft_test_lp_skew")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    texts.foreach { case (id, toks) =>
+      val want = toks.map(t => -math.log(tf(t) / total)).sum / toks.size
+      val (n, got) = rows(id)
+      assert(n == toks.size)
+      assert(math.abs(got - want) < 1e-6, s"doc $id: got $got want $want")
+    }
+  }
+
   test("text_langid prediction is one of the profiled languages") {
     val langs = TextOps.langProfiles.map(_._1).toSet + "und"
     val preds = TextOps.textLangid(spark, sfDir)
