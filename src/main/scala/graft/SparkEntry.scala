@@ -72,6 +72,7 @@ object SparkEntry {
     "stream_sliding" -> (EventOps.streamSliding _),
     "stream_session" -> (EventOps.streamSession _),
     "dedup_state" -> (EventOps.dedupState _),
+    "stream_join" -> (EventOps.streamJoin _),
     "stream_stateful" -> (graft.streaming.StatefulOps.streamStateful _),
     "stream_sessionize" -> (graft.streaming.StatefulOps.streamSessionize _),
     "stream_topn_state" -> (graft.streaming.StatefulOps.streamTopnState _),
@@ -359,6 +360,8 @@ object SparkEntry {
       "WITH o AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value, lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM events), b AS (SELECT *, CASE WHEN prev_ts IS NULL OR ts - prev_ts >= INTERVAL '10 minutes' THEN 1 ELSE 0 END AS brk FROM o), sa AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM b) SELECT min(ts) AS session_start, user_id, count(1) AS n_events, CAST(round(sum(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_value FROM sa GROUP BY user_id, sid ORDER BY user_id, session_start",
     "dedup_state" ->
       "WITH r AS (SELECT user_id, event_type, event_id, CAST(ts AS TIMESTAMP) AS ts, row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn FROM events) SELECT user_id, event_type, event_id, ts FROM r WHERE rn = 1 ORDER BY user_id, event_type",
+    "stream_join" ->
+      "SELECT p.event_id, p.user_id, CAST(p.ts AS TIMESTAMP) AS ts, count(c.event_id) AS n_clicks_10m FROM events p LEFT JOIN events c ON p.user_id = c.user_id AND c.event_type = 'click' AND CAST(c.ts AS TIMESTAMP) >= CAST(p.ts AS TIMESTAMP) - INTERVAL 10 MINUTE AND CAST(c.ts AS TIMESTAMP) < CAST(p.ts AS TIMESTAMP) WHERE p.event_type = 'purchase' GROUP BY 1, 2, 3 ORDER BY 1",
     "stream_stateful" ->
       "SELECT user_id, count(1) AS n_events, CAST(round(sum(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_value, min(CAST(ts AS TIMESTAMP)) AS first_ts, max(CAST(ts AS TIMESTAMP)) AS last_ts FROM events GROUP BY 1 ORDER BY 1",
     "stream_sessionize" ->

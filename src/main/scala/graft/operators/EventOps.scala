@@ -49,6 +49,39 @@ object EventOps {
               col("n_events"), col("sum_value"))
       .oracleSorted("user_id", "session_start")
 
+  /** J8 `stream_join`: attribution join — each purchase enriched with the
+    * count of the same user's clicks in the preceding 10 minutes. This is
+    * the STREAM-STREAM time-range join (the enrichment every attribution
+    * pipeline runs at ingest): in Structured Streaming the identical
+    * predicate (user equality + bounded time range) with watermarks on
+    * both sides runs incrementally with bounded state — the range bound is
+    * what lets the engine expire buffered rows. StreamingParitySpec runs
+    * exactly that MemoryStream join and asserts it matches this batch form.
+    *
+    * Batch scale shape: same bin-bucket trick as `join_range` — clicks land
+    * in 10-minute bins, each purchase probes its own and the previous bin,
+    * so the join is a plain (user, bin) equi-join with the exact range
+    * predicate as a post-filter; work ∝ matches, never |events|². Left join
+    * keeps zero-click purchases at count 0.
+    */
+  def streamJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val bin = expr("unix_micros(ts) div 600000000") // 600 s = the range width
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        explode(array(bin - 1, bin)).as("bin"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("c_id"), bin.as("c_bin"))
+    purchases.join(clicks,
+        col("user_id") === col("c_user") && col("bin") === col("c_bin") &&
+        col("c_ts") >= col("ts") - expr("INTERVAL 10 MINUTES") &&
+        col("c_ts") < col("ts"), "left")
+      .groupBy("event_id", "user_id", "ts")
+      .agg(count(col("c_id")).as("n_clicks_10m"))
+      .oracleSorted("event_id")
+  }
+
   /** J5: keep-first dedup by (user_id, event_type) — the batch equivalent of
     * streaming `dropDuplicates` with arrival order made deterministic
     * (earliest ts, then event_id).

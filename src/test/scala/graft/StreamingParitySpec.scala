@@ -89,6 +89,48 @@ class StreamingParitySpec extends AnyFunSuite {
     assert(batch.values.exists(_ > 0L), "no contaminated doc — parity check vacuous")
   }
 
+  test("stream-stream time-range join: MemoryStream purchases x clicks == batch stream_join (J8)") {
+    import graft.operators.EventOps
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = SparkTestSession.sfDir
+
+    val ev = Tables.events(spark, dir)
+      .select("event_id", "user_id", "ts", "event_type")
+      .as[(Long, Long, Timestamp, String)].collect().toSeq
+
+    val pStream = MemoryStream[(Long, Long, Timestamp)]
+    val cStream = MemoryStream[(Long, Long, Timestamp)]
+    pStream.addData(ev.filter(_._4 == "purchase").map(e => (e._1, e._2, e._3)): _*)
+    cStream.addData(ev.filter(_._4 == "click").map(e => (e._1, e._2, e._3)): _*)
+
+    // the streaming form of EventOps.streamJoin's predicate: user equality +
+    // bounded time range, watermarks on both sides so the engine can expire
+    // buffered click state once the range bound has passed
+    val p = pStream.toDF.toDF("event_id", "user_id", "ts").withWatermark("ts", "1 hour")
+    val c = cStream.toDF.toDF("c_id", "c_user", "c_ts").withWatermark("c_ts", "1 hour")
+    val joined = p.join(c,
+      col("user_id") === col("c_user") &&
+      col("c_ts") >= col("ts") - expr("INTERVAL 10 MINUTES") &&
+      col("c_ts") < col("ts"))
+      .select("event_id", "c_id")
+    val q = joined.writeStream.format("memory").queryName("parity_ssj")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+
+    // inner-join pair counts per purchase; purchases with no pair = 0 clicks
+    val streamed = spark.table("parity_ssj").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.length.toLong).toMap
+    val batch = EventOps.streamJoin(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(r.fieldIndex("n_clicks_10m"))).toMap
+    assert(batch.nonEmpty && batch.values.exists(_ > 0L),
+      "no attributed purchase in testdata — parity vacuous")
+    batch.foreach { case (id, n) =>
+      assert(streamed.getOrElse(id, 0L) == n, s"purchase $id: stream ${streamed.get(id)} batch $n")
+    }
+    assert(streamed.keySet.subsetOf(batch.keySet))
+  }
+
   test("file-source streaming: readStream over a growing parquet dir == batch (A-series/J1)") {
     import spark.implicits._
     val dir = "/tmp/graft_test_stream_src"
