@@ -141,6 +141,12 @@ object SparkEntry {
   private def hash60(x: String) =
     s"CAST(('0x' || substr(md5($x), 1, 15)) AS BIGINT) % ${TextOps.MinhashP}"
 
+  /** Full 60-bit md5 prefix, NO mod-p reduction (mirror of
+    * HashedGrams.charGramsWide — dedup_substring's fingerprint space).
+    */
+  private def hash60Wide(x: String) =
+    s"CAST(('0x' || substr(md5($x), 1, 15)) AS BIGINT)"
+
   /** Raw (non-distinct) n-word shingles of `text` (mirror of
     * TextOps.shingles — repetition scoring needs totals, not sets).
     */
@@ -159,47 +165,55 @@ object SparkEntry {
 
   private def minhashCandSql: String = minhashCandSqlOver("documents")
 
-  /** Connected-component min labels over the near-dup pair graph as a
-    * RECURSIVE reachability fixpoint — the converged semantics
-    * TextOps.clusterLabels now iterates to (round-3 VERDICT #2: the oracle
-    * previously ran 4 lockstep iterations, so a diameter>4 chain would have
-    * "agreed" on split components). Components are tiny near-dup cliques/
-    * chains, so the transitive closure stays bounded.
+  /** Verified-pair + converged-components CTE chain, shared by
+    * `dedup_cluster` and `dedup_pipeline` (they must never drift — the
+    * round-3 lockstep-iteration oracle bug was exactly a one-sided edit
+    * class). Expects the `w`/`c` candidate chain in scope; defines
+    * `j` (Jaccard-verified pairs), `e` (symmetrized edges), `reach`
+    * (RECURSIVE transitive closure — the converged semantics
+    * TextOps.clusterLabels iterates to; round-3 VERDICT #2: the previous
+    * oracle ran 4 lockstep iterations, so a diameter>4 chain would have
+    * "agreed" on split components), and `lab` (per-doc component-min
+    * label). Components are tiny near-dup cliques/chains, so the closure
+    * stays bounded.
     */
-  private def dedupClusterSql: String = {
+  private def minhashComponentsSql: String = {
     val jac = "round(CAST(len(list_intersect(wa.hv, wb.hv)) AS DOUBLE) / len(list_distinct(list_concat(wa.hv, wb.hv))), 6)"
-    s"WITH RECURSIVE $minhashCandSql, " +
-      s"j AS (SELECT doc_a, doc_b FROM c JOIN w wa ON c.doc_a = wa.doc_id JOIN w wb ON c.doc_b = wb.doc_id WHERE $jac >= ${TextOps.MinhashTau}), " +
+    s"j AS (SELECT doc_a, doc_b FROM c JOIN w wa ON c.doc_a = wa.doc_id JOIN w wb ON c.doc_b = wb.doc_id WHERE $jac >= ${TextOps.MinhashTau}), " +
       "e AS (SELECT doc_a AS src, doc_b AS dst FROM j UNION ALL SELECT doc_b AS src, doc_a AS dst FROM j), " +
       "reach(doc_id, r) AS (SELECT DISTINCT src, src FROM e UNION SELECT reach.doc_id, e.dst FROM reach JOIN e ON e.src = reach.r), " +
-      "lab AS (SELECT doc_id, min(r) AS lbl FROM reach GROUP BY 1), " +
+      "lab AS (SELECT doc_id, min(r) AS lbl FROM reach GROUP BY 1)"
+  }
+
+  private def dedupClusterSql: String =
+    s"WITH RECURSIVE $minhashCandSql, $minhashComponentsSql, " +
       "sz AS (SELECT lbl, count(1) AS cluster_size FROM lab GROUP BY 1) " +
       "SELECT doc_id, lbl AS canonical_id, cluster_size FROM lab JOIN sz USING (lbl) ORDER BY doc_id"
-  }
+
+  /** Canonical text normal form (mirror of TextOps.normText — the ONE
+    * definition both `text_normalize` and `dedup_pipeline` oracles use).
+    */
+  private def normSql(c: String) =
+    s"regexp_replace(trim(lower($c)), ' +', ' ', 'g')"
 
   /** End-to-end dedup chain (mirror of TextOps.dedupPipeline): normalize →
     * exact groups over normalized text → MinHash LSH + converged components
     * over the exact representatives → per-doc verdict. The LSH chain
     * (`w…c`) runs over `pdocs` (representatives with normalized text), not
-    * raw documents.
+    * raw documents; the verified-pair/components chain is the SAME
+    * fragment `dedup_cluster` uses.
     */
-  private def dedupPipelineSql: String = {
-    val jac = "round(CAST(len(list_intersect(wa.hv, wb.hv)) AS DOUBLE) / len(list_distinct(list_concat(wa.hv, wb.hv))), 6)"
+  private def dedupPipelineSql: String =
     s"WITH RECURSIVE " +
-      "pn AS (SELECT doc_id, regexp_replace(trim(lower(text)), ' +', ' ', 'g') AS norm_text FROM documents), " +
+      s"pn AS (SELECT doc_id, ${normSql("text")} AS norm_text FROM documents), " +
       "pg AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY norm_text) AS exact_rep, norm_text FROM pn), " +
       "pdocs AS (SELECT doc_id, norm_text AS text FROM pg WHERE doc_id = exact_rep), " +
-      s"${minhashCandSqlOver("pdocs")}, " +
-      s"j AS (SELECT doc_a, doc_b FROM c JOIN w wa ON c.doc_a = wa.doc_id JOIN w wb ON c.doc_b = wb.doc_id WHERE $jac >= ${TextOps.MinhashTau}), " +
-      "e AS (SELECT doc_a AS src, doc_b AS dst FROM j UNION ALL SELECT doc_b AS src, doc_a AS dst FROM j), " +
-      "reach(doc_id, r) AS (SELECT DISTINCT src, src FROM e UNION SELECT reach.doc_id, e.dst FROM reach JOIN e ON e.src = reach.r), " +
-      "lab AS (SELECT doc_id, min(r) AS lbl FROM reach GROUP BY 1), " +
+      s"${minhashCandSqlOver("pdocs")}, $minhashComponentsSql, " +
       "fin AS (SELECT pg.doc_id, pg.exact_rep, coalesce(lab.lbl, pg.exact_rep) AS canonical_id FROM pg LEFT JOIN lab ON lab.doc_id = pg.exact_rep) " +
       "SELECT doc_id, canonical_id, " +
       "CASE WHEN doc_id = canonical_id THEN 'keep' ELSE 'drop' END AS verdict, " +
       "CASE WHEN doc_id = canonical_id THEN NULL WHEN doc_id <> exact_rep THEN 'exact_dup' ELSE 'near_dup' END AS reason " +
       "FROM fin ORDER BY doc_id"
-  }
 
   /** Sequential-fold squared-norm of an embedding list (bitwise-matches
     * Spark's ArrayAggregate fold — see Vec).
@@ -418,13 +432,13 @@ object SparkEntry {
     "dedup_cluster" -> dedupClusterSql,
     "dedup_pipeline" -> dedupPipelineSql,
     "dedup_substring" ->
-      (s"WITH sg AS (SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, greatest(length(text) - ${TextOps.SubstrGramN - 1}, 1)), i -> ${hash60(s"text[i:i+${TextOps.SubstrGramN - 1}]")}))) AS g FROM documents), " +
+      (s"WITH sg AS (SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, greatest(length(text) - ${TextOps.SubstrGramN - 1}, 1)), i -> ${hash60Wide(s"text[i:i+${TextOps.SubstrGramN - 1}]")}))) AS g FROM documents), " +
       s"f AS (SELECT doc_id, g FROM sg WHERE g % ${TextOps.SubstrWinnowMod} = 0) " +
       "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(1) AS n_shared " +
       "FROM f a JOIN f b ON a.g = b.g AND a.doc_id < b.doc_id " +
       "GROUP BY 1, 2 ORDER BY doc_a, doc_b"),
     "text_normalize" ->
-      "SELECT doc_id, regexp_replace(trim(lower(text)), ' +', ' ', 'g') AS norm_text, sha256(regexp_replace(trim(lower(text)), ' +', ' ', 'g')) AS norm_hash FROM documents ORDER BY doc_id",
+      s"SELECT doc_id, ${normSql("text")} AS norm_text, sha256(${normSql("text")}) AS norm_hash FROM documents ORDER BY doc_id",
     "sample_stratified" ->
       "SELECT vec_id, label, CAST(rn AS INT) AS rn FROM (SELECT vec_id, label, row_number() OVER (PARTITION BY label ORDER BY vec_id) AS rn FROM embeddings) WHERE rn <= 20 ORDER BY label, rn",
     "text_pii" ->

@@ -78,8 +78,17 @@ object Relational {
     val marker = Paths.get(CsvStageDir, "_GRAFT_SRC")
     val current = if (Files.exists(marker)) Files.readString(marker) else ""
     if (current != dir) {
+      // escape = '"' → RFC-4180 doubled-quote escaping. Spark's DEFAULT
+      // escape is backslash, which DuckDB's read_csv (escape = '"') would
+      // parse differently the moment a field contains a quote — a silent
+      // cross-engine divergence the part data doesn't currently exercise
+      // (round-4 review finding); pinning both engines to the RFC dialect
+      // makes the quoting claim true, and SourcesSpec round-trips a
+      // quote/comma-bearing frame under these options.
       Tables.part(s, dir).coalesce(1)
-        .write.mode("overwrite").option("header", "true").csv(s"$CsvStageDir/part")
+        .write.mode("overwrite")
+        .option("header", "true").option("escape", "\"")
+        .csv(s"$CsvStageDir/part")
       Files.createDirectories(Paths.get(CsvStageDir))
       Files.writeString(marker, dir)
     }
@@ -96,7 +105,8 @@ object Relational {
     */
   def scanCsv(s: SparkSession, dir: String): DataFrame = {
     stageCsv(s, dir)
-    s.read.schema(partCsvSchema).option("header", "true")
+    s.read.schema(partCsvSchema)
+      .option("header", "true").option("escape", "\"")
       .csv(s"$CsvStageDir/part")
       .oracleSorted("p_partkey")
   }

@@ -68,6 +68,13 @@ object TextOps {
   /** md5 hex of a string column's UTF-8 bytes (= DuckDB `md5(varchar)`). */
   private def md5s(c: Column): Column = md5(c.cast("binary"))
 
+  /** Canonical text normal form — lowercase, trimmed, whitespace collapsed.
+    * THE single definition: `text_normalize` and `dedup_pipeline`'s exact
+    * stage must agree exactly (SparkEntry mirrors it once as `normSql`).
+    */
+  private[graft] def normText(c: Column): Column =
+    regexp_replace(trim(lower(c)), " +", " ")
+
   // ------------------------------------------------------------------
   // Ranking / TF-IDF (wikipedia capability + §2.K5)
   // ------------------------------------------------------------------
@@ -369,8 +376,9 @@ object TextOps {
     * duplicate chain of diameter > 4 — round-3 VERDICT "What's wrong" #1).
     * The loop now exits as soon as an iteration changes no label, i.e. at
     * the true per-component-min fixed point; one-hop min propagation moves
-    * a label one edge per iteration, so only a duplicate chain of diameter
-    * > 50 can hit the cap — at which point the operator FAILS LOUDLY
+    * a label one edge per iteration (diameter D needs D propagation passes
+    * plus one no-change pass to confirm), so only a duplicate chain of
+    * diameter ≥ 50 can hit the cap — at which point the operator FAILS LOUDLY
     * instead of emitting split components (the large-star/small-star
     * contraction, which converges in O(log n) rounds, is the upgrade path
     * if a real corpus ever produces such chains).
@@ -472,7 +480,10 @@ object TextOps {
   def dedupSubstring(s: SparkSession, dir: String): DataFrame = {
     val fps = Tables.documents(s, dir)
       .select(col("doc_id"),
-        explode(graft.plans.HashedGrams.charGrams(col("text"), SubstrGramN)).as("g"))
+        // WIDE (full 60-bit) fingerprints, not the mod-2^31 MinHash form:
+        // the join key must make spurious collisions negligible at corpus
+        // scale (~n²/2^60, engine-identical), or fake pairs dominate
+        explode(graft.plans.HashedGrams.charGramsWide(col("text"), SubstrGramN)).as("g"))
       .filter(pmod(col("g"), lit(SubstrWinnowMod)) === 0)
       .localCheckpoint(false) // feeds both sides of the fingerprint join
     fps.as("a")
@@ -509,9 +520,8 @@ object TextOps {
     * `near_dup` (its exact representative clustered under an earlier one).
     */
   def dedupPipeline(s: SparkSession, dir: String): DataFrame = {
-    val norm = regexp_replace(trim(lower(col("text"))), " +", " ")
     val staged = Tables.documents(s, dir)
-      .select(col("doc_id"), norm.as("norm_text"))
+      .select(col("doc_id"), normText(col("text")).as("norm_text"))
       .withColumn("exact_rep", min("doc_id").over(
         Window.partitionBy(sha2(col("norm_text").cast("binary"), 256))))
       .localCheckpoint(false) // one materialization feeds reps + verdict join
@@ -560,7 +570,7 @@ object TextOps {
     * should key on in a real pipeline). Narrow per-row projection.
     */
   def textNormalize(s: SparkSession, dir: String): DataFrame = {
-    val norm = regexp_replace(trim(lower(col("text"))), " +", " ")
+    val norm = normText(col("text"))
     Tables.documents(s, dir)
       .select(col("doc_id"), norm.as("norm_text"),
         sha2(norm.cast("binary"), 256).as("norm_hash"))

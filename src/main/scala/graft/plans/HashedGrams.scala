@@ -28,7 +28,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * Contract: tokenized/ASCII-ish text (the documents table) — char
   * positions count UTF-16 units, as all engine texts are single-byte.
   */
-case class HashedGrams(child: Expression, n: Int, word: Boolean)
+/** `modP = true` (the MinHash form) reduces each 60-bit digest prefix mod
+  * the Mersenne prime 2^31−1 — required by the universal band-hash family
+  * downstream. `modP = false` keeps the full 60-bit value: the form for
+  * direct fingerprint joins (`dedup_substring`), where the 2^31 space
+  * would make spurious key collisions the dominant join mass at corpus
+  * scale (round-4 review finding).
+  */
+case class HashedGrams(child: Expression, n: Int, word: Boolean,
+                       modP: Boolean = true)
   extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =
@@ -40,11 +48,11 @@ case class HashedGrams(child: Expression, n: Int, word: Boolean)
   override def prettyName: String = "hashed_grams"
 
   override protected def nullSafeEval(input: Any): Any =
-    HashedGrams.compute(input.asInstanceOf[UTF8String], n, word)
+    HashedGrams.compute(input.asInstanceOf[UTF8String], n, word, modP)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.plans.HashedGrams.compute($c, $n, $word);")
+      s"${ev.value} = graft.plans.HashedGrams.compute($c, $n, $word, $modP);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -62,7 +70,7 @@ object HashedGrams {
     ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
 
   /** Static kernel, also callable from generated code. */
-  def compute(t: UTF8String, n: Int, word: Boolean): ArrayData = {
+  def compute(t: UTF8String, n: Int, word: Boolean, modP: Boolean): ArrayData = {
     val text = t.toString
     val md = md5Local.get()
     // LinkedHashSet = first-occurrence order, matching array_distinct
@@ -77,7 +85,7 @@ object HashedGrams {
       var i = 0
       while (i < 7) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
       v = (v << 4) | ((d(7) & 0xffL) >>> 4)
-      seen.add(v % P)
+      seen.add(if (modP) v % P else v)
     }
 
     if (word) {
@@ -112,6 +120,14 @@ object HashedGrams {
   /** Column entry: distinct hashed char n-grams. */
   def charGrams(text: Column, n: Int): Column =
     GraftSqlBridge.column(HashedGrams(GraftSqlBridge.expression(text), n, word = false))
+
+  /** Column entry: distinct FULL-60-bit hashed char n-grams (no mod-p
+    * reduction) — for direct fingerprint joins, where key-space width is
+    * what bounds spurious collisions.
+    */
+  def charGramsWide(text: Column, n: Int): Column =
+    GraftSqlBridge.column(
+      HashedGrams(GraftSqlBridge.expression(text), n, word = false, modP = false))
 
   private val hexDigits = "0123456789abcdef".toCharArray
 

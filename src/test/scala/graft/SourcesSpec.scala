@@ -37,6 +37,29 @@ class SourcesSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("CSV staging dialect round-trips quotes/commas under RFC-4180 doubled-quote escaping") {
+    import spark.implicits._
+    // the dialect scan_csv pins (escape = '"') so DuckDB's read_csv default
+    // parses the same bytes — fields exercising every quoting edge
+    val rows = Seq(
+      (1L, """plain"""), (2L, """with "quoted" middle"""),
+      (3L, "comma, inside"), (4L, """both "q", and comma"""), (5L, ""))
+    val dir = "/tmp/graft_test_csv_dialect"
+    rows.toDF("id", "v").coalesce(1)
+      .write.mode("overwrite").option("header", "true").option("escape", "\"").csv(dir)
+    val back = spark.read
+      .schema("id LONG, v STRING")
+      .option("header", "true").option("escape", "\"").csv(dir)
+      .orderBy("id").collect().map(r => (r.getLong(0), Option(r.getString(1)).getOrElse("")))
+    assert(back.toSeq == rows)
+    // the raw bytes must use RFC doubled quotes, never a backslash escape
+    val raw = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+        .filter(_.toString.endsWith(".csv")).findFirst().get()))
+    assert(raw.contains("\"with \"\"quoted\"\" middle\""), raw)
+    assert(!raw.contains("\\\""), raw)
+  }
+
   test("scan_partitioned prunes at plan time and round-trips the partitioned layout") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     import org.apache.spark.sql.functions.col
