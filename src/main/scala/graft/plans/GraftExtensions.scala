@@ -53,6 +53,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         HashedGrams(children.head, intLit(children(1), "hashed_char_grams"), word = false)
       }))
     ext.injectFunction((
+      FunctionIdentifier("hashed_char_grams_wide"),
+      new ExpressionInfo(classOf[HashedGrams].getName, "hashed_char_grams_wide"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "hashed_char_grams_wide(text, n) takes two arguments")
+        HashedGrams(children.head, intLit(children(1), "hashed_char_grams_wide"),
+          word = false, modP = false)
+      }))
+    ext.injectFunction((
       FunctionIdentifier("min_gram_md5"),
       new ExpressionInfo(classOf[MinGramMd5].getName, "min_gram_md5"),
       (children: Seq[Expression]) => {

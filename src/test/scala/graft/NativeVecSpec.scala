@@ -113,6 +113,16 @@ class NativeVecSpec extends AnyFunSuite {
           x => TextOps.shingleHash(x))).as("hof"))
       .collect()
     chars.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1), r.toString))
+    // wide (no mod-p) variant: == the unreduced 60-bit HOF hash
+    val wide = df.select(
+        graft.plans.HashedGrams.charGramsWide(col("text"), 32).as("native"),
+        array_distinct(transform(TextOps.charGrams(col("text"), 32),
+          x => org.apache.spark.sql.functions.conv(
+            org.apache.spark.sql.functions.substring(
+              org.apache.spark.sql.functions.md5(x.cast("binary")), 1, 15), 16, 10)
+            .cast("long"))).as("hof"))
+      .collect()
+    wide.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1), r.toString))
     val minMd5 = df.select(
         graft.plans.MinGramMd5.minWordGramMd5(col("text"), 3).as("native"),
         org.apache.spark.sql.functions.array_min(transform(
