@@ -374,27 +374,33 @@ object TextOps {
   /** Hard iteration cap for `clusterLabels` — a RUNAWAY GUARD, not a
     * correctness bound (round-3 fixed 4 iterations silently SPLIT any
     * duplicate chain of diameter > 4 — round-3 VERDICT "What's wrong" #1).
-    * The loop now exits as soon as an iteration changes no label, i.e. at
-    * the true per-component-min fixed point; one-hop min propagation moves
-    * a label one edge per iteration (diameter D needs D propagation passes
-    * plus one no-change pass to confirm), so only a duplicate chain of
-    * diameter ≥ 50 can hit the cap — at which point the operator FAILS LOUDLY
-    * instead of emitting split components (the large-star/small-star
-    * contraction, which converges in O(log n) rounds, is the upgrade path
-    * if a real corpus ever produces such chains).
+    * The loop exits as soon as an iteration changes no label, i.e. at the
+    * true per-component-min fixed point, and each iteration combines
+    * one-hop neighbour-min propagation with POINTER JUMPING (label ←
+    * label-of-label), so a chain of diameter D converges in O(log₂ D)
+    * iterations — the cap of 50 covers diameters far beyond any physical
+    * graph (≫2^40). Hitting it still FAILS LOUDLY rather than emitting
+    * split components.
     */
   val ClusterMaxIters = 50
 
-  /** Connected-component labels over an undirected pair graph: iterative
-    * min-label propagation run to CONVERGENCE. Labels start as own doc_id;
-    * each iteration takes the min over one-hop neighbours; a 1-row driver
-    * aggregate per iteration (count of changed labels — the same
-    * coordinator cost class as the k-means loop) detects the fixed point.
+  /** Connected-component labels over an undirected pair graph: min-label
+    * propagation with pointer jumping, run to CONVERGENCE. Labels start as
+    * own doc_id; each iteration takes the min of (own label, one-hop
+    * neighbours' labels, the label OF the own label — the pointer jump
+    * that doubles the effective hop distance per round, the classic
+    * log-rounds trick of Hash-to-Min / large-star contractions). Safe:
+    * labels are monotone non-increasing and bounded by the component
+    * minimum (every label value is a member node's id), and any fixpoint
+    * with two labels in one component has an edge whose neighbour-min
+    * would still decrease — so the fixpoint is exactly per-component min.
+    * A 1-row driver aggregate per iteration (count of changed labels —
+    * the same coordinator cost class as the k-means loop) detects it.
     * Each iteration eagerly `localCheckpoint`s the new labels: the plan
     * would otherwise double per iteration (each step references the
-    * previous labels twice), and the convergence check then reads the
-    * materialized rows instead of re-running the chain. The checkpointed
-    * sets are tiny — dup-pair docs only, a fraction of the corpus.
+    * previous labels three times), and the convergence check then reads
+    * the materialized rows instead of re-running the chain. The
+    * checkpointed sets are tiny — dup-pair docs only.
     */
   private[graft] def clusterLabels(pairs: DataFrame): DataFrame = {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
@@ -409,17 +415,23 @@ object TextOps {
       val nbrMin = edges
         .join(labels.select(col("doc_id").as("dst"), col("lbl").as("nlbl")), "dst")
         .groupBy("src").agg(min("nlbl").as("min_nbr"))
+      // pointer jump: the label of my current label (labels always hold
+      // member node ids, so the self-join by lbl = doc_id always resolves)
+      val jump = labels.select(col("doc_id").as("lbl"), col("lbl").as("jmp"))
       val upd = labels
         .join(nbrMin.withColumnRenamed("src", "doc_id"), Seq("doc_id"), "left")
+        .join(jump, Seq("lbl"), "left")
         .select(col("doc_id"), col("lbl").as("old_lbl"),
-          least(col("lbl"), coalesce(col("min_nbr"), col("lbl"))).as("lbl"))
+          least(col("lbl"),
+            least(coalesce(col("min_nbr"), col("lbl")),
+              coalesce(col("jmp"), col("lbl")))).as("lbl"))
         .localCheckpoint() // eager: one job per iteration, lineage stays flat
       converged = upd.filter(col("lbl") =!= col("old_lbl")).limit(1).count() == 0
       labels = upd.select("doc_id", "lbl")
     }
     require(converged,
       s"clusterLabels hit the $ClusterMaxIters-iteration cap before converging " +
-        "(duplicate chain of diameter > cap) — refusing to emit split components")
+        "— refusing to emit split components")
     labels
   }
 

@@ -261,6 +261,18 @@ class TextOpsSpec extends AnyFunSuite {
     assert(labels.values.toSet == Set(1L), s"split components: $labels")
   }
 
+  test("clusterLabels pointer jumping: a 200-node chain (diameter 199) converges under the cap") {
+    // pure one-hop propagation needs 199 iterations — far over the 50 cap;
+    // the label-of-label jump doubles effective hop distance per round, so
+    // this must converge in O(log2 199) ≈ 8-ish iterations to ONE component
+    import spark.implicits._
+    val chain = (1L to 199L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val labels = TextOps.clusterLabels(chain)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.keySet == (1L to 200L).toSet)
+    assert(labels.values.toSet == Set(1L), s"split: ${labels.values.toSet}")
+  }
+
   test("clusterLabels on random graphs == driver-side union-find (3 seeds)") {
     import spark.implicits._
     for (seed <- Seq(1, 7, 42)) {
