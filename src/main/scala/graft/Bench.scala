@@ -92,10 +92,12 @@ object Bench {
         try {
           val sec = try runOnce() catch {
             case e: Throwable => // transient? one retry inside the same pass
-              // counted and PUBLISHED: a retried-then-passed query records
-              // the retry's extra-warm time, so the artifact must say so —
-              // a stderr line alone defeats self-identification
-              retries(name) = retries.getOrElse(name, 0) + 1
+              // counted and PUBLISHED for MEASURED passes only: a
+              // retried-then-passed query records the retry's extra-warm
+              // time, so the artifact must say so (a stderr line alone
+              // defeats self-identification); a warm-up-pass retry taints
+              // no recorded number and stays out of the map
+              if (pass > 0) retries(name) = retries.getOrElse(name, 0) + 1
               System.err.println(s"[bench] $name failed once (pass $pass), retrying: ${e.getMessage}")
               runOnce()
           }

@@ -137,15 +137,15 @@ object SparkEntry {
   private val cg4 =
     "list_distinct(list_transform(generate_series(1, greatest(length(text) - 3, 1)), i -> text[i:i+3]))"
 
-  /** md5-derived 60-bit hash of a string, mod p (mirror of TextOps.shingleHash). */
-  private def hash60(x: String) =
-    s"CAST(('0x' || substr(md5($x), 1, 15)) AS BIGINT) % ${TextOps.MinhashP}"
-
   /** Full 60-bit md5 prefix, NO mod-p reduction (mirror of
     * HashedGrams.charGramsWide — dedup_substring's fingerprint space).
     */
   private def hash60Wide(x: String) =
     s"CAST(('0x' || substr(md5($x), 1, 15)) AS BIGINT)"
+
+  /** md5-derived 60-bit hash of a string, mod p (mirror of TextOps.shingleHash). */
+  private def hash60(x: String) =
+    s"${hash60Wide(x)} % ${TextOps.MinhashP}"
 
   /** Raw (non-distinct) n-word shingles of `text` (mirror of
     * TextOps.shingles — repetition scoring needs totals, not sets).

@@ -76,8 +76,13 @@ object Relational {
   private def stageCsv(s: SparkSession, dir: String): Unit = synchronized {
     import java.nio.file.{Files, Paths}
     val marker = Paths.get(CsvStageDir, "_GRAFT_SRC")
+    // the marker carries the DIALECT alongside the source dir: a dialect
+    // change must invalidate a stage written by an older build, or both
+    // engines would parse stale-dialect bytes (identically, so the oracle
+    // could never catch a mis-parse)
+    val want = s"$dir|rfc4180"
     val current = if (Files.exists(marker)) Files.readString(marker) else ""
-    if (current != dir) {
+    if (current != want) {
       // escape = '"' → RFC-4180 doubled-quote escaping. Spark's DEFAULT
       // escape is backslash, which DuckDB's read_csv (escape = '"') would
       // parse differently the moment a field contains a quote — a silent
@@ -90,7 +95,7 @@ object Relational {
         .option("header", "true").option("escape", "\"")
         .csv(s"$CsvStageDir/part")
       Files.createDirectories(Paths.get(CsvStageDir))
-      Files.writeString(marker, dir)
+      Files.writeString(marker, want)
     }
   }
 

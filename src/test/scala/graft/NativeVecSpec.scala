@@ -213,12 +213,21 @@ class NativeVecSpec extends AnyFunSuite {
       val r = s2.sql(
         """SELECT size(hashed_word_grams(text, 3)) AS nw,
           |       size(hashed_char_grams(text, 4)) AS nc,
+          |       hashed_char_grams_wide(text, 4) AS wide,
+          |       hashed_char_grams(text, 4) AS narrow,
           |       min_gram_md5(text, 3) AS mg,
           |       top_gram_count(text, 2) AS tg,
           |       simhash16(text) AS s16,
           |       simhash60(text) AS s60,
           |       size(band_sigs(hashed_word_grams(text, 3), 4)) AS nb
           |FROM graft_textk_v""".stripMargin).collect().head
+      // the wide registration must NOT mod-p-reduce: same grams, and each
+      // narrow value is its wide counterpart mod the Mersenne prime
+      val wide = r.getSeq[Long](r.fieldIndex("wide"))
+      val narrow = r.getSeq[Long](r.fieldIndex("narrow"))
+      assert(wide.map(_ % graft.operators.TextOps.MinhashP) == narrow)
+      assert(wide.exists(_ >= graft.operators.TextOps.MinhashP),
+        s"wide values all below 2^31 — modP wiring suspect: $wide")
       assert(r.getAs[Int]("nw") == 4)   // "a b c","b c d","c d a","d a b"
       assert(r.getAs[Long]("tg") == 2L) // "a b" appears twice
       assert(r.getAs[String]("mg").length == 32)
