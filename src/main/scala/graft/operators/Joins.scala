@@ -4,6 +4,7 @@ import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import graft.functions.OracleSort._
+import graft.functions.LineageCut._
 import org.apache.spark.sql.functions._
 
 /** Join family (SURVEY §2.C).
@@ -137,7 +138,7 @@ object Joins {
     val tagged = ord.unionByName(ev)
       .withColumn("bin", expr(s"unix_micros(t) div $AsofBinMicros"))
       // feeds the within-bin window AND the bin-summary aggregate
-      .localCheckpoint(false)
+      .lineageCut(eager = false)
 
     // (1) within-bin running last, partitioned by (key, bin)
     val wBin = Window.partitionBy("key", "bin").orderBy("t", "side")

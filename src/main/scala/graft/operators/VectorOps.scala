@@ -5,6 +5,7 @@ import graft.functions.Vec
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import graft.functions.OracleSort._
+import graft.functions.LineageCut._
 import org.apache.spark.sql.functions._
 
 /** Embedding-column operators (SURVEY §2.K3/K4) and the iterative k-means
@@ -160,7 +161,10 @@ object VectorOps {
     val ranged = base
       .repartitionByRange(parts, keys.map(col): _*)
       .withColumn("pid", spark_partition_id())
-      .localCheckpoint()
+      // pinned: a silently recomputed cache block could land rows in
+      // different range partitions than the driver's offsets saw (see
+      // LineageCut — `cache` mode falls back to localCheckpoint here)
+      .lineageCut(pinned = true)
     val counts = ranged.groupBy("pid").agg(count(lit(1)).as("cnt"))
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
     val n = counts.map(_._2).sum
@@ -281,6 +285,14 @@ object VectorOps {
       bpp == 24 && dataOff >= 54 && dataOff <= bytes.length,
       s"doc $id: unsupported BMP layout (size=$fileSize/${bytes.length} hdr=$hdrSize " +
         s"planes=$planes bpp=$bpp off=$dataOff)")
+    // cross-check the declared dimensions against the pixel-array size
+    // (round-4 ADVICE #4): a payload with consistent bfSize/bfOffBits but
+    // garbage width/height must not pass as decoded — the 4-byte-aligned
+    // 24bpp stride times the height has to account for every pixel byte
+    require(width > 0 && height >= 0 &&
+      ((width.toLong * 3 + 3) / 4 * 4) * height == (bytes.length - dataOff).toLong,
+      s"doc $id: BMP dimensions inconsistent with pixel array " +
+        s"(w=$width h=$height pixelBytes=${bytes.length - dataOff})")
     digest.reset()
     digest.update(bytes, dataOff, bytes.length - dataOff)
     val hex = digest.digest().map("%02x".format(_)).mkString
@@ -448,7 +460,7 @@ object VectorOps {
       simIvfWith(emb, cent)
         // materialize before the cache is released below — the frame is
         // AnnTopK × QuerySetSize rows, driver-tiny
-        .localCheckpoint()
+        .lineageCut()
     } finally emb.unpersist()
   }
 
@@ -468,7 +480,8 @@ object VectorOps {
     // by the ContextCleaner once the result frame is garbage, where the
     // round-2 `.cache()` left an InMemoryRelation behind after every
     // invocation (round-2 VERDICT #5).
-    val centsRow = cent.agg(collect_list(struct(col("c_label"), col("cvec"))).as("cents")).localCheckpoint(false)
+    val centsRow = cent.agg(collect_list(struct(col("c_label"), col("cvec"))).as("cents"))
+      .lineageCut(eager = false)
 
     def nearest(v: Column): Column = // (dist, label) argmin over the centroid array
       array_min(transform(col("cents"),
@@ -662,7 +675,7 @@ object VectorOps {
       // unpersist).
       val scored = assignedTo(emb, centers)
         .select(col("cid"), col("label"), Vec.l2F(col("embedding")).as("nrm"))
-        .localCheckpoint()
+        .lineageCut()
 
       // I4: cluster report — size, dominant label + share, median norm.
       val topLabel = scored.groupBy("cid", "label").agg(count(lit(1)).as("n"))

@@ -1,0 +1,61 @@
+package graft
+
+import graft.functions.LineageCut
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+/** `graft.lineageCut` law (round-4 VERDICT #7): every cut mode must produce
+  * byte-identical results — the conf selects a fault-tolerance/cost
+  * trade-off, never semantics. Exercised through three representative cut
+  * sites: a lazy multi-consumer cut (`dedup_minhash`), the eager iteration
+  * cut inside the convergence loop (`dedup_cluster`), and the PINNED
+  * global-row-number cut (`quantile_bins` — where `cache` mode must fall
+  * back to a true pin, see LineageCut's correctness note).
+  */
+class LineageCutSpec extends AnyFunSuite {
+  import SparkTestSession.{spark, sfDir}
+
+  private val probes: Seq[(String, (org.apache.spark.sql.SparkSession, String) => DataFrame)] =
+    Seq(
+      "dedup_minhash" -> SparkEntry.queries("dedup_minhash"),
+      "dedup_cluster" -> SparkEntry.queries("dedup_cluster"),
+      "quantile_bins" -> SparkEntry.queries("quantile_bins"),
+    )
+
+  private def runAll(): Map[String, Seq[String]] =
+    probes.map { case (name, fn) =>
+      name -> fn(spark, sfDir).collect().toSeq.map(_.toString)
+    }.toMap
+
+  private def withMode(mode: String)(body: => Unit): Unit = {
+    spark.conf.set(LineageCut.ConfKey, mode)
+    try body finally spark.conf.unset(LineageCut.ConfKey)
+  }
+
+  private lazy val baseline = runAll() // default mode: localCheckpoint
+
+  test("mode localCheckpoint (explicit) matches the default") {
+    withMode("localCheckpoint") { assert(runAll() == baseline) }
+  }
+
+  test("mode checkpoint (reliable) matches the default") {
+    withMode("checkpoint") {
+      assert(runAll() == baseline)
+      // the helper installed a checkpoint dir so the mode works out of the box
+      assert(spark.sparkContext.getCheckpointDir.nonEmpty)
+    }
+  }
+
+  test("mode cache matches the default") {
+    withMode("cache") { assert(runAll() == baseline) }
+  }
+
+  test("unknown mode fails loudly, not silently") {
+    withMode("spill-to-floppy") {
+      val e = intercept[IllegalArgumentException] {
+        SparkEntry.queries("dedup_minhash")(spark, sfDir).collect()
+      }
+      assert(e.getMessage.contains(LineageCut.ConfKey))
+    }
+  }
+}

@@ -324,6 +324,29 @@ class VectorOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("decodeBmp rejects dimensions inconsistent with the pixel array") {
+    // round-4 ADVICE #4: consistent bfSize/bfOffBits but garbage
+    // width/height must not decode into bogus dimensions
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val valid = VectorOps.encodeBmp(Array.fill(100)('x'.toByte))
+    def withInt(off: Int, v: Int): Array[Byte] = {
+      val b = valid.clone()
+      java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(off, v)
+      b
+    }
+    intercept[IllegalArgumentException] { // garbage width, everything else intact
+      VectorOps.decodeBmp(md, 3L, withInt(18, 9999))
+    }
+    intercept[IllegalArgumentException] { // garbage height
+      VectorOps.decodeBmp(md, 4L, withInt(22, 7))
+    }
+    intercept[IllegalArgumentException] { // non-positive width
+      VectorOps.decodeBmp(md, 5L, withInt(18, 0))
+    }
+    // the unmodified container still decodes
+    assert(VectorOps.decodeBmp(md, 6L, valid).width > 0)
+  }
+
   test("multimodal_join carries binary payload features consistent with text") {
     val r = VectorOps.multimodalJoin(spark, sfDir)
       .select("n_chars", "n_bytes").limit(20).collect()
