@@ -24,6 +24,7 @@ object SparkEntry {
     "scan_schema" -> (Relational.scanSchema _),
     "scan_csv" -> (Relational.scanCsv _),
     "scan_partitioned" -> (Relational.scanPartitioned _),
+    "scan_dpp" -> (Relational.scanDpp _),
     // §2.B filters / projections
     "filter_eq" -> (Relational.filterEq _),
     "filter_range" -> (Relational.filterRange _),
@@ -292,6 +293,12 @@ object SparkEntry {
     // hive-partitioned round-trip preserved the data
     "scan_partitioned" ->
       "SELECT doc_id, lang, source, n_chars FROM documents WHERE lang = 'en' ORDER BY doc_id",
+    // oracle rebuilds the lang dimension from the flat table (mirror of the
+    // staged langdim derivation) and runs the same dim-filtered join
+    "scan_dpp" ->
+      ("WITH dim AS (SELECT DISTINCT lang, CASE WHEN lang = 'zh' THEN 'cjk' ELSE 'latin' END AS lang_group FROM documents) " +
+      "SELECT d.doc_id, d.lang, d.source, d.n_chars FROM documents d JOIN dim USING (lang) " +
+      "WHERE dim.lang_group = 'cjk' ORDER BY d.doc_id"),
     "filter_eq" ->
       "SELECT event_id, user_id, value FROM events WHERE event_type = 'purchase' ORDER BY event_id",
     "filter_range" ->

@@ -50,6 +50,42 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"), p)
   }
 
+  test("scan_dpp prunes partitions at RUNTIME via DynamicPruningExpression") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+    import org.apache.spark.sql.catalyst.expressions.{DynamicPruning, DynamicPruningExpression}
+    val helper = new AdaptiveSparkPlanHelper {}
+    val df = graft.operators.Relational.scanDpp(spark, sfDir)
+
+    // plan-time proof: the partitioned fact scan carries a dynamic-pruning
+    // subquery in its PARTITION filters (qe.sparkPlan — AQE hides leaves;
+    // at this stage it is still a DynamicPruningSubquery, planned into a
+    // DynamicPruningExpression in the executed plan below)
+    val scans = helper.collect(df.queryExecution.sparkPlan) {
+      case f: FileSourceScanExec if f.relation.partitionSchema.nonEmpty => f
+    }
+    assert(scans.nonEmpty, df.queryExecution.sparkPlan.toString)
+    val dppScan = scans.find(_.partitionFilters.exists(
+      _.exists(_.isInstanceOf[DynamicPruning])))
+    assert(dppScan.nonEmpty,
+      s"no DynamicPruning in partition filters:\n${scans.map(_.partitionFilters).mkString("\n")}")
+
+    // runtime proof: execute and read the scan's partitions-read metric —
+    // only the 1 matching lang partition of 5 may be read
+    df.collect()
+    val executedScan = helper.collect(df.queryExecution.executedPlan) {
+      case f: FileSourceScanExec if f.relation.partitionSchema.nonEmpty => f
+    }.head
+    assert(executedScan.partitionFilters.exists(
+      _.exists(_.isInstanceOf[DynamicPruningExpression])),
+      executedScan.partitionFilters.mkString("; "))
+    val partsRead = executedScan.metrics("numPartitions").value
+    val totalParts = spark.read.parquet(s"${graft.operators.Relational.PartStageDir}/documents")
+      .select("lang").distinct().count()
+    assert(partsRead < totalParts, s"read $partsRead of $totalParts partitions — no runtime pruning")
+    assert(partsRead == 1L, s"expected exactly the cjk partition, read $partsRead")
+  }
+
   test("graft.terminalSort=false elides the oracle-contract global sort") {
     // default (oracle mode): terminal global sort present
     assert(planOf(VectorOps.vecNorm(spark, sfDir)).contains("Sort ["))
