@@ -98,6 +98,7 @@ object SparkEntry {
     "dedup_cluster" -> (TextOps.dedupCluster _),
     "dedup_pipeline" -> (TextOps.dedupPipeline _),
     "dedup_substring" -> (TextOps.dedupSubstring _),
+    "dedup_substring_spans" -> (TextOps.dedupSubstringSpans _),
     "text_normalize" -> (TextOps.textNormalize _),
     "text_pii" -> (TextOps.textPii _),
     "text_ngrams" -> (TextOps.textNgrams _),
@@ -444,6 +445,18 @@ object SparkEntry {
       "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(1) AS n_shared " +
       "FROM f a JOIN f b ON a.g = b.g AND a.doc_id < b.doc_id " +
       "GROUP BY 1, 2 ORDER BY doc_a, doc_b"),
+    // positional mirror of dedup_substring's fingerprints: every winnowed
+    // window OCCURRENCE with its 1-based char offset, shared set = ≥2
+    // distinct docs, gaps-and-islands merge at gap > SubstrGramN
+    "dedup_substring_spans" ->
+      (s"WITH wp AS (SELECT doc_id, unnest(list_transform(generate_series(1, greatest(length(text) - ${TextOps.SubstrGramN - 1}, 1)), i -> {'p': i, 'g': ${hash60Wide(s"text[i:i+${TextOps.SubstrGramN - 1}]")}})) AS u FROM documents), " +
+      s"w AS (SELECT doc_id, CAST(u.p AS INT) AS pos, u.g AS g FROM wp WHERE u.g % ${TextOps.SubstrWinnowMod} = 0), " +
+      "sg AS (SELECT g FROM w GROUP BY g HAVING count(DISTINCT doc_id) >= 2), " +
+      "m AS (SELECT doc_id, pos FROM w JOIN sg USING (g)), " +
+      s"i1 AS (SELECT doc_id, pos, CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL OR pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > ${TextOps.SubstrGramN} THEN 1 ELSE 0 END AS brk FROM m), " +
+      "i2 AS (SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS span_id FROM i1) " +
+      s"SELECT doc_id, CAST(min(pos) AS INT) AS span_start, CAST(max(pos) + ${TextOps.SubstrGramN - 1} AS INT) AS span_end, count(1) AS n_windows " +
+      "FROM i2 GROUP BY doc_id, span_id ORDER BY doc_id, span_start"),
     "text_normalize" ->
       s"SELECT doc_id, ${normSql("text")} AS norm_text, sha256(${normSql("text")}) AS norm_hash FROM documents ORDER BY doc_id",
     "sample_stratified" ->

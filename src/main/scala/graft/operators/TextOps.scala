@@ -513,6 +513,68 @@ object TextOps {
       .oracleSorted("doc_a", "doc_b")
   }
 
+  /** K19′ `dedup_substring_spans`: sub-document SPAN output for
+    * exact-substring dedup (round-4 VERDICT "What's missing" #2).
+    * `dedup_substring` names the document PAIRS sharing verbatim windows;
+    * the Lee-et-al pipeline it implements removes the repeated SPAN, not
+    * the document — so the deliverable a pipeline user actually consumes is
+    * a per-document CUT LIST: (doc_id, span_start, span_end) character
+    * ranges covering every occurrence of every cross-document shared
+    * window, with overlapping/adjacent windows merged into maximal spans.
+    *
+    * Shape: positional winnowed fingerprints (the same 60-bit window
+    * hashes and 1/8 hash-sampling as `dedup_substring`, but keeping (pos,
+    * hash) per OCCURRENCE — spans need offsets, so the distinct fused
+    * kernel doesn't apply) → shared-fingerprint set via groupBy(g) with a
+    * ≥2-distinct-docs floor (shuffle ∝ winnowed windows, keys are uniform
+    * hashes) → semi-join occurrences back to shared hashes → classic
+    * gaps-and-islands merge per doc (window partitioned by doc_id —
+    * parallel across docs, never global). Winnowing means spans are
+    * SAMPLED evidence of the duplicated run: consecutive surviving windows
+    * of one run sit ≤ `SubstrGramN`·`SubstrWinnowMod` apart in expectation,
+    * and the merge gap is `SubstrGramN`, so one long run may emit several
+    * sub-spans — each still a verbatim-duplicated range (the law the spec
+    * proves: cutting the spans removes every shared winnowed window).
+    */
+  def dedupSubstringSpans(s: SparkSession, dir: String): DataFrame =
+    substringSpans(Tables.documents(s, dir))
+      .oracleSorted("doc_id", "span_start")
+
+  /** Core of `dedup_substring_spans` over any (doc_id, text) frame. */
+  private[graft] def substringSpans(docs: DataFrame): DataFrame = {
+    val n = SubstrGramN
+    def hash60w(c: Column): Column =
+      conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
+    // (doc_id, pos, g): 1-based char position of every winnow-surviving
+    // window occurrence; feeds both the shared-set build and the span join
+    val w = docs
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(1), greatest(length(col("text")) - (n - 1), lit(1))),
+        i => hash60w(col("text").substr(i, lit(n))))))
+      .select(col("doc_id"), (col("pos") + 1).cast("int").as("pos"), col("col").as("g"))
+      .filter(pmod(col("g"), lit(SubstrWinnowMod)) === 0)
+      .lineageCut(eager = false)
+    // windows shared VERBATIM by ≥2 documents (full 60-bit key, as in
+    // dedup_substring — spurious collisions are ~n²/2^60, engine-identical)
+    val shared = w.groupBy("g")
+      .agg(count_distinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select("g")
+    val m = w.join(shared, "g").select("doc_id", "pos")
+    // gaps-and-islands: windows [pos, pos+n-1] merge while the next start
+    // is within n of the previous (overlap or touch)
+    val wd = Window.partitionBy("doc_id").orderBy("pos")
+    val prev = lag(col("pos"), 1).over(wd)
+    m.withColumn("brk", when(prev.isNull || col("pos") - prev > n, 1).otherwise(0))
+      .withColumn("span_id", sum("brk").over(
+        wd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("doc_id", "span_id")
+      .agg(min("pos").as("span_start"),
+        (max("pos") + (n - 1)).as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .select("doc_id", "span_start", "span_end", "n_windows")
+  }
+
   /** `dedup_pipeline`: the END-TO-END dedup chain a training-data pipeline
     * actually runs, composed from the stages that are each green in
     * isolation (round-3 VERDICT "What's missing" #3):

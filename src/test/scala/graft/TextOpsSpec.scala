@@ -327,6 +327,106 @@ class TextOpsSpec extends AnyFunSuite {
     assert(!got.contains((1L, 3L)) && !got.contains((2L, 3L)), got.toString)
   }
 
+  // ---- dedup_substring_spans laws (round-4 VERDICT "What's missing" #2) ----
+
+  /** Driver-side mirror of the positional winnowed fingerprints:
+    * (1-based pos, 60-bit md5-prefix hash) of every window whose hash
+    * survives the 1/8 winnow.
+    */
+  private def winnowedWindows(text: String): Seq[(Int, Long)] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val n = TextOps.SubstrGramN
+    (1 to math.max(text.length - (n - 1), 1)).map { i =>
+      val sub = text.substring(i - 1, math.min(i - 1 + n, text.length))
+      md.reset()
+      val hex = md.digest(sub.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      (i, java.lang.Long.parseLong(hex.take(15), 16))
+    }.filter(_._2 % TextOps.SubstrWinnowMod == 0)
+  }
+
+  /** Driver-side mirror of the whole spans pipeline: shared set, semi-join,
+    * gaps-and-islands merge — the independent expectation the Spark result
+    * must equal exactly.
+    */
+  private def expectedSpans(docs: Map[Long, String]): Set[(Long, Int, Int, Long)] = {
+    val n = TextOps.SubstrGramN
+    val w = docs.toSeq.flatMap { case (id, t) =>
+      winnowedWindows(t).map { case (p, g) => (id, p, g) } }
+    val shared = w.groupBy(_._3).filter(_._2.map(_._1).distinct.size >= 2).keySet
+    w.filter(t => shared(t._3)).groupBy(_._1).toSeq.flatMap { case (id, rows) =>
+      val ps = rows.map(_._2).distinct.sorted
+      val islands = ps.foldLeft(Vector.empty[Vector[Int]]) { (acc, p) =>
+        if (acc.nonEmpty && p - acc.last.last <= n) acc.init :+ (acc.last :+ p)
+        else acc :+ Vector(p)
+      }
+      islands.map(is => (id, is.head, is.last + n - 1,
+        rows.count(r => r._2 >= is.head && r._2 <= is.last).toLong))
+    }.toSet
+  }
+
+  test("dedup_substring_spans emits cut ranges covering the copied paragraph") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    def prose(n: Int) = Seq.fill(n)(s"w${rnd.nextInt(5000)}").mkString(" ")
+    val paragraph = prose(40) // ~250 chars of verbatim duplicated run
+    val d1 = prose(60) + " " + paragraph + " " + prose(60)
+    val d2 = prose(80) + " " + paragraph
+    val d3 = prose(120)
+    val docs = Map(1L -> d1, 2L -> d2, 3L -> d3)
+    docs.toSeq.toDF("doc_id", "text")
+      .write.mode("overwrite").parquet("/tmp/graft_test_spans/documents.parquet")
+
+    val got = TextOps.dedupSubstringSpans(spark, "/tmp/graft_test_spans")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3))).toSet
+    // exact match against the independent driver-side recomputation
+    assert(got == expectedSpans(docs), s"got $got\nexpected ${expectedSpans(docs)}")
+    // both sharing docs emit spans, the clean doc emits none
+    assert(got.exists(_._1 == 1L) && got.exists(_._1 == 2L))
+    assert(!got.exists(_._1 == 3L))
+    // every span lies inside the copied paragraph's char range (the only
+    // verbatim-shared run), for both docs
+    for ((id, start, end, _) <- got) {
+      val pStart = docs(id).indexOf(paragraph) + 1 // 1-based
+      val pEnd = pStart + paragraph.length - 1
+      assert(start >= pStart && end <= pEnd, s"span ($id,$start,$end) outside paragraph [$pStart,$pEnd]")
+    }
+  }
+
+  test("cutting the emitted spans removes every cross-document shared window") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(59)
+    def prose(n: Int) = Seq.fill(n)(s"v${rnd.nextInt(5000)}").mkString(" ")
+    val parA = prose(50)
+    val parB = prose(35)
+    // two distinct duplicated runs across three docs + a clean doc
+    val docs = Map(
+      1L -> (prose(40) + " " + parA + " " + prose(30) + " " + parB),
+      2L -> (parA + " " + prose(70)),
+      3L -> (prose(55) + " " + parB + " " + prose(20)),
+      4L -> prose(90))
+    docs.toSeq.toDF("doc_id", "text")
+      .write.mode("overwrite").parquet("/tmp/graft_test_spans2/documents.parquet")
+
+    val spans = TextOps.dedupSubstringSpans(spark, "/tmp/graft_test_spans2")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+      .groupBy(_._1).view.mapValues(_.map(s => (s._2, s._3)).sortBy(-_._1)).toMap
+
+    // the originally-shared fingerprint set (≥2 docs)
+    val orig = docs.toSeq.flatMap { case (id, t) => winnowedWindows(t).map(w => (id, w._2)) }
+    val sharedG = orig.groupBy(_._2).filter(_._2.map(_._1).distinct.size >= 2).keySet
+    assert(sharedG.nonEmpty, "fixture must plant shared windows")
+
+    // apply the cut lists (descending start keeps offsets valid)
+    val cut = docs.map { case (id, t) =>
+      id -> spans.getOrElse(id, Array.empty[(Int, Int)]).foldLeft(t) {
+        case (acc, (s, e)) => acc.substring(0, s - 1) + acc.substring(math.min(e, acc.length))
+      }
+    }
+    // THE LAW: no originally-shared window hash survives in any cut doc
+    for ((id, t) <- cut; (_, g) <- winnowedWindows(t))
+      assert(!sharedG.contains(g), s"doc $id still contains shared window $g after cutting")
+  }
+
   test("dedup_pipeline: exact dups drop as exact_dup, near dups as near_dup, clean docs keep") {
     import spark.implicits._
     val base = (1 to 40).map(i => s"tok$i").mkString(" ")
