@@ -695,18 +695,31 @@ object TextOps {
   val DecontamModulus = 97
   val DecontamShingleN = 8
 
+  /** Default for `graft.decontamBroadcastLimit`: max distinct eval grams
+    * the broadcast path may carry (2M longs ≈ tens of MB broadcast — the
+    * scale where per-executor copies stop being free).
+    */
+  val DecontamBroadcastLimitDefault = 2000000L
+
   /** `decontaminate`: train/eval n-gram overlap — the contamination check
     * every training-data pipeline runs against benchmark sets before
-    * training. The eval set's distinct hashed 8-word shingles are BROADCAST
-    * (benchmarks are small by construction — bounded regardless of corpus
-    * size); each training doc joins its exploded shingles against them, so
-    * the only shuffle is the per-doc hit count, ∝ contaminated shingles —
-    * near-zero on a clean corpus. Flag semantics: any 8-gram overlap marks
-    * the doc (the standard conservative rule). The check is also STATELESS
-    * per row (n_hit = |hv ∩ evalGrams| with the benchmark set baked in),
-    * so an ingest pipeline can run it per micro-batch under Structured
-    * Streaming — StreamingParitySpec asserts stream flags == this batch
-    * audit.
+    * training. Each training doc joins its exploded shingles against the
+    * eval set's distinct hashed 8-word shingles, so the only shuffle is the
+    * per-doc hit count, ∝ contaminated shingles — near-zero on a clean
+    * corpus. Flag semantics: any 8-gram overlap marks the doc (the standard
+    * conservative rule).
+    *
+    * The hit join is SIZE-GATED (round-4 VERDICT #4 removed the last
+    * "small by assumption" in the K-block): the distinct eval-gram count is
+    * measured (one aggregation of the eval side; its cut blocks are reused
+    * by the join), and at ≤ `graft.decontamBroadcastLimit` grams the set is
+    * broadcast — the streaming-friendly stateless-per-row shape
+    * StreamingParitySpec exercises. Above the limit (decontaminating
+    * against a merged benchmark suite plus a dedup blocklist) the hint is
+    * dropped and the same equi-join runs as a shuffle join on the uniform
+    * gram key — no single task ever holds the whole eval set. Both paths
+    * are byte-identical by construction (TextOpsSpec parity law); AQE
+    * remains free to re-broadcast at runtime if actual sizes allow.
     */
   def decontaminate(s: SparkSession, dir: String): DataFrame = {
     // one shingling pass feeds both branches (lineage-cut, cleaner-freed)
@@ -717,9 +730,13 @@ object TextOps {
     val evalGrams = g.filter(isEval)
       .select(explode(col("hv")).as("g"))
       .distinct()
+      .lineageCut(eager = false) // the gate's count() materializes; the join reuses
     val train = g.filter(!isEval)
+    val limit = s.conf.get("graft.decontamBroadcastLimit",
+      DecontamBroadcastLimitDefault.toString).toLong
+    val evalSide = if (evalGrams.count() <= limit) broadcast(evalGrams) else evalGrams
     val hits = train.select(col("doc_id"), explode(col("hv")).as("g"))
-      .join(broadcast(evalGrams), "g")
+      .join(evalSide, "g")
       .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
     train.select(col("doc_id"), size(col("hv")).as("n_grams"))
       .join(hits, Seq("doc_id"), "left")

@@ -327,6 +327,33 @@ class TextOpsSpec extends AnyFunSuite {
     assert(!got.contains((1L, 3L)) && !got.contains((2L, 3L)), got.toString)
   }
 
+  test("decontaminate: broadcast and shuffle-join paths are byte-identical") {
+    // round-4 VERDICT #4: the size gate must switch STRATEGY, never results
+    // sparkPlan is pre-EnsureRequirements (no Exchange nodes yet) — the
+    // strategy switch shows as the JOIN operator choice. Auto-broadcast is
+    // disabled for both runs so the plan reflects ONLY what the gate
+    // controls (on test-sized data Catalyst would otherwise size-broadcast
+    // the hintless side too — at real scale the size estimate does the
+    // same gating, which is the point).
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val base = TextOps.decontaminate(spark, sfDir)
+      assert(base.queryExecution.sparkPlan.toString.contains("BroadcastHashJoin"),
+        "default path must force-broadcast the (small) eval-gram set")
+      spark.conf.set("graft.decontamBroadcastLimit", "0")
+      try {
+        val fallback = TextOps.decontaminate(spark, sfDir)
+        // no broadcast join anywhere in the gated plan (AQE may still
+        // re-broadcast at RUNTIME from observed sizes — that is its job)
+        assert(!fallback.queryExecution.sparkPlan.toString.contains("BroadcastHashJoin"),
+          "limit=0 must drop the broadcast hint")
+        assert(fallback.collect().toSeq.map(_.toString) ==
+          base.collect().toSeq.map(_.toString))
+      } finally spark.conf.unset("graft.decontamBroadcastLimit")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+  }
+
   // ---- dedup_substring_spans laws (round-4 VERDICT "What's missing" #2) ----
 
   /** Driver-side mirror of the positional winnowed fingerprints:
