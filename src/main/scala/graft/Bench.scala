@@ -22,14 +22,31 @@ import java.nio.file.{Files, Paths}
   * pass so the median rejects it — UNLESS the stall spans multiple passes,
   * which round 3 could not detect mechanically (round-3 VERDICT #1). Hence:
   *
-  *  - CONTENTION CANARY: a fixed trivial query (1k-row range sum, no IO)
-  *    is timed at the start of EVERY pass, warm-up included, and published
-  *    as `canary` in the JSON. A quiet run keeps the canary flat at
-  *    milliseconds; a poisoned pass shows up as an inflated canary entry,
-  *    so a bad run self-identifies without comparing artifacts by hand.
+  *  - INLINE CONTENTION CANARY: a fixed trivial query (1k-row range sum,
+  *    no IO, ~10 ms) is timed at the start of every pass AND after every
+  *    `CanaryEvery` queries, published as `canary` (one array per pass). A
+  *    quiet run keeps every entry flat at milliseconds; a machine stall
+  *    shows as inflated entries AT the position it happened — round 4's
+  *    start-of-pass-only canary stayed flat while stalls hit mid-pass,
+  *    defeating attribution (round-4 VERDICT "What's wrong" #1).
+  *  - IN-RUN RE-MEASURE (the mechanical stall/regression separator): the
+  *    protocol tracks each query's BEST observed time (warm-up included).
+  *    When a measured pass exceeds `StallFactor`× best by more than
+  *    `StallAbsSec`, the query is immediately re-run once:
+  *      · re-run back near best → the sample was a transient stall; the
+  *        re-run's time replaces it (the median is stall-free by
+  *        construction) and the query's `stalled` count increments;
+  *      · re-run ALSO slow → genuinely slow (plan regression or sustained
+  *        contention); the better of the two samples is recorded and the
+  *        query lands in `slow_confirmed`.
+  *    A >2×-baseline entry therefore arrives pre-adjudicated: either its
+  *    `stalled` count explains the pressure (and its median already
+  *    excludes it), or `slow_confirmed` names it a real slowdown.
   *  - PER-PASS TIMES: `pass_times` carries every query's individual pass
-  *    wall times, not just median+spread — a stall is then attributable to
-  *    the exact pass whose canary spiked.
+  *    wall times (as recorded, post-re-measure), `pass_times_raw` any
+  *    replaced originals, and `best` the per-query floor; `n_passes` gives
+  *    per-query sample counts so cross-run total diffs can exclude
+  *    short-sampled flaky queries (round-4 ADVICE #5).
   *
   * Failure handling (round-3 ADVICE #1): a failing query is RETRIED once in
   * the same pass; if the retry also fails the query keeps any
@@ -79,13 +96,23 @@ object Bench {
     def canaryOnce(): Double =
       timed(spark.range(1000).selectExpr("sum(id)").queryExecution.toRdd.count())
 
+    // stall-attribution protocol constants (see header)
+    val CanaryEvery = 10   // queries between inline canary samples
+    val StallFactor = 3.0  // re-measure when a pass exceeds best × this ...
+    val StallAbsSec = 0.2  // ... by at least this many seconds (noise guard)
+
     val times = scala.collection.mutable.Map.empty[String, Vector[Double]]
+    val rawStalls = scala.collection.mutable.Map.empty[String, Vector[Double]]
+    val best = scala.collection.mutable.Map.empty[String, Double]
+    val stalled = scala.collection.mutable.Map.empty[String, Int]
+    val slowConfirmed = scala.collection.mutable.LinkedHashSet.empty[String]
     val retired = scala.collection.mutable.LinkedHashSet.empty[String]
     val retries = scala.collection.mutable.Map.empty[String, Int]
-    val canaries = scala.collection.mutable.ArrayBuffer.empty[Double]
-    // Pass 0 is the warm-up: executed (canary included), queries unrecorded.
+    val canaries = scala.collection.mutable.ArrayBuffer.empty[Vector[Double]]
+    // Pass 0 is the warm-up: executed (canaries included), queries unrecorded.
     for (pass <- 0 to passes) {
-      canaries += canaryOnce()
+      var passCanaries = Vector(canaryOnce())
+      var sinceCanary = 0
       for (name <- names if !retired.contains(name)) {
         def runOnce(): Double =
           timed(SparkEntry.queries(name)(spark, sfDir).queryExecution.toRdd.count())
@@ -101,13 +128,36 @@ object Bench {
               System.err.println(s"[bench] $name failed once (pass $pass), retrying: ${e.getMessage}")
               runOnce()
           }
-          if (pass > 0) times(name) = times.getOrElse(name, Vector.empty) :+ sec
+          // in-run stall adjudication (measured passes, once a floor exists)
+          val recorded =
+            if (pass > 0 && best.contains(name) &&
+                sec > StallFactor * best(name) && sec - best(name) > StallAbsSec) {
+              val sec2 = runOnce()
+              if (sec2 <= StallFactor * best(name)) {
+                stalled(name) = stalled.getOrElse(name, 0) + 1
+                System.err.println(f"[bench] $name pass-$pass sample $sec%.2fs re-measured " +
+                  f"$sec2%.2fs (best ${best(name)}%.2fs): transient stall, sample replaced")
+              } else {
+                slowConfirmed += name
+                System.err.println(f"[bench] $name pass-$pass sample $sec%.2fs re-measured " +
+                  f"$sec2%.2fs (best ${best(name)}%.2fs): SLOW CONFIRMED")
+              }
+              rawStalls(name) = rawStalls.getOrElse(name, Vector.empty) :+ sec
+              math.min(sec, sec2)
+            } else sec
+          best(name) = math.min(best.getOrElse(name, Double.MaxValue), recorded)
+          if (pass > 0) times(name) = times.getOrElse(name, Vector.empty) :+ recorded
         } catch {
           case e: Throwable =>
             retired += name // keep any recorded passes; skip from now on
             System.err.println(s"[bench] $name failed twice (pass $pass), retired: ${e.getMessage}")
         }
+        sinceCanary += 1
+        if (sinceCanary >= CanaryEvery) {
+          passCanaries :+= canaryOnce(); sinceCanary = 0
+        }
       }
+      canaries += passCanaries
     }
     def median(v: Vector[Double]): Double = {
       val s = v.sorted
@@ -124,11 +174,16 @@ object Bench {
     val sp = obj(measured.map(n => n -> fmt(times(n).max - times(n).min)))
     val pt = obj(measured.map(n =>
       n -> times(n).map(fmt).mkString("[", ",", "]")))
-    val cn = canaries.map(fmt).mkString("[", ",", "]")
+    val ptRaw = obj(measured.filter(rawStalls.contains).map(n =>
+      n -> rawStalls(n).map(fmt).mkString("[", ",", "]")))
+    val bst = obj(measured.map(n => n -> fmt(best(n))))
+    val np = obj(measured.map(n => n -> times(n).size.toString))
+    val st = obj(measured.filter(stalled.contains).map(n => n -> stalled(n).toString))
+    val cn = canaries.map(_.map(fmt).mkString("[", ",", "]")).mkString("[", ",", "]")
     def arr(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
     val rt = obj(names.filter(retries.contains).map(n => n -> retries(n).toString))
     val total = meds.map(_._2).sum
-    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"spread":$sp,"pass_times":$pt,"canary":$cn,"passes":$passes,"failed":${arr(failed)},"flaky":${arr(flaky)},"retried":$rt,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"spread":$sp,"pass_times":$pt,"pass_times_raw":$ptRaw,"best":$bst,"n_passes":$np,"stalled":$st,"slow_confirmed":${arr(slowConfirmed.toSeq)},"canary":$cn,"passes":$passes,"failed":${arr(failed)},"flaky":${arr(flaky)},"retried":$rt,"sf":"$sfDir"}"""
     println(json)
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.json")
     Files.writeString(Paths.get(out), json + "\n")

@@ -82,6 +82,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         BandSigs(children.head, intLit(children(1), "band_sigs"))
       }))
     ext.injectFunction((
+      FunctionIdentifier("winnowed_gram_pos"),
+      new ExpressionInfo(classOf[WinnowedGramPos].getName, "winnowed_gram_pos"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3,
+          "winnowed_gram_pos(text, n, winnow_mod) takes three arguments")
+        WinnowedGramPos(children.head, intLit(children(1), "winnowed_gram_pos"),
+          intLit(children(2), "winnowed_gram_pos"))
+      }))
+    ext.injectFunction((
       FunctionIdentifier("simhash16"),
       new ExpressionInfo(classOf[SimHash16].getName, "simhash16"),
       (children: Seq[Expression]) => {

@@ -132,6 +132,31 @@ class NativeVecSpec extends AnyFunSuite {
     minMd5.foreach(r => assert(r.getString(0) == r.getString(1), r.toString))
   }
 
+  test("WinnowedGramPos == HOF positional hash-then-filter chain") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{expr, filter, greatest, length, lit, sequence, struct, transform}
+    val rnd = new scala.util.Random(29)
+    val texts = Seq("", "x", "ab") ++
+      Seq.fill(100)(Seq.fill(rnd.nextInt(40) + 1)("tok" + rnd.nextInt(25)).mkString(" "))
+    val (n, m) = (graft.operators.TextOps.SubstrGramN, graft.operators.TextOps.SubstrWinnowMod)
+    def hash60w(c: org.apache.spark.sql.Column) =
+      org.apache.spark.sql.functions.conv(
+        org.apache.spark.sql.functions.substring(
+          org.apache.spark.sql.functions.md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
+    val rows = texts.toDF("text").select(
+        graft.plans.WinnowedGramPos.of(col("text"), n, m).as("native"),
+        filter(transform(
+          sequence(lit(1), greatest(length(col("text")) - (n - 1), lit(1))),
+          i => struct(i.cast("int").as("pos"), hash60w(col("text").substr(i, lit(n))).as("g"))),
+          s => org.apache.spark.sql.functions.pmod(s.getField("g"), lit(m)) === 0).as("hof"))
+      .collect()
+    rows.foreach { r =>
+      val a = r.getSeq[org.apache.spark.sql.Row](0).map(x => (x.getInt(0), x.getLong(1)))
+      val b = r.getSeq[org.apache.spark.sql.Row](1).map(x => (x.getInt(0), x.getLong(1)))
+      assert(a == b, r.toString)
+    }
+  }
+
   test("TopGramCount == the explode/groupBy max-count form") {
     import spark.implicits._
     import graft.operators.TextOps
