@@ -40,8 +40,8 @@ class AnnRecallSpec extends AnyFunSuite {
   }
 
   // Measured corpus values (deterministic — no RNG in the family):
-  // sim_ann 0.12, sim_ivf 0.32, sim_ivf_kmeans 0.80. Notably the
-  // kmeans-LEARNED coarse quantizer beats label-mean centroids 2.5x on
+  // sim_ann 0.12, sim_ivf 0.32, sim_ivf_kmeans 0.76. Notably the
+  // kmeans-LEARNED coarse quantizer beats label-mean centroids ~2.4x on
   // recall at identical probe cost — random labels carry no geometry, the
   // learned centroids adapt to it; 9-probe sign-LSH trails both because a
   // cosine-0.4 "neighbour" flips ~3 of 8 sign bits. Floors sit one
