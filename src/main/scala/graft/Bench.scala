@@ -128,22 +128,32 @@ object Bench {
               System.err.println(s"[bench] $name failed once (pass $pass), retrying: ${e.getMessage}")
               runOnce()
           }
-          // in-run stall adjudication (measured passes, once a floor exists)
+          // in-run stall adjudication (measured passes, once a floor exists).
+          // A FAILED re-measure must not discard the valid original sample
+          // or retire the query — the adjudication mechanism crashing is
+          // not the query failing (it keeps `sec`, unadjudicated).
           val recorded =
             if (pass > 0 && best.contains(name) &&
                 sec > StallFactor * best(name) && sec - best(name) > StallAbsSec) {
-              val sec2 = runOnce()
-              if (sec2 <= StallFactor * best(name)) {
-                stalled(name) = stalled.getOrElse(name, 0) + 1
-                System.err.println(f"[bench] $name pass-$pass sample $sec%.2fs re-measured " +
-                  f"$sec2%.2fs (best ${best(name)}%.2fs): transient stall, sample replaced")
-              } else {
-                slowConfirmed += name
-                System.err.println(f"[bench] $name pass-$pass sample $sec%.2fs re-measured " +
-                  f"$sec2%.2fs (best ${best(name)}%.2fs): SLOW CONFIRMED")
+              try {
+                val sec2 = runOnce()
+                if (sec2 <= StallFactor * best(name)) {
+                  stalled(name) = stalled.getOrElse(name, 0) + 1
+                  System.err.println(f"[bench] $name pass-$pass sample $sec%.2fs re-measured " +
+                    f"$sec2%.2fs (best ${best(name)}%.2fs): transient stall, sample replaced")
+                } else {
+                  slowConfirmed += name
+                  System.err.println(f"[bench] $name pass-$pass sample $sec%.2fs re-measured " +
+                    f"$sec2%.2fs (best ${best(name)}%.2fs): SLOW CONFIRMED")
+                }
+                rawStalls(name) = rawStalls.getOrElse(name, Vector.empty) :+ sec
+                math.min(sec, sec2)
+              } catch {
+                case e: Throwable =>
+                  System.err.println(s"[bench] $name re-measure failed, keeping " +
+                    s"original sample unadjudicated: ${e.getMessage}")
+                  sec
               }
-              rawStalls(name) = rawStalls.getOrElse(name, Vector.empty) :+ sec
-              math.min(sec, sec2)
             } else sec
           best(name) = math.min(best.getOrElse(name, Double.MaxValue), recorded)
           if (pass > 0) times(name) = times.getOrElse(name, Vector.empty) :+ recorded

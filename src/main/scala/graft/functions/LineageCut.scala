@@ -16,13 +16,24 @@ import org.apache.spark.sql.DataFrame
   *    fails the job (retried from source) instead of recomputing — the right
   *    local / driver-contract trade-off.
   *  - `checkpoint`: RELIABLE checkpoint against the SparkContext checkpoint
-  *    dir (set it to durable storage on a cluster; if unset, a JVM-local
-  *    tmp dir is installed so the mode works out of the box). Survives
-  *    executor loss and dynamic allocation — the cluster deployment mode.
+  *    dir (set it to durable storage on a cluster; if unset, a JVM-unique
+  *    tmp dir is installed — and deleted by a shutdown hook — so the mode
+  *    works out of the box without accumulating files across runs).
+  *    Survives executor loss and dynamic allocation — the cluster
+  *    deployment mode. Checkpoint files of a LIVE session are only
+  *    reclaimed when the deployment sets
+  *    `spark.cleaner.referenceTracking.cleanCheckpoints=true` (a core conf,
+  *    settable only at context build); otherwise each cut's snapshot lives
+  *    until session end — size the checkpoint volume for it.
   *  - `cache`: persist WITHOUT cutting lineage — blocks are recomputable
-  *    (executor loss is transparent) but plans grow through iterations and
-  *    the InMemoryRelation outlives the call until the cleaner drops the
-  *    frame. Supported for completeness; NOT honored at pinned sites (below).
+  *    (executor loss is transparent), at standard Spark cache-semantics
+  *    prices: the CacheManager keys entries by canonicalized plan, so an
+  *    IDENTICAL later invocation reuses the cached blocks (stale if the
+  *    source files changed underneath; meaningless for benchmarking), and
+  *    entries accumulate until unpersisted. The engine's iteration loops
+  *    unpersist the previous iteration's frame to bound in-loop growth;
+  *    per-invocation cuts follow cache semantics. A dev/interactive mode,
+  *    not a long-session mode. NOT honored at pinned sites (below).
   *
   * Pinned sites (`pinned = true`): `withGlobalRowNumber` materializes a
   * `repartitionByRange` whose sampled boundaries differ per execution — a
@@ -53,9 +64,19 @@ object LineageCut {
           c
         case "cache" /* pinned */ => df.localCheckpoint(eager)
         case "checkpoint" =>
-          if (s.sparkContext.getCheckpointDir.isEmpty)
-            s.sparkContext.setCheckpointDir(
-              s"${System.getProperty("java.io.tmpdir")}/graft_checkpoints")
+          if (s.sparkContext.getCheckpointDir.isEmpty) {
+            // JVM-unique fallback dir, removed on exit: without this every
+            // run would leave its full snapshots under /tmp forever
+            // (reliable checkpoints are never auto-deleted)
+            val dir = java.nio.file.Files.createTempDirectory("graft_checkpoints_")
+            Runtime.getRuntime.addShutdownHook(new Thread(() => {
+              def rm(p: java.io.File): Unit = {
+                Option(p.listFiles()).foreach(_.foreach(rm)); p.delete(); ()
+              }
+              rm(dir.toFile)
+            }))
+            s.sparkContext.setCheckpointDir(dir.toString)
+          }
           df.checkpoint(eager)
         case _ => df.localCheckpoint(eager)
       }

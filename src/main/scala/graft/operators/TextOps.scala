@@ -434,6 +434,9 @@ object TextOps {
               coalesce(col("jmp"), col("lbl")))).as("lbl"))
         .lineageCut() // eager: one job per iteration, lineage stays flat
       converged = upd.filter(col("lbl") =!= col("old_lbl")).limit(1).count() == 0
+      // bound in-loop growth under graft.lineageCut=cache (each iteration
+      // would otherwise leave a new CacheManager entry); no-op otherwise
+      labels.unpersist()
       labels = upd.select("doc_id", "lbl")
     }
     require(converged,

@@ -658,15 +658,24 @@ object VectorOps {
     */
   private[graft] def kmeansCenters(emb: DataFrame, maxIters: Int = KmeansMaxIters,
                                    tol: Double = KmeansTol): Array[Seq[Double]] = {
+    import org.apache.spark.sql.types.DecimalType
     var centers = initCenters(emb)
     var moved = Double.MaxValue
     var it = 0
     while (it < maxIters && moved > tol) {
       it += 1
+      // EXACT decimal cross-row sums (same discipline as simIvf's centroid
+      // build): double partial-sums merge in shuffle-arrival order, and
+      // with a convergence threshold in the loop condition an ulp of merge
+      // noise near the tol boundary would flip WHOLE iterations —
+      // nondeterministic centers from a deterministic contract (round-5
+      // review finding). Decimal sums are associative-exact, so the
+      // movement sequence and the exit iteration are run-independent.
       val sums = assignedTo(emb, centers)
         .select(col("cid"), posexplode(col("embedding")))
         .groupBy("cid", "pos")
-        .agg(sum(col("col").cast("double")).as("sv"), count(lit(1)).as("n"))
+        .agg(sum(col("col").cast("double").cast(DecimalType(28, 20)))
+          .cast("double").as("sv"), count(lit(1)).as("n"))
         .collect()
       val byCluster = sums.groupBy(_.getInt(0))
       val next = centers.zipWithIndex.map { case (old, cid) =>

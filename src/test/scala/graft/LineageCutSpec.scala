@@ -32,7 +32,11 @@ class LineageCutSpec extends AnyFunSuite {
     try body finally spark.conf.unset(LineageCut.ConfKey)
   }
 
-  private lazy val baseline = runAll() // default mode: localCheckpoint
+  // STRICT val: computed at suite construction, before any test's
+  // withMode block can set a conf — a lazy val forced inside the first
+  // filtered test would capture the baseline under that test's own mode
+  // and make the byte-identity law vacuous (round-5 review finding)
+  private val baseline = runAll() // default mode: localCheckpoint
 
   test("mode localCheckpoint (explicit) matches the default") {
     withMode("localCheckpoint") { assert(runAll() == baseline) }
