@@ -107,6 +107,7 @@ object SparkEntry {
     "pack_sequences" -> (TextOps.packSequences _),
     "sample_stratified" -> (VectorOps.sampleStratified _),
     "sample_hash" -> (Relational.sampleHash _),
+    "sample_mix" -> (Relational.sampleMix _),
     "stats_profile" -> (Relational.statsProfile _),
     "quantile_bins" -> (VectorOps.quantileBins _),
     "shuffle_rows" -> (VectorOps.shuffleRows _),
@@ -288,7 +289,7 @@ object SparkEntry {
     "scan_schema" ->
       "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem ORDER BY l_orderkey, l_linenumber",
     "scan_csv" ->
-      (s"SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice FROM read_csv('${Relational.CsvStageDir}/part/*.csv', header=true, " +
+      (s"SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice FROM read_csv('${Relational.CsvStageDir}/current/part/*.csv', header=true, " +
       "columns={'p_partkey':'BIGINT','p_name':'VARCHAR','p_brand':'VARCHAR','p_type':'VARCHAR','p_size':'INTEGER','p_retailprice':'DOUBLE'}) ORDER BY p_partkey"),
     // oracle filters the ORIGINAL flat table — the hash match proves the
     // hive-partitioned round-trip preserved the data
@@ -483,6 +484,10 @@ object SparkEntry {
       s"SELECT doc_id, shard, n_tokens, start_off, start_off // ${TextOps.PackCapacity} AS seq_id FROM o ORDER BY doc_id"),
     "sample_hash" ->
       s"WITH h AS (SELECT doc_id, lang, source, CAST((CAST(('0x' || substr(md5('graft:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100) AS INT) AS bucket FROM documents) SELECT doc_id, lang, source, bucket FROM h WHERE bucket < ${Relational.SamplePct} ORDER BY doc_id",
+    "sample_mix" ->
+      (s"WITH h AS (SELECT doc_id, lang, source, CAST((CAST(('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100) AS INT) AS bucket, " +
+      "CASE " + Relational.MixPct.map { case (l, p) => s"WHEN lang = '$l' THEN $p" }.mkString(" ") + " ELSE 100 END AS keep_pct FROM documents) " +
+      "SELECT doc_id, lang, source, bucket, keep_pct FROM h WHERE bucket < keep_pct ORDER BY doc_id"),
     "stats_profile" ->
       Relational.ProfileCols.map(c =>
         s"SELECT '$c' AS col_name, count(1) AS n_rows, CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls, count(DISTINCT $c) AS n_distinct, min($c) AS min_val, max($c) AS max_val FROM lineitem")

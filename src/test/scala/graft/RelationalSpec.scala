@@ -79,6 +79,31 @@ class RelationalSpec extends AnyFunSuite {
     assert(a.forall(_.getInt(3) < Relational.SamplePct))
   }
 
+  test("sample_mix honors per-language rates, deterministically") {
+    val a = Relational.sampleMix(spark, sfDir).collect()
+    val b = Relational.sampleMix(spark, sfDir).collect()
+    assert(a.toSeq == b.toSeq, "same rows must be kept on every run")
+    // every kept row respects its own configured rate
+    val pct = Relational.MixPct.toMap
+    assert(a.forall(r => r.getInt(3) < pct.getOrElse(r.getString(1), 100)))
+    // measured per-lang keep rates track the configured percentages
+    // (md5 buckets are uniform; ±15pp tolerance at sf0.001 group sizes)
+    val totals = Tables.documents(spark, sfDir).groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = a.groupBy(_.getString(1)).view.mapValues(_.length.toLong).toMap
+    for ((lang, p) <- Relational.MixPct) {
+      val rate = kept.getOrElse(lang, 0L).toDouble / totals(lang)
+      assert(math.abs(rate - p / 100.0) < 0.15, f"$lang rate $rate%.2f vs ${p}%%")
+    }
+    // the scarcest language is kept in full — rebalancing must not lose it
+    assert(kept("zh") == totals("zh"))
+    // unknown languages default to keep-all (inline frame, not testdata)
+    import spark.implicits._
+    val extra = Seq((1L, "tlh", "srcX", 999)).toDF("doc_id", "lang", "source", "n_chars")
+    extra.write.mode("overwrite").parquet("/tmp/graft_test_mix/documents.parquet")
+    assert(Relational.sampleMix(spark, "/tmp/graft_test_mix").count() == 1)
+  }
+
   test("stats_profile matches hand-computed stats on inline data") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
