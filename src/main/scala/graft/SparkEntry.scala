@@ -436,6 +436,7 @@ object SparkEntry {
       ("WITH vq AS (SELECT vec_id, label, embedding, CAST(list_min(embedding) AS DOUBLE) AS mn, CAST(list_max(embedding) AS DOUBLE) AS mx FROM embeddings), " +
       "vc AS (SELECT vec_id, label, embedding, mn, mx, list_transform(embedding, x -> CASE WHEN mx = mn THEN 0 ELSE CAST(least(greatest(floor((CAST(x AS DOUBLE) - mn) * 255.0 / (mx - mn)), 0.0), 255.0) AS BIGINT) END) AS q FROM vq) " +
       "SELECT vec_id, label, round(mn, 6) AS q_min, round(mx, 6) AS q_max, CAST(list_sum(q) AS BIGINT) AS q_sum, " +
+      "array_to_string(q, ',') AS q_codes, " +
       "round(list_max(list_transform(list_zip(embedding, q), p -> abs(CAST(p[1] AS DOUBLE) - (mn + CAST(p[2] AS DOUBLE) * ((mx - mn) / 255.0))))), 6) AS max_err " +
       "FROM vc ORDER BY vec_id"),
     "dedup_cluster" -> dedupClusterSql,

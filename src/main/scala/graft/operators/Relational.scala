@@ -440,19 +440,25 @@ object Relational {
     * mixing stage must never silently drop a group nobody configured).
     * Per-row hash + filter, no shuffle.
     */
-  def sampleMix(s: SparkSession, dir: String): DataFrame = {
+  def sampleMix(s: SparkSession, dir: String): DataFrame =
+    mixKept(Tables.documents(s, dir))
+      .select(col("doc_id"), col("lang"), col("source"), col("bucket"), col("keep_pct"))
+      .oracleSorted("doc_id")
+
+  /** The mixing decision over ANY (doc_id, lang, …) frame — a pure
+    * stateless per-row predicate, so the SAME code runs on a streaming
+    * ingest frame (StreamingParitySpec proves kept rows match batch).
+    */
+  private[graft] def mixKept(df: DataFrame): DataFrame = {
     val hv = conv(substring(md5(concat(lit("mix:"),
       col("doc_id").cast("string")).cast("binary")), 1, 15), 16, 10).cast("long")
     val pct = MixPct.tail.foldLeft(
       when(col("lang") === MixPct.head._1, lit(MixPct.head._2))) {
         case (acc, (l, p)) => acc.when(col("lang") === l, lit(p))
       }.otherwise(lit(100))
-    Tables.documents(s, dir)
-      .withColumn("bucket", (hv % 100).cast("int"))
+    df.withColumn("bucket", (hv % 100).cast("int"))
       .withColumn("keep_pct", pct)
       .filter(col("bucket") < col("keep_pct"))
-      .select(col("doc_id"), col("lang"), col("source"), col("bucket"), col("keep_pct"))
-      .oracleSorted("doc_id")
   }
 
   /** Columns profiled by `stats_profile`. */

@@ -350,6 +350,11 @@ object VectorOps {
       .select(col("vec_id"), col("label"),
         round(mn, 6).as("q_min"), round(mx, 6).as("q_max"),
         aggregate(col("q"), lit(0L), (a, q) => a + q).as("q_sum"),
+        // the FULL code array, serialized — the driver gate can't hash
+        // array cells, a joined string it can: every code is oracle-proven,
+        // not just the sum (round-4 memory listed the sum-only checksum as
+        // remaining softness)
+        concat_ws(",", col("q")).as("q_codes"),
         round(array_max(zip_with(e, col("q"), (x, q) =>
           abs(x.cast("double") - (mn + q.cast("double") * ((mx - mn) / 255.0))))), 6).as("max_err"))
       .oracleSorted("vec_id")

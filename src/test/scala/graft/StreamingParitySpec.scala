@@ -89,6 +89,33 @@ class StreamingParitySpec extends AnyFunSuite {
     assert(batch.values.exists(_ > 0L), "no contaminated doc — parity check vacuous")
   }
 
+  test("sample_mix is streamable at ingest: kept rows on a stream == batch sampler") {
+    // the mixing decision is a pure function of (doc_id, lang) — no state,
+    // no shuffle — so an ingest pipeline can apply data-mixing weights per
+    // micro-batch and keep EXACTLY the rows the batch sampler keeps
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = SparkTestSession.sfDir
+    val docs = Tables.documents(spark, dir)
+      .select("doc_id", "lang", "source", "n_chars")
+
+    val stream = MemoryStream[(Long, String, String, Long)]
+    stream.addData(docs.as[(Long, String, String, Long)].collect().toSeq: _*)
+    val streamedDf = stream.toDF.toDF("doc_id", "lang", "source", "n_chars")
+    // the SAME operator core runs on the streaming frame — no test-local
+    // reimplementation to drift
+    val q = graft.operators.Relational.mixKept(streamedDf)
+      .select("doc_id")
+      .writeStream.format("memory").queryName("parity_mix").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("parity_mix").collect().map(_.getLong(0)).toSet
+
+    val batch = graft.operators.Relational.sampleMix(spark, dir)
+      .collect().map(_.getLong(0)).toSet
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+  }
+
   test("stream-stream time-range join: MemoryStream purchases x clicks == batch stream_join (J8)") {
     import graft.operators.EventOps
     import spark.implicits._
