@@ -99,6 +99,7 @@ object SparkEntry {
     "dedup_pipeline" -> (TextOps.dedupPipeline _),
     "dedup_substring" -> (TextOps.dedupSubstring _),
     "dedup_substring_spans" -> (TextOps.dedupSubstringSpans _),
+    "dedup_substring_clean" -> (TextOps.dedupSubstringClean _),
     "text_normalize" -> (TextOps.textNormalize _),
     "text_pii" -> (TextOps.textPii _),
     "text_ngrams" -> (TextOps.textNgrams _),
@@ -192,6 +193,21 @@ object SparkEntry {
     s"WITH RECURSIVE $minhashCandSql, $minhashComponentsSql, " +
       "sz AS (SELECT lbl, count(1) AS cluster_size FROM lab GROUP BY 1) " +
       "SELECT doc_id, lbl AS canonical_id, cluster_size FROM lab JOIN sz USING (lbl) ORDER BY doc_id"
+
+  /** Positional winnowed-fingerprint → merged-span CTE chain (mirror of
+    * TextOps.substringSpans): defines `sp0(doc_id, span_start, span_end,
+    * n_windows)`. Shared by the `dedup_substring_spans` and
+    * `dedup_substring_clean` oracles so the apply step can never drift
+    * from the span derivation.
+    */
+  private def substringSpansCtes: String =
+    s"wp AS (SELECT doc_id, unnest(list_transform(generate_series(1, greatest(length(text) - ${TextOps.SubstrGramN - 1}, 1)), i -> {'p': i, 'g': ${hash60Wide(s"text[i:i+${TextOps.SubstrGramN - 1}]")}})) AS u FROM documents), " +
+    s"w AS (SELECT doc_id, CAST(u.p AS INT) AS pos, u.g AS g FROM wp WHERE u.g % ${TextOps.SubstrWinnowMod} = 0), " +
+    "sg AS (SELECT g FROM w GROUP BY g HAVING count(DISTINCT doc_id) >= 2), " +
+    "m AS (SELECT doc_id, pos FROM w JOIN sg USING (g)), " +
+    s"i1 AS (SELECT doc_id, pos, CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL OR pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > ${TextOps.SubstrGramN} THEN 1 ELSE 0 END AS brk FROM m), " +
+    "i2 AS (SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS span_id FROM i1), " +
+    s"sp0 AS (SELECT doc_id, CAST(min(pos) AS INT) AS span_start, CAST(max(pos) + ${TextOps.SubstrGramN - 1} AS INT) AS span_end, count(1) AS n_windows FROM i2 GROUP BY doc_id, span_id)"
 
   /** Canonical text normal form (mirror of TextOps.normText — the ONE
     * definition both `text_normalize` and `dedup_pipeline` oracles use).
@@ -449,16 +465,21 @@ object SparkEntry {
       "GROUP BY 1, 2 ORDER BY doc_a, doc_b"),
     // positional mirror of dedup_substring's fingerprints: every winnowed
     // window OCCURRENCE with its 1-based char offset, shared set = ≥2
-    // distinct docs, gaps-and-islands merge at gap > SubstrGramN
+    // distinct docs, gaps-and-islands merge at gap > SubstrGramN (shared
+    // `sp0` chain — the clean oracle must never drift from the span oracle)
     "dedup_substring_spans" ->
-      (s"WITH wp AS (SELECT doc_id, unnest(list_transform(generate_series(1, greatest(length(text) - ${TextOps.SubstrGramN - 1}, 1)), i -> {'p': i, 'g': ${hash60Wide(s"text[i:i+${TextOps.SubstrGramN - 1}]")}})) AS u FROM documents), " +
-      s"w AS (SELECT doc_id, CAST(u.p AS INT) AS pos, u.g AS g FROM wp WHERE u.g % ${TextOps.SubstrWinnowMod} = 0), " +
-      "sg AS (SELECT g FROM w GROUP BY g HAVING count(DISTINCT doc_id) >= 2), " +
-      "m AS (SELECT doc_id, pos FROM w JOIN sg USING (g)), " +
-      s"i1 AS (SELECT doc_id, pos, CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL OR pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > ${TextOps.SubstrGramN} THEN 1 ELSE 0 END AS brk FROM m), " +
-      "i2 AS (SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS span_id FROM i1) " +
-      s"SELECT doc_id, CAST(min(pos) AS INT) AS span_start, CAST(max(pos) + ${TextOps.SubstrGramN - 1} AS INT) AS span_end, count(1) AS n_windows " +
-      "FROM i2 GROUP BY doc_id, span_id ORDER BY doc_id, span_start"),
+      s"WITH $substringSpansCtes SELECT doc_id, span_start, span_end, n_windows FROM sp0 ORDER BY doc_id, span_start",
+    // apply the cut lists: rebuild each doc from the segments between its
+    // sorted spans (ends clamped to the text length), keep clean docs as-is
+    "dedup_substring_clean" ->
+      (s"WITH $substringSpansCtes, " +
+      "spl AS (SELECT doc_id, list({'s': span_start, 'e': span_end} ORDER BY span_start) AS sp FROM sp0 GROUP BY doc_id) " +
+      "SELECT d.doc_id, " +
+      "CASE WHEN spl.sp IS NULL THEN d.text ELSE array_to_string(list_transform(generate_series(1, len(spl.sp) + 1), i -> " +
+      "d.text[(CASE WHEN i = 1 THEN 1 ELSE least(spl.sp[i-1].e, length(d.text)) + 1 END):(CASE WHEN i = len(spl.sp) + 1 THEN length(d.text) ELSE spl.sp[i].s - 1 END)]), '') END AS clean_text, " +
+      "CAST(COALESCE(len(spl.sp), 0) AS INT) AS n_spans, " +
+      "CAST(COALESCE(list_sum(list_transform(spl.sp, x -> least(x.e, length(d.text)) - x.s + 1)), 0) AS INT) AS n_cut_chars " +
+      "FROM documents d LEFT JOIN spl ON d.doc_id = spl.doc_id ORDER BY d.doc_id"),
     "text_normalize" ->
       s"SELECT doc_id, ${normSql("text")} AS norm_text, sha256(${normSql("text")}) AS norm_hash FROM documents ORDER BY doc_id",
     "sample_stratified" ->

@@ -577,6 +577,47 @@ object TextOps {
       .select("doc_id", "span_start", "span_end", "n_windows")
   }
 
+  /** K19″ `dedup_substring_clean`: APPLY the span cut lists — the cleaned
+    * corpus a training pipeline actually feeds downstream (doc_id,
+    * clean_text, n_spans, n_cut_chars). Spans per doc are collected and
+    * sorted (disjoint by construction — the islands merge guarantees a gap
+    * > 0 between spans), then one per-row HOF pass rebuilds the text from
+    * the segments BETWEEN spans; span ends clamp to the text length (a
+    * shorter-than-window doc's whole-text window reports span_end = 32
+    * regardless of its true length).
+    *
+    * Scale shape: the spans computation is `dedup_substring_spans`
+    * unchanged; the apply adds one groupBy(doc_id) over SPAN rows (∝
+    * duplicated runs, not corpus), a left join back to the docs on doc_id,
+    * and a narrow per-row string rebuild. Nothing new concentrates.
+    */
+  def dedupSubstringClean(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val sp = substringSpans(docs)
+      .groupBy("doc_id")
+      .agg(array_sort(collect_list(struct(
+        col("span_start").as("s"), col("span_end").as("e")))).as("sp"))
+    val txt = col("text")
+    val n = size(col("sp"))
+    // segment i ∈ [1, n+1]: from (prev span end)+1 through (next span
+    // start)−1; first segment starts at 1, last ends at len(text)
+    val segs = transform(sequence(lit(1), n + 1), i => {
+      val st = when(i === 1, lit(1))
+        .otherwise(least(element_at(col("sp"), i - 1).getField("e"), length(txt)) + 1)
+      val en = when(i === n + 1, length(txt))
+        .otherwise(element_at(col("sp"), i).getField("s") - 1)
+      when(en >= st, txt.substr(st, en - st + 1)).otherwise(lit(""))
+    })
+    val cut = aggregate(col("sp"), lit(0),
+      (a, x) => a + (least(x.getField("e"), length(txt)) - x.getField("s") + 1))
+    docs.join(sp, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("sp").isNull, txt).otherwise(concat_ws("", segs)).as("clean_text"),
+        coalesce(n, lit(0)).as("n_spans"),
+        coalesce(cut, lit(0)).as("n_cut_chars"))
+      .oracleSorted("doc_id")
+  }
+
   /** `dedup_pipeline`: the END-TO-END dedup chain a training-data pipeline
     * actually runs, composed from the stages that are each green in
     * isolation (round-3 VERDICT "What's missing" #3):

@@ -454,6 +454,40 @@ class TextOpsSpec extends AnyFunSuite {
       assert(!sharedG.contains(g), s"doc $id still contains shared window $g after cutting")
   }
 
+  test("dedup_substring_clean == manually cutting the emitted spans") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(59) // same fixture as the cut law above
+    def prose(n: Int) = Seq.fill(n)(s"v${rnd.nextInt(5000)}").mkString(" ")
+    val parA = prose(50)
+    val parB = prose(35)
+    val docs = Map(
+      1L -> (prose(40) + " " + parA + " " + prose(30) + " " + parB),
+      2L -> (parA + " " + prose(70)),
+      3L -> (prose(55) + " " + parB + " " + prose(20)),
+      4L -> prose(90))
+    docs.toSeq.toDF("doc_id", "text")
+      .write.mode("overwrite").parquet("/tmp/graft_test_spans3/documents.parquet")
+
+    val spans = TextOps.dedupSubstringSpans(spark, "/tmp/graft_test_spans3")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+      .groupBy(_._1).view.mapValues(_.map(s => (s._2, s._3)).sortBy(-_._1)).toMap
+    val manual = docs.map { case (id, t) =>
+      id -> spans.getOrElse(id, Array.empty[(Int, Int)]).foldLeft(t) {
+        case (acc, (s, e)) => acc.substring(0, s - 1) + acc.substring(math.min(e, acc.length))
+      }
+    }
+    val got = TextOps.dedupSubstringClean(spark, "/tmp/graft_test_spans3")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getInt(2), r.getInt(3))).toMap
+    for ((id, t) <- docs) {
+      assert(got(id)._1 == manual(id), s"doc $id clean_text mismatch")
+      assert(got(id)._2 == spans.getOrElse(id, Array.empty[(Int, Int)]).length)
+      assert(got(id)._3 == docs(id).length - manual(id).length,
+        s"doc $id n_cut_chars ${got(id)._3} vs actual ${docs(id).length - manual(id).length}")
+    }
+    // clean docs flow through untouched
+    assert(got(4L) == ((docs(4L), 0, 0)))
+  }
+
   test("dedup_pipeline: exact dups drop as exact_dup, near dups as near_dup, clean docs keep") {
     import spark.implicits._
     val base = (1 to 40).map(i => s"tok$i").mkString(" ")
