@@ -96,6 +96,7 @@ object SparkEntry {
     "dedup_ngram" -> (TextOps.dedupNgram _),
     "dedup_embed" -> (VectorOps.dedupEmbed _),
     "dedup_cluster" -> (TextOps.dedupCluster _),
+    "dedup_incremental" -> (TextOps.dedupIncremental _),
     "dedup_pipeline" -> (TextOps.dedupPipeline _),
     "dedup_substring" -> (TextOps.dedupSubstring _),
     "dedup_substring_spans" -> (TextOps.dedupSubstringSpans _),
@@ -456,6 +457,13 @@ object SparkEntry {
       "round(list_max(list_transform(list_zip(embedding, q), p -> abs(CAST(p[1] AS DOUBLE) - (mn + CAST(p[2] AS DOUBLE) * ((mx - mn) / 255.0))))), 6) AS max_err " +
       "FROM vc ORDER BY vec_id"),
     "dedup_cluster" -> dedupClusterSql,
+    // asymmetric batch-vs-index candidates: new (doc_id % m = 0) band rows
+    // join ONLY index band rows; same verify as dedup_minhash
+    "dedup_incremental" ->
+      (s"WITH $minhashCandSql, " + // reuses w/sm/s2; its `c` is unused here
+      s"ci AS (SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS idx_id FROM s2 a JOIN s2 b ON a.band = b.band AND a.sig = b.sig AND a.doc_id % ${TextOps.IncrementalModulus} = 0 AND b.doc_id % ${TextOps.IncrementalModulus} <> 0), " +
+      s"ji AS (SELECT new_id, idx_id, round(CAST(len(list_intersect(wn.hv, wi.hv)) AS DOUBLE) / len(list_distinct(list_concat(wn.hv, wi.hv))), 6) AS jaccard FROM ci JOIN w wn ON ci.new_id = wn.doc_id JOIN w wi ON ci.idx_id = wi.doc_id) " +
+      s"SELECT new_id, idx_id, jaccard FROM ji WHERE jaccard >= ${TextOps.MinhashTau} ORDER BY new_id, idx_id"),
     "dedup_pipeline" -> dedupPipelineSql,
     "dedup_substring" ->
       (s"WITH sg AS (SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, greatest(length(text) - ${TextOps.SubstrGramN - 1}, 1)), i -> ${hash60Wide(s"text[i:i+${TextOps.SubstrGramN - 1}]")}))) AS g FROM documents), " +

@@ -468,6 +468,47 @@ object TextOps {
       .oracleSorted("doc_id")
   }
 
+  /** `dedup_incremental` batch split: every `IncrementalModulus`-th doc_id
+    * is the INCOMING batch; the rest are the existing index.
+    */
+  val IncrementalModulus = 3
+
+  /** K24 `dedup_incremental`: near-dup check of an INCOMING BATCH against
+    * an EXISTING INDEX — the shape a daily-ingest pipeline runs, where
+    * re-deduping the whole corpus per batch is unaffordable. The batch's
+    * band signatures join ONLY the index's band table (never batch×batch,
+    * never index×index — the asymmetry is the point and is unit-tested),
+    * then exact Jaccard verifies candidates as usual.
+    *
+    * Scale shape: at 100 TB the index band table is PRECOMPUTED and read
+    * from storage (here both sides derive from the same corpus so the
+    * DuckDB oracle can rebuild them); incremental cost is then
+    * ∝ |batch| · bucket-hit rate — independent of corpus size except
+    * through bucket occupancy, which banding keeps at near-dup mass. A
+    * matched batch doc would be dropped (or routed to the matched
+    * canonical) before it ever enters the index.
+    */
+  def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    val isNew = pmod(col("doc_id"), lit(IncrementalModulus)) === 0
+    val hv = Tables.documents(s, dir)
+      .select(col("doc_id"), hashedShingles(col("text"), 3).as("hv"))
+      .lineageCut(eager = false) // feeds both band tables + both verify joins
+    val sigs = bandSignatures(hv)
+    val cand = sigs.filter(isNew).as("n")
+      .join(sigs.filter(!isNew).as("i"),
+        col("n.band") === col("i.band") && col("n.sig") === col("i.sig"))
+      .select(col("n.doc_id").as("new_id"), col("i.doc_id").as("idx_id"))
+      .distinct()
+    cand
+      .join(hv.select(col("doc_id").as("new_id"), col("hv").as("hv_n")), "new_id")
+      .join(hv.select(col("doc_id").as("idx_id"), col("hv").as("hv_i")), "idx_id")
+      .select(col("new_id"), col("idx_id"),
+        round(size(array_intersect(col("hv_n"), col("hv_i"))).cast("double") /
+          size(array_distinct(concat(col("hv_n"), col("hv_i")))), 6).as("jaccard"))
+      .filter(col("jaccard") >= MinhashTau)
+      .oracleSorted("new_id", "idx_id")
+  }
+
   /** `dedup_substring` parameters: the exact-match unit is a 32-char
     * window; fingerprints are the windows whose 60-bit hash ≡ 0 mod
     * `SubstrWinnowMod` (winnowing-style 1/8 sampling). Any shared exact

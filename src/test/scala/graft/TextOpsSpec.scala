@@ -327,6 +327,35 @@ class TextOpsSpec extends AnyFunSuite {
     assert(!got.contains((1L, 3L)) && !got.contains((2L, 3L)), got.toString)
   }
 
+  test("dedup_incremental reports batch-vs-index matches ONLY — never batch x batch") {
+    import spark.implicits._
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val near = ((1 to 38).map(i => s"tok$i") ++ Seq("o1", "o2")).mkString(" ")
+    val other = (200 to 240).map(i => s"alt$i").mkString(" ")
+    // doc_id % 3 == 0 → incoming batch; else index.
+    val docs = Seq(
+      1L -> base,          // index
+      3L -> near,          // batch: near-dup of index doc 1 → MUST be found
+      6L -> base,          // batch: exact dup of index doc 1 → MUST be found
+      9L -> near,          // batch: near-dup of BATCH docs 3/6 via doc 1 too
+      2L -> other,         // index, unrelated
+      12L -> other,        // batch: dup of INDEX doc 2 → found
+      5L -> (300 to 340).map(i => s"x$i").mkString(" ")) // index, clean
+      .toDF("doc_id", "text")
+    docs.write.mode("overwrite").parquet("/tmp/graft_test_incr/documents.parquet")
+    val got = TextOps.dedupIncremental(spark, "/tmp/graft_test_incr")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // all pairs point batch → index
+    assert(got.forall { case (n, i) => n % 3 == 0 && i % 3 != 0 }, got.toString)
+    assert(got.contains((3L, 1L)) && got.contains((6L, 1L)) && got.contains((12L, 2L)), got.toString)
+    // batch×batch pairs (3,6), (3,9), (6,9) are near-dups but NOT this
+    // operator's job (they dedupe among themselves in the batch's own
+    // dedup pass) — the asymmetric join must not emit them
+    assert(!got.exists { case (a, b) => a % 3 == 0 && b % 3 == 0 }, got.toString)
+    // the clean index doc matches nothing
+    assert(!got.exists(_._2 == 5L))
+  }
+
   test("decontaminate: broadcast and shuffle-join paths are byte-identical") {
     // round-4 VERDICT #4: the size gate must switch STRATEGY, never results
     // sparkPlan is pre-EnsureRequirements (no Exchange nodes yet) — the
