@@ -48,6 +48,9 @@ object SparkEntry {
     "agg_rollup" -> (Aggregates.aggRollup _),
     "agg_cube" -> (Aggregates.aggCube _),
     "agg_typed" -> (Aggregates.aggTyped _),
+    "agg_pivot" -> (Aggregates.aggPivot _),
+    "agg_groupingsets" -> (Aggregates.aggGroupingSets _),
+    "agg_corr" -> (Aggregates.aggCorr _),
     "group_collect" -> (Aggregates.groupCollect _),
     // §2.G set ops
     "setop_union" -> (Aggregates.setopUnion _),
@@ -67,6 +70,7 @@ object SparkEntry {
     "window_rank" -> (Windows.windowRank _),
     "window_top1" -> (Windows.windowTop1 _),
     "window_running" -> (Windows.windowRunning _),
+    "window_ntile" -> (Windows.windowNtile _),
     "topk" -> (Windows.topk _),
     // §2.J event-time / streaming-shaped
     "stream_tumbling" -> (EventOps.streamTumbling _),
@@ -101,6 +105,8 @@ object SparkEntry {
     "dedup_substring" -> (TextOps.dedupSubstring _),
     "dedup_substring_spans" -> (TextOps.dedupSubstringSpans _),
     "dedup_substring_clean" -> (TextOps.dedupSubstringClean _),
+    "explode_tokens" -> (TextOps.explodeTokens _),
+    "text_chunk" -> (TextOps.textChunk _),
     "text_normalize" -> (TextOps.textNormalize _),
     "text_pii" -> (TextOps.textPii _),
     "text_ngrams" -> (TextOps.textNgrams _),
@@ -306,7 +312,10 @@ object SparkEntry {
     "scan_schema" ->
       "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem ORDER BY l_orderkey, l_linenumber",
     "scan_csv" ->
-      (s"SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice FROM read_csv('${Relational.CsvStageDir}/current/part/*.csv', header=true, " +
+      // stagedRoot pins the digest this JVM staged (oracleSql is a def,
+      // re-evaluated when Verify dumps it AFTER the queries ran), so an
+      // interleaved run at another SF re-linking `current` can't poison it
+      (s"SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice FROM read_csv('${Relational.stagedRoot(Relational.CsvStageDir)}/part/*.csv', header=true, " +
       "columns={'p_partkey':'BIGINT','p_name':'VARCHAR','p_brand':'VARCHAR','p_type':'VARCHAR','p_size':'INTEGER','p_retailprice':'DOUBLE'}) ORDER BY p_partkey"),
     // oracle filters the ORIGINAL flat table — the hash match proves the
     // hive-partitioned round-trip preserved the data
@@ -358,6 +367,28 @@ object SparkEntry {
       "SELECT o_orderstatus, round(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / count(1), 2) AS avg_total FROM orders GROUP BY 1 ORDER BY 1",
     "group_collect" ->
       "SELECT lang, array_to_string((list_sort(list(doc_id)))[1:20], ',') AS doc_ids, count(1) AS n_docs FROM documents GROUP BY 1 ORDER BY 1",
+    "agg_pivot" ->
+      ("SELECT source, count(CASE WHEN lang = 'de' THEN 1 END) AS n_de, count(CASE WHEN lang = 'en' THEN 1 END) AS n_en, " +
+      "count(CASE WHEN lang = 'es' THEN 1 END) AS n_es, count(CASE WHEN lang = 'fr' THEN 1 END) AS n_fr, " +
+      "count(CASE WHEN lang = 'zh' THEN 1 END) AS n_zh FROM documents GROUP BY 1 ORDER BY 1"),
+    "agg_groupingsets" ->
+      ("SELECT l_returnflag, l_linestatus, CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_price, " +
+      "count(1) AS n, CAST(GROUPING(l_returnflag) AS INT) AS g_flag, CAST(GROUPING(l_linestatus) AS INT) AS g_status " +
+      "FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ()) " +
+      "ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST"),
+    // exact decimal moments cast to double, then ONE shared combine
+    // expression — both engines perform identical IEEE ops on identical
+    // bits, so the unrounded doubles hash-match (see Aggregates.aggCorr)
+    "agg_corr" ->
+      ("WITH m AS (SELECT l_returnflag, count(1) AS n, " +
+      "CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sx, " +
+      "CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sy, " +
+      "CAST(sum(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sxx, " +
+      "CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS syy, " +
+      "CAST(sum(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sxy " +
+      "FROM lineitem GROUP BY 1) " +
+      "SELECT l_returnflag, n, (n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) AS corr_qty_price, " +
+      "(sxy - sx * sy / n) / (n - 1) AS covar_qty_price FROM m ORDER BY l_returnflag"),
     "setop_union" ->
       "SELECT user_id FROM events WHERE event_type = 'click' UNION SELECT user_id FROM events WHERE event_type = 'view' ORDER BY user_id",
     "setop_except" ->
@@ -392,6 +423,14 @@ object SparkEntry {
       "SELECT o_custkey, o_orderkey, o_orderdate, round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total, round(o_totalprice - coalesce(lag(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), 0), 2) AS delta_prev FROM orders ORDER BY o_custkey, o_orderdate, o_orderkey",
     "topk" ->
       "SELECT o_custkey, CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS revenue FROM orders GROUP BY 1 ORDER BY revenue DESC, o_custkey LIMIT 10",
+    // the window ORDER BY carries a full tiebreak (s_suppkey), so
+    // percent_rank/cume_dist are single IEEE divisions of identical
+    // integers in both engines — emitted unrounded (see Windows.windowNtile)
+    "window_ntile" ->
+      ("SELECT s_nationkey, s_suppkey, s_acctbal, " +
+      "CAST(ntile(4) OVER w AS INT) AS quartile, percent_rank() OVER w AS pct_rank, cume_dist() OVER w AS cdist " +
+      "FROM supplier WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey) " +
+      "ORDER BY s_nationkey, s_suppkey"),
     "stream_tumbling" ->
       "SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS window_start, event_type, count(1) AS n, CAST(round(sum(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_value FROM events GROUP BY 1, 2 ORDER BY 1, 2",
     "stream_sliding" ->
@@ -494,6 +533,16 @@ object SparkEntry {
       "SELECT vec_id, label, CAST(rn AS INT) AS rn FROM (SELECT vec_id, label, row_number() OVER (PARTITION BY label ORDER BY vec_id) AS rn FROM embeddings) WHERE rn <= 20 ORDER BY label, rn",
     "text_pii" ->
       s"SELECT doc_id, CAST(len(regexp_extract_all(text, '${TextOps.EmailRe}')) AS INT) AS n_emails, CAST(len(regexp_extract_all(text, '${TextOps.PhoneRe}')) AS INT) AS n_phones, regexp_replace(regexp_replace(text, '${TextOps.EmailRe}', '<EMAIL>', 'g'), '${TextOps.PhoneRe}', '<PHONE>', 'g') AS redacted FROM documents ORDER BY doc_id",
+    "explode_tokens" ->
+      ("WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
+      "e AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS i FROM d) " +
+      "SELECT doc_id, CAST(i - 1 AS INT) AS pos, toks[CAST(i AS INT)] AS token FROM e ORDER BY doc_id, pos"),
+    "text_chunk" ->
+      (s"WITH d AS (SELECT doc_id, text, length(text) AS len FROM documents), " +
+      s"s AS (SELECT doc_id, text, unnest(generate_series(0, greatest(len - 1, 0), ${TextOps.ChunkStride})) AS off FROM d) " +
+      s"SELECT doc_id, CAST(off // ${TextOps.ChunkStride} AS INT) AS chunk_id, " +
+      s"text[off+1:off+${TextOps.ChunkLen}] AS chunk, CAST(length(text[off+1:off+${TextOps.ChunkLen}]) AS INT) AS chunk_len " +
+      "FROM s ORDER BY doc_id, chunk_id"),
     "text_ngrams" ->
       "WITH g AS (SELECT unnest(list_transform(generate_series(1, greatest(len(string_split(text, ' ')) - 1, 1)), i -> array_to_string((string_split(text, ' '))[i:i+1], ' '))) AS bigram FROM documents) SELECT bigram, count(1) AS n FROM g GROUP BY 1 HAVING count(1) >= 2 ORDER BY n DESC, bigram",
     "text_repetition" ->

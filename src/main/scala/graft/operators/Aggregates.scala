@@ -200,4 +200,71 @@ object Aggregates {
       .intersect(ev.filter(col("event_type") === "purchase").select("user_id"))
       .oracleSorted("user_id")
   }
+
+  /** D15: pivot (long→wide reshape) — per-source document counts spread
+    * across language columns. The pivot domain is PINNED (the five langs
+    * the generator emits) rather than discovered: at 100 TB a discovered
+    * domain costs an extra distinct-scan job before planning, and an
+    * unbounded domain would blow the row width — pinning makes the reshape
+    * a single partial-agg pass with a fixed schema. Missing cells are
+    * coalesced to 0 so the wide table is dense (and matches the oracle's
+    * conditional counts).
+    */
+  def aggPivot(s: SparkSession, dir: String): DataFrame = {
+    val langs = Seq("de", "en", "es", "fr", "zh")
+    Tables.documents(s, dir)
+      .groupBy("source")
+      .pivot("lang", langs)
+      .agg(count(lit(1)))
+      .select(col("source") +: langs.map(l => coalesce(col(l), lit(0L)).as(s"n_$l")): _*)
+      .oracleSorted("source")
+  }
+
+  /** D16: GROUPING SETS — independent marginals (per-flag, per-status, and
+    * the grand total) in ONE pass over the fact table. Unlike rollup/cube
+    * this picks exactly the requested sets, so Expand replicates each row
+    * 3× instead of 4× (cube). `grouping()` flags disambiguate the NULL
+    * produced by aggregation from a NULL in the data.
+    */
+  def aggGroupingSets(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .withColumn("price2", Num.dec2(col("l_extendedprice")))
+      .groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq.empty),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(Num.money(sum(col("price2"))).as("sum_price"),
+           count(lit(1)).as("n"),
+           grouping(col("l_returnflag")).cast("int").as("g_flag"),
+           grouping(col("l_linestatus")).cast("int").as("g_status"))
+      .oracleSorted(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+
+  /** D17: bivariate statistics — Pearson correlation and sample covariance
+    * of quantity vs price per return flag, built from single-pass exact
+    * MOMENTS instead of `corr()`/`covar_samp()`: the five decimal sums are
+    * associative (merge-order-independent, so identical on local[32] and
+    * 1000 executors — the same argument as [[graft.functions.Num]]), and
+    * the final combine is a fixed double expression both engines evaluate
+    * identically on identical inputs. The built-ins stream doubles through
+    * partial aggregates whose merge order varies run-to-run.
+    */
+  def aggCorr(s: SparkSession, dir: String): DataFrame = {
+    val (x, y) = (Num.dec2(col("l_quantity")), Num.dec2(col("l_extendedprice")))
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(x).cast("double").as("sx"),
+        sum(y).cast("double").as("sy"),
+        sum(x * x).cast("double").as("sxx"),
+        sum(y * y).cast("double").as("syy"),
+        sum(x * y).cast("double").as("sxy"))
+      .select(
+        col("l_returnflag"), col("n"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")) /
+          sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
+               (col("n") * col("syy") - col("sy") * col("sy")))).as("corr_qty_price"),
+        ((col("sxy") - col("sx") * col("sy") / col("n")) / (col("n") - 1))
+          .as("covar_qty_price"))
+      .oracleSorted("l_returnflag")
+  }
 }

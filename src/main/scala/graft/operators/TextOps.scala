@@ -135,6 +135,39 @@ object TextOps {
         ceil(length(col("text")) / lit(4.0)).cast("long").as("n_bpe_est"))
       .oracleSorted("doc_id")
 
+  /** `explode_tokens`: lateral flatten with position — one output row per
+    * (doc, token occurrence), the canonical long-format handoff to
+    * sequence-labeling / alignment stages. `posexplode` is a generator, not
+    * a join: the flatten is a narrow per-partition expansion (no shuffle),
+    * and output volume is ∝ total token occurrences — the same cost any
+    * consumer of per-token rows must pay anyway.
+    */
+  def explodeTokens(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "token")))
+      .oracleSorted("doc_id", "pos")
+
+  /** `text_chunk`: fixed-window chunking with overlap — split each document
+    * into `ChunkLen`-char windows every `ChunkStride` chars (50-char overlap),
+    * the standard context-window packing precursor for embedding / training
+    * pipelines. `sequence(0, len-1, stride)` generates the start offsets
+    * per row and `posexplode` flattens them: narrow, zero-shuffle, output ∝
+    * total chunk text. Empty documents still emit one empty chunk (a doc is
+    * never silently dropped).
+    */
+  val ChunkLen = 200
+  val ChunkStride = 150
+  def textChunk(s: SparkSession, dir: String): DataFrame = {
+    val chunk = col("text").substr(col("off") + 1, lit(ChunkLen))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"),
+        posexplode(sequence(lit(0), greatest(length(col("text")) - 1, lit(0)), lit(ChunkStride)))
+          .as(Seq("chunk_id", "off")))
+      .select(col("doc_id"), col("chunk_id"), chunk.as("chunk"),
+        length(chunk).cast("int").as("chunk_len"))
+      .oracleSorted("doc_id", "chunk_id")
+  }
+
   /** `text_ngrams`: corpus-level bigram counts (every occurrence, not
     * per-doc distinct) with a ≥2 support floor — the n-gram LM-statistics
     * stage of a training pipeline. explode → groupBy(count): shuffle volume

@@ -50,6 +50,24 @@ object Windows {
       .oracleSorted("o_custkey", "o_orderdate", "o_orderkey")
   }
 
+  /** E4: distribution analytics — quartile bucket, percent_rank and
+    * cume_dist of supplier balances within each nation. The window's ORDER
+    * BY carries an explicit tiebreak (`s_suppkey`) so every rank is a total
+    * order; percent_rank/cume_dist then reduce to integer ratios
+    * `(rank-1)/(n-1)` and `row/n`, which both engines compute as one IEEE
+    * division of identical integers — bit-identical without rounding.
+    */
+  def windowNtile(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("s_nationkey").orderBy(desc("s_acctbal"), asc("s_suppkey"))
+    Tables.supplier(s, dir)
+      .select(
+        col("s_nationkey"), col("s_suppkey"), col("s_acctbal"),
+        ntile(4).over(w).as("quartile"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cdist"))
+      .oracleSorted("s_nationkey", "s_suppkey")
+  }
+
   /** F3: global top-k — plans as TakeOrderedAndProject (asserted in spec). */
   def topk(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir)

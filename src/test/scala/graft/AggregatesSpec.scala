@@ -84,4 +84,43 @@ class AggregatesSpec extends AnyFunSuite {
     val base = Aggregates.aggAvg(spark, sfDir).count() // leaf grouping cardinality
     assert(n > base) // subtotals + grand total present
   }
+
+  test("agg_pivot row sums equal per-source document counts (D15)") {
+    val wide = Aggregates.aggPivot(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (1 to 5).map(r.getLong(_)).sum).toMap
+    val tall = graft.Tables.documents(spark, sfDir).groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(wide == tall)
+  }
+
+  test("agg_groupingsets emits exactly the three requested sets (D16)") {
+    val rows = Aggregates.aggGroupingSets(spark, sfDir).collect()
+    val byFlags = rows.groupBy(r =>
+      (r.getInt(r.fieldIndex("g_flag")), r.getInt(r.fieldIndex("g_status"))))
+    // (0,1): per-flag marginal; (1,0): per-status marginal; (1,1): total
+    assert(byFlags.keySet == Set((0, 1), (1, 0), (1, 1)))
+    assert(byFlags((1, 1)).size == 1)
+    val grand = byFlags((1, 1)).head.getLong(byFlags((1, 1)).head.fieldIndex("n"))
+    val flagSum = byFlags((0, 1)).map(r => r.getLong(r.fieldIndex("n"))).sum
+    val statusSum = byFlags((1, 0)).map(r => r.getLong(r.fieldIndex("n"))).sum
+    assert(flagSum == statusSum && grand == flagSum,
+      s"marginals must re-sum to the grand total: $flagSum/$statusSum/$grand")
+  }
+
+  test("agg_corr moment formula matches built-in corr/covar_samp to 1e-6 (D17)") {
+    import graft.Tables
+    val got = Aggregates.aggCorr(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getDouble(r.fieldIndex("corr_qty_price")),
+                                   r.getDouble(r.fieldIndex("covar_qty_price")))).toMap
+    val ref = Tables.lineitem(spark, sfDir).groupBy("l_returnflag")
+      .agg(corr("l_quantity", "l_extendedprice").as("c"),
+           covar_samp("l_quantity", "l_extendedprice").as("cv"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(got.keySet == ref.keySet)
+    got.foreach { case (k, (c, cv)) =>
+      assert(math.abs(c - ref(k)._1) < 1e-6, s"$k corr $c vs ${ref(k)._1}")
+      assert(math.abs(cv - ref(k)._2) < math.abs(ref(k)._2) * 1e-9 + 1e-6,
+        s"$k covar $cv vs ${ref(k)._2}")
+    }
+  }
 }

@@ -147,4 +147,23 @@ class JoinsWindowsSpec extends AnyFunSuite {
       .orderBy("o_orderkey").collect().map(_.getDouble(1)).toSeq
     assert(run == Seq(10.0, 30.0, 35.0))
   }
+
+  test("window_ntile: quartiles balance and pct_rank/cume_dist are exact integer ratios (E4)") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.operators.Windows.windowNtile(spark, sfDir).collect()
+    rows.groupBy(_.getAs[Number]("s_nationkey").longValue).foreach { case (_, part) =>
+      val n = part.length
+      // ntile(4) bucket sizes differ by at most 1
+      val sizes = part.groupBy(_.getInt(part.head.fieldIndex("quartile"))).values.map(_.size)
+      assert(sizes.max - sizes.min <= 1, s"unbalanced quartiles: $sizes")
+      // with a total-order window, pct_rank == (rowpos-1)/(n-1), cdist == rowpos/n
+      val sorted = part.sortBy(r => (-r.getDouble(r.fieldIndex("s_acctbal")),
+                                     r.getAs[Number]("s_suppkey").longValue))
+      sorted.zipWithIndex.foreach { case (r, i) =>
+        val expPr = if (n == 1) 0.0 else i.toDouble / (n - 1)
+        assert(r.getDouble(r.fieldIndex("pct_rank")) == expPr)
+        assert(r.getDouble(r.fieldIndex("cdist")) == (i + 1).toDouble / n)
+      }
+    }
+  }
 }

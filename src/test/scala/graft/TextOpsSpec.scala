@@ -574,4 +574,40 @@ class TextOpsSpec extends AnyFunSuite {
       .select("jaccard").collect().map(_.getDouble(0))
     assert(vals.forall(v => v > 0.0 && v <= 1.0))
   }
+
+  test("explode_tokens round-trips: rejoining tokens by pos rebuilds text") {
+    import org.apache.spark.sql.functions._
+    val rebuilt = TextOps.explodeTokens(spark, sfDir)
+      .groupBy("doc_id")
+      .agg(array_join(transform(array_sort(collect_list(struct(col("pos"), col("token")))),
+        x => x.getField("token")), " ").as("rebuilt"))
+    val bad = graft.Tables.documents(spark, sfDir)
+      .join(rebuilt, "doc_id")
+      .filter(col("text") =!= col("rebuilt")).count()
+    assert(bad == 0)
+  }
+
+  test("text_chunk covers every document exactly: stride prefixes + last chunk rebuild text") {
+    import org.apache.spark.sql.functions._
+    val S = TextOps.ChunkStride
+    val chunks = TextOps.textChunk(spark, sfDir)
+    // all but the final chunk contribute their first `stride` chars; the
+    // final chunk contributes itself — concatenated in chunk order this
+    // must be the original document
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+    val rebuilt = chunks
+      .withColumn("last_id", max("chunk_id").over(w))
+      .withColumn("piece", when(col("chunk_id") < col("last_id"),
+        col("chunk").substr(lit(1), lit(S))).otherwise(col("chunk")))
+      .groupBy("doc_id")
+      .agg(array_join(transform(array_sort(collect_list(struct(col("chunk_id"), col("piece")))),
+        x => x.getField("piece")), "").as("rebuilt"))
+    val bad = graft.Tables.documents(spark, sfDir)
+      .join(rebuilt, "doc_id")
+      .filter(col("text") =!= col("rebuilt")).count()
+    assert(bad == 0)
+    // overlap law: chunk i's tail re-appears as chunk i+1's head
+    val lens = chunks.filter(length(col("chunk")) > TextOps.ChunkLen).count()
+    assert(lens == 0)
+  }
 }
