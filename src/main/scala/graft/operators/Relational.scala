@@ -122,10 +122,28 @@ object Relational {
     * intact files. `_GRAFT_DONE` inside the target gates trust — a crashed
     * partial stage is rebuilt, never read.
     */
+  /** Digest staged by THIS JVM per stage root — lets both engines read the
+    * immutable `by/<digest>` path directly instead of chasing `current`.
+    * `current` exists only as the fallback for a reader that never staged
+    * (it then points at whatever was staged last, the round-5 interleave
+    * residual: a later run at a different SF re-links it). Verify dumps
+    * `oracle_sql.json` AFTER running the queries, so the `def oracleSql`
+    * snapshot resolves to the digest the Spark side actually read.
+    */
+  private val stagedDigests = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Root both engines should read for a stage dir: the digest-pinned
+    * immutable path when this JVM staged it, else the `current` symlink.
+    */
+  def stagedRoot(stageDir: String): String =
+    Option(stagedDigests.get(stageDir))
+      .map(d => s"$stageDir/by/$d").getOrElse(s"$stageDir/current")
+
   private def stageInto(stageDir: String, key: String)(write: String => Unit): Unit = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val digest = java.security.MessageDigest.getInstance("MD5")
       .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    stagedDigests.put(stageDir, digest)
     val target = Paths.get(stageDir, "by", digest)
     val done = target.resolve("_GRAFT_DONE")
     if (!Files.exists(done)) {
@@ -192,7 +210,7 @@ object Relational {
     stageCsv(s, dir)
     s.read.schema(partCsvSchema)
       .option("header", "true").option("escape", "\"")
-      .csv(s"$CsvStageDir/current/part")
+      .csv(s"${stagedRoot(CsvStageDir)}/part")
       .oracleSorted("p_partkey")
   }
 
@@ -242,7 +260,7 @@ object Relational {
     */
   def scanPartitioned(s: SparkSession, dir: String): DataFrame = {
     stagePartitioned(s, dir)
-    s.read.parquet(s"$PartStageDir/current/documents")
+    s.read.parquet(s"${stagedRoot(PartStageDir)}/documents")
       .filter(col("lang") === "en")
       .select("doc_id", "lang", "source", "n_chars")
       .oracleSorted("doc_id")
@@ -265,8 +283,8 @@ object Relational {
     */
   def scanDpp(s: SparkSession, dir: String): DataFrame = {
     stagePartitioned(s, dir)
-    val fact = s.read.parquet(s"$PartStageDir/current/documents")
-    val dim = s.read.parquet(s"$PartStageDir/current/langdim")
+    val fact = s.read.parquet(s"${stagedRoot(PartStageDir)}/documents")
+    val dim = s.read.parquet(s"${stagedRoot(PartStageDir)}/langdim")
       .filter(col("lang_group") === "cjk")
     fact.join(dim, "lang")
       .select("doc_id", "lang", "source", "n_chars")
