@@ -377,8 +377,9 @@ object SparkEntry {
       "FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ()) " +
       "ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST"),
     // exact decimal moments cast to double, then ONE shared combine
-    // expression — both engines perform identical IEEE ops on identical
-    // bits, so the unrounded doubles hash-match (see Aggregates.aggCorr)
+    // expression, rounded at 6/4 digits — DuckDB's DECIMAL→DOUBLE cast
+    // double-rounds, so the moments can differ by one ulp (see
+    // Aggregates.aggCorr)
     "agg_corr" ->
       ("WITH m AS (SELECT l_returnflag, count(1) AS n, " +
       "CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sx, " +
@@ -387,8 +388,8 @@ object SparkEntry {
       "CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS syy, " +
       "CAST(sum(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sxy " +
       "FROM lineitem GROUP BY 1) " +
-      "SELECT l_returnflag, n, (n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) AS corr_qty_price, " +
-      "(sxy - sx * sy / n) / (n - 1) AS covar_qty_price FROM m ORDER BY l_returnflag"),
+      "SELECT l_returnflag, n, round((n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS corr_qty_price, " +
+      "round((sxy - sx * sy / n) / (n - 1), 4) AS covar_qty_price FROM m ORDER BY l_returnflag"),
     "setop_union" ->
       "SELECT user_id FROM events WHERE event_type = 'click' UNION SELECT user_id FROM events WHERE event_type = 'view' ORDER BY user_id",
     "setop_except" ->

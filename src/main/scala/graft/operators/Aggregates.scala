@@ -243,9 +243,12 @@ object Aggregates {
     * MOMENTS instead of `corr()`/`covar_samp()`: the five decimal sums are
     * associative (merge-order-independent, so identical on local[32] and
     * 1000 executors — the same argument as [[graft.functions.Num]]), and
-    * the final combine is a fixed double expression both engines evaluate
-    * identically on identical inputs. The built-ins stream doubles through
-    * partial aggregates whose merge order varies run-to-run.
+    * the final combine is a fixed double expression over them. The
+    * built-ins stream doubles through partial aggregates whose merge order
+    * varies run-to-run. The combine is rounded (6/4 digits): DuckDB's
+    * DECIMAL→DOUBLE cast double-rounds (int128→double, then ÷10^scale), so
+    * the moments can differ from Spark's correctly-rounded cast by one ulp
+    * — observed at sf0.001.
     */
   def aggCorr(s: SparkSession, dir: String): DataFrame = {
     val (x, y) = (Num.dec2(col("l_quantity")), Num.dec2(col("l_extendedprice")))
@@ -260,10 +263,10 @@ object Aggregates {
         sum(x * y).cast("double").as("sxy"))
       .select(
         col("l_returnflag"), col("n"),
-        ((col("n") * col("sxy") - col("sx") * col("sy")) /
+        round((col("n") * col("sxy") - col("sx") * col("sy")) /
           sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
-               (col("n") * col("syy") - col("sy") * col("sy")))).as("corr_qty_price"),
-        ((col("sxy") - col("sx") * col("sy") / col("n")) / (col("n") - 1))
+               (col("n") * col("syy") - col("sy") * col("sy"))), 6).as("corr_qty_price"),
+        round((col("sxy") - col("sx") * col("sy") / col("n")) / (col("n") - 1), 4)
           .as("covar_qty_price"))
       .oracleSorted("l_returnflag")
   }
