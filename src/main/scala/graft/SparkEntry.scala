@@ -116,6 +116,7 @@ object SparkEntry {
     "sample_stratified" -> (VectorOps.sampleStratified _),
     "sample_hash" -> (Relational.sampleHash _),
     "sample_mix" -> (Relational.sampleMix _),
+    "sample_split" -> (Relational.sampleSplit _),
     "stats_profile" -> (Relational.statsProfile _),
     "quantile_bins" -> (VectorOps.quantileBins _),
     "shuffle_rows" -> (VectorOps.shuffleRows _),
@@ -568,6 +569,11 @@ object SparkEntry {
       (s"WITH h AS (SELECT doc_id, lang, source, CAST((CAST(('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100) AS INT) AS bucket, " +
       "CASE " + Relational.MixPct.map { case (l, p) => s"WHEN lang = '$l' THEN $p" }.mkString(" ") + " ELSE 100 END AS keep_pct FROM documents) " +
       "SELECT doc_id, lang, source, bucket, keep_pct FROM h WHERE bucket < keep_pct ORDER BY doc_id"),
+    "sample_split" ->
+      (s"WITH h AS (SELECT doc_id, lang, CAST((CAST(('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100) AS INT) AS bucket FROM documents) " +
+      "SELECT doc_id, lang, bucket, CASE " +
+      Relational.SplitPct.init.map { case (n, hi) => s"WHEN bucket < $hi THEN '$n'" }.mkString(" ") +
+      s" ELSE '${Relational.SplitPct.last._1}' END AS split FROM h ORDER BY doc_id"),
     "stats_profile" ->
       Relational.ProfileCols.map(c =>
         s"SELECT '$c' AS col_name, count(1) AS n_rows, CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls, count(DISTINCT $c) AS n_distinct, min($c) AS min_val, max($c) AS max_val FROM lineitem")

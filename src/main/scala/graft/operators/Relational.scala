@@ -440,6 +440,31 @@ object Relational {
       .oracleSorted("doc_id")
   }
 
+  /** `sample_split` boundaries: cumulative percentages for train/val/test. */
+  val SplitPct: Seq[(String, Int)] = Seq("train" -> 90, "val" -> 95, "test" -> 100)
+
+  /** `sample_split`: deterministic train/val/test assignment — the split
+    * EVERY training pipeline does exactly once and must never get wrong.
+    * Same contract as `sample_hash` (a salted-md5 bucket is a pure
+    * function of the key): a document's split never changes as the corpus
+    * grows, across reruns, or across cluster sizes — the property that
+    * prevents silent val→train leakage when data is re-ingested. The salt
+    * differs from sample_hash's and sample_mix's so the three decisions
+    * are independent. Stateless per row: zero shuffle, streaming-safe.
+    */
+  def sampleSplit(s: SparkSession, dir: String): DataFrame = {
+    val hv = conv(substring(md5(concat(lit("split:"),
+      col("doc_id").cast("string")).cast("binary")), 1, 15), 16, 10).cast("long")
+    val bucket = (hv % 100).cast("int")
+    val label = SplitPct.init.foldRight(lit(SplitPct.last._1)) {
+      case ((name, hi), acc) => when(col("bucket") < hi, lit(name)).otherwise(acc)
+    }
+    Tables.documents(s, dir)
+      .withColumn("bucket", bucket)
+      .select(col("doc_id"), col("lang"), col("bucket"), label.as("split"))
+      .oracleSorted("doc_id")
+  }
+
   /** `sample_mix` per-language keep percentages: the data-MIXING stage of
     * a training pipeline — downsample the dominant language, keep all of
     * the scarcest (the standard rebalancing move; weights are the knob a

@@ -57,6 +57,25 @@ object VectorOps {
     */
   val AnnProbeMasks: Seq[Long] = 0L +: (0 until AnnBits).map(i => 1L << i)
 
+  /** All XOR masks of Hamming weight ≤ `flips` over `AnnBits` bits — the
+    * probe set for a given multi-probe radius (flips=1 ≡ AnnProbeMasks,
+    * 9 probes; flips=2 adds the 28 two-bit neighbours, 37 probes).
+    */
+  private[graft] def probeMasks(flips: Int): Seq[Long] =
+    (0 until (1 << AnnBits)).map(_.toLong)
+      .filter(m => java.lang.Long.bitCount(m) <= flips)
+
+  /** The recall/cost knob for `sim_ann`: probe radius in bucket-bit flips.
+    * Default 1 (the oracle-pinned contract the registered query runs
+    * under). Random vectors spread true neighbours across many buckets
+    * (the round-5 recall-regime note), so raising the radius is THE lever:
+    * candidates scale ∝ |probes|/2^bits of the corpus per query —
+    * 9/256 at radius 1, 37/256 at radius 2 — and only the tiny broadcast
+    * query side fans out, never the corpus. AnnRecallSpec measures the
+    * monotone recall gain.
+    */
+  val AnnProbeFlipsConf = "graft.annProbeFlips"
+
   /** K4 `vec_norm`: per-vector L1/L2 norms and dimensionality. L2 runs
     * through the codegen'd dot kernel (bitwise == the HOF fold, see Vec);
     * L1 stays a HOF fold. Raw doubles — sequential folds are
@@ -391,12 +410,16 @@ object VectorOps {
     * side (k×9 rows), never the corpus.
     */
   def simAnn(s: SparkSession, dir: String): DataFrame = {
+    val masks = s.conf.get(AnnProbeFlipsConf, "1").toInt match {
+      case 1 => AnnProbeMasks // the oracle-pinned default
+      case f => probeMasks(f)
+    }
     val bucketed = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding"),
         Vec.signBucket(col("embedding"), AnnBits).as("bucket"))
     val q = bucketed.filter(col("vec_id") < QuerySetSize)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("bucket"),
-        explode(array(AnnProbeMasks.map(lit): _*)).as("mask"))
+        explode(array(masks.map(lit): _*)).as("mask"))
       .select(col("q_id"), col("q_emb"),
         col("bucket").bitwiseXOR(col("mask")).as("bucket"))
     val corpus = bucketed.filter(col("vec_id") >= QuerySetSize)

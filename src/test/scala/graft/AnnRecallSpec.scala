@@ -52,6 +52,19 @@ class AnnRecallSpec extends AnyFunSuite {
     assert(r >= 0.10, f"sim_ann corpus recall@5 $r%.2f below documented floor 0.10")
   }
 
+  test("sim_ann probe radius is the recall lever: flips=2 strictly beats flips=1") {
+    val r1 = recallOf(VectorOps.simAnn(spark, dir))
+    spark.conf.set(VectorOps.AnnProbeFlipsConf, "2")
+    val r2 = try recallOf(VectorOps.simAnn(spark, dir))
+    finally spark.conf.unset(VectorOps.AnnProbeFlipsConf)
+    info(f"sim_ann corpus recall@5: flips=1 $r1%.2f → flips=2 $r2%.2f")
+    // candidates scale 9/256 → 37/256 of the corpus per query; on the
+    // random-vector corpus (the hardest regime) the wider radius must
+    // recover strictly more of the exact top-K
+    assert(r2 > r1, f"radius-2 recall $r2%.2f not above radius-1 $r1%.2f")
+    assert(r2 >= 0.25, f"radius-2 recall $r2%.2f below documented floor 0.25")
+  }
+
   test("sim_ivf recall@5 on the sf0.1 corpus stays above its floor") {
     val r = recallOf(VectorOps.simIvf(spark, dir))
     info(f"sim_ivf corpus recall@5 = $r%.2f")

@@ -119,4 +119,25 @@ class RelationalSpec extends AnyFunSuite {
     assert(rows("l_discount") == ((3L, 0L, 2L, 0.1, 0.2)))
     assert(rows("l_tax") == ((3L, 0L, 1L, 0.02, 0.02)))
   }
+
+  test("sample_split partitions the corpus: every doc exactly one label, ~90/5/5") {
+    import org.apache.spark.sql.functions._
+    val split = Relational.sampleSplit(spark, sfDir)
+    val total = graft.Tables.documents(spark, sfDir).count()
+    assert(split.count() == total) // a partition, not a sample: no doc dropped
+    assert(split.select("doc_id").distinct().count() == total)
+    val byLabel = split.groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLabel.keySet == Set("train", "val", "test"))
+    // md5 buckets are uniform-ish: train within [80%, 98%] of corpus
+    val frac = byLabel("train").toDouble / total
+    assert(frac > 0.80 && frac < 0.98, s"train fraction $frac")
+    // label is a pure function of doc_id: independent of corpus subset
+    val again = Relational.sampleSplit(spark, sfDir)
+      .filter(col("doc_id") % 7 === 0).select("doc_id", "split")
+    val joined = split.filter(col("doc_id") % 7 === 0)
+      .select(col("doc_id"), col("split").as("s2"))
+      .join(again, "doc_id").filter(col("split") =!= col("s2")).count()
+    assert(joined == 0)
+  }
 }
