@@ -23,6 +23,7 @@ object SparkEntry {
     "scan_documents" -> (Relational.scanDocuments _),
     "scan_schema" -> (Relational.scanSchema _),
     "scan_csv" -> (Relational.scanCsv _),
+    "scan_json" -> (Relational.scanJson _),
     "scan_partitioned" -> (Relational.scanPartitioned _),
     "scan_dpp" -> (Relational.scanDpp _),
     // §2.B filters / projections
@@ -318,6 +319,9 @@ object SparkEntry {
       // interleaved run at another SF re-linking `current` can't poison it
       (s"SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice FROM read_csv('${Relational.stagedRoot(Relational.CsvStageDir)}/part/*.csv', header=true, " +
       "columns={'p_partkey':'BIGINT','p_name':'VARCHAR','p_brand':'VARCHAR','p_type':'VARCHAR','p_size':'INTEGER','p_retailprice':'DOUBLE'}) ORDER BY p_partkey"),
+    "scan_json" ->
+      (s"SELECT doc_id, text, lang, source, n_chars FROM read_json('${Relational.stagedRoot(Relational.JsonStageDir)}/documents/*.json', " +
+      "format='newline_delimited', columns={'doc_id':'BIGINT','text':'VARCHAR','lang':'VARCHAR','source':'VARCHAR','n_chars':'BIGINT'}) ORDER BY doc_id"),
     // oracle filters the ORIGINAL flat table — the hash match proves the
     // hive-partitioned round-trip preserved the data
     "scan_partitioned" ->

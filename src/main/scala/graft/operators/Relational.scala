@@ -214,6 +214,54 @@ object Relational {
       .oracleSorted("p_partkey")
   }
 
+  /** Expected documents schema for the JSON scan (explicit, no inference). */
+  val docsJsonSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType),
+  ))
+
+  /** Fixed staging root of the JSONL mirror `scan_json` reads (fixed for
+    * the same oracle-path reason as `CsvStageDir`; same `by/<digest>` +
+    * `current` indirection).
+    */
+  val JsonStageDir = "/tmp/graft_scan_json"
+
+  /** Stage the documents table as newline-delimited JSON once per
+    * (sfDir, source content) — fixture plumbing like `stageCsv`: the
+    * driver ships parquet only, and the capability being measured is the
+    * JSONL PARSE, the interchange format most raw text corpora actually
+    * arrive in. Parallel write (one file per task); the oracle globs the
+    * directory.
+    */
+  private def stageJson(s: SparkSession, dir: String): Unit = synchronized {
+    withStageLock(JsonStageDir) {
+      stageInto(JsonStageDir, s"$dir|jsonl1|${sourceFingerprint(s"$dir/documents.parquet")}") {
+        target =>
+          Tables.documents(s, dir)
+            .write.mode("overwrite")
+            .json(s"$target/documents")
+      }
+    }
+  }
+
+  /** A2′ `scan_json`: newline-delimited JSON scan with explicit
+    * programmatic schema — no inference (at 100 TB inference samples the
+    * dataset before the first byte of real work; a pinned schema also
+    * makes malformed rows a visible contract, not a silent type widen).
+    * The DuckDB oracle parses the SAME files with `read_json` under the
+    * same column types, so the hash match proves the PARSE — field
+    * binding, string unescaping, integer width — not just the row count.
+    */
+  def scanJson(s: SparkSession, dir: String): DataFrame = {
+    stageJson(s, dir)
+    s.read.schema(docsJsonSchema)
+      .json(s"${stagedRoot(JsonStageDir)}/documents")
+      .oracleSorted("doc_id")
+  }
+
   /** Fixed staging root of the hive-partitioned mirror `scan_partitioned`
     * and `scan_dpp` read (fixed for the same oracle-path reason as
     * `CsvStageDir`; same `current`-symlink indirection).
