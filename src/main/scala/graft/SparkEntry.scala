@@ -72,6 +72,7 @@ object SparkEntry {
     "window_top1" -> (Windows.windowTop1 _),
     "window_running" -> (Windows.windowRunning _),
     "window_ntile" -> (Windows.windowNtile _),
+    "window_range" -> (Windows.windowRange _),
     "topk" -> (Windows.topk _),
     // §2.J event-time / streaming-shaped
     "stream_tumbling" -> (EventOps.streamTumbling _),
@@ -437,6 +438,14 @@ object SparkEntry {
       "CAST(ntile(4) OVER w AS INT) AS quartile, percent_rank() OVER w AS pct_rank, cume_dist() OVER w AS cdist " +
       "FROM supplier WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey) " +
       "ORDER BY s_nationkey, s_suppkey"),
+    // RANGE frame: peers of the frame edge are all included, so the
+    // result is deterministic under totalprice ties without a tiebreak
+    "window_range" ->
+      ("SELECT o_custkey, o_orderkey, o_totalprice, " +
+      "count(1) OVER w AS n_near, " +
+      "CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))) OVER w, 2) AS DOUBLE) AS near_total " +
+      "FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice RANGE BETWEEN 500 PRECEDING AND CURRENT ROW) " +
+      "ORDER BY o_custkey, o_totalprice, o_orderkey"),
     "stream_tumbling" ->
       "SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS window_start, event_type, count(1) AS n, CAST(round(sum(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_value FROM events GROUP BY 1, 2 ORDER BY 1, 2",
     "stream_sliding" ->

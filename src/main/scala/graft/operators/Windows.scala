@@ -50,6 +50,25 @@ object Windows {
       .oracleSorted("o_custkey", "o_orderdate", "o_orderkey")
   }
 
+  /** E5: value-based (RANGE) frame — for each order, how many of the same
+    * customer's orders fall within $500 below its total, and their summed
+    * value. RANGE frames bound by the ORDER BY *value*, not row position,
+    * and include all peer rows of the frame edge — so the result is
+    * deterministic under ties with no tiebreak needed (the property ROWS
+    * frames lack). Sum through exact decimals per [[graft.functions.Num]].
+    */
+  def windowRange(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("o_totalprice")
+      .rangeBetween(-500, Window.currentRow)
+    Tables.orders(s, dir)
+      .select(
+        col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        count(lit(1)).over(w).as("n_near"),
+        graft.functions.Num.money(
+          sum(graft.functions.Num.dec2(col("o_totalprice"))).over(w)).as("near_total"))
+      .oracleSorted("o_custkey", "o_totalprice", "o_orderkey")
+  }
+
   /** E4: distribution analytics — quartile bucket, percent_rank and
     * cume_dist of supplier balances within each nation. The window's ORDER
     * BY carries an explicit tiebreak (`s_suppkey`) so every rank is a total

@@ -148,6 +148,22 @@ class JoinsWindowsSpec extends AnyFunSuite {
     assert(run == Seq(10.0, 30.0, 35.0))
   }
 
+  test("window_range: RANGE frame includes value-peers and is tie-deterministic (E5)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    // custkey 1: totals 100, 100 (tie), 550, 1100 — frame is [v-500, v]
+    val o = Seq((1L, 1L, 100.0), (1L, 2L, 100.0), (1L, 3L, 550.0), (1L, 4L, 1100.0))
+      .toDF("o_custkey", "o_orderkey", "o_totalprice")
+    val w = Window.partitionBy("o_custkey").orderBy("o_totalprice")
+      .rangeBetween(-500, Window.currentRow)
+    val got = o.select(col("o_orderkey"), count(lit(1)).over(w).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // ties are peers: BOTH 100-rows see each other regardless of row order;
+    // 550 sees the two 100s (100 >= 50); 1100 sees only itself (600 < 1100-500)
+    assert(got == Map(1L -> 2L, 2L -> 2L, 3L -> 3L, 4L -> 1L), got.toString)
+  }
+
   test("window_ntile: quartiles balance and pct_rank/cume_dist are exact integer ratios (E4)") {
     import org.apache.spark.sql.functions._
     val rows = graft.operators.Windows.windowNtile(spark, sfDir).collect()
