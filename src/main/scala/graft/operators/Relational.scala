@@ -500,17 +500,23 @@ object Relational {
     * differs from sample_hash's and sample_mix's so the three decisions
     * are independent. Stateless per row: zero shuffle, streaming-safe.
     */
-  def sampleSplit(s: SparkSession, dir: String): DataFrame = {
+  def sampleSplit(s: SparkSession, dir: String): DataFrame =
+    splitLabeled(Tables.documents(s, dir))
+      .select(col("doc_id"), col("lang"), col("bucket"), col("split"))
+      .oracleSorted("doc_id")
+
+  /** The split decision over ANY (doc_id, …) frame — stateless per row,
+    * so the SAME code labels a streaming ingest frame
+    * (StreamingParitySpec proves stream labels match batch).
+    */
+  private[graft] def splitLabeled(df: DataFrame): DataFrame = {
     val hv = conv(substring(md5(concat(lit("split:"),
       col("doc_id").cast("string")).cast("binary")), 1, 15), 16, 10).cast("long")
-    val bucket = (hv % 100).cast("int")
     val label = SplitPct.init.foldRight(lit(SplitPct.last._1)) {
       case ((name, hi), acc) => when(col("bucket") < hi, lit(name)).otherwise(acc)
     }
-    Tables.documents(s, dir)
-      .withColumn("bucket", bucket)
-      .select(col("doc_id"), col("lang"), col("bucket"), label.as("split"))
-      .oracleSorted("doc_id")
+    df.withColumn("bucket", (hv % 100).cast("int"))
+      .withColumn("split", label)
   }
 
   /** `sample_mix` per-language keep percentages: the data-MIXING stage of

@@ -89,6 +89,33 @@ class StreamingParitySpec extends AnyFunSuite {
     assert(batch.values.exists(_ > 0L), "no contaminated doc — parity check vacuous")
   }
 
+  test("sample_split is streamable at ingest: stream labels == batch labels") {
+    // the split label is a pure function of doc_id — an ingest pipeline can
+    // stamp train/val/test per micro-batch and NEVER disagree with the
+    // batch assignment (the property that prevents val→train leakage)
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = SparkTestSession.sfDir
+    val docs = Tables.documents(spark, dir).select("doc_id", "lang")
+
+    val stream = MemoryStream[(Long, String)]
+    stream.addData(docs.as[(Long, String)].collect().toSeq: _*)
+    val streamedDf = stream.toDF.toDF("doc_id", "lang")
+    val q = graft.operators.Relational.splitLabeled(streamedDf)
+      .select("doc_id", "split")
+      .writeStream.format("memory").queryName("parity_split").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("parity_split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+
+    val batch = graft.operators.Relational.sampleSplit(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getString(r.fieldIndex("split"))).toMap
+    assert(streamed == batch)
+    // 50 docs at sf0.001: train certainly present; val/test (5% each) may
+    // legitimately be empty — presence proportions are RelationalSpec's law
+    assert(streamed.values.toSet.contains("train"))
+  }
+
   test("sample_mix is streamable at ingest: kept rows on a stream == batch sampler") {
     // the mixing decision is a pure function of (doc_id, lang) — no state,
     // no shuffle — so an ingest pipeline can apply data-mixing weights per
