@@ -118,8 +118,10 @@ class AggregatesSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
     assert(got.keySet == ref.keySet)
     got.foreach { case (k, (c, cv)) =>
-      assert(math.abs(c - ref(k)._1) < 1e-6, s"$k corr $c vs ${ref(k)._1}")
-      assert(math.abs(cv - ref(k)._2) < math.abs(ref(k)._2) * 1e-9 + 1e-6,
+      // outputs are rounded (6 digits corr, 4 covar) for cross-engine
+      // determinism: allow half an output ulp plus builtin float noise
+      assert(math.abs(c - ref(k)._1) < 6e-7, s"$k corr $c vs ${ref(k)._1}")
+      assert(math.abs(cv - ref(k)._2) < math.abs(ref(k)._2) * 1e-9 + 6e-5,
         s"$k covar $cv vs ${ref(k)._2}")
     }
   }
