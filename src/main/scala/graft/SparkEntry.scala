@@ -374,9 +374,9 @@ object SparkEntry {
     "group_collect" ->
       "SELECT lang, array_to_string((list_sort(list(doc_id)))[1:20], ',') AS doc_ids, count(1) AS n_docs FROM documents GROUP BY 1 ORDER BY 1",
     "agg_pivot" ->
-      ("SELECT source, count(CASE WHEN lang = 'de' THEN 1 END) AS n_de, count(CASE WHEN lang = 'en' THEN 1 END) AS n_en, " +
-      "count(CASE WHEN lang = 'es' THEN 1 END) AS n_es, count(CASE WHEN lang = 'fr' THEN 1 END) AS n_fr, " +
-      "count(CASE WHEN lang = 'zh' THEN 1 END) AS n_zh FROM documents GROUP BY 1 ORDER BY 1"),
+      ("SELECT source, " +
+      Aggregates.PivotLangs.map(l => s"count(CASE WHEN lang = '$l' THEN 1 END) AS n_$l").mkString(", ") +
+      " FROM documents GROUP BY 1 ORDER BY 1"),
     "agg_groupingsets" ->
       ("SELECT l_returnflag, l_linestatus, CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_price, " +
       "count(1) AS n, CAST(GROUPING(l_returnflag) AS INT) AS g_flag, CAST(GROUPING(l_linestatus) AS INT) AS g_status " +

@@ -210,15 +210,18 @@ object Aggregates {
     * coalesced to 0 so the wide table is dense (and matches the oracle's
     * conditional counts).
     */
-  def aggPivot(s: SparkSession, dir: String): DataFrame = {
-    val langs = Seq("de", "en", "es", "fr", "zh")
+  /** The pinned pivot domain — interpolated into the oracle SQL too, so
+    * the two engines cannot drift (round-5b review).
+    */
+  val PivotLangs: Seq[String] = Seq("de", "en", "es", "fr", "zh")
+
+  def aggPivot(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .groupBy("source")
-      .pivot("lang", langs)
+      .pivot("lang", PivotLangs)
       .agg(count(lit(1)))
-      .select(col("source") +: langs.map(l => coalesce(col(l), lit(0L)).as(s"n_$l")): _*)
+      .select(col("source") +: PivotLangs.map(l => coalesce(col(l), lit(0L)).as(s"n_$l")): _*)
       .oracleSorted("source")
-  }
 
   /** D16: GROUPING SETS — independent marginals (per-flag, per-status, and
     * the grand total) in ONE pass over the fact table. Unlike rollup/cube

@@ -478,15 +478,26 @@ object Relational {
     * Per-row hash + filter, no shuffle; the salt prefix decorrelates this
     * sample from any other hash use of the same key.
     */
-  def sampleHash(s: SparkSession, dir: String): DataFrame = {
-    val hv = conv(substring(md5(concat(lit("graft:"),
+  /** The parity-critical salted-hash idiom every deterministic sampler
+    * shares: 60-bit md5 prefix of `"<salt>:" + doc_id` as a long. ONE
+    * definition (round-5b review: four drifting copies) — it must stay
+    * bit-identical to the oracle's
+    * `CAST('0x' || substr(md5('<salt>:' || doc_id), 1, 15) AS BIGINT)`.
+    */
+  private[graft] def saltedHash(salt: String): Column =
+    conv(substring(md5(concat(lit(s"$salt:"),
       col("doc_id").cast("string")).cast("binary")), 1, 15), 16, 10).cast("long")
+
+  /** `saltedHash` reduced to a percentage bucket. */
+  private[graft] def saltedBucket(salt: String): Column =
+    (saltedHash(salt) % 100).cast("int")
+
+  def sampleHash(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
-      .withColumn("bucket", (hv % 100).cast("int"))
+      .withColumn("bucket", saltedBucket("graft"))
       .filter(col("bucket") < SamplePct)
       .select(col("doc_id"), col("lang"), col("source"), col("bucket"))
       .oracleSorted("doc_id")
-  }
 
   /** `sample_split` boundaries: cumulative percentages for train/val/test. */
   val SplitPct: Seq[(String, Int)] = Seq("train" -> 90, "val" -> 95, "test" -> 100)
@@ -510,12 +521,10 @@ object Relational {
     * (StreamingParitySpec proves stream labels match batch).
     */
   private[graft] def splitLabeled(df: DataFrame): DataFrame = {
-    val hv = conv(substring(md5(concat(lit("split:"),
-      col("doc_id").cast("string")).cast("binary")), 1, 15), 16, 10).cast("long")
     val label = SplitPct.init.foldRight(lit(SplitPct.last._1)) {
       case ((name, hi), acc) => when(col("bucket") < hi, lit(name)).otherwise(acc)
     }
-    df.withColumn("bucket", (hv % 100).cast("int"))
+    df.withColumn("bucket", saltedBucket("split"))
       .withColumn("split", label)
   }
 
@@ -547,13 +556,11 @@ object Relational {
     * ingest frame (StreamingParitySpec proves kept rows match batch).
     */
   private[graft] def mixKept(df: DataFrame): DataFrame = {
-    val hv = conv(substring(md5(concat(lit("mix:"),
-      col("doc_id").cast("string")).cast("binary")), 1, 15), 16, 10).cast("long")
     val pct = MixPct.tail.foldLeft(
       when(col("lang") === MixPct.head._1, lit(MixPct.head._2))) {
         case (acc, (l, p)) => acc.when(col("lang") === l, lit(p))
       }.otherwise(lit(100))
-    df.withColumn("bucket", (hv % 100).cast("int"))
+    df.withColumn("bucket", saltedBucket("mix"))
       .withColumn("keep_pct", pct)
       .filter(col("bucket") < col("keep_pct"))
   }

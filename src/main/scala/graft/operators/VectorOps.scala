@@ -52,18 +52,19 @@ object VectorOps {
     */
   val EmbedBands = 4
   val EmbedBandBits = 16
-  /** Multi-probe masks for `sim_ann`: the query's own bucket plus each
-    * 1-bit-flip neighbour — 9 probes over the 8-bit bucket space.
-    */
-  val AnnProbeMasks: Seq[Long] = 0L +: (0 until AnnBits).map(i => 1L << i)
-
   /** All XOR masks of Hamming weight ≤ `flips` over `AnnBits` bits — the
-    * probe set for a given multi-probe radius (flips=1 ≡ AnnProbeMasks,
-    * 9 probes; flips=2 adds the 28 two-bit neighbours, 37 probes).
+    * probe set for a given multi-probe radius (flips=1: own bucket + 8
+    * one-bit flips = 9 probes; flips=2 adds the 28 two-bit neighbours,
+    * 37 probes).
     */
   private[graft] def probeMasks(flips: Int): Seq[Long] =
     (0 until (1 << AnnBits)).map(_.toLong)
       .filter(m => java.lang.Long.bitCount(m) <= flips)
+
+  /** Multi-probe masks for `sim_ann` at the default radius 1 — the set the
+    * oracle SQL interpolates.
+    */
+  val AnnProbeMasks: Seq[Long] = probeMasks(1)
 
   /** The recall/cost knob for `sim_ann`: probe radius in bucket-bit flips.
     * Default 1 (the oracle-pinned contract the registered query runs
@@ -207,8 +208,7 @@ object VectorOps {
     * `shuffle_pos div rows_per_shard` for fixed-size training shards.
     */
   def shuffleRows(s: SparkSession, dir: String): DataFrame = {
-    val hkey = conv(substring(md5(concat(lit("shuf:"),
-      col("doc_id").cast("string")).cast("binary")), 1, 15), 16, 10).cast("long")
+    val hkey = Relational.saltedHash("shuf")
     val base = Tables.documents(s, dir).select(col("doc_id"), hkey.as("hkey"))
     val (ranked, _) = withGlobalRowNumber(s, base, Seq("hkey", "doc_id"))
     ranked.select(col("doc_id"), col("hkey"), (col("rn") - 1).as("shuffle_pos"))
@@ -410,10 +410,7 @@ object VectorOps {
     * side (k×9 rows), never the corpus.
     */
   def simAnn(s: SparkSession, dir: String): DataFrame = {
-    val masks = s.conf.get(AnnProbeFlipsConf, "1").toInt match {
-      case 1 => AnnProbeMasks // the oracle-pinned default
-      case f => probeMasks(f)
-    }
+    val masks = probeMasks(s.conf.get(AnnProbeFlipsConf, "1").toInt)
     val bucketed = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding"),
         Vec.signBucket(col("embedding"), AnnBits).as("bucket"))

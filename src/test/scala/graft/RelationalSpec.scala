@@ -132,12 +132,14 @@ class RelationalSpec extends AnyFunSuite {
     // md5 buckets are uniform-ish: train within [80%, 98%] of corpus
     val frac = byLabel("train").toDouble / total
     assert(frac > 0.80 && frac < 0.98, s"train fraction $frac")
-    // label is a pure function of doc_id: independent of corpus subset
-    val again = Relational.sampleSplit(spark, sfDir)
-      .filter(col("doc_id") % 7 === 0).select("doc_id", "split")
-    val joined = split.filter(col("doc_id") % 7 === 0)
+    // label is a pure function of doc_id: labeling a PRE-FILTERED frame
+    // (a re-ingested subset) must agree with the full-corpus labels —
+    // a corpus-dependent term (rank, window) would fail here
+    val subset = Relational.splitLabeled(
+        graft.Tables.documents(spark, sfDir).filter(col("doc_id") % 7 === 0))
       .select(col("doc_id"), col("split").as("s2"))
-      .join(again, "doc_id").filter(col("split") =!= col("s2")).count()
-    assert(joined == 0)
+    val disagree = split.join(subset, "doc_id")
+      .filter(col("split") =!= col("s2")).count()
+    assert(subset.count() > 0 && disagree == 0)
   }
 }
