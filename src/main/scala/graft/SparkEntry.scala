@@ -67,6 +67,7 @@ object SparkEntry {
     "join_asof_salted" -> (Joins.joinAsofSalted _),
     "join_salted" -> (Joins.joinSalted _),
     "join_range" -> (Joins.joinRange _),
+    "query_q3" -> (Joins.queryQ3 _),
     // §2.E/F windows + top-k
     "window_rank" -> (Windows.windowRank _),
     "window_top1" -> (Windows.windowTop1 _),
@@ -422,6 +423,12 @@ object SparkEntry {
       "SELECT o_orderstatus, count(1) AS n_lines, CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS gross FROM orders JOIN lineitem ON o_orderkey = l_orderkey GROUP BY 1 ORDER BY 1",
     "join_range" ->
       "SELECT a.event_id, a.user_id, CAST(a.ts AS TIMESTAMP) AS ts, count(b.event_id) AS n_next_min FROM events a LEFT JOIN events b ON a.user_id = b.user_id AND CAST(b.ts AS TIMESTAMP) > CAST(a.ts AS TIMESTAMP) AND CAST(b.ts AS TIMESTAMP) <= CAST(a.ts AS TIMESTAMP) + INTERVAL 1 MINUTE GROUP BY 1, 2, 3 ORDER BY 1",
+    "query_q3" ->
+      ("SELECT l_orderkey, o_orderdate, o_orderpriority, " +
+      "CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1.0 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue " +
+      "FROM customer JOIN orders ON c_custkey = o_custkey JOIN lineitem ON l_orderkey = o_orderkey " +
+      "WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00' AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00' " +
+      "GROUP BY 1, 2, 3 ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10"),
     "window_rank" ->
       "SELECT s_nationkey, s_suppkey, s_name, s_acctbal, CAST(rank() OVER (PARTITION BY s_nationkey ORDER BY s_acctbal DESC) AS INT) AS rnk FROM supplier ORDER BY s_nationkey, rnk, s_suppkey",
     "window_top1" ->

@@ -42,6 +42,36 @@ object Joins {
            count(lit(1)).as("n_orders"))
       .oracleSorted("r_name")
 
+  /** C8: the TPC-H Q3 shape — the composed relational pipeline a BI user
+    * runs end-to-end: selective dimension filter (market segment) →
+    * broadcast semi-reduction of orders → fact join → grouped revenue →
+    * global top-10. Every per-table predicate sits directly on its scan
+    * (pushdown reaches parquet), the filtered customer key set broadcasts
+    * so orders shrink BEFORE the expensive lineitem join, the revenue sum
+    * is exact-decimal, and the final ordering plans as
+    * `TakeOrderedAndProject` (per-partition heaps — no global sort). At
+    * 100 TB the only heavy edge is the lineitem⋈orders shuffle, which AQE
+    * can demote to broadcast when the filtered order side collapses.
+    */
+  def queryQ3(s: SparkSession, dir: String): DataFrame = {
+    val cutoff = lit("1998-01-01").cast("timestamp")
+    val cust = Tables.customer(s, dir)
+      .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val ord = Tables.orders(s, dir)
+      .filter(col("o_orderdate") < cutoff)
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") > cutoff)
+      .select(col("l_orderkey"),
+        graft.functions.Num.discounted(col("l_extendedprice"), col("l_discount")).as("disc"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+      .agg(graft.functions.Num.money(sum(col("disc"))).as("revenue"))
+      .orderBy(desc("revenue"), asc("o_orderdate"), asc("l_orderkey"))
+      .limit(10)
+  }
+
   /** C4: anti join — customers with no orders (NOT EXISTS). */
   def joinAnti(s: SparkSession, dir: String): DataFrame =
     Tables.customer(s, dir)

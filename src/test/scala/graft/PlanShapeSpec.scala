@@ -106,4 +106,21 @@ class PlanShapeSpec extends AnyFunSuite {
       assert(t.contains("TakeOrderedAndProject"), t)
     } finally spark.conf.unset("graft.terminalSort")
   }
+
+  test("query_q3: predicates reach every scan, dims broadcast, top-10 is a heap (C8)") {
+    val df = graft.operators.Joins.queryQ3(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), p) // never a global sort
+    assert(p.contains("BroadcastHashJoin"), p)     // filtered dim side broadcasts
+    // the ship-date predicate must be INSIDE the lineitem parquet scan —
+    // a post-scan filter would read the whole fact table at 100 TB
+    // (sparkPlan, not executedPlan: AQE hides the scan leaves)
+    val scans = df.queryExecution.sparkPlan.collectWithSubqueries {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    val liScan = scans.find(_.metadata.get("Location").exists(_.contains("lineitem")))
+    assert(liScan.isDefined, scans.map(_.metadata).mkString("; "))
+    assert(liScan.get.metadata("PushedFilters").contains("GreaterThan(l_shipdate"),
+      liScan.get.metadata("PushedFilters"))
+  }
 }
