@@ -121,6 +121,7 @@ object SparkEntry {
     "sample_mix" -> (Relational.sampleMix _),
     "sample_split" -> (Relational.sampleSplit _),
     "stats_profile" -> (Relational.statsProfile _),
+    "stats_moments" -> (Relational.statsMoments _),
     "quantile_bins" -> (VectorOps.quantileBins _),
     "shuffle_rows" -> (VectorOps.shuffleRows _),
     // §2.K3/K4 vectors / similarity / multimodal (+ B7 feature scaling)
@@ -598,6 +599,29 @@ object SparkEntry {
       Relational.ProfileCols.map(c =>
         s"SELECT '$c' AS col_name, count(1) AS n_rows, CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls, count(DISTINCT $c) AS n_distinct, min($c) AS min_val, max($c) AS max_val FROM lineitem")
         .mkString("", " UNION ALL ", " ORDER BY col_name"),
+    // int128 HUGEINT mirrors Spark's DECIMAL(38,0) integer-cents moments —
+    // both exact, so the double combine sees identical bits (explicit h*h*h,
+    // never **: DuckDB pow returns DOUBLE and would break exactness)
+    "stats_moments" -> {
+      def h(c: String) = s"CAST(CAST($c AS DECIMAL(12,2)) * 100 AS HUGEINT)"
+      ("WITH a AS (SELECT count(1) AS n, " +
+        Relational.MomentCols.map(c =>
+          s"CAST(sum(${h(c)}) AS DOUBLE) AS ${c}_s1, " +
+          s"CAST(sum(${h(c)} * ${h(c)}) AS DOUBLE) AS ${c}_s2, " +
+          s"CAST(sum(${h(c)} * ${h(c)} * ${h(c)}) AS DOUBLE) AS ${c}_s3, " +
+          s"CAST(sum(${h(c)} * ${h(c)} * ${h(c)} * ${h(c)}) AS DOUBLE) AS ${c}_s4").mkString(", ") +
+      " FROM lineitem), u AS (" +
+        Relational.MomentCols.map(c =>
+          s"SELECT '$c' AS col_name, n, ${c}_s1 AS s1, ${c}_s2 AS s2, ${c}_s3 AS s3, ${c}_s4 AS s4 FROM a")
+          .mkString(" UNION ALL ") +
+      "), m AS (SELECT col_name, n, s1/n AS mu, s2, s3, s4 FROM u), " +
+      "k AS (SELECT col_name, n, mu, s2/n - mu*mu AS m2, " +
+      "s3/n - 3*mu*(s2/n) + 2*mu*mu*mu AS m3, " +
+      "s4/n - 4*mu*(s3/n) + 6*mu*mu*(s2/n) - 3*mu*mu*mu*mu AS m4 FROM m) " +
+      "SELECT col_name, n, round(mu/100, 6) AS mean, round(sqrt(m2)/100, 6) AS stddev_pop, " +
+      "round(m3/(m2*sqrt(m2)), 6) AS skewness, round(m4/(m2*m2) - 3, 6) AS kurtosis " +
+      "FROM k ORDER BY col_name")
+    },
     "quantile_bins" ->
       "SELECT doc_id, n_chars, CAST(ntile(10) OVER (ORDER BY n_chars, doc_id) AS INT) AS decile FROM documents ORDER BY doc_id",
     "shuffle_rows" ->

@@ -598,4 +598,60 @@ object Relational {
       .select(col("p.*"))
       .oracleSorted("col_name")
   }
+
+  /** Columns profiled by `stats_moments`. */
+  val MomentCols: Seq[String] = Seq("l_quantity", "l_extendedprice", "l_discount")
+
+  /** `stats_moments`: distribution-shape profile — mean, population
+    * variance, skewness (g1) and excess kurtosis (g2) per column, from one
+    * scan of four EXACT integer moment sums per column. Values enter as
+    * integer cents (2-dec DECIMAL × 100 → DECIMAL(38,0)), so every power
+    * and sum is exact integer arithmetic — associative, identical on any
+    * partition count (the agg_corr argument, extended to 4th moments:
+    * cents⁴ ≈ 10²⁸ per row sums safely inside 38 digits at any tested SF;
+    * the DuckDB oracle uses int128 HUGEINT for the same sums). The combine
+    * is one shared double expression; skew/kurtosis are scale-invariant so
+    * the cents scaling cancels, and mean is rescaled by /100. Outputs
+    * rounded to 6 (the DECIMAL→DOUBLE cast here is scale-0, single-rounded
+    * in both engines, but the rounding keeps the discipline uniform).
+    */
+  def statsMoments(s: SparkSession, dir: String): DataFrame = {
+    def cents(c: Column): Column =
+      (c.cast(DecimalType(12, 2)) * 100).cast(DecimalType(38, 0))
+    val aggs = MomentCols.flatMap { name =>
+      val c = cents(col(name))
+      val c2 = (c * c).cast(DecimalType(38, 0))
+      Seq(
+        sum(c).cast("double").as(s"${name}_s1"),
+        sum(c2).cast("double").as(s"${name}_s2"),
+        sum((c2 * c).cast(DecimalType(38, 0))).cast("double").as(s"${name}_s3"),
+        sum((c2 * c2).cast(DecimalType(38, 0))).cast("double").as(s"${name}_s4"))
+    }
+    Tables.lineitem(s, dir)
+      .agg(count(lit(1)).as("n"), aggs: _*)
+      .select(explode(array(MomentCols.map { c =>
+        struct(lit(c).as("col_name"), col("n"),
+          col(s"${c}_s1").as("s1"), col(s"${c}_s2").as("s2"),
+          col(s"${c}_s3").as("s3"), col(s"${c}_s4").as("s4"))
+      }: _*)).as("p"))
+      .select(col("p.*"))
+      // the shared combine — the SAME expression tree as the oracle's CTE,
+      // so the doubles are bit-identical before the terminal rounding
+      .withColumn("mu", col("s1") / col("n"))
+      .withColumn("m2", col("s2") / col("n") - col("mu") * col("mu"))
+      .withColumn("m3", col("s3") / col("n") - lit(3) * col("mu") * (col("s2") / col("n"))
+        + lit(2) * col("mu") * col("mu") * col("mu"))
+      .withColumn("m4", col("s4") / col("n") - lit(4) * col("mu") * (col("s3") / col("n"))
+        + lit(6) * col("mu") * col("mu") * (col("s2") / col("n"))
+        - lit(3) * col("mu") * col("mu") * col("mu") * col("mu"))
+      .select(
+        col("col_name"), col("n"),
+        round(col("mu") / 100, 6).as("mean"),
+        round(sqrt(col("m2")) / 100, 6).as("stddev_pop"),
+        // m2*sqrt(m2), not pow(m2,1.5): sqrt and * are correctly-rounded
+        // IEEE ops in both engines; libm pow is not and can differ 1 ulp
+        round(col("m3") / (col("m2") * sqrt(col("m2"))), 6).as("skewness"),
+        round(col("m4") / (col("m2") * col("m2")) - 3, 6).as("kurtosis"))
+      .oracleSorted("col_name")
+  }
 }
