@@ -77,9 +77,15 @@ object Bench {
     sys.env.get("SPARK_GRAFT_TERMINAL_SORT")
       .foreach(v => spark.conf.set("graft.terminalSort", v))
     // Warm the session/IO paths before even the warm-up pass so its first
-    // query isn't charged session-initialization cost.
-    Tables.lineitem(spark, sfDir).count()
-    Tables.events(spark, sfDir).count()
+    // query isn't charged session-initialization cost. BEST-EFFORT: a warm
+    // failure (e.g. a testdata schema change breaking one loader, as in the
+    // round-5 driver run) must degrade to a cold first query, never zero the
+    // whole artifact — per-query failures are adjudicated inside the loop.
+    for (warm <- Seq(() => Tables.lineitem(spark, sfDir).count(),
+                     () => Tables.events(spark, sfDir).count()))
+      try warm() catch {
+        case e: Throwable => System.err.println(s"[bench] warm-up read failed (continuing cold): ${e.getMessage}")
+      }
     // SPARK_GRAFT_ONLY=q1,q2 restricts the run (single-query iteration aid).
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt

@@ -29,15 +29,21 @@ class GraftSessionSpec extends AnyFunSuite {
     }
   }
 
-  test("Tables.events refuses a session missing the nanos conf instead of mutating it") {
+  test("Tables.events adapts to the observed ts encoding without mutating session conf") {
     val base = SparkTestSession.spark
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
     try {
-      val bare = SparkSession.builder().getOrCreate()
+      // A session WITHOUT the legacy nanos conf must still load the current
+      // testdata generation (micros TIMESTAMP_NTZ), normalize ts to the
+      // session-time-zone TIMESTAMP type, and leave the conf untouched —
+      // dispatch is on the observed schema, not on session state.
+      val bare = SparkSession.builder()
+        .config("spark.sql.session.timeZone", "UTC").getOrCreate()
       bare.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
-      val e = intercept[IllegalArgumentException](Tables.events(bare, sfDir))
-      assert(e.getMessage.contains("nanosAsLong"))
+      val df = Tables.events(bare, sfDir)
+      assert(df.schema("ts").dataType == org.apache.spark.sql.types.TimestampType)
+      assert(df.limit(1).count() == 1)
       assert(bare.conf.get("spark.sql.legacy.parquet.nanosAsLong") == "false")
     } finally {
       SparkSession.setDefaultSession(base)
