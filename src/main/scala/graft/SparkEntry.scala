@@ -52,6 +52,8 @@ object SparkEntry {
     "agg_pivot" -> (Aggregates.aggPivot _),
     "agg_groupingsets" -> (Aggregates.aggGroupingSets _),
     "agg_corr" -> (Aggregates.aggCorr _),
+    "agg_percentile" -> (Aggregates.aggPercentile _),
+    "agg_sketch_merge" -> (Aggregates.aggSketchMerge _),
     "group_collect" -> (Aggregates.groupCollect _),
     // §2.G set ops
     "setop_union" -> (Aggregates.setopUnion _),
@@ -67,6 +69,7 @@ object SparkEntry {
     "join_asof_salted" -> (Joins.joinAsofSalted _),
     "join_salted" -> (Joins.joinSalted _),
     "join_range" -> (Joins.joinRange _),
+    "join_bucketed" -> (Joins.joinBucketed _),
     "query_q3" -> (Joins.queryQ3 _),
     // §2.E/F windows + top-k
     "window_rank" -> (Windows.windowRank _),
@@ -81,6 +84,8 @@ object SparkEntry {
     "stream_session" -> (EventOps.streamSession _),
     "dedup_state" -> (EventOps.dedupState _),
     "stream_join" -> (EventOps.streamJoin _),
+    "funnel_events" -> (EventOps.funnelEvents _),
+    "event_retention" -> (EventOps.eventRetention _),
     "stream_stateful" -> (graft.streaming.StatefulOps.streamStateful _),
     "stream_sessionize" -> (graft.streaming.StatefulOps.streamSessionize _),
     "stream_topn_state" -> (graft.streaming.StatefulOps.streamTopnState _),
@@ -337,6 +342,21 @@ object SparkEntry {
       "WHERE dim.lang_group = 'cjk' ORDER BY d.doc_id"),
     "filter_eq" ->
       "SELECT event_id, user_id, value FROM events WHERE event_type = 'purchase' ORDER BY event_id",
+    // the oracle proves the bucketed tables hold exactly the source rows —
+    // the layout (and the exchange-free plan it buys) is asserted Spark-side
+    "join_bucketed" ->
+      "SELECT c_mktsegment, count(1) AS n_orders, CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS revenue FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1 ORDER BY 1",
+    "funnel_events" ->
+      ("WITH v AS (SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS view_ts FROM events WHERE event_type = 'view' GROUP BY 1), " +
+       "c AS (SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS click_ts FROM events e JOIN v ON e.user_id = v.user_id WHERE e.event_type = 'click' AND CAST(e.ts AS TIMESTAMP) > v.view_ts AND CAST(e.ts AS TIMESTAMP) <= v.view_ts + INTERVAL 60 MINUTE GROUP BY 1), " +
+       "p AS (SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS purchase_ts FROM events e JOIN c ON e.user_id = c.user_id WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) > c.click_ts AND CAST(e.ts AS TIMESTAMP) <= c.click_ts + INTERVAL 60 MINUTE GROUP BY 1) " +
+       "SELECT v.user_id, v.view_ts, epoch_us(c.click_ts) AS click_us, epoch_us(p.purchase_ts) AS purchase_us, CAST(1 + CASE WHEN c.click_ts IS NOT NULL THEN 1 ELSE 0 END + CASE WHEN p.purchase_ts IS NOT NULL THEN 1 ELSE 0 END AS INT) AS depth " +
+       "FROM v LEFT JOIN c ON v.user_id = c.user_id LEFT JOIN p ON v.user_id = p.user_id ORDER BY v.user_id"),
+    "event_retention" ->
+      ("WITH a AS (SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day FROM events), " +
+       "f AS (SELECT user_id, min(day) AS cohort_day FROM a GROUP BY 1) " +
+       "SELECT CAST(f.cohort_day AS TIMESTAMP) AS cohort_day, CAST(date_diff('day', f.cohort_day, a.day) AS INT) AS day_offset, count(DISTINCT a.user_id) AS n_users " +
+       "FROM a JOIN f ON a.user_id = f.user_id GROUP BY 1, 2 ORDER BY 1, 2"),
     "filter_range" ->
       "SELECT l_orderkey, l_linenumber, l_quantity, l_discount FROM lineitem WHERE l_quantity BETWEEN 10 AND 20 AND l_discount < 0.05 ORDER BY l_orderkey, l_linenumber",
     "filter_token" ->
@@ -365,6 +385,10 @@ object SparkEntry {
       "SELECT event_type, count(DISTINCT user_id) AS n_users, count(1) AS n_events FROM events GROUP BY 1 ORDER BY 1",
     "agg_median" ->
       "SELECT o_orderpriority, median(CAST(round(o_totalprice * 100, 0) AS BIGINT)) / 100 AS median_total, count(1) AS n FROM orders GROUP BY 1 ORDER BY 1",
+    // cents-integer quartiles: both engines interpolate lo + (hi-lo)*frac
+    // over identical integers, so the doubles are bit-identical
+    "agg_percentile" ->
+      "SELECT o_orderpriority, quantile_cont(CAST(round(o_totalprice * 100, 0) AS BIGINT), 0.25) / 100 AS p25, quantile_cont(CAST(round(o_totalprice * 100, 0) AS BIGINT), 0.5) / 100 AS p50, quantile_cont(CAST(round(o_totalprice * 100, 0) AS BIGINT), 0.75) / 100 AS p75, count(1) AS n FROM orders GROUP BY 1 ORDER BY 1",
     "agg_mode" ->
       "WITH c AS (SELECT user_id % 10 AS user_bucket, event_type, count(1) AS n FROM events GROUP BY 1, 2), r AS (SELECT user_bucket, event_type, n, row_number() OVER (PARTITION BY user_bucket ORDER BY n DESC, event_type) AS rn FROM c) SELECT user_bucket, event_type AS top_type, n AS top_n FROM r WHERE rn = 1 ORDER BY user_bucket",
     "agg_rollup" ->

@@ -177,6 +177,61 @@ object Aggregates {
       .oracleSorted("o_orderstatus")
   }
 
+  /** D16 `agg_percentile` (round 6): exact interpolated quartiles per group.
+    * Same cents-integer discipline as D11's median (the general form of
+    * which this supersedes at the API level — `percentile(col, array(...))`
+    * is one pass for any percentile vector): rounding prices to integer
+    * cents first makes the sort keys exact, so the only float op is the
+    * single interpolation `lo + (hi-lo)*frac` both engines perform on
+    * identical integers — bit-identical, no rounding tier needed. At scale
+    * exact percentiles sort within groups (Spark's `percentile` buffers per
+    * group); the sketch swap for unbounded groups is `approx_percentile`,
+    * same call shape (documented, not registered: its sketch is
+    * engine-specific, so no oracle could hash-match it).
+    */
+  def aggPercentile(s: SparkSession, dir: String): DataFrame = {
+    val cents = round(col("o_totalprice") * 100, 0).cast("long")
+    Tables.orders(s, dir)
+      .groupBy("o_orderpriority")
+      .agg(percentile(cents, array(lit(0.25), lit(0.5), lit(0.75))).as("q"),
+           count(lit(1)).as("n"))
+      .select(col("o_orderpriority"),
+        (col("q")(0) / 100).as("p25"),
+        (col("q")(1) / 100).as("p50"),
+        (col("q")(2) / 100).as("p75"),
+        col("n"))
+      .oracleSorted("o_orderpriority")
+  }
+
+  /** D17 `agg_sketch_merge` (round 6): MERGEABLE distinct-count sketches —
+    * the actual 100 TB cardinality path. `approx_count_distinct` (D13)
+    * answers one query; what a warehouse stores is the per-segment SKETCH
+    * (here: Apache DataSketches HLL via `hll_sketch_agg`), because sketches
+    * re-aggregate: any union of segments is answered by `hll_union_agg`
+    * over stored bytes without rescanning raw data. This query materializes
+    * both levels — per-event-type sketch estimates, plus the ALL row whose
+    * estimate comes from UNIONING the five per-type sketches, never from
+    * the raw events. SketchLawsSpec proves the union estimate equals the
+    * direct whole-corpus sketch estimate exactly (merge correctness) and
+    * both land within the HLL error bound of the exact count.
+    *
+    * No oracle SQL: sketch bytes and estimates are DataSketches-specific
+    * (DuckDB's approx_count_distinct is a different HLL) — the driver
+    * records rows-only, the law spec carries the correctness claim; same
+    * sanctioned class as `agg_approx_distinct`.
+    */
+  def aggSketchMerge(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val perType = ev.groupBy("event_type")
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+    val all = perType.agg(hll_union_agg(col("sk")).as("sk"))
+      .select(lit("ALL").as("event_type"), col("sk"))
+    perType.unionByName(all)
+      .select(col("event_type"),
+        hll_sketch_estimate(col("sk")).as("n_users_est"))
+      .oracleSorted("event_type")
+  }
+
   /** 2.G: set operations — union distinct. */
   def setopUnion(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir)

@@ -82,6 +82,76 @@ object EventOps {
       .oracleSorted("event_id")
   }
 
+  /** J9 `funnel_events` (round 6): ordered multi-step funnel — per user, the
+    * earliest view, the earliest click AFTER that view within 60 minutes,
+    * and the earliest purchase AFTER that click within 60 minutes; depth =
+    * how many stages completed. This is the sequential-pattern query every
+    * product-analytics pipeline runs, and it is NOT a plain aggregation:
+    * each stage's predicate depends on the previous stage's result.
+    *
+    * Scale shape: each stage is a type-filtered partial-agg `groupBy(user)`
+    * min — map-side combine collapses events to one row per user BEFORE the
+    * shuffle, so each stage shuffles ≤ |users| rows regardless of event
+    * volume, and the stage joins are equi-joins on user_id over those
+    * already-aggregated (small) frames. No window over raw events, no
+    * per-user event buffering — at 100 TB the cost is three filtered scans
+    * (one per stage; a single-scan variant would trade them for a full
+    * shuffle of all events, which loses whenever the funnel types are a
+    * small fraction of traffic).
+    */
+  def funnelEvents(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select("user_id", "event_type", "ts")
+    val step = expr("INTERVAL 60 MINUTES")
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts").as("view_ts"))
+    val c = ev.filter(col("event_type") === "click")
+      .join(v, "user_id")
+      .filter(col("ts") > col("view_ts") && col("ts") <= col("view_ts") + step)
+      .groupBy("user_id").agg(min("ts").as("click_ts"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(c, "user_id")
+      .filter(col("ts") > col("click_ts") && col("ts") <= col("click_ts") + step)
+      .groupBy("user_id").agg(min("ts").as("purchase_ts"))
+    // later-stage timestamps are NULL for users who fell out of the funnel;
+    // they cross the oracle gate as epoch-micros BIGINTs because a NULL
+    // TIMESTAMP surfaces as NaT, which no equality (or hash) treats as
+    // self-equal — numeric NULLs compare fine (view_ts is never NULL)
+    v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+      .select(col("user_id"), col("view_ts"),
+        unix_micros(col("click_ts")).as("click_us"),
+        unix_micros(col("purchase_ts")).as("purchase_us"),
+        (lit(1) + when(col("click_ts").isNotNull, 1).otherwise(0)
+               + when(col("purchase_ts").isNotNull, 1).otherwise(0)).as("depth"))
+      .oracleSorted("user_id")
+  }
+
+  /** J10 `event_retention` (round 6): cohort retention — users cohorted by
+    * the calendar day of their first event; for each (cohort_day, day
+    * offset) the count of distinct cohort members active that day. The
+    * classic growth-analytics triangle, and the canonical "self-join on a
+    * per-key aggregate" shape.
+    *
+    * Scale shape: the first-day frame is a partial-agg `groupBy(user)` min
+    * (shuffle ≤ |users|); activity is `distinct (user, day)` (partial
+    * distinct collapses same-day duplicates map-side); the join back is a
+    * user-key equi-join; the final count-distinct groups by (cohort, offset)
+    * whose cardinality is days² — tiny forever. Nothing here depends on raw
+    * event volume past the first map stage.
+    */
+  def eventRetention(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+    val firstDay = ev.groupBy("user_id").agg(min("day").as("cohort_day"))
+    ev.distinct()
+      .join(firstDay, "user_id")
+      .groupBy(col("cohort_day"), datediff(col("day"), col("cohort_day")).as("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      // DATE crosses the gate as midnight TIMESTAMP (the join_asof
+      // convention: both engines' DATE→pandas representations differ)
+      .withColumn("cohort_day", col("cohort_day").cast("timestamp"))
+      .oracleSorted("cohort_day", "day_offset")
+  }
+
   /** J5: keep-first dedup by (user_id, event_type) — the batch equivalent of
     * streaming `dropDuplicates` with arrival order made deterministic
     * (earliest ts, then event_id).

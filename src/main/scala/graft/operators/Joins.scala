@@ -20,6 +20,72 @@ import org.apache.spark.sql.functions._
   */
 object Joins {
 
+  /** Bucket count for `join_bucketed`'s staged tables. 8 keeps the local
+    * fixture readable; the 100 TB deployment picks O(thousands) so each
+    * bucket's files fit an executor — the PLAN is identical at any count,
+    * which is the point of the demo.
+    */
+  val BucketCount = 8
+
+  /** Per-JVM staging root for bucketed tables: the in-memory catalog dies
+    * with the JVM, so the data may too — a UUID path means concurrent JVMs
+    * (Bench + Verify + sbt test) never clobber each other's buckets, at the
+    * cost of re-staging per process (orders+customer: cheap fixture work,
+    * and the staging job is itself the bucketed-WRITE half of the demo).
+    */
+  private lazy val bucketStageRoot =
+    s"${System.getProperty("java.io.tmpdir")}/graft_bucketed_${java.util.UUID.randomUUID().toString.take(8)}"
+  private val bucketLock = new Object
+
+  /** Stage `df` as a bucketed+sorted catalog table (once per JVM per sfDir)
+    * and return its name. `bucketBy` metadata only persists through
+    * `saveAsTable`; with Spark's default in-memory catalog that needs no
+    * Hive metastore — exactly the shape a production lakehouse stores its
+    * fact tables in.
+    */
+  private def stagedBucketed(s: SparkSession, dir: String, src: String,
+                             key: String, df: => DataFrame): String = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    val name = s"graft_${src}_bkt_$digest"
+    bucketLock.synchronized {
+      if (!s.catalog.tableExists(name)) {
+        df.write.mode("overwrite")
+          .option("path", s"$bucketStageRoot/$name")
+          .bucketBy(BucketCount, key).sortBy(key)
+          .saveAsTable(name)
+      }
+    }
+    name
+  }
+
+  /** C9 `join_bucketed` (round 6): SHUFFLE-FREE co-located fact join via
+    * bucketed storage — the named scale pattern the rest of the join family
+    * doesn't cover (broadcast handles small dims, salting handles skew;
+    * bucketing handles the repeated big⋈big join on a stable key). Both
+    * sides are staged `bucketBy(8, key).sortBy(key)` tables, so the
+    * sort-merge join's required hash distribution is satisfied BY THE
+    * STORAGE LAYOUT: the plan contains zero ShuffleExchange under the join
+    * (PlanShapeSpec asserts it) — at 100 TB that deletes the two largest
+    * shuffles a fact-to-fact query pays, every time the key is reused. The
+    * `merge` hint pins SMJ so the demo can't degrade to a broadcast at toy
+    * scale; the aggregate above the join still exchanges on its own group
+    * key, which is the only shuffle the query should have.
+    */
+  def joinBucketed(s: SparkSession, dir: String): DataFrame = {
+    val ordersT = s.table(stagedBucketed(s, dir, "orders", "o_custkey",
+      Tables.orders(s, dir)))
+    val custT = s.table(stagedBucketed(s, dir, "customer", "c_custkey",
+      Tables.customer(s, dir)))
+    ordersT.hint("merge")
+      .join(custT, col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"),
+        graft.functions.Num.money(
+          sum(graft.functions.Num.dec2(col("o_totalprice")))).as("revenue"))
+      .oracleSorted("c_mktsegment")
+  }
+
   /** C1: inner equi-join orders⋈lineitem, aggregated per order status. */
   def joinInner(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir)

@@ -22,6 +22,44 @@ class AggregatesSpec extends AnyFunSuite {
     }
   }
 
+  test("agg_percentile p50 equals agg_median per group; quartiles ordered (D16)") {
+    val med = Aggregates.aggMedian(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val q = Aggregates.aggPercentile(spark, sfDir).collect()
+    assert(q.nonEmpty)
+    q.foreach { r =>
+      val (k, p25, p50, p75) =
+        (r.getString(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
+      // the 0.5 percentile IS the median — two independent code paths must
+      // agree exactly (both interpolate over the same integer cents)
+      assert(p50 == med(k), s"$k: p50=$p50 median=${med(k)}")
+      assert(p25 <= p50 && p50 <= p75, s"$k: quartiles out of order $p25/$p50/$p75")
+    }
+  }
+
+  test("agg_sketch_merge: union of per-type sketches == direct sketch; within HLL ε (D17)") {
+    val rows = Aggregates.aggSketchMerge(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // merge correctness: the ALL row must equal the estimate of a sketch
+    // built directly over every event — merged sketches are lossless wrt
+    // the sketch built on the union (the property that makes stored
+    // sketches re-aggregatable at 100 TB)
+    val direct = graft.Tables.events(spark, sfDir)
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("e"))
+      .collect()(0).getLong(0)
+    assert(rows("ALL") == direct, s"union est ${rows("ALL")} != direct est $direct")
+    // accuracy: default lgConfigK=12 HLL is well within 5% at these
+    // cardinalities
+    val exact = graft.Tables.events(spark, sfDir)
+      .select(countDistinct(col("user_id"))).collect()(0).getLong(0)
+    assert(math.abs(rows("ALL") - exact) <= math.max(2L, (0.05 * exact).toLong),
+      s"ALL est ${rows("ALL")} vs exact $exact out of 5% bound")
+    // per-type estimates are each ≤ the union estimate (monotone)
+    rows.filter(_._1 != "ALL").foreach { case (k, v) =>
+      assert(v <= rows("ALL") + math.max(2L, (0.05 * exact).toLong), s"$k=$v > ALL=${rows("ALL")}")
+    }
+  }
+
   test("agg_median matches a brute-force midpoint median (D11)") {
     import spark.implicits._
     val vals = Seq(("a", 1.0), ("a", 2.0), ("a", 10.0), ("b", 4.0), ("b", 8.0), ("b", 5.0), ("b", 7.0))

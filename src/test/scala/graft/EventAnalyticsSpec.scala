@@ -1,0 +1,63 @@
+package graft
+
+import graft.operators.EventOps
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Laws for the round-6 event-analytics operators (funnel, retention).
+  * The oracle proves value equality with DuckDB; these tests pin the
+  * SEMANTIC invariants a refactor could silently break while still
+  * agreeing with a co-edited oracle.
+  */
+class EventAnalyticsSpec extends AnyFunSuite {
+  import SparkTestSession.{spark, sfDir}
+
+  test("funnel_events: stage ordering and the 60-minute bound hold row-wise (J9)") {
+    val rows = EventOps.funnelEvents(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val hourUs = 60L * 60 * 1000000
+    rows.foreach { r =>
+      val viewUs = r.getTimestamp(1).getTime * 1000
+      val click = Option(r.get(2)).map(_.asInstanceOf[Long])
+      val purchase = Option(r.get(3)).map(_.asInstanceOf[Long])
+      val depth = r.getInt(4)
+      assert(depth == 1 + click.size + purchase.size, s"depth mismatch: $r")
+      // a purchase stage without a click stage is impossible by construction
+      if (purchase.isDefined) assert(click.isDefined, s"purchase without click: $r")
+      click.foreach { c =>
+        assert(c > viewUs && c <= viewUs + hourUs, s"click outside (view, view+60m]: $r")
+      }
+      purchase.foreach { p =>
+        assert(p > click.get && p <= click.get + hourUs, s"purchase outside (click, click+60m]: $r")
+      }
+    }
+    // the funnel is monotone: each stage keeps a subset of the previous
+    val d1 = rows.length
+    val d2 = rows.count(_.getInt(4) >= 2)
+    val d3 = rows.count(_.getInt(4) == 3)
+    assert(d1 >= d2 && d2 >= d3, s"funnel not monotone: $d1/$d2/$d3")
+    // every user with any view appears exactly once
+    val nViewUsers = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "view").select("user_id").distinct().count()
+    assert(d1.toLong == nViewUsers, s"rows=$d1 view-users=$nViewUsers")
+  }
+
+  test("event_retention: offset-0 equals cohort size and later offsets never exceed it (J10)") {
+    val rows = EventOps.eventRetention(spark, sfDir).collect()
+      .map(r => (r.getTimestamp(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(rows.nonEmpty)
+    assert(rows.keys.forall(_._2 >= 0), "negative day offset")
+    val cohorts = rows.keys.map(_._1).toSet
+    cohorts.foreach { c =>
+      val day0 = rows.getOrElse((c, 0), 0L)
+      assert(day0 > 0, s"cohort $c missing its offset-0 row")
+      rows.filter(_._1._1 == c).foreach { case ((_, off), n) =>
+        assert(n <= day0, s"cohort $c offset $off: $n > cohort size $day0")
+      }
+    }
+    // cohort sizes partition the user base: sums match total distinct users
+    val totalUsers = Tables.events(spark, sfDir).select("user_id").distinct().count()
+    val sumCohorts = cohorts.toSeq.map(c => rows((c, 0))).sum
+    assert(sumCohorts == totalUsers, s"cohorts sum $sumCohorts != users $totalUsers")
+  }
+}

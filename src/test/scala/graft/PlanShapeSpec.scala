@@ -107,6 +107,21 @@ class PlanShapeSpec extends AnyFunSuite {
     } finally spark.conf.unset("graft.terminalSort")
   }
 
+  test("join_bucketed: storage layout satisfies the join distribution — zero shuffle under the SMJ (C9)") {
+    val df = graft.operators.Joins.joinBucketed(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("SortMergeJoin"), p) // merge hint held (no toy-scale broadcast)
+    // everything FROM the join DOWN is exchange-free: the bucketed scans
+    // satisfy the join's required distribution by layout (the two exchanges
+    // above it — group-key aggregate + terminal oracle sort — are the
+    // query's own, not the join's)
+    val joinSubtree = p.substring(p.indexOf("SortMergeJoin"))
+    assert(!joinSubtree.contains("Exchange"), joinSubtree)
+    // and the scans really are bucketed reads, all buckets selected
+    assert(joinSubtree.contains("Bucketed: true"), joinSubtree)
+    assert(joinSubtree.contains("SelectedBucketsCount: 8 out of 8"), joinSubtree)
+  }
+
   test("query_q3: predicates reach every scan, dims broadcast, top-10 is a heap (C8)") {
     val df = graft.operators.Joins.queryQ3(spark, sfDir)
     val p = df.queryExecution.executedPlan.toString
