@@ -85,6 +85,7 @@ object SparkEntry {
     "dedup_state" -> (EventOps.dedupState _),
     "stream_join" -> (EventOps.streamJoin _),
     "funnel_events" -> (EventOps.funnelEvents _),
+    "stream_funnel" -> (graft.streaming.StatefulOps.streamFunnel _),
     "event_retention" -> (EventOps.eventRetention _),
     "stream_stateful" -> (graft.streaming.StatefulOps.streamStateful _),
     "stream_sessionize" -> (graft.streaming.StatefulOps.streamSessionize _),
@@ -135,6 +136,7 @@ object SparkEntry {
     "vec_scale" -> (VectorOps.vecScale _),
     "multimodal_join" -> (VectorOps.multimodalJoin _),
     "multimodal_decode" -> (VectorOps.multimodalDecode _),
+    "multimodal_resize" -> (VectorOps.multimodalResize _),
     "sim_topk" -> (VectorOps.simTopk _),
     "sim_ann" -> (VectorOps.simAnn _),
     "sim_ivf" -> (VectorOps.simIvf _),
@@ -145,6 +147,17 @@ object SparkEntry {
 
   // ---- shared DuckDB oracle fragments (kept in sync with the Scala
   // constants in TextOps/VectorOps via string interpolation) ----
+
+  /** Funnel oracle shared by `funnel_events` (join-chain form) and
+    * `stream_funnel` (mapGroupsWithState form) — the two implementations
+    * answer the same question and must never drift.
+    */
+  private val funnelSql: String =
+    "WITH v AS (SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS view_ts FROM events WHERE event_type = 'view' GROUP BY 1), " +
+      "c AS (SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS click_ts FROM events e JOIN v ON e.user_id = v.user_id WHERE e.event_type = 'click' AND CAST(e.ts AS TIMESTAMP) > v.view_ts AND CAST(e.ts AS TIMESTAMP) <= v.view_ts + INTERVAL 60 MINUTE GROUP BY 1), " +
+      "p AS (SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS purchase_ts FROM events e JOIN c ON e.user_id = c.user_id WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) > c.click_ts AND CAST(e.ts AS TIMESTAMP) <= c.click_ts + INTERVAL 60 MINUTE GROUP BY 1) " +
+      "SELECT v.user_id, v.view_ts, epoch_us(c.click_ts) AS click_us, epoch_us(p.purchase_ts) AS purchase_us, CAST(1 + CASE WHEN c.click_ts IS NOT NULL THEN 1 ELSE 0 END + CASE WHEN p.purchase_ts IS NOT NULL THEN 1 ELSE 0 END AS INT) AS depth " +
+      "FROM v LEFT JOIN c ON v.user_id = c.user_id LEFT JOIN p ON v.user_id = p.user_id ORDER BY v.user_id"
 
   /** DuckDB list literal of the ranking lexicon. */
   private val lexiconSql = TextOps.lexicon.map(t => s"'$t'").mkString("[", ", ", "]")
@@ -346,12 +359,10 @@ object SparkEntry {
     // the layout (and the exchange-free plan it buys) is asserted Spark-side
     "join_bucketed" ->
       "SELECT c_mktsegment, count(1) AS n_orders, CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS revenue FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1 ORDER BY 1",
-    "funnel_events" ->
-      ("WITH v AS (SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS view_ts FROM events WHERE event_type = 'view' GROUP BY 1), " +
-       "c AS (SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS click_ts FROM events e JOIN v ON e.user_id = v.user_id WHERE e.event_type = 'click' AND CAST(e.ts AS TIMESTAMP) > v.view_ts AND CAST(e.ts AS TIMESTAMP) <= v.view_ts + INTERVAL 60 MINUTE GROUP BY 1), " +
-       "p AS (SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS purchase_ts FROM events e JOIN c ON e.user_id = c.user_id WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) > c.click_ts AND CAST(e.ts AS TIMESTAMP) <= c.click_ts + INTERVAL 60 MINUTE GROUP BY 1) " +
-       "SELECT v.user_id, v.view_ts, epoch_us(c.click_ts) AS click_us, epoch_us(p.purchase_ts) AS purchase_us, CAST(1 + CASE WHEN c.click_ts IS NOT NULL THEN 1 ELSE 0 END + CASE WHEN p.purchase_ts IS NOT NULL THEN 1 ELSE 0 END AS INT) AS depth " +
-       "FROM v LEFT JOIN c ON v.user_id = c.user_id LEFT JOIN p ON v.user_id = p.user_id ORDER BY v.user_id"),
+    "funnel_events" -> funnelSql,
+    // the incremental mapGroupsWithState form must agree with the join
+    // chain row-for-row — ONE oracle string for both, so they cannot drift
+    "stream_funnel" -> funnelSql,
     "event_retention" ->
       ("WITH a AS (SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day FROM events), " +
        "f AS (SELECT user_id, min(day) AS cohort_day FROM a GROUP BY 1) " +
@@ -663,6 +674,20 @@ object SparkEntry {
       "ms AS (SELECT doc_id, text, n, w, (w * 3 + 3) // 4 * 4 AS stride FROM mb), " +
       "mh AS (SELECT doc_id, text, n, w, stride, (n + stride - 1) // stride AS h FROM ms) " +
       "SELECT doc_id, CAST(54 + stride * h AS INT) AS n_bytes, CAST(w AS INT) AS width, CAST(h AS INT) AS height, 1 AS n_frames, md5(text || repeat(' ', stride * h - n)) AS checksum FROM mh ORDER BY doc_id"),
+    // re-derives the NN 2x downsample byte-for-byte: per-pixel coordinates
+    // via unnest(generate_series), source bytes sliced out of hex(blob)
+    // (byte-positional — substr on the raw UTF-8 text is character-based),
+    // empty payloads (h=0) kept via left join with the md5 of zero bytes
+    "multimodal_resize" ->
+      ("WITH mb AS (SELECT doc_id, text, octet_length(encode(text)) AS n, octet_length(encode(text)) % 60 + 4 AS w FROM documents), " +
+      "ms AS (SELECT doc_id, text, n, w, (w * 3 + 3) // 4 * 4 AS stride FROM mb), " +
+      "mh AS (SELECT doc_id, text, n, w, stride, (n + stride - 1) // stride AS h FROM ms), " +
+      "dims AS (SELECT doc_id, w, h, stride, greatest(w // 2, 1) AS ow, CASE WHEN h = 0 THEN 0 ELSE greatest(h // 2, 1) END AS oh, lower(hex(encode(text) || encode(repeat(' ', stride * h - n)))) AS hx FROM mh), " +
+      "py AS (SELECT doc_id, stride, ow, hx, unnest(generate_series(0, oh - 1)) AS y FROM dims), " +
+      "pxy AS (SELECT doc_id, stride, hx, y, unnest(generate_series(0, ow - 1)) AS x FROM py), " +
+      "o AS (SELECT doc_id, string_agg(substr(hx, (y * 2 * stride + x * 2 * 3) * 2 + 1, 6), '' ORDER BY y, x) AS ohex FROM pxy GROUP BY doc_id) " +
+      "SELECT d.doc_id, CAST(d.w AS INT) AS src_w, CAST(d.h AS INT) AS src_h, CAST(d.ow AS INT) AS out_w, CAST(d.oh AS INT) AS out_h, CAST(d.ow * d.oh * 3 AS INT) AS n_bytes_out, md5(coalesce(o.ohex, '')) AS checksum " +
+      "FROM dims d LEFT JOIN o ON d.doc_id = o.doc_id ORDER BY d.doc_id"),
     "sim_topk" ->
       s"WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < ${VectorOps.QuerySetSize}), c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= ${VectorOps.QuerySetSize}), s AS (SELECT q_id, vec_id, ${dotSql("q_emb", "embedding")} / (sqrt(${sqNorm("q_emb")}) * sqrt(${sqNorm("embedding")})) AS cos FROM c CROSS JOIN q), r AS (SELECT q_id, vec_id, cos, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn FROM s) SELECT q_id, vec_id, cos, CAST(rn AS INT) AS rn FROM r WHERE rn <= ${VectorOps.TopK} ORDER BY q_id, rn",
     "sim_ivf" ->

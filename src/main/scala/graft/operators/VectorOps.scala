@@ -31,6 +31,14 @@ import org.apache.spark.sql.functions._
 case class MediaFeatures(doc_id: Long, n_bytes: Int, width: Int, height: Int,
                          n_frames: Int, checksum: String)
 
+/** Typed output schema of the multimodal resize stage: source and output
+  * dimensions plus a checksum over the resampled pixel bytes (md5 of their
+  * lowercase-hex rendering — a byte-exact form both engines can build).
+  */
+case class ResizedMedia(doc_id: Long, src_w: Int, src_h: Int,
+                        out_w: Int, out_h: Int, n_bytes_out: Int,
+                        checksum: String)
+
 object VectorOps {
 
   /** Fixed query set for similarity search: vec_id < 5. */
@@ -287,8 +295,13 @@ object VectorOps {
     * layout — a decoder that silently passes garbage hides corrupt
     * payloads from the pipeline.
     */
-  private[graft] def decodeBmp(digest: java.security.MessageDigest, id: Long,
-                               bytes: Array[Byte]): MediaFeatures = {
+  /** Validate the BMP container and return (dataOffset, width, height).
+    * Shared by the decode and resize stages so a payload no decoder should
+    * trust is rejected identically in both. Throws on anything that is not
+    * the 24bpp uncompressed layout — a decoder that silently passes garbage
+    * hides corrupt payloads from the pipeline.
+    */
+  private[graft] def parseBmp(id: Long, bytes: Array[Byte]): (Int, Int, Int) = {
     import java.nio.{ByteBuffer, ByteOrder}
     require(bytes.length >= 54 && bytes(0) == 'B'.toByte && bytes(1) == 'M'.toByte,
       s"doc $id: payload is not a BMP (${bytes.length} bytes)")
@@ -312,10 +325,86 @@ object VectorOps {
       ((width.toLong * 3 + 3) / 4 * 4) * height == (bytes.length - dataOff).toLong,
       s"doc $id: BMP dimensions inconsistent with pixel array " +
         s"(w=$width h=$height pixelBytes=${bytes.length - dataOff})")
+    (dataOff, width, height)
+  }
+
+  private[graft] def decodeBmp(digest: java.security.MessageDigest, id: Long,
+                               bytes: Array[Byte]): MediaFeatures = {
+    val (dataOff, width, height) = parseBmp(id, bytes)
     digest.reset()
     digest.update(bytes, dataOff, bytes.length - dataOff)
     val hex = digest.digest().map("%02x".format(_)).mkString
-    MediaFeatures(id, fileSize, width, height, n_frames = 1, checksum = hex)
+    MediaFeatures(id, bytes.length, width, height, n_frames = 1, checksum = hex)
+  }
+
+  /** Nearest-neighbour 2× downsample of a validated BMP payload: output
+    * pixel (x, y) is source pixel (2x, 2y) in STORAGE order (BMP's
+    * bottom-up orientation is irrelevant to a resampler — flipping input
+    * and output together is the identity). Output dims are
+    * `max(dim/2, 1)`, so a 1-row image stays 1 row rather than vanishing.
+    * The checksum is md5 over the LOWERCASE-HEX rendering of the resampled
+    * BGR bytes — hex, not raw bytes, because the DuckDB oracle can only
+    * slice bytes positionally through `hex(blob)` (its `substr` is
+    * character-based and the corpus is multi-byte UTF-8).
+    */
+  private[graft] def resizeBmp(digest: java.security.MessageDigest, id: Long,
+                               bytes: Array[Byte]): ResizedMedia = {
+    val (dataOff, w, h) = parseBmp(id, bytes)
+    val stride = (w * 3 + 3) / 4 * 4
+    val ow = math.max(w / 2, 1)
+    // an empty payload (h=0, the empty-doc case) resizes to zero rows and
+    // the md5 of zero bytes — never a silent drop, never an OOB read
+    val oh = if (h == 0) 0 else math.max(h / 2, 1)
+    val hexDigits = "0123456789abcdef"
+    val sb = new java.lang.StringBuilder(ow * oh * 6)
+    var y = 0
+    while (y < oh) {
+      var x = 0
+      while (x < ow) {
+        val off = dataOff + y * 2 * stride + x * 2 * 3
+        var k = 0
+        while (k < 3) {
+          val v = bytes(off + k) & 0xff
+          sb.append(hexDigits.charAt(v >> 4)).append(hexDigits.charAt(v & 0xf))
+          k += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    digest.reset()
+    digest.update(sb.toString.getBytes("US-ASCII"))
+    val hex = digest.digest().map("%02x".format(_)).mkString
+    ResizedMedia(id, w, h, ow, oh, ow * oh * 3, checksum = hex)
+  }
+
+  /** K4c `multimodal_resize` (round 6): the TRANSFORM stage of the
+    * multimodal pipeline — decode → nearest-neighbour 2× downsample →
+    * re-checksum, as the same zero-shuffle typed `mapPartitions` chain as
+    * `multimodal_decode` (per-row imperative pixel work is the sanctioned
+    * non-Catalyst operator class; everything around it stays declarative).
+    * Unlike the round-3-era stub era, the resample is REAL: the output
+    * checksum covers the actual sampled BGR bytes, and the DuckDB oracle
+    * re-derives every field — dimensions from the size arithmetic, the
+    * checksum by slicing the same pixel bytes out of `hex(blob)` with
+    * per-pixel `unnest(generate_series)` coordinates — so a one-byte
+    * sampling offset error fails the hash gate.
+    *
+    * Scale shape: two narrow map stages; pixel bytes never shuffle. Output
+    * volume is ¼ of input pixels — the typical pre-featurization reduction.
+    */
+  def multimodalResize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, raw) => (id, encodeBmp(raw)) })
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, bmp) => resizeBmp(md, id, bmp) }
+      }
+      .toDF()
+      .oracleSorted("doc_id")
   }
 
   /** K4 `multimodal_join`: documents ⋈ embeddings — one row carrying text

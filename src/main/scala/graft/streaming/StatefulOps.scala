@@ -201,6 +201,106 @@ object StatefulOps {
   }
 
   // ------------------------------------------------------------------
+  // mapGroupsWithState funnel (§2.J9 streaming form)
+  // ------------------------------------------------------------------
+
+  case class FunnelEvent(user_id: Long, event_type: String, ts: Timestamp)
+
+  /** Per-user funnel progress: the chosen stage timestamps (null = stage
+    * not reached). The greedy in-ts-order fold fixes each stage at its
+    * earliest qualifying event, which equals the batch join chain's
+    * `min`-per-stage semantics (EventOps.funnelEvents) as long as events
+    * are processed in event-time order — the production contract a
+    * watermarked stream provides per trigger.
+    */
+  case class FunnelState(view_ts: Timestamp, click_ts: Timestamp,
+                         purchase_ts: Timestamp)
+
+  val FunnelStepMs: Long = 60 * 60 * 1000L
+
+  /** Exact epoch micros of a Timestamp — `getTime` alone is millis and
+    * truncates the sub-millisecond digits `getNanos` carries; the batch
+    * side's `unix_micros` keeps them, so the funnel forms would disagree
+    * on any sub-millisecond event time.
+    */
+  private def tsMicros(t: Timestamp): Long =
+    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+
+  /** State transition shared verbatim by batch and streaming: fold a
+    * time-sorted batch of one user's events into the stage state. Strict
+    * `>` bounds mean equal-timestamp events can never double-fill a stage,
+    * so no tiebreak beyond ts ordering is needed.
+    */
+  def updateFunnel(userId: Long, events: Iterator[FunnelEvent],
+                   state: GroupState[FunnelState]): FunnelState = {
+    val init = state.getOption.getOrElse(FunnelState(null, null, null))
+    val updated = events.toSeq.sortBy(_.ts.getTime).foldLeft(init) { (st, e) =>
+      e.event_type match {
+        case "view" if st.view_ts == null => st.copy(view_ts = e.ts)
+        case "click" if st.click_ts == null && st.view_ts != null &&
+          e.ts.getTime > st.view_ts.getTime &&
+          e.ts.getTime <= st.view_ts.getTime + FunnelStepMs => st.copy(click_ts = e.ts)
+        case "purchase" if st.purchase_ts == null && st.click_ts != null &&
+          e.ts.getTime > st.click_ts.getTime &&
+          e.ts.getTime <= st.click_ts.getTime + FunnelStepMs => st.copy(purchase_ts = e.ts)
+        case _ => st
+      }
+    }
+    state.update(updated)
+    updated
+  }
+
+  /** Batch entry for the correctness gate: the INCREMENTAL form of
+    * `funnel_events` — per-user stage state folded by `mapGroupsWithState`
+    * instead of the three-stage join chain. Same oracle SQL as
+    * `funnel_events` (the two implementations must agree row-for-row; the
+    * streaming parity test additionally proves the fold gives the same
+    * answer fed incrementally across triggers). Scale shape: ONE shuffle by
+    * user_id and O(1) state per user — the ingest-time funnel a production
+    * pipeline runs instead of re-joining history every day.
+    */
+  def streamFunnel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val funnelTypes = Seq("view", "click", "purchase")
+    val ev = Tables.events(s, dir)
+      .filter(col("event_type").isin(funnelTypes: _*))
+      .select(col("user_id"), col("event_type"), col("ts"))
+      .as[FunnelEvent]
+    ev.groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (uid: Long, events: Iterator[FunnelEvent], state: GroupState[FunnelState]) =>
+          uid -> updateFunnel(uid, events, state)
+      }
+      .filter(_._2.view_ts != null) // the view anchors the funnel, as in batch
+      .map { case (uid, st) =>
+        (uid, st.view_ts,
+          Option(st.click_ts).map(tsMicros),
+          Option(st.purchase_ts).map(tsMicros),
+          1 + Option(st.click_ts).size + Option(st.purchase_ts).size)
+      }
+      .toDF("user_id", "view_ts", "click_us", "purchase_us", "depth")
+      .oracleSorted("user_id")
+  }
+
+  /** Streaming entry (same fold through `writeStream`, Update mode) — used
+    * by the cross-trigger parity test.
+    */
+  def funnelStreamQuery(events: Dataset[FunnelEvent], queryName: String) = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (uid: Long, evs: Iterator[FunnelEvent], state: GroupState[FunnelState]) =>
+          uid -> updateFunnel(uid, evs, state)
+      }
+      .writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode(OutputMode.Update())
+      .start()
+  }
+
+  // ------------------------------------------------------------------
   // transformWithState (Spark 4 arbitrary-state API v2) — §2.J7
   // ------------------------------------------------------------------
 

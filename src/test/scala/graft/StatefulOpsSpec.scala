@@ -145,4 +145,50 @@ class StatefulOpsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
     assert(got == want && got.nonEmpty)
   }
+
+  test("funnel fold: stages fill across triggers and match the incremental batch form") {
+    import spark.implicits._
+    import StatefulOps.FunnelEvent
+    implicit val sqlCtx = spark.sqlContext
+
+    // user 1 completes the funnel across three triggers (in event-time
+    // order, the streaming delivery contract); user 2's click arrives
+    // OUTSIDE the 60-minute window and must never fill the stage; user 3
+    // clicks BEFORE viewing - the strict > bound rejects it.
+    val stream = MemoryStream[FunnelEvent]
+    val q = StatefulOps.funnelStreamQuery(stream.toDS(), "funnel_t")
+    try {
+      stream.addData(
+        FunnelEvent(1L, "view", ts("2024-01-01 10:00:00")),
+        FunnelEvent(2L, "view", ts("2024-01-01 10:00:00")),
+        FunnelEvent(3L, "click", ts("2024-01-01 10:00:00")))
+      q.processAllAvailable()
+      stream.addData(
+        FunnelEvent(1L, "click", ts("2024-01-01 10:30:00")),
+        FunnelEvent(2L, "click", ts("2024-01-01 11:30:00")), // > 60 min after view
+        FunnelEvent(3L, "view", ts("2024-01-01 10:30:00")))
+      q.processAllAvailable()
+      stream.addData(FunnelEvent(1L, "purchase", ts("2024-01-01 10:45:00")))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // Update-mode memory sink appends each refresh; the LAST row per user
+    // is the final state (rows arrive in trigger order)
+    val fin = spark.table("funnel_t").collect()
+      .zipWithIndex.groupBy(_._1.getLong(0))
+      .map { case (u, rows) => u -> rows.maxBy(_._2)._1.getStruct(1) }
+
+    assert(fin(1L).getTimestamp(0) == ts("2024-01-01 10:00:00"))
+    assert(fin(1L).getTimestamp(1) == ts("2024-01-01 10:30:00"))
+    assert(fin(1L).getTimestamp(2) == ts("2024-01-01 10:45:00"))
+    assert(fin(2L).getTimestamp(1) == null, "out-of-window click filled the stage")
+    assert(fin(3L).getTimestamp(1) == null, "click before view filled the stage")
+
+    // the registered batch query over the full testdata agrees with the
+    // join-chain form row-for-row (same oracle, asserted engine-side too)
+    val a = graft.operators.EventOps.funnelEvents(spark, SparkTestSession.sfDir).collect()
+    val b = graft.streaming.StatefulOps.streamFunnel(spark, SparkTestSession.sfDir).collect()
+    assert(a.length == b.length && a.zip(b).forall { case (x, y) => x == y },
+      s"join-chain and stateful funnels disagree: ${a.length}/${b.length}")
+  }
 }

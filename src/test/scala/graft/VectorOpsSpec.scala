@@ -313,6 +313,46 @@ class VectorOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("resizeBmp samples exactly source pixel (2x, 2y) per output pixel (K4c)") {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    for (n <- Seq(1, 59, 61, 200, 4096)) {
+      // distinct byte per position so a one-byte sampling offset error
+      // changes the checksum
+      val raw = Array.tabulate(n)(i => (i % 251).toByte)
+      val bmp = VectorOps.encodeBmp(raw)
+      val r = VectorOps.resizeBmp(md, 9L, bmp)
+      val w = n % 60 + 4
+      val stride = (w * 3 + 3) / 4 * 4
+      val h = (n + stride - 1) / stride
+      assert(r.src_w == w && r.src_h == h, s"n=$n: $r")
+      assert(r.out_w == math.max(w / 2, 1) && r.out_h == math.max(h / 2, 1), s"n=$n: $r")
+      assert(r.n_bytes_out == r.out_w * r.out_h * 3)
+      // brute-force the expected resample from the padded pixel array
+      val pixels = raw ++ Array.fill(stride * h - n)(' '.toByte)
+      val sb = new StringBuilder
+      for (y <- 0 until r.out_h; x <- 0 until r.out_w; k <- 0 until 3)
+        sb.append(f"${pixels(y * 2 * stride + x * 2 * 3 + k) & 0xff}%02x")
+      md.reset()
+      val want = md.digest(sb.toString.getBytes("US-ASCII")).map("%02x".format(_)).mkString
+      assert(r.checksum == want, s"n=$n: sampling mismatch")
+    }
+  }
+
+  test("resizeBmp: empty payload resizes to zero rows, not an OOB read or a drop") {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val r = VectorOps.resizeBmp(md, 10L, VectorOps.encodeBmp(Array.emptyByteArray))
+    assert(r.src_h == 0 && r.out_h == 0 && r.n_bytes_out == 0)
+    md.reset() // md5 of zero bytes — the oracle's md5('')
+    assert(r.checksum == md.digest(Array.emptyByteArray).map("%02x".format(_)).mkString)
+  }
+
+  test("resizeBmp rejects malformed payloads like decodeBmp (shared parse)") {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    intercept[IllegalArgumentException] {
+      VectorOps.resizeBmp(md, 11L, "not a bitmap at all".getBytes)
+    }
+  }
+
   test("decodeBmp rejects non-BMP and truncated payloads") {
     val md = java.security.MessageDigest.getInstance("MD5")
     intercept[IllegalArgumentException] {
