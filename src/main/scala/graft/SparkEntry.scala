@@ -24,6 +24,7 @@ object SparkEntry {
     "scan_schema" -> (Relational.scanSchema _),
     "scan_csv" -> (Relational.scanCsv _),
     "scan_json" -> (Relational.scanJson _),
+    "scan_binaryfile" -> (Relational.scanBinaryfile _),
     "scan_partitioned" -> (Relational.scanPartitioned _),
     "scan_dpp" -> (Relational.scanDpp _),
     // §2.B filters / projections
@@ -345,6 +346,10 @@ object SparkEntry {
       "format='newline_delimited', columns={'doc_id':'BIGINT','text':'VARCHAR','lang':'VARCHAR','source':'VARCHAR','n_chars':'BIGINT'}) ORDER BY doc_id"),
     // oracle filters the ORIGINAL flat table — the hash match proves the
     // hive-partitioned round-trip preserved the data
+    // the oracle reads the ROW form the files were staged from — the hash
+    // match proves the byte-exact file round-trip and the path→id binding
+    "scan_binaryfile" ->
+      "SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, md5(text) AS checksum FROM documents ORDER BY doc_id",
     "scan_partitioned" ->
       "SELECT doc_id, lang, source, n_chars FROM documents WHERE lang = 'en' ORDER BY doc_id",
     // oracle rebuilds the lang dimension from the flat table (mirror of the

@@ -262,6 +262,64 @@ object Relational {
       .oracleSorted("doc_id")
   }
 
+  /** Fixed staging root of the file-per-payload mirror `scan_binaryfile`
+    * reads (same `by/<digest>` + `current` indirection as the other stage
+    * dirs).
+    */
+  val BinStageDir = "/tmp/graft_scan_bin"
+
+  /** Stage each document's bytes as its own file once per (sfDir, content)
+    * — fixture plumbing like `stageCsv`: the capability measured is the
+    * OPAQUE-FILE ingest path (image/audio corpora arrive as object-store
+    * files, not rows). The write is parallel (executors write their
+    * partitions' files; local FS here, shared storage on a cluster).
+    */
+  private def stageBinary(s: SparkSession, dir: String): Unit = synchronized {
+    withStageLock(BinStageDir) {
+      stageInto(BinStageDir, s"$dir|bin1|${sourceFingerprint(s"$dir/documents.parquet")}") {
+        target =>
+          import java.nio.file.{Files, Paths}
+          val docsDir = s"$target/documents"
+          Files.createDirectories(Paths.get(docsDir))
+          Tables.documents(s, dir).select("doc_id", "text")
+            .foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
+              it.foreach { r =>
+                java.nio.file.Files.write(
+                  java.nio.file.Paths.get(docsDir, f"${r.getLong(0)}%08d.txt"),
+                  r.getString(1).getBytes("UTF-8"))
+              }
+            }
+      }
+    }
+  }
+
+  /** A2″ `scan_binaryfile` (round 6): whole-file binary ingest via Spark's
+    * `binaryFile` source — the entry point of every multimodal pipeline
+    * whose payloads live as object-store files rather than table rows. The
+    * id is recovered from the file path, and the content column feeds the
+    * same feature extraction the decode stage runs (here: size + md5, both
+    * re-derivable by the oracle from the row form the files were staged
+    * from — the hash match proves byte-exact file round-trip, path→id
+    * binding included).
+    *
+    * Scale notes: `binaryFile` lists files on the driver — fine for
+    * manifest-driven ingest of bounded batches; a 100 TB backfill packs
+    * payloads into parquet binary columns first (the `multimodal_decode`
+    * input shape) precisely because millions of tiny files, not bytes, are
+    * the bottleneck. Filters on path/length push into the listing; the
+    * content bytes never shuffle (narrow projection → aggregate-free plan).
+    */
+  def scanBinaryfile(s: SparkSession, dir: String): DataFrame = {
+    stageBinary(s, dir)
+    s.read.format("binaryFile").option("pathGlobFilter", "*.txt")
+      .load(s"${stagedRoot(BinStageDir)}/documents")
+      .select(
+        regexp_extract(col("path"), "([0-9]+)\\.txt$", 1).cast("long").as("doc_id"),
+        col("length").as("n_bytes"),
+        md5(col("content")).as("checksum"))
+      .oracleSorted("doc_id")
+  }
+
   /** Fixed staging root of the hive-partitioned mirror `scan_partitioned`
     * and `scan_dpp` read (fixed for the same oracle-path reason as
     * `CsvStageDir`; same `current`-symlink indirection).

@@ -109,6 +109,22 @@ class SourcesSpec extends AnyFunSuite {
     assert(parsed.collect().toSeq == expect.collect().toSeq)
   }
 
+  test("scan_binaryfile: file-per-payload ingest round-trips byte-exact with path→id binding (A2″)") {
+    import org.apache.spark.sql.functions._
+    val got = graft.operators.Relational.scanBinaryfile(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    // cross-check against the row form computed ENGINE-side (the oracle
+    // checks the same identity against DuckDB — this pins it without the
+    // gate, and on a different SF than Verify runs)
+    val want = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        length(col("text").cast("binary")).cast("long").as("n_bytes"),
+        md5(col("text").cast("binary")).as("checksum"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(got.keySet == want.keySet, s"ids differ: ${got.size} files vs ${want.size} rows")
+    got.foreach { case (id, v) => assert(v == want(id), s"doc $id: $v != ${want(id)}") }
+  }
+
   test("parquet sink round-trips every type the engine emits (A4)") {
     import org.apache.spark.sql.functions._
     val out = "/tmp/graft_test_sink"
