@@ -112,6 +112,7 @@ object SparkEntry {
     "dedup_cluster" -> (TextOps.dedupCluster _),
     "dedup_incremental" -> (TextOps.dedupIncremental _),
     "dedup_pipeline" -> (TextOps.dedupPipeline _),
+    "corpus_pipeline" -> (TextOps.corpusPipeline _),
     "dedup_substring" -> (TextOps.dedupSubstring _),
     "dedup_substring_spans" -> (TextOps.dedupSubstringSpans _),
     "dedup_substring_clean" -> (TextOps.dedupSubstringClean _),
@@ -253,17 +254,60 @@ object SparkEntry {
     * raw documents; the verified-pair/components chain is the SAME
     * fragment `dedup_cluster` uses.
     */
-  private def dedupPipelineSql: String =
-    s"WITH RECURSIVE " +
-      s"pn AS (SELECT doc_id, ${normSql("text")} AS norm_text FROM documents), " +
+  /** The dedup-verdict CTE chain (mirror of TextOps.dedupVerdicts), ending
+    * in `fin(doc_id, exact_rep, canonical_id)` — shared by the
+    * `dedup_pipeline` oracle and the composed `corpus_pipeline` oracle.
+    */
+  private def dedupVerdictCtes: String =
+    s"pn AS (SELECT doc_id, ${normSql("text")} AS norm_text FROM documents), " +
       "pg AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY norm_text) AS exact_rep, norm_text FROM pn), " +
       "pdocs AS (SELECT doc_id, norm_text AS text FROM pg WHERE doc_id = exact_rep), " +
       s"${minhashCandSqlOver("pdocs")}, $minhashComponentsSql, " +
-      "fin AS (SELECT pg.doc_id, pg.exact_rep, coalesce(lab.lbl, pg.exact_rep) AS canonical_id FROM pg LEFT JOIN lab ON lab.doc_id = pg.exact_rep) " +
+      "fin AS (SELECT pg.doc_id, pg.exact_rep, coalesce(lab.lbl, pg.exact_rep) AS canonical_id FROM pg LEFT JOIN lab ON lab.doc_id = pg.exact_rep)"
+
+  private def dedupPipelineSql: String =
+    s"WITH RECURSIVE $dedupVerdictCtes " +
       "SELECT doc_id, canonical_id, " +
       "CASE WHEN doc_id = canonical_id THEN 'keep' ELSE 'drop' END AS verdict, " +
       "CASE WHEN doc_id = canonical_id THEN NULL WHEN doc_id <> exact_rep THEN 'exact_dup' ELSE 'near_dup' END AS reason " +
       "FROM fin ORDER BY doc_id"
+
+  /** Salted percentage bucket of doc_id (mirror of Relational.saltedBucket
+    * — ONE definition for every sampling oracle; it must stay bit-identical
+    * to the Scala 60-bit md5-prefix form).
+    */
+  private def saltedBucketSql(salt: String): String =
+    s"CAST((CAST(('0x' || substr(md5('$salt:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100) AS INT)"
+
+  /** Per-language keep-rate CASE (mirror of Relational.MixPct fold). */
+  private def mixCaseSql: String =
+    "CASE " + Relational.MixPct.map { case (l, p) => s"WHEN lang = '$l' THEN $p" }.mkString(" ") + " ELSE 100 END"
+
+  /** Cumulative split-label CASE over a bucket ref (mirror of
+    * Relational.SplitPct fold).
+    */
+  private def splitCaseSql(bucketRef: String): String =
+    "CASE " + Relational.SplitPct.init.map { case (n, hi) => s"WHEN $bucketRef < $hi THEN '$n'" }.mkString(" ") +
+      s" ELSE '${Relational.SplitPct.last._1}' END"
+
+  /** Quality bucket over a text column ref (mirror of TextOps.qualityLabel
+    * — shared by `text_quality` and `corpus_pipeline`).
+    */
+  private def qualityCaseSql(t: String): String =
+    s"CASE WHEN len(string_split($t, ' ')) < 20 THEN 'short' " +
+      s"WHEN CAST(len(list_filter(string_split($t, ' '), t -> t IN $stopwordsSql)) AS DOUBLE) / len(string_split($t, ' ')) > 0.12 THEN 'stopword_heavy' " +
+      "ELSE 'ok' END"
+
+  /** Composed corpus-assembly oracle: the SAME verdict chain as
+    * `dedup_pipeline`, then quality floor, per-language mix, split label —
+    * each stage the exact fragment its standalone oracle uses.
+    */
+  private def corpusPipelineSql: String =
+    s"WITH RECURSIVE $dedupVerdictCtes, " +
+      "kept AS (SELECT doc_id FROM fin WHERE doc_id = canonical_id), " +
+      s"qd AS (SELECT d.doc_id, d.lang, CAST(len(string_split(d.text, ' ')) AS INT) AS n_tokens FROM documents d JOIN kept USING (doc_id) WHERE ${qualityCaseSql("d.text")} = 'ok'), " +
+      s"mx AS (SELECT doc_id, lang, n_tokens FROM qd WHERE ${saltedBucketSql("mix")} < $mixCaseSql) " +
+      s"SELECT doc_id, lang, n_tokens, ${splitCaseSql(saltedBucketSql("split"))} AS split FROM mx ORDER BY doc_id"
 
   /** Sequential-fold squared-norm of an embedding list (bitwise-matches
     * Spark's ArrayAggregate fold — see Vec).
@@ -526,7 +570,7 @@ object SparkEntry {
     "text_tokens" ->
       "SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS n_ws_tokens, CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS INT) AS n_re_tokens, CAST(length(text) AS INT) AS len_chars, CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_bpe_est FROM documents ORDER BY doc_id",
     "text_quality" ->
-      s"SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS n_tokens, round(CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(string_split(text, ' ')), 4) AS avg_word_len, round(CAST(len(list_filter(string_split(text, ' '), t -> t IN $stopwordsSql)) AS DOUBLE) / len(string_split(text, ' ')), 4) AS stopword_ratio, round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / len(string_split(text, ' ')), 4) AS ttr, CASE WHEN len(string_split(text, ' ')) < 20 THEN 'short' WHEN CAST(len(list_filter(string_split(text, ' '), t -> t IN $stopwordsSql)) AS DOUBLE) / len(string_split(text, ' ')) > 0.12 THEN 'stopword_heavy' ELSE 'ok' END AS quality FROM documents ORDER BY doc_id",
+      s"SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS n_tokens, round(CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(string_split(text, ' ')), 4) AS avg_word_len, round(CAST(len(list_filter(string_split(text, ' '), t -> t IN $stopwordsSql)) AS DOUBLE) / len(string_split(text, ' ')), 4) AS stopword_ratio, round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / len(string_split(text, ' ')), 4) AS ttr, ${qualityCaseSql("text")} AS quality FROM documents ORDER BY doc_id",
     "text_langid" ->
       s"WITH s AS (SELECT doc_id, lang, $langidScoreSql FROM documents) SELECT doc_id, lang, ${TextOps.langProfiles.map { case (l, _) => s"score_$l" }.mkString(", ")}, $langidPredSql AS pred_lang FROM s ORDER BY doc_id",
     "text_fingerprint" ->
@@ -625,16 +669,15 @@ object SparkEntry {
       "o AS (SELECT doc_id, shard, n_tokens, CAST(COALESCE(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_off FROM t) " +
       s"SELECT doc_id, shard, n_tokens, start_off, start_off // ${TextOps.PackCapacity} AS seq_id FROM o ORDER BY doc_id"),
     "sample_hash" ->
-      s"WITH h AS (SELECT doc_id, lang, source, CAST((CAST(('0x' || substr(md5('graft:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100) AS INT) AS bucket FROM documents) SELECT doc_id, lang, source, bucket FROM h WHERE bucket < ${Relational.SamplePct} ORDER BY doc_id",
+      s"WITH h AS (SELECT doc_id, lang, source, ${saltedBucketSql("graft")} AS bucket FROM documents) SELECT doc_id, lang, source, bucket FROM h WHERE bucket < ${Relational.SamplePct} ORDER BY doc_id",
     "sample_mix" ->
-      (s"WITH h AS (SELECT doc_id, lang, source, CAST((CAST(('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100) AS INT) AS bucket, " +
-      "CASE " + Relational.MixPct.map { case (l, p) => s"WHEN lang = '$l' THEN $p" }.mkString(" ") + " ELSE 100 END AS keep_pct FROM documents) " +
+      (s"WITH h AS (SELECT doc_id, lang, source, ${saltedBucketSql("mix")} AS bucket, " +
+      s"$mixCaseSql AS keep_pct FROM documents) " +
       "SELECT doc_id, lang, source, bucket, keep_pct FROM h WHERE bucket < keep_pct ORDER BY doc_id"),
+    "corpus_pipeline" -> corpusPipelineSql,
     "sample_split" ->
-      (s"WITH h AS (SELECT doc_id, lang, CAST((CAST(('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100) AS INT) AS bucket FROM documents) " +
-      "SELECT doc_id, lang, bucket, CASE " +
-      Relational.SplitPct.init.map { case (n, hi) => s"WHEN bucket < $hi THEN '$n'" }.mkString(" ") +
-      s" ELSE '${Relational.SplitPct.last._1}' END AS split FROM h ORDER BY doc_id"),
+      (s"WITH h AS (SELECT doc_id, lang, ${saltedBucketSql("split")} AS bucket FROM documents) " +
+      s"SELECT doc_id, lang, bucket, ${splitCaseSql("bucket")} AS split FROM h ORDER BY doc_id"),
     "stats_profile" ->
       Relational.ProfileCols.map(c =>
         s"SELECT '$c' AS col_name, count(1) AS n_rows, CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls, count(DISTINCT $c) AS n_distinct, min($c) AS min_val, max($c) AS max_val FROM lineitem")

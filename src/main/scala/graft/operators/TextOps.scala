@@ -186,6 +186,20 @@ object TextOps {
     * type-token ratio, and a when/otherwise quality bucket — the standard
     * cheap pre-filters of a training-data pipeline.
     */
+  /** The quality bucket over a text column — ONE definition shared by
+    * `text_quality` and the composed `corpus_pipeline` (a one-sided edit
+    * to the thresholds must break both or neither).
+    */
+  private[graft] def qualityLabel(text: Column): Column = {
+    val w = words(text)
+    val stop = array(stopwords.map(lit): _*)
+    val nTok = size(w)
+    val nStop = size(filter(w, t => array_contains(stop, t)))
+    when(nTok < 20, "short")
+      .when(nStop.cast("double") / nTok > 0.12, "stopword_heavy")
+      .otherwise("ok")
+  }
+
   def textQuality(s: SparkSession, dir: String): DataFrame = {
     val w = words(col("text"))
     val stop = array(stopwords.map(lit): _*)
@@ -198,9 +212,7 @@ object TextOps {
         round(length(regexp_replace(col("text"), " ", "")).cast("double") / nTok, 4).as("avg_word_len"),
         round(nStop.cast("double") / nTok, 4).as("stopword_ratio"),
         round(size(array_distinct(w)).cast("double") / nTok, 4).as("ttr"),
-        when(nTok < 20, "short")
-          .when(nStop.cast("double") / nTok > 0.12, "stopword_heavy")
-          .otherwise("ok").as("quality"))
+        qualityLabel(col("text")).as("quality"))
       .oracleSorted("doc_id")
   }
 
@@ -717,7 +729,15 @@ object TextOps {
     * `exact_dup` (byte-identical after normalization to an earlier doc) or
     * `near_dup` (its exact representative clustered under an earlier one).
     */
-  def dedupPipeline(s: SparkSession, dir: String): DataFrame = {
+  def dedupPipeline(s: SparkSession, dir: String): DataFrame =
+    dedupVerdicts(s, dir).oracleSorted("doc_id")
+
+  /** The unsorted verdict frame `dedup_pipeline` emits — factored so the
+    * composed `corpus_pipeline` consumes the identical chain without a
+    * mid-pipeline global sort (the terminal sort is oracle contract, not
+    * semantics).
+    */
+  private[graft] def dedupVerdicts(s: SparkSession, dir: String): DataFrame = {
     val staged = Tables.documents(s, dir)
       .select(col("doc_id"), normText(col("text")).as("norm_text"))
       .withColumn("exact_rep", min("doc_id").over(
@@ -737,6 +757,38 @@ object TextOps {
         when(col("doc_id") === col("canonical_id"), lit(null).cast("string"))
           .when(col("doc_id") =!= col("exact_rep"), "exact_dup")
           .otherwise("near_dup").as("reason"))
+  }
+
+  /** K28 `corpus_pipeline` (round 6): the END-TO-END training-corpus
+    * assembly a data team actually ships — the composed chain of four
+    * already-proven stages, each reused from its standalone operator so
+    * the composition cannot drift from the parts:
+    *
+    *   1. dedup verdicts ([[dedupVerdicts]] — normalize → exact rep →
+    *      MinHash LSH over reps → converged components), keep canonical
+    *      docs only;
+    *   2. quality floor ([[qualityLabel]] == 'ok' — the same bucket
+    *      `text_quality` publishes);
+    *   3. language rebalance ([[Relational.mixKept]] — per-lang
+    *      deterministic keep rates);
+    *   4. train/val/test assignment ([[Relational.splitLabeled]] — salted
+    *      split buckets, leak-proof under re-ingest).
+    *
+    * Output: one row per surviving doc with (lang, n_tokens, split) — the
+    * manifest a tokenizer/shard writer consumes. Scale shape: the dedup
+    * chain dominates (its cost story is `dedup_pipeline`'s); stages 2–4
+    * are stateless per-row projections fused into the verdict join's
+    * output — no additional shuffle beyond the dedup chain itself, because
+    * quality/mix/split are all pure functions of the row.
+    */
+  def corpusPipeline(s: SparkSession, dir: String): DataFrame = {
+    val kept = dedupVerdicts(s, dir)
+      .filter(col("verdict") === "keep").select("doc_id")
+    val docs = Tables.documents(s, dir).join(kept, "doc_id")
+      .filter(qualityLabel(col("text")) === "ok")
+      .select(col("doc_id"), col("lang"), size(words(col("text"))).as("n_tokens"))
+    Relational.splitLabeled(Relational.mixKept(docs).drop("bucket", "keep_pct"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("split"))
       .oracleSorted("doc_id")
   }
 

@@ -610,4 +610,30 @@ class TextOpsSpec extends AnyFunSuite {
     val lens = chunks.filter(length(col("chunk")) > TextOps.ChunkLen).count()
     assert(lens == 0)
   }
+
+  test("corpus_pipeline == intersection of its standalone stages with their labels (K28)") {
+    val rows = TextOps.corpusPipeline(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getInt(2), r.getString(3))).toMap
+    // expected membership from the STANDALONE operators (the oracle checks
+    // the same identity against DuckDB; this pins it engine-side on a
+    // different SF)
+    val kept = TextOps.dedupPipeline(spark, sfDir).collect()
+      .filter(_.getString(2) == "keep").map(_.getLong(0)).toSet
+    val ok = TextOps.textQuality(spark, sfDir).collect()
+      .filter(_.getString(5) == "ok").map(_.getLong(0)).toSet
+    val mixed = graft.operators.Relational.sampleMix(spark, sfDir).collect()
+      .map(_.getLong(0)).toSet
+    val split = graft.operators.Relational.sampleSplit(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    val nTok = TextOps.textQuality(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val want = kept & ok & mixed
+    assert(rows.keySet == want,
+      s"membership drift: extra=${rows.keySet -- want} missing=${want -- rows.keySet}")
+    rows.foreach { case (id, (_, n, sp)) =>
+      assert(sp == split(id), s"doc $id: split $sp != standalone ${split(id)}")
+      assert(n == nTok(id), s"doc $id: n_tokens $n != standalone ${nTok(id)}")
+    }
+    assert(rows.nonEmpty)
+  }
 }
