@@ -77,6 +77,7 @@ object SparkEntry {
     "window_top1" -> (Windows.windowTop1 _),
     "window_running" -> (Windows.windowRunning _),
     "window_ntile" -> (Windows.windowNtile _),
+    "window_sessionid" -> (EventOps.windowSessionId _),
     "window_range" -> (Windows.windowRange _),
     "topk" -> (Windows.topk _),
     // §2.J event-time / streaming-shaped
@@ -130,6 +131,7 @@ object SparkEntry {
     "sample_split" -> (Relational.sampleSplit _),
     "stats_profile" -> (Relational.statsProfile _),
     "stats_moments" -> (Relational.statsMoments _),
+    "stats_histogram" -> (Relational.statsHistogram _),
     "quantile_bins" -> (VectorOps.quantileBins _),
     "shuffle_rows" -> (VectorOps.shuffleRows _),
     // §2.K3/K4 vectors / similarity / multimodal (+ B7 feature scaling)
@@ -149,6 +151,16 @@ object SparkEntry {
 
   // ---- shared DuckDB oracle fragments (kept in sync with the Scala
   // constants in TextOps/VectorOps via string interpolation) ----
+
+  /** Gaps-and-islands session-ID CTE chain (10-minute gap), ending in
+    * `sa(user_id, event_id, ts, value, sid)` — ONE definition for the three
+    * session views (`stream_session`, `stream_sessionize`,
+    * `window_sessionid`): a gap-rule edit must break all three or none.
+    */
+  private val sessionIdCtes: String =
+    "o AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value, lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM events), " +
+      "b AS (SELECT *, CASE WHEN prev_ts IS NULL OR ts - prev_ts >= INTERVAL '10 minutes' THEN 1 ELSE 0 END AS brk FROM o), " +
+      "sa AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM b)"
 
   /** Funnel oracle shared by `funnel_events` (join-chain form) and
     * `stream_funnel` (mapGroupsWithState form) — the two implementations
@@ -543,7 +555,9 @@ object SparkEntry {
     "stream_sliding" ->
       "SELECT ws AS window_start, count(1) AS n, CAST(round(sum(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_value FROM (SELECT time_bucket(INTERVAL '15 minutes', CAST(ts AS TIMESTAMP)) - j * INTERVAL '15 minutes' AS ws, value FROM events CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS j)) GROUP BY 1 ORDER BY 1",
     "stream_session" ->
-      "WITH o AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value, lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM events), b AS (SELECT *, CASE WHEN prev_ts IS NULL OR ts - prev_ts >= INTERVAL '10 minutes' THEN 1 ELSE 0 END AS brk FROM o), sa AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM b) SELECT min(ts) AS session_start, user_id, count(1) AS n_events, CAST(round(sum(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_value FROM sa GROUP BY user_id, sid ORDER BY user_id, session_start",
+      s"WITH $sessionIdCtes SELECT min(ts) AS session_start, user_id, count(1) AS n_events, CAST(round(sum(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_value FROM sa GROUP BY user_id, sid ORDER BY user_id, session_start",
+    "window_sessionid" ->
+      s"WITH $sessionIdCtes SELECT user_id, event_id, ts, CAST(sid AS INT) AS sid FROM sa ORDER BY user_id, ts, event_id",
     "dedup_state" ->
       "WITH r AS (SELECT user_id, event_type, event_id, CAST(ts AS TIMESTAMP) AS ts, row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn FROM events) SELECT user_id, event_type, event_id, ts FROM r WHERE rn = 1 ORDER BY user_id, event_type",
     "stream_join" ->
@@ -551,7 +565,7 @@ object SparkEntry {
     "stream_stateful" ->
       "SELECT user_id, count(1) AS n_events, CAST(round(sum(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_value, min(CAST(ts AS TIMESTAMP)) AS first_ts, max(CAST(ts AS TIMESTAMP)) AS last_ts FROM events GROUP BY 1 ORDER BY 1",
     "stream_sessionize" ->
-      "WITH o AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value, lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM events), b AS (SELECT *, CASE WHEN prev_ts IS NULL OR ts - prev_ts >= INTERVAL '10 minutes' THEN 1 ELSE 0 END AS brk FROM o), sa AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM b) SELECT user_id, min(ts) AS session_start, max(ts) AS session_end, count(1) AS n_events, CAST(round(sum(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_value FROM sa GROUP BY user_id, sid ORDER BY user_id, session_start",
+      s"WITH $sessionIdCtes SELECT user_id, min(ts) AS session_start, max(ts) AS session_end, count(1) AS n_events, CAST(round(sum(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_value FROM sa GROUP BY user_id, sid ORDER BY user_id, session_start",
     "stream_topn_state" ->
       s"SELECT user_id, CAST(rn AS INT) AS rn, event_id, value FROM (SELECT user_id, event_id, value, row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rn FROM events) WHERE rn <= ${graft.streaming.StatefulOps.TopNPerUser} ORDER BY user_id, rn",
     "project_classified" ->
@@ -678,6 +692,9 @@ object SparkEntry {
     "sample_split" ->
       (s"WITH h AS (SELECT doc_id, lang, ${saltedBucketSql("split")} AS bucket FROM documents) " +
       s"SELECT doc_id, lang, bucket, ${splitCaseSql("bucket")} AS split FROM h ORDER BY doc_id"),
+    "stats_histogram" ->
+      (s"SELECT bin, count(1) AS n, CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_total, CAST(bin * ${Relational.HistBinWidth} AS DOUBLE) AS bin_lo " +
+      s"FROM (SELECT CAST(least(floor(o_totalprice / ${Relational.HistBinWidth}), ${Relational.HistMaxBin}) AS INT) AS bin, o_totalprice FROM orders) GROUP BY bin ORDER BY bin"),
     "stats_profile" ->
       Relational.ProfileCols.map(c =>
         s"SELECT '$c' AS col_name, count(1) AS n_rows, CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls, count(DISTINCT $c) AS n_distinct, min($c) AS min_val, max($c) AS max_val FROM lineitem")

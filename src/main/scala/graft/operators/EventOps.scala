@@ -152,6 +152,32 @@ object EventOps {
       .oracleSorted("cohort_day", "day_offset")
   }
 
+  /** E6 `window_sessionid` (round 6): gaps-and-islands session-ID
+    * assignment — the LONG form of sessionization: every event keeps its
+    * row, labeled with its session's ordinal per user (1-based), so
+    * downstream joins can attach session context to raw events without
+    * re-deriving boundaries. Same 10-minute gap as `stream_session` /
+    * `stream_sessionize`; the oracle SQL shares their CTE chain
+    * (single-sourced — the three session views cannot drift).
+    *
+    * Scale shape: two windows over ONE shuffle by user_id (lag + running
+    * sum share the partition ordering); per-key size is the skew risk,
+    * same story as every per-user window here.
+    */
+  def windowSessionId(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        lag("ts", 1).over(w).as("prev_ts"))
+      .withColumn("brk",
+        when(col("prev_ts").isNull ||
+          col("ts") >= col("prev_ts") + expr("INTERVAL 10 MINUTES"), 1).otherwise(0))
+      .withColumn("sid", sum("brk")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).cast("int"))
+      .select("user_id", "event_id", "ts", "sid")
+      .oracleSorted("user_id", "ts", "event_id")
+  }
+
   /** J5: keep-first dedup by (user_id, event_type) — the batch equivalent of
     * streaming `dropDuplicates` with arrival order made deterministic
     * (earliest ts, then event_id).

@@ -623,6 +623,34 @@ object Relational {
       .filter(col("bucket") < col("keep_pct"))
   }
 
+  /** `stats_histogram` bin width (dollars) and cap (last bin collects the
+    * tail). Interpolated into the oracle SQL so the two engines share one
+    * definition.
+    */
+  val HistBinWidth = 500
+  val HistMaxBin = 19
+
+  /** `stats_histogram` (round 6): fixed-width value histogram — the
+    * distribution profile a data validation stage plots (and the
+    * downsampling/binning primitive `quantile_bins` is the rank-based
+    * sibling of). One partial-agg pass: bin index is a pure per-row
+    * function (`floor(x / width)` capped into the tail bin), so shuffle
+    * volume is ≤ |bins| rows per map task — the classic distributed
+    * histogram, constant cost at any corpus size. The bin's dollar floor
+    * is re-derived from the index (never aggregated), keeping the row a
+    * pure function of the bin.
+    */
+  def statsHistogram(s: SparkSession, dir: String): DataFrame = {
+    val bin = least(floor(col("o_totalprice") / HistBinWidth), lit(HistMaxBin)).cast("int")
+    Tables.orders(s, dir)
+      .groupBy(bin.as("bin"))
+      .agg(count(lit(1)).as("n"),
+        graft.functions.Num.money(
+          sum(graft.functions.Num.dec2(col("o_totalprice")))).as("sum_total"))
+      .withColumn("bin_lo", (col("bin") * HistBinWidth).cast("double"))
+      .oracleSorted("bin")
+  }
+
   /** Columns profiled by `stats_profile`. */
   val ProfileCols: Seq[String] = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
 

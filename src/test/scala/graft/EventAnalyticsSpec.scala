@@ -42,6 +42,20 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(d1.toLong == nViewUsers, s"rows=$d1 view-users=$nViewUsers")
   }
 
+  test("window_sessionid: per-user max sid equals stream_session's session count (E6)") {
+    val sidMax = EventOps.windowSessionId(spark, sfDir)
+      .groupBy("user_id").agg(max("sid").as("m")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val nSessions = EventOps.streamSession(spark, sfDir)
+      .groupBy("user_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sidMax.keySet == nSessions.keySet)
+    sidMax.foreach { case (u, m) =>
+      assert(m.toLong == nSessions(u),
+        s"user $u: max sid $m != ${nSessions(u)} sessions from session_window")
+    }
+  }
+
   test("event_retention: offset-0 equals cohort size and later offsets never exceed it (J10)") {
     val rows = EventOps.eventRetention(spark, sfDir).collect()
       .map(r => (r.getTimestamp(0), r.getInt(1)) -> r.getLong(2)).toMap

@@ -142,4 +142,17 @@ class RelationalSpec extends AnyFunSuite {
       .filter(col("split") =!= col("s2")).count()
     assert(subset.count() > 0 && disagree == 0)
   }
+
+  test("stats_histogram partitions every order into an in-range bin with its floor") {
+    import graft.operators.Relational
+    val rows = Relational.statsHistogram(spark, sfDir).collect()
+    val total = Tables.orders(spark, sfDir).count()
+    assert(rows.map(_.getLong(1)).sum == total, "histogram lost or duplicated rows")
+    rows.foreach { r =>
+      val bin = r.getInt(0)
+      assert(bin >= 0 && bin <= Relational.HistMaxBin, s"bin $bin out of range")
+      assert(r.getDouble(3) == bin.toDouble * Relational.HistBinWidth,
+        s"bin $bin floor ${r.getDouble(3)} not derived from index")
+    }
+  }
 }
