@@ -44,12 +44,30 @@ object Tables {
     * shared-session state as a side effect — none is touched here).
     */
   def events(s: SparkSession, dir: String): DataFrame = {
-    val raw = s.read.parquet(p(dir, "events"))
+    val raw =
+      try s.read.parquet(p(dir, "events"))
+      catch {
+        // nanos data in a session missing the legacy conf dies inside
+        // schema inference, before our dispatch can run — keep the old
+        // loader's actionable message instead of Spark's raw reader error
+        case e: Throwable if String.valueOf(e.getMessage).contains("NANOS") =>
+          throw new IllegalArgumentException(
+            "events.parquet is TIMESTAMP(NANOS): build the session with " +
+              "spark.sql.legacy.parquet.nanosAsLong=true (see graft.GraftSession)", e)
+      }
     raw.schema("ts").dataType match {
       case LongType => // legacy nanos surfaced as BIGINT via nanosAsLong
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case TimestampType => raw
-      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampNTZType =>
+        // the cast interprets the NTZ wall time in the SESSION zone — only
+        // the pinned-UTC contract makes it value-exact; fail loudly rather
+        // than silently shifting every instant (round-6 review #2)
+        require(s.conf.get("spark.sql.session.timeZone", "") == "UTC",
+          "events.ts is TIMESTAMP_NTZ: the NTZ→TIMESTAMP normalization is " +
+            "value-exact only under spark.sql.session.timeZone=UTC (see " +
+            "graft.GraftSession)")
+        raw.withColumn("ts", col("ts").cast(TimestampType))
       case dt => throw new IllegalArgumentException(
         s"events.ts: unsupported parquet type $dt — expected INT64 nanos " +
           "(readable with spark.sql.legacy.parquet.nanosAsLong=true), " +

@@ -32,21 +32,39 @@ object Joins {
     * (Bench + Verify + sbt test) never clobber each other's buckets, at the
     * cost of re-staging per process (orders+customer: cheap fixture work,
     * and the staging job is itself the bucketed-WRITE half of the demo).
+    * A shutdown hook removes the root: nothing outlives the catalog that
+    * names it (round-6 review #4 — the UUID dirs accumulated otherwise).
     */
-  private lazy val bucketStageRoot =
-    s"${System.getProperty("java.io.tmpdir")}/graft_bucketed_${java.util.UUID.randomUUID().toString.take(8)}"
+  private lazy val bucketStageRoot = {
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_bucketed_${java.util.UUID.randomUUID().toString.take(8)}"
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      import java.nio.file.{Files, Paths}
+      val p = Paths.get(root)
+      if (Files.exists(p)) {
+        val walk = Files.walk(p)
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => Files.deleteIfExists(f))
+        finally walk.close()
+      }
+    }))
+    root
+  }
   private val bucketLock = new Object
 
-  /** Stage `df` as a bucketed+sorted catalog table (once per JVM per sfDir)
-    * and return its name. `bucketBy` metadata only persists through
-    * `saveAsTable`; with Spark's default in-memory catalog that needs no
-    * Hive metastore — exactly the shape a production lakehouse stores its
-    * fact tables in.
+  /** Stage `df` as a bucketed+sorted catalog table (once per JVM per
+    * source-content fingerprint) and return its name. `bucketBy` metadata
+    * only persists through `saveAsTable`; with Spark's default in-memory
+    * catalog that needs no Hive metastore — exactly the shape a production
+    * lakehouse stores its fact tables in. The table name carries a digest
+    * of (dir, name:size:mtime fingerprint) — the same content-keying
+    * discipline as Relational's staged mirrors (round-4 ADVICE #1): data
+    * regenerated at the same path gets a NEW table, never stale buckets.
     */
   private def stagedBucketed(s: SparkSession, dir: String, src: String,
                              key: String, df: => DataFrame): String = {
+    val fp = Relational.sourceFingerprint(s"$dir/$src.parquet")
     val digest = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+      .digest(s"$dir|$fp".getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
     val name = s"graft_${src}_bkt_$digest"
     bucketLock.synchronized {
       if (!s.catalog.tableExists(name)) {

@@ -76,7 +76,7 @@ object Relational {
     * ADVICE #1 — a path-only marker would let both engines read the same
     * stale mirror, which the hash gate can never catch because they agree).
     */
-  private def sourceFingerprint(path: String): String = {
+  private[graft] def sourceFingerprint(path: String): String = {
     import java.nio.file.{Files, Paths}
     import scala.jdk.CollectionConverters._
     val p = Paths.get(path)

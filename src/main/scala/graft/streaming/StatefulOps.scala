@@ -216,12 +216,16 @@ object StatefulOps {
   case class FunnelState(view_ts: Timestamp, click_ts: Timestamp,
                          purchase_ts: Timestamp)
 
-  val FunnelStepMs: Long = 60 * 60 * 1000L
+  val FunnelStepUs: Long = 60L * 60 * 1000000L
 
   /** Exact epoch micros of a Timestamp — `getTime` alone is millis and
     * truncates the sub-millisecond digits `getNanos` carries; the batch
     * side's `unix_micros` keeps them, so the funnel forms would disagree
-    * on any sub-millisecond event time.
+    * on any sub-millisecond event time. EVERY comparison in the fold goes
+    * through this (sort key, strict `>` stage bounds, the +60 min window
+    * edge) — the testdata's timestamps all carry sub-millisecond digits,
+    * so a single `getTime` comparison would diverge from the batch form on
+    * same-millisecond events and boundary cases (round-6 review #1).
     */
   private def tsMicros(t: Timestamp): Long =
     Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
@@ -234,15 +238,15 @@ object StatefulOps {
   def updateFunnel(userId: Long, events: Iterator[FunnelEvent],
                    state: GroupState[FunnelState]): FunnelState = {
     val init = state.getOption.getOrElse(FunnelState(null, null, null))
-    val updated = events.toSeq.sortBy(_.ts.getTime).foldLeft(init) { (st, e) =>
+    val updated = events.toSeq.sortBy(e => tsMicros(e.ts)).foldLeft(init) { (st, e) =>
       e.event_type match {
         case "view" if st.view_ts == null => st.copy(view_ts = e.ts)
         case "click" if st.click_ts == null && st.view_ts != null &&
-          e.ts.getTime > st.view_ts.getTime &&
-          e.ts.getTime <= st.view_ts.getTime + FunnelStepMs => st.copy(click_ts = e.ts)
+          tsMicros(e.ts) > tsMicros(st.view_ts) &&
+          tsMicros(e.ts) <= tsMicros(st.view_ts) + FunnelStepUs => st.copy(click_ts = e.ts)
         case "purchase" if st.purchase_ts == null && st.click_ts != null &&
-          e.ts.getTime > st.click_ts.getTime &&
-          e.ts.getTime <= st.click_ts.getTime + FunnelStepMs => st.copy(purchase_ts = e.ts)
+          tsMicros(e.ts) > tsMicros(st.click_ts) &&
+          tsMicros(e.ts) <= tsMicros(st.click_ts) + FunnelStepUs => st.copy(purchase_ts = e.ts)
         case _ => st
       }
     }

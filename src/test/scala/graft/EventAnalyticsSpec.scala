@@ -17,7 +17,10 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(rows.nonEmpty)
     val hourUs = 60L * 60 * 1000000
     rows.foreach { r =>
-      val viewUs = r.getTimestamp(1).getTime * 1000
+      // full-precision micros: getTime is millis-truncated, the sub-ms
+      // digits live in getNanos (every fixture ts has them)
+      val vts = r.getTimestamp(1)
+      val viewUs = Math.floorDiv(vts.getTime, 1000L) * 1000000L + vts.getNanos / 1000L
       val click = Option(r.get(2)).map(_.asInstanceOf[Long])
       val purchase = Option(r.get(3)).map(_.asInstanceOf[Long])
       val depth = r.getInt(4)

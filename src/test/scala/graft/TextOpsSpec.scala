@@ -619,14 +619,13 @@ class TextOpsSpec extends AnyFunSuite {
     // different SF)
     val kept = TextOps.dedupPipeline(spark, sfDir).collect()
       .filter(_.getString(2) == "keep").map(_.getLong(0)).toSet
-    val ok = TextOps.textQuality(spark, sfDir).collect()
-      .filter(_.getString(5) == "ok").map(_.getLong(0)).toSet
+    val tq = TextOps.textQuality(spark, sfDir).collect()
+    val ok = tq.filter(_.getString(5) == "ok").map(_.getLong(0)).toSet
+    val nTok = tq.map(r => r.getLong(0) -> r.getInt(1)).toMap
     val mixed = graft.operators.Relational.sampleMix(spark, sfDir).collect()
       .map(_.getLong(0)).toSet
     val split = graft.operators.Relational.sampleSplit(spark, sfDir).collect()
       .map(r => r.getLong(0) -> r.getString(3)).toMap
-    val nTok = TextOps.textQuality(spark, sfDir).collect()
-      .map(r => r.getLong(0) -> r.getInt(1)).toMap
     val want = kept & ok & mixed
     assert(rows.keySet == want,
       s"membership drift: extra=${rows.keySet -- want} missing=${want -- rows.keySet}")
