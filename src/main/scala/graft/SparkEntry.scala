@@ -54,6 +54,7 @@ object SparkEntry {
     "agg_groupingsets" -> (Aggregates.aggGroupingSets _),
     "agg_corr" -> (Aggregates.aggCorr _),
     "agg_percentile" -> (Aggregates.aggPercentile _),
+    "agg_weighted" -> (Aggregates.aggWeighted _),
     "agg_sketch_merge" -> (Aggregates.aggSketchMerge _),
     "group_collect" -> (Aggregates.groupCollect _),
     // §2.G set ops
@@ -79,6 +80,7 @@ object SparkEntry {
     "window_ntile" -> (Windows.windowNtile _),
     "window_sessionid" -> (EventOps.windowSessionId _),
     "window_range" -> (Windows.windowRange _),
+    "window_moving" -> (Windows.windowMoving _),
     "topk" -> (Windows.topk _),
     // §2.J event-time / streaming-shaped
     "stream_tumbling" -> (EventOps.streamTumbling _),
@@ -457,6 +459,8 @@ object SparkEntry {
       "SELECT event_type, count(DISTINCT user_id) AS n_users, count(1) AS n_events FROM events GROUP BY 1 ORDER BY 1",
     "agg_median" ->
       "SELECT o_orderpriority, median(CAST(round(o_totalprice * 100, 0) AS BIGINT)) / 100 AS median_total, count(1) AS n FROM orders GROUP BY 1 ORDER BY 1",
+    "agg_weighted" ->
+      "SELECT l_returnflag, round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE), 6) AS wavg_discount, round(avg(l_discount), 6) AS avg_discount, count(1) AS n FROM lineitem GROUP BY 1 ORDER BY 1",
     // cents-integer quartiles: both engines interpolate lo + (hi-lo)*frac
     // over identical integers, so the doubles are bit-identical
     "agg_percentile" ->
@@ -550,6 +554,14 @@ object SparkEntry {
       "CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))) OVER w, 2) AS DOUBLE) AS near_total " +
       "FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice RANGE BETWEEN 500 PRECEDING AND CURRENT ROW) " +
       "ORDER BY o_custkey, o_totalprice, o_orderkey"),
+    // cents + two pinned IEEE divisions, no rounding — round(double, 2)
+    // diverges at the .xx5 boundary between the engines
+    "window_moving" ->
+      ("SELECT o_custkey, o_orderkey, o_orderdate, " +
+      "(CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) OVER w AS DOUBLE) / count(1) OVER w) / 100 AS trailing_avg, " +
+      "count(1) OVER w AS n_window " +
+      "FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) " +
+      "ORDER BY o_custkey, o_orderdate, o_orderkey"),
     "stream_tumbling" ->
       "SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS window_start, event_type, count(1) AS n, CAST(round(sum(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_value FROM events GROUP BY 1, 2 ORDER BY 1, 2",
     "stream_sliding" ->

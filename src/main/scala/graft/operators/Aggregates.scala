@@ -177,6 +177,23 @@ object Aggregates {
       .oracleSorted("o_orderstatus")
   }
 
+  /** D21 `agg_weighted` (round 6): weighted average — the aggregation a
+    * mixture/pricing analysis actually needs where plain `avg` silently
+    * equal-weights rows. Numerator and denominator are exact DECIMAL sums
+    * (associative — identical on any partitioning); the single double
+    * division + round happens once per group on identical inputs in both
+    * engines. One partial-agg pass.
+    */
+  def aggWeighted(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        round(sum(Num.dec2(col("l_extendedprice")) * Num.rate2(col("l_discount"))).cast("double") /
+              sum(Num.dec2(col("l_extendedprice"))).cast("double"), 6).as("wavg_discount"),
+        round(avg(col("l_discount")), 6).as("avg_discount"),
+        count(lit(1)).as("n"))
+      .oracleSorted("l_returnflag")
+
   /** D16 `agg_percentile` (round 6): exact interpolated quartiles per group.
     * Same cents-integer discipline as D11's median (the general form of
     * which this supersedes at the API level — `percentile(col, array(...))`

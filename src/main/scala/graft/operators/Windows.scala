@@ -87,6 +87,29 @@ object Windows {
       .oracleSorted("s_nationkey", "s_suppkey")
   }
 
+  /** E7 `window_moving` (round 6): bounded ROWS-frame moving aggregate —
+    * the 4-order trailing average per customer (3 preceding + current).
+    * The bounded frame is the one window shape the family didn't cover
+    * (running = unbounded-preceding, range = value-bounded); its state is
+    * O(frame) per row, so the window cost is flat regardless of partition
+    * size. The average is computed over integer CENTS with two pinned IEEE
+    * divisions and NO terminal rounding (the `window_ntile` discipline) —
+    * a `round(double, 2)` here landed on the `.xx5` boundary where the two
+    * engines' rounding modes differ (observed: 278348.17 vs .16).
+    */
+  def windowMoving(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      .rowsBetween(-3, Window.currentRow)
+    val cents = round(col("o_totalprice") * 100, 0).cast("long")
+    Tables.orders(s, dir)
+      .select(
+        col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        ((sum(cents).over(w).cast("double") / count(lit(1)).over(w)) / 100)
+          .as("trailing_avg"),
+        count(lit(1)).over(w).as("n_window"))
+      .oracleSorted("o_custkey", "o_orderdate", "o_orderkey")
+  }
+
   /** F3: global top-k — plans as TakeOrderedAndProject (asserted in spec). */
   def topk(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir)

@@ -22,6 +22,21 @@ class AggregatesSpec extends AnyFunSuite {
     }
   }
 
+  test("agg_weighted matches a brute-force weighted average on collected rows (D21)") {
+    val got = Aggregates.aggWeighted(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val rows = graft.Tables.lineitem(spark, sfDir)
+      .select("l_returnflag", "l_extendedprice", "l_discount").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    rows.groupBy(_._1).foreach { case (k, vs) =>
+      val want = vs.map(v => v._2 * v._3).sum / vs.map(_._2).sum
+      val (wavg, avg) = got(k)
+      assert(math.abs(wavg - want) < 1e-6, s"$k: wavg $wavg vs brute $want")
+      // weighting must be visible: the two averages differ on real data
+      assert(wavg != avg, s"$k: weighted == unweighted — vacuous weighting")
+    }
+  }
+
   test("agg_percentile p50 equals agg_median per group; quartiles ordered (D16)") {
     val med = Aggregates.aggMedian(spark, sfDir)
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap

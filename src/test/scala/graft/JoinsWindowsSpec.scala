@@ -182,4 +182,26 @@ class JoinsWindowsSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("window_moving: frame is bounded at 4 and a customer's first row averages itself (E7)") {
+    import org.apache.spark.sql.functions.col
+    val rows = graft.operators.Windows.windowMoving(SparkTestSession.spark, SparkTestSession.sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getLong(4) >= 1 && r.getLong(4) <= 4), "frame escaped its bounds")
+    // rows arrive in (custkey, orderdate, orderkey) order: each customer's
+    // first row has n_window=1 and trailing_avg == its own total (in cents)
+    val firstPerCust = rows.groupBy(_.getLong(0)).map(_._2.head)
+    firstPerCust.foreach { r =>
+      assert(r.getLong(4) == 1L, s"first row of customer ${r.getLong(0)} has window ${r.getLong(4)}")
+    }
+    val totals = graft.Tables.orders(SparkTestSession.spark, SparkTestSession.sfDir)
+      .select(col("o_orderkey"), col("o_totalprice")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    firstPerCust.foreach { r =>
+      val want = math.round(totals(r.getLong(1)) * 100).toDouble / 100
+      assert(math.abs(r.getDouble(3) - want) < 1e-9,
+        s"order ${r.getLong(1)}: trailing_avg ${r.getDouble(3)} != own total $want")
+    }
+  }
 }
