@@ -143,6 +143,7 @@ object SparkEntry {
     "multimodal_join" -> (VectorOps.multimodalJoin _),
     "multimodal_decode" -> (VectorOps.multimodalDecode _),
     "multimodal_resize" -> (VectorOps.multimodalResize _),
+    "multimodal_framesample" -> (VectorOps.multimodalFramesample _),
     "sim_topk" -> (VectorOps.simTopk _),
     "sim_ann" -> (VectorOps.simAnn _),
     "sim_ivf" -> (VectorOps.simIvf _),
@@ -751,6 +752,18 @@ object SparkEntry {
       "ms AS (SELECT doc_id, text, n, w, (w * 3 + 3) // 4 * 4 AS stride FROM mb), " +
       "mh AS (SELECT doc_id, text, n, w, stride, (n + stride - 1) // stride AS h FROM ms) " +
       "SELECT doc_id, CAST(54 + stride * h AS INT) AS n_bytes, CAST(w AS INT) AS width, CAST(h AS INT) AS height, 1 AS n_frames, md5(text || repeat(' ', stride * h - n)) AS checksum FROM mh ORDER BY doc_id"),
+    // frame geometry single-sourced from VectorOps.FrameRows/FrameStride:
+    // sampled frames' byte ranges sliced out of hex(blob) per frame index
+    "multimodal_framesample" ->
+      (s"WITH mb AS (SELECT doc_id, text, octet_length(encode(text)) AS n, octet_length(encode(text)) % 60 + 4 AS w FROM documents), " +
+      "ms AS (SELECT doc_id, text, n, w, (w * 3 + 3) // 4 * 4 AS stride FROM mb), " +
+      "mh AS (SELECT doc_id, text, n, w, stride, (n + stride - 1) // stride AS h FROM ms), " +
+      s"fd AS (SELECT doc_id, stride, h, (h + ${VectorOps.FrameRows} - 1) // ${VectorOps.FrameRows} AS nf, lower(hex(encode(text) || encode(repeat(' ', stride * h - n)))) AS hx FROM mh), " +
+      s"fr AS (SELECT doc_id, stride, h, hx, unnest(generate_series(0, nf - 1, ${VectorOps.FrameStride})) AS f FROM fd), " +
+      s"sl AS (SELECT doc_id, f, substr(hx, f * ${VectorOps.FrameRows} * stride * 2 + 1, least(${VectorOps.FrameRows}, h - f * ${VectorOps.FrameRows}) * stride * 2) AS seg, least(${VectorOps.FrameRows}, h - f * ${VectorOps.FrameRows}) * stride AS len FROM fr), " +
+      "o AS (SELECT doc_id, string_agg(seg, '' ORDER BY f) AS ohex, CAST(sum(len) AS INT) AS n_bytes FROM sl GROUP BY doc_id) " +
+      s"SELECT d.doc_id, CAST(d.nf AS INT) AS n_frames, CAST((d.nf + ${VectorOps.FrameStride} - 1) // ${VectorOps.FrameStride} AS INT) AS n_sampled, coalesce(o.n_bytes, 0) AS n_bytes_sampled, md5(coalesce(o.ohex, '')) AS checksum " +
+      "FROM fd d LEFT JOIN o ON d.doc_id = o.doc_id ORDER BY d.doc_id"),
     // re-derives the NN 2x downsample byte-for-byte: per-pixel coordinates
     // via unnest(generate_series), source bytes sliced out of hex(blob)
     // (byte-positional — substr on the raw UTF-8 text is character-based),

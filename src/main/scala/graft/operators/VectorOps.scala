@@ -39,6 +39,10 @@ case class ResizedMedia(doc_id: Long, src_w: Int, src_h: Int,
                         out_w: Int, out_h: Int, n_bytes_out: Int,
                         checksum: String)
 
+/** Typed output schema of the multimodal frame-sample stage. */
+case class SampledFrames(doc_id: Long, n_frames: Int, n_sampled: Int,
+                         n_bytes_sampled: Int, checksum: String)
+
 object VectorOps {
 
   /** Fixed query set for similarity search: vec_id < 5. */
@@ -405,6 +409,66 @@ object VectorOps {
       }
       .toDF()
       .oracleSorted("doc_id")
+  }
+
+  /** Frame geometry for `multimodal_framesample`: FrameRows consecutive
+    * pixel rows form one "frame" (the still-image container standing in
+    * for a video's frame sequence — this sandbox ships no video codec, so
+    * the CONTAINER arithmetic is what the operator proves); every
+    * FrameStride-th frame is kept, from frame 0.
+    */
+  val FrameRows = 4
+  val FrameStride = 2
+
+  /** K4d `multimodal_framesample` (round 6): the frame-sampling stage of a
+    * video pipeline — keep every k-th frame of each payload's frame
+    * sequence, checksum exactly the sampled bytes. Same zero-shuffle typed
+    * `mapPartitions` chain and shared `parseBmp` validation as decode /
+    * resize; the DuckDB oracle re-derives the checksum by slicing the
+    * sampled frames' byte ranges out of `hex(blob)` at
+    * `unnest(generate_series)` frame coordinates, so an off-by-one in the
+    * frame geometry (start row, short last frame, stride) fails the hash.
+    */
+  def multimodalFramesample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, raw) => (id, encodeBmp(raw)) })
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, bmp) => framesampleBmp(md, id, bmp) }
+      }
+      .toDF()
+      .oracleSorted("doc_id")
+  }
+
+  private[graft] def framesampleBmp(digest: java.security.MessageDigest, id: Long,
+                                    bytes: Array[Byte]): SampledFrames = {
+    val (dataOff, w, h) = parseBmp(id, bytes)
+    val stride = (w * 3 + 3) / 4 * 4
+    val nFrames = (h + FrameRows - 1) / FrameRows // empty payload → 0 frames
+    val sampled = (0 until nFrames by FrameStride).toArray
+    val hexDigits = "0123456789abcdef"
+    val sb = new java.lang.StringBuilder
+    var nBytes = 0
+    sampled.foreach { f =>
+      val rowStart = f * FrameRows
+      val rows = math.min(FrameRows, h - rowStart) // last frame may be short
+      val from = dataOff + rowStart * stride
+      val len = rows * stride
+      var i = 0
+      while (i < len) {
+        val v = bytes(from + i) & 0xff
+        sb.append(hexDigits.charAt(v >> 4)).append(hexDigits.charAt(v & 0xf))
+        i += 1
+      }
+      nBytes += len
+    }
+    digest.reset()
+    digest.update(sb.toString.getBytes("US-ASCII"))
+    val hex = digest.digest().map("%02x".format(_)).mkString
+    SampledFrames(id, nFrames, sampled.length, nBytes, checksum = hex)
   }
 
   /** K4 `multimodal_join`: documents ⋈ embeddings — one row carrying text

@@ -338,6 +338,43 @@ class VectorOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("framesampleBmp keeps every 2nd 4-row frame, short last frame included (K4d)") {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    for (n <- Seq(1, 59, 61, 200, 4096)) {
+      val raw = Array.tabulate(n)(i => (i % 251).toByte)
+      val r = VectorOps.framesampleBmp(md, 12L, VectorOps.encodeBmp(raw))
+      val w = n % 60 + 4
+      val stride = (w * 3 + 3) / 4 * 4
+      val h = (n + stride - 1) / stride
+      val nf = (h + VectorOps.FrameRows - 1) / VectorOps.FrameRows
+      assert(r.n_frames == nf, s"n=$n: $r")
+      assert(r.n_sampled == (nf + VectorOps.FrameStride - 1) / VectorOps.FrameStride)
+      // brute-force the sampled bytes from the padded pixel array
+      val pixels = raw ++ Array.fill(stride * h - n)(' '.toByte)
+      val sb = new StringBuilder
+      var total = 0
+      for (f <- 0 until nf by VectorOps.FrameStride) {
+        val rowStart = f * VectorOps.FrameRows
+        val rows = math.min(VectorOps.FrameRows, h - rowStart)
+        for (i <- 0 until rows * stride)
+          sb.append(f"${pixels(rowStart * stride + i) & 0xff}%02x")
+        total += rows * stride
+      }
+      assert(r.n_bytes_sampled == total, s"n=$n: $r")
+      md.reset()
+      val want = md.digest(sb.toString.getBytes("US-ASCII")).map("%02x".format(_)).mkString
+      assert(r.checksum == want, s"n=$n: frame geometry mismatch")
+    }
+  }
+
+  test("framesampleBmp: empty payload yields zero frames and the empty checksum") {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val r = VectorOps.framesampleBmp(md, 13L, VectorOps.encodeBmp(Array.emptyByteArray))
+    assert(r.n_frames == 0 && r.n_sampled == 0 && r.n_bytes_sampled == 0)
+    md.reset()
+    assert(r.checksum == md.digest(Array.emptyByteArray).map("%02x".format(_)).mkString)
+  }
+
   test("resizeBmp: empty payload resizes to zero rows, not an OOB read or a drop") {
     val md = java.security.MessageDigest.getInstance("MD5")
     val r = VectorOps.resizeBmp(md, 10L, VectorOps.encodeBmp(Array.emptyByteArray))
