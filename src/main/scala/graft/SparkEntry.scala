@@ -25,6 +25,7 @@ object SparkEntry {
     "scan_csv" -> (Relational.scanCsv _),
     "scan_json" -> (Relational.scanJson _),
     "scan_binaryfile" -> (Relational.scanBinaryfile _),
+    "scan_evolved" -> (Relational.scanEvolved _),
     "scan_partitioned" -> (Relational.scanPartitioned _),
     "scan_dpp" -> (Relational.scanDpp _),
     // §2.B filters / projections
@@ -411,6 +412,10 @@ object SparkEntry {
       "SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, md5(text) AS checksum FROM documents ORDER BY doc_id",
     "scan_partitioned" ->
       "SELECT doc_id, lang, source, n_chars FROM documents WHERE lang = 'en' ORDER BY doc_id",
+    // the oracle reconstructs the evolution: pre-evolution (even) rows
+    // must surface the added column as NULL — the mergeSchema backfill
+    "scan_evolved" ->
+      "SELECT doc_id, lang, n_chars, CASE WHEN doc_id % 2 = 1 THEN source ELSE NULL END AS source FROM documents ORDER BY doc_id",
     // oracle rebuilds the lang dimension from the flat table (mirror of the
     // staged langdim derivation) and runs the same dim-filtered join
     "scan_dpp" ->

@@ -262,6 +262,49 @@ object Relational {
       .oracleSorted("doc_id")
   }
 
+  /** Fixed staging root of the schema-evolution mirror `scan_evolved`
+    * reads (same `by/<digest>` + `current` indirection).
+    */
+  val EvoStageDir = "/tmp/graft_scan_evo"
+
+  /** Stage documents as two parquet batches with DIFFERENT schemas — the
+    * second batch carries a `source` column the first predates. This is
+    * the data-lake reality every long-lived ingest hits: columns get added
+    * mid-stream and old files are never rewritten.
+    */
+  private def stageEvolved(s: SparkSession, dir: String): Unit = synchronized {
+    withStageLock(EvoStageDir) {
+      stageInto(EvoStageDir, s"$dir|evo1|${sourceFingerprint(s"$dir/documents.parquet")}") {
+        target =>
+          val docs = Tables.documents(s, dir)
+          docs.filter(col("doc_id") % 2 === 0)
+            .select("doc_id", "lang", "n_chars")
+            .write.mode("overwrite").parquet(s"$target/batch1")
+          docs.filter(col("doc_id") % 2 === 1)
+            .select("doc_id", "lang", "n_chars", "source")
+            .write.mode("overwrite").parquet(s"$target/batch2")
+      }
+    }
+  }
+
+  /** A1‴ `scan_evolved` (round 6): schema-evolution scan — `mergeSchema`
+    * unions the per-file schemas at read time, so pre-evolution rows
+    * surface the added column as NULL instead of failing or silently
+    * dropping it. At 100 TB this is why old files never need rewriting
+    * when the schema grows; the cost is footer-reading every file's
+    * schema at planning (bounded by file count — exactly the listing the
+    * scan already pays). The oracle reconstructs the same evolution from
+    * the flat table, so the hash proves the merge semantics including the
+    * NULL backfill.
+    */
+  def scanEvolved(s: SparkSession, dir: String): DataFrame = {
+    stageEvolved(s, dir)
+    s.read.option("mergeSchema", "true")
+      .parquet(s"${stagedRoot(EvoStageDir)}/batch1", s"${stagedRoot(EvoStageDir)}/batch2")
+      .select("doc_id", "lang", "n_chars", "source")
+      .oracleSorted("doc_id")
+  }
+
   /** Fixed staging root of the file-per-payload mirror `scan_binaryfile`
     * reads (same `by/<digest>` + `current` indirection as the other stage
     * dirs).

@@ -125,6 +125,22 @@ class SourcesSpec extends AnyFunSuite {
     got.foreach { case (id, v) => assert(v == want(id), s"doc $id: $v != ${want(id)}") }
   }
 
+  test("scan_evolved: mergeSchema backfills the added column as NULL for pre-evolution rows (A1‴)") {
+    import org.apache.spark.sql.functions.col
+    val rows = graft.operators.Relational.scanEvolved(spark, sfDir).collect()
+    val total = Tables.documents(spark, sfDir).count()
+    assert(rows.length.toLong == total, "evolution scan lost rows")
+    rows.foreach { r =>
+      val pre = r.getLong(0) % 2 == 0
+      assert(r.isNullAt(3) == pre,
+        s"doc ${r.getLong(0)}: source null=${r.isNullAt(3)} but pre-evolution=$pre")
+    }
+    // without mergeSchema the column set depends on which file wins schema
+    // inference — the merged read is what makes evolution deterministic
+    assert(rows.head.schema.fieldNames.toSeq ==
+      Seq("doc_id", "lang", "n_chars", "source"))
+  }
+
   test("malformed JSONL rows: PERMISSIVE captures them in _corrupt_record, FAILFAST dies loudly") {
     // the ingest-robustness contract a 100 TB backfill depends on: a bad
     // row must be QUARANTINED (visible, countable) or FATAL — never
