@@ -87,6 +87,7 @@ object SparkEntry {
     "stream_tumbling" -> (EventOps.streamTumbling _),
     "stream_sliding" -> (EventOps.streamSliding _),
     "stream_session" -> (EventOps.streamSession _),
+    "stream_watermark" -> (EventOps.streamWatermark _),
     "dedup_state" -> (EventOps.dedupState _),
     "stream_join" -> (EventOps.streamJoin _),
     "funnel_events" -> (EventOps.funnelEvents _),
@@ -506,16 +507,22 @@ object SparkEntry {
       "round((sxy - sx * sy / n) / (n - 1), 4) AS covar_qty_price FROM m ORDER BY l_returnflag"),
     "setop_union" ->
       "SELECT user_id FROM events WHERE event_type = 'click' UNION SELECT user_id FROM events WHERE event_type = 'view' ORDER BY user_id",
+    // day grain, not user grain: every user does every event type, so the
+    // user-level EXCEPT is empty and the gate would be vacuous (round-6)
     "setop_except" ->
-      "SELECT user_id FROM events WHERE event_type = 'click' EXCEPT SELECT user_id FROM events WHERE event_type = 'purchase' ORDER BY user_id",
+      ("SELECT user_id, day FROM (SELECT user_id, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day FROM events WHERE event_type = 'click' " +
+      "EXCEPT SELECT user_id, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day FROM events WHERE event_type = 'purchase') ORDER BY user_id, day"),
     "setop_intersect" ->
       "SELECT user_id FROM events WHERE event_type = 'click' INTERSECT SELECT user_id FROM events WHERE event_type = 'purchase' ORDER BY user_id",
     "join_inner" ->
       "SELECT o_orderstatus, count(1) AS n_lines, CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1.0 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue FROM orders JOIN lineitem ON o_orderkey = l_orderkey GROUP BY 1 ORDER BY 1",
     "join_star" ->
       "SELECT r_name, CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS revenue, count(1) AS n_orders FROM orders JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey GROUP BY 1 ORDER BY 1",
+    // orders restricted to 1995 so the complement is non-empty at every SF
+    // (the unfiltered anti-join matches zero customers — vacuous, round-6)
     "join_anti" ->
-      "SELECT c_custkey, c_name FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) ORDER BY c_custkey",
+      ("SELECT c_custkey, c_name FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey " +
+      "AND o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01') ORDER BY c_custkey"),
     "join_semi" ->
       "SELECT c_custkey, c_name FROM customer WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) ORDER BY c_custkey",
     "join_outer" ->
@@ -574,6 +581,19 @@ object SparkEntry {
       "SELECT ws AS window_start, count(1) AS n, CAST(round(sum(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_value FROM (SELECT time_bucket(INTERVAL '15 minutes', CAST(ts AS TIMESTAMP)) - j * INTERVAL '15 minutes' AS ws, value FROM events CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS j)) GROUP BY 1 ORDER BY 1",
     "stream_session" ->
       s"WITH $sessionIdCtes SELECT min(ts) AS session_start, user_id, count(1) AS n_events, CAST(round(sum(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_value FROM sa GROUP BY user_id, sid ORDER BY user_id, session_start",
+    // J4 watermark replay: micro-batch = event_id div 1000, 'error' rows
+    // delivered one batch late; drop when window end <= prefix-max(prior
+    // batch event time) - 6h — the Structured Streaming rule verbatim
+    "stream_watermark" ->
+      ("WITH b AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value, " +
+      "event_id // 1000 + CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS bat FROM events), " +
+      "bmax AS (SELECT bat, max(ts) AS mx FROM b GROUP BY bat), " +
+      "wm AS (SELECT bat, max(mx) OVER (ORDER BY bat ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) - INTERVAL '6 hours' AS wmark FROM bmax) " +
+      "SELECT time_bucket(INTERVAL '1 hour', b.ts) AS window_start, b.event_type, count(1) AS n, " +
+      "CAST(round(sum(CAST(b.value AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_value " +
+      "FROM b JOIN wm USING (bat) " +
+      "WHERE wmark IS NULL OR time_bucket(INTERVAL '1 hour', b.ts) + INTERVAL '1 hour' > wmark " +
+      "GROUP BY 1, 2 ORDER BY 1, 2"),
     "window_sessionid" ->
       s"WITH $sessionIdCtes SELECT user_id, event_id, ts, CAST(sid AS INT) AS sid FROM sa ORDER BY user_id, ts, event_id",
     "dedup_state" ->

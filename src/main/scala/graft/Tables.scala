@@ -63,9 +63,15 @@ object Tables {
         // the cast interprets the NTZ wall time in the SESSION zone — only
         // the pinned-UTC contract makes it value-exact; fail loudly rather
         // than silently shifting every instant (round-6 review #2)
-        require(s.conf.get("spark.sql.session.timeZone", "") == "UTC",
+        // accept any zone id that RESOLVES to UTC ("Etc/UTC", "+00:00", …),
+        // not just the literal string (round-6 advice)
+        val tz = s.conf.get("spark.sql.session.timeZone", "")
+        val isUtc = tz.nonEmpty && (try {
+          java.time.ZoneId.of(tz).normalized() == java.time.ZoneOffset.UTC
+        } catch { case _: java.time.DateTimeException => false })
+        require(isUtc,
           "events.ts is TIMESTAMP_NTZ: the NTZ→TIMESTAMP normalization is " +
-            "value-exact only under spark.sql.session.timeZone=UTC (see " +
+            s"value-exact only under a UTC session time zone (got '$tz'; see " +
             "graft.GraftSession)")
         raw.withColumn("ts", col("ts").cast(TimestampType))
       case dt => throw new IllegalArgumentException(

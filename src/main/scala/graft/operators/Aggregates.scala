@@ -257,12 +257,24 @@ object Aggregates {
     clicks.union(views).distinct().oracleSorted("user_id")
   }
 
-  /** 2.G: except (users who click but never purchase). */
+  /** 2.G: except — (user, day) pairs with a click but no purchase that
+    * day. The grain matters: every user eventually does every event type,
+    * so the user-level EXCEPT is the empty set and its gate row could
+    * never fail (round-6 verdict: vacuous). At day grain the difference is
+    * non-empty at every SF (105 / 1010 / 10201 rows at sf0.001/0.01/0.1),
+    * so EXCEPT's dedup-and-subtract semantics are actually exercised.
+    * Still one shuffle on the composite key — EXCEPT plans as a left-anti
+    * over distinct rows, same scale shape as before.
+    */
   def setopExcept(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir)
-    ev.filter(col("event_type") === "click").select("user_id")
-      .except(ev.filter(col("event_type") === "purchase").select("user_id"))
-      .oracleSorted("user_id")
+    // day stays TIMESTAMP (midnight), not DATE: the oracle bridge
+    // canonicalizes DuckDB DATE to pandas Timestamp, so a Spark DATE
+    // column would dtype-mismatch even with identical values
+    def days(t: String) = ev.filter(col("event_type") === t)
+      .select(col("user_id"), date_trunc("DAY", col("ts")).as("day"))
+    days("click").except(days("purchase"))
+      .oracleSorted("user_id", "day")
   }
 
   /** 2.G: intersect (users who both click and purchase). */

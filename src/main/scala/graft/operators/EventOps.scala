@@ -49,6 +49,46 @@ object EventOps {
               col("n_events"), col("sum_value"))
       .oracleSorted("user_id", "session_start")
 
+  /** J4 `stream_watermark`: watermark / late-data semantics as a BATCH
+    * query (round-7: previously test-only). Structured Streaming's rule —
+    * drop a row when its window has already been finalized, i.e. when
+    * `window.end <= max(event time seen in prior batches) - delay` — is
+    * replayed over a deterministic arrival order: micro-batch
+    * `event_id div 1000`, with `error` events delivered one batch late
+    * (the batched-crash-report model; the raw feed is time-ordered, so
+    * lateness must come from delivery, exactly as in production). With a
+    * 6-hour delay part of each late error batch lands behind the watermark
+    * and is dropped at EVERY SF (201 / 1823 / 1878 rows at
+    * sf0.001/0.01/0.1) — the gate row fails if either the watermark
+    * recursion or the drop predicate is wrong.
+    *
+    * Scale shape: the per-batch max is a partial agg (≤ one row per batch);
+    * the prefix-max window runs over that BOUNDED batch-count frame, never
+    * over rows (same O(partitions) argument as the global row-number
+    * helper); the watermark table broadcasts back onto events. Streaming
+    * parity: StreamingParitySpec feeds the identical batch schedule through
+    * MemoryStream + `withWatermark` and asserts the surviving aggregate
+    * matches this plan row-for-row.
+    */
+  def streamWatermark(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .withColumn("bat", expr("event_id div 1000") +
+        when(col("event_type") === "error", lit(1L)).otherwise(lit(0L)))
+    val bmax = ev.groupBy("bat").agg(max("ts").as("mx"))
+    // strictly-prior batches: streaming watermarks advance BETWEEN batches
+    val prior = Window.orderBy("bat").rowsBetween(Window.unboundedPreceding, -1)
+    val wm = bmax.select(col("bat"),
+      (max("mx").over(prior) - expr("INTERVAL 6 HOURS")).as("wmark"))
+    ev.join(broadcast(wm), "bat")
+      .withColumn("w", window(col("ts"), "1 hour"))
+      .filter(col("wmark").isNull || col("w.end") > col("wmark"))
+      .groupBy(col("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        graft.functions.Num.money(sum(graft.functions.Num.dec2(col("value")))).as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("sum_value"))
+      .oracleSorted("window_start", "event_type")
+  }
+
   /** J8 `stream_join`: attribution join — each purchase enriched with the
     * count of the same user's clicks in the preceding 10 minutes. This is
     * the STREAM-STREAM time-range join (the enrichment every attribution

@@ -156,12 +156,26 @@ object Joins {
       .limit(10)
   }
 
-  /** C4: anti join — customers with no orders (NOT EXISTS). */
-  def joinAnti(s: SparkSession, dir: String): DataFrame =
+  /** C4: anti join — customers with no orders IN 1995 (NOT EXISTS). The
+    * build side is filtered to one year BEFORE the join: at this data every
+    * customer has some order, so the unfiltered anti-join is the empty set
+    * and the gate row could never fail (round-6 verdict: vacuous). The
+    * year-window complement is non-empty at every SF (34 / 326 / 3305 rows
+    * at sf0.001/0.01/0.1), so a broken anti-join now actually trips the
+    * hash. The filter lands below the join (PushedFilters on the orders
+    * scan), shrinking the build side — the same shape that matters at
+    * 100 TB, where the anti-join's right side should be the pruned slice,
+    * never the whole fact table.
+    */
+  def joinAnti(s: SparkSession, dir: String): DataFrame = {
+    val orders1995 = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+              col("o_orderdate") <  lit("1996-01-01").cast("timestamp"))
     Tables.customer(s, dir)
-      .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(orders1995, col("c_custkey") === col("o_custkey"), "left_anti")
       .select("c_custkey", "c_name")
       .oracleSorted("c_custkey")
+  }
 
   /** C4b: semi join — customers with at least one order (EXISTS). */
   def joinSemi(s: SparkSession, dir: String): DataFrame =

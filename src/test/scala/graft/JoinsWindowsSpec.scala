@@ -19,11 +19,26 @@ class JoinsWindowsSpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
-  test("anti and semi joins partition customers exactly") {
+  test("anti and semi joins partition customers exactly, and anti is non-empty") {
+    import org.apache.spark.sql.functions._
+    // joinAnti's build side is orders∩1995, so the partition law pairs it
+    // with a semi-join over the SAME slice (not joinSemi's full orders)
     val anti = Joins.joinAnti(spark, sfDir).count()
-    val semi = Joins.joinSemi(spark, sfDir).count()
+    val orders1995 = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+              col("o_orderdate") <  lit("1996-01-01").cast("timestamp"))
+    val semi1995 = Tables.customer(spark, sfDir)
+      .join(orders1995, col("c_custkey") === col("o_custkey"), "left_semi").count()
     val all = Tables.customer(spark, sfDir).count()
-    assert(anti + semi == all)
+    assert(anti + semi1995 == all)
+    // the round-6 vacuity fix: the gate row must be able to fail
+    assert(anti > 0, "join_anti complement is empty — the gate row is vacuous again")
+    // and joinSemi over full orders still covers every customer here
+    assert(Joins.joinSemi(spark, sfDir).count() == all)
+  }
+
+  test("setop_except at day grain is non-empty (non-vacuous gate)") {
+    assert(graft.operators.Aggregates.setopExcept(spark, sfDir).count() > 0)
   }
 
   test("join_asof_salted: parity with join_asof under a planted hot key + bin-spread law") {

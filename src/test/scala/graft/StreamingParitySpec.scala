@@ -244,4 +244,69 @@ class StreamingParitySpec extends AnyFunSuite {
     // the 10:00 window emitted with the 2 on-time events only
     assert(closed(ts("2024-01-01 10:00:00")) == 2L)
   }
+
+  test("stream_watermark batch replay == MemoryStream withWatermark drops (J4)") {
+    import graft.operators.EventOps
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    // the registered query's arrival model, in miniature: micro-batch =
+    // event_id div 1000, 'error' rows delivered one batch late. Chosen so
+    // every drop mode is hit: a clearly-late error (02:00-end window vs
+    // 06:30 watermark), a window-end save (ts 06:10 < wm 06:30 but window
+    // end 07:00 > wm — the predicate is on the WINDOW, not the row), and a
+    // second-round drop after the watermark advanced.
+    val batch0 = Seq((0L, ts("2024-01-01 00:30:00"), "click", 1.0),
+                     (1L, ts("2024-01-01 03:15:00"), "view",  2.0),
+                     (2L, ts("2024-01-01 08:20:00"), "click", 3.0),
+                     (3L, ts("2024-01-01 12:30:00"), "view",  4.0))
+    val lateErr0 = Seq((10L, ts("2024-01-01 01:10:00"), "error", 5.0),  // dropped
+                       (11L, ts("2024-01-01 06:10:00"), "error", 6.0),  // kept (window end)
+                       (12L, ts("2024-01-01 05:40:00"), "error", 7.0))  // dropped
+    val batch1 = Seq((1000L, ts("2024-01-01 13:00:00"), "click", 8.0),
+                     (1001L, ts("2024-01-01 18:00:00"), "view",  9.0))
+    val lateErr1 = Seq((1500L, ts("2024-01-01 10:30:00"), "error", 10.0), // dropped
+                       (1501L, ts("2024-01-01 12:40:00"), "error", 11.0)) // kept
+    val batch2 = Seq((2000L, ts("2024-01-01 19:00:00"), "purchase", 12.0))
+    // sentinel: closes every real window in append mode; its own window
+    // never closes, and the batch side excludes it symmetrically below
+    val flush = Seq((3000L, ts("2024-02-01 00:00:00"), "flush", 0.0))
+
+    val dir = "/tmp/graft_test_stream_watermark"
+    (batch0 ++ lateErr0 ++ batch1 ++ lateErr1 ++ batch2 ++ flush)
+      .toDF("event_id", "ts", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val batch = EventOps.streamWatermark(spark, dir)
+      .filter(col("window_start") < lit(ts("2024-02-01 00:00:00")))
+      .select("window_start", "event_type", "n", "sum_value")
+      .collect().toSeq.map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._1.getTime, t._2))
+
+    // exact drop set first — pins the fixture, not just the equality
+    val errVals = batch.filter(_._2 == "error").map(_._4).sorted
+    assert(errVals == Seq(6.0, 11.0), s"late-drop set wrong: $errVals")
+
+    val stream = MemoryStream[(Timestamp, String, Double)]
+    val agg = stream.toDF.toDF("ts", "event_type", "value")
+      .withWatermark("ts", "6 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        graft.functions.Num.money(sum(graft.functions.Num.dec2(col("value")))).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("n"), col("sum_value"))
+    val q = agg.writeStream.format("memory").queryName("wm_replay_t")
+      .outputMode("append").start()
+    try {
+      for (b <- Seq(batch0, lateErr0 ++ batch1, lateErr1 ++ batch2, flush)) {
+        stream.addData(b.map(r => (r._2, r._3, r._4)): _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val streamed = spark.table("wm_replay_t")
+      .collect().toSeq.map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._1.getTime, t._2))
+
+    assert(streamed == batch,
+      s"batch watermark replay diverges from Structured Streaming:\n  stream=$streamed\n  batch=$batch")
+    assert(batch.nonEmpty)
+  }
 }
