@@ -152,6 +152,7 @@ object SparkEntry {
     // §2.I iterative k-means (+ the oracle-checkable single assignment step)
     "kmeans_clusters" -> (VectorOps.kmeansClusters _),
     "kmeans_assign" -> (VectorOps.kmeansAssign _),
+    "kmeans_iter1" -> (VectorOps.kmeansIter1 _),
   )
 
   // ---- shared DuckDB oracle fragments (kept in sync with the Scala
@@ -819,5 +820,16 @@ object SparkEntry {
       "cent AS (SELECT CAST(row_number() OVER (ORDER BY label) - 1 AS INT) AS cid, embedding AS cvec FROM r WHERE rn = 1), " +
       s"a AS (SELECT e.vec_id, e.label, c.cid, ${sqDistSql("e.embedding", "c.cvec")} AS dist, row_number() OVER (PARTITION BY e.vec_id ORDER BY ${sqDistSql("e.embedding", "c.cvec")}, c.cid) AS arn FROM embeddings e CROSS JOIN cent c) " +
       "SELECT vec_id, label, cid, round(dist, 6) AS sq_dist FROM a WHERE arn = 1 ORDER BY vec_id"),
+    // the loop's first re-center step: same init + argmin as kmeans_assign,
+    // then the per-(cluster, dimension) mean with the exact-decimal sum
+    // discipline the Spark loop itself uses (same pattern as sim_ivf's
+    // centroid build)
+    "kmeans_iter1" ->
+      ("WITH r AS (SELECT vec_id, label, embedding, row_number() OVER (PARTITION BY label ORDER BY vec_id) AS rn FROM embeddings), " +
+      "cent AS (SELECT CAST(row_number() OVER (ORDER BY label) - 1 AS INT) AS cid, embedding AS cvec FROM r WHERE rn = 1), " +
+      s"a AS (SELECT e.vec_id, e.embedding, c.cid, row_number() OVER (PARTITION BY e.vec_id ORDER BY ${sqDistSql("e.embedding", "c.cvec")}, c.cid) AS arn FROM embeddings e CROSS JOIN cent c), " +
+      "asg AS (SELECT cid, embedding FROM a WHERE arn = 1), " +
+      s"ex AS (SELECT cid, CAST(g.i - 1 AS INT) AS pos, CAST(CAST(embedding[g.i] AS DOUBLE) AS DECIMAL(28,20)) AS v FROM asg, (SELECT unnest(generate_series(1, ${VectorOps.Dim})) AS i) g) " +
+      "SELECT cid, pos, round(CAST(sum(v) AS DOUBLE) / count(1), 6) AS center_val, count(1) AS n FROM ex GROUP BY 1, 2 ORDER BY 1, 2"),
   )
 }

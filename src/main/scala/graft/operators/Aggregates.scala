@@ -226,27 +226,43 @@ object Aggregates {
     * (here: Apache DataSketches HLL via `hll_sketch_agg`), because sketches
     * re-aggregate: any union of segments is answered by `hll_union_agg`
     * over stored bytes without rescanning raw data. This query materializes
-    * both levels — per-event-type sketch estimates, plus the ALL row whose
-    * estimate comes from UNIONING the five per-type sketches, never from
-    * the raw events. SketchLawsSpec proves the union estimate equals the
-    * direct whole-corpus sketch estimate exactly (merge correctness) and
-    * both land within the HLL error bound of the exact count.
+    * both levels — and pins the MERGE LAW in the gated output itself
+    * (round-7): every row carries `union_est` (estimate from unioning the
+    * stored per-(type, day) shard sketches) next to `direct_est` (a sketch
+    * built in one pass over the same raw rows) and their signed
+    * difference. DataSketches HLL union is register-wise max, so the two
+    * are equal when merge is correct; any row where they diverge is
+    * re-emitted as a `VIOLATION:<type>` row, so a broken merge changes the
+    * driver's rows-only count, not just column content. The ALL row unions
+    * ALL shard sketches (never rescans raw data) against a direct
+    * whole-corpus sketch.
     *
-    * No oracle SQL: sketch bytes and estimates are DataSketches-specific
-    * (DuckDB's approx_count_distinct is a different HLL) — the driver
-    * records rows-only, the law spec carries the correctness claim; same
-    * sanctioned class as `agg_approx_distinct`.
+    * No oracle SQL: sketch estimates are DataSketches-specific (DuckDB's
+    * approx_count_distinct is a different HLL) — the driver records
+    * rows-only, which the VIOLATION mechanism makes law-sensitive; the
+    * accuracy-vs-exact bound lives in AggregatesSpec.
     */
   def aggSketchMerge(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir)
-    val perType = ev.groupBy("event_type")
+    // shard grain = (type, day): the form a warehouse stores per segment
+    val parts = ev.groupBy(col("event_type"), date_trunc("DAY", col("ts")).as("day"))
       .agg(hll_sketch_agg(col("user_id")).as("sk"))
-    val all = perType.agg(hll_union_agg(col("sk")).as("sk"))
-      .select(lit("ALL").as("event_type"), col("sk"))
-    perType.unionByName(all)
+    val unioned = parts.groupBy("event_type").agg(hll_union_agg(col("sk")).as("sk_u"))
+    val allU = parts.agg(hll_union_agg(col("sk")).as("sk_u"))
+      .select(lit("ALL").as("event_type"), col("sk_u"))
+    val direct = ev.groupBy("event_type").agg(hll_sketch_agg(col("user_id")).as("sk_d"))
+    val allD = ev.agg(hll_sketch_agg(col("user_id")).as("sk_d"))
+      .select(lit("ALL").as("event_type"), col("sk_d"))
+    val both = unioned.unionByName(allU)
+      .join(direct.unionByName(allD), "event_type")
       .select(col("event_type"),
-        hll_sketch_estimate(col("sk")).as("n_users_est"))
-      .oracleSorted("event_type")
+        hll_sketch_estimate(col("sk_u")).as("union_est"),
+        hll_sketch_estimate(col("sk_d")).as("direct_est"))
+      .withColumn("est_diff", col("union_est") - col("direct_est"))
+    val violations = both.filter(col("est_diff") =!= 0)
+      .select(concat(lit("VIOLATION:"), col("event_type")).as("event_type"),
+        col("union_est"), col("direct_est"), col("est_diff"))
+    both.unionByName(violations).oracleSorted("event_type")
   }
 
   /** 2.G: set operations — union distinct. */

@@ -835,10 +835,21 @@ object VectorOps {
     * `simIvfKmeans` (learned IVF centroids).
     */
   private[graft] def kmeansCenters(emb: DataFrame, maxIters: Int = KmeansMaxIters,
-                                   tol: Double = KmeansTol): Array[Seq[Double]] = {
+                                   tol: Double = KmeansTol): Array[Seq[Double]] =
+    kmeansCentersTraced(emb, maxIters, tol)._1
+
+  /** Loop core, also returning the per-iteration max-squared-movement
+    * sequence (round-7: surfaced as a `kmeans_clusters` output column so
+    * the gate artifact records the loop's trajectory, not just its fixed
+    * point — the movements are run-independent because the center sums are
+    * exact decimals).
+    */
+  private[graft] def kmeansCentersTraced(emb: DataFrame, maxIters: Int = KmeansMaxIters,
+                                         tol: Double = KmeansTol): (Array[Seq[Double]], List[Double]) = {
     import org.apache.spark.sql.types.DecimalType
     var centers = initCenters(emb)
     var moved = Double.MaxValue
+    var trace = List.empty[Double]
     var it = 0
     while (it < maxIters && moved > tol) {
       it += 1
@@ -865,12 +876,13 @@ object VectorOps {
       }
       moved = centers.zip(next).map { case (o, n) =>
         o.zip(n).map { case (a, b) => (a - b) * (a - b) }.sum }.max
+      trace ::= moved
       centers = next
     }
     if (moved > tol)
       System.err.println(s"[graft] kmeans stopped at the $maxIters-iteration cap " +
         s"with max center movement $moved > $tol (reference converge-or-cap contract)")
-    centers
+    (centers, trace.reverse)
   }
 
   def kmeansClusters(s: SparkSession, dir: String): DataFrame = {
@@ -881,7 +893,12 @@ object VectorOps {
     val emb = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("label"), col("embedding")).cache()
     try {
-      val centers = kmeansCenters(emb)
+      val (centers, movements) = kmeansCentersTraced(emb)
+      // the full convergence trajectory, identical on every row: the gate
+      // artifact now records WHICH path the loop took, not just where it
+      // landed (round-7; deterministic because the center sums are exact
+      // decimals — see kmeansCentersTraced)
+      val moveSeq = movements.map(m => f"$m%.6e").mkString(",")
 
       // Final assignment, materialized eagerly with its lineage cut: the
       // report below reads it twice, and after the cut it no longer
@@ -906,8 +923,33 @@ object VectorOps {
         .join(topLabel, "cid")
         .select(col("cid").as("cluster_id"), col("n_vecs"), col("top_label"),
           round(col("top_n").cast("double") / col("n_vecs"), 4).as("label_share"),
-          col("median_norm"))
+          col("median_norm"), lit(moveSeq).as("movement_seq"))
         .oracleSorted("cluster_id")
     } finally emb.unpersist()
+  }
+
+  /** `kmeans_iter1` (round-7): the loop's FIRST transition, hash-matched —
+    * init centers (first vector per label), one shuffle-free argmin
+    * assignment, then the per-(cluster, dimension) mean with the SAME
+    * exact-decimal sum discipline the loop uses. DuckDB replays init +
+    * argmin (the `kmeans_assign` SQL family) + AVG per dimension, so the
+    * iteration the loop actually executes is oracled, not just
+    * unit-tested; `kmeans_assign` pins the classify step, this pins the
+    * re-center step. Scale shape: posexplode shuffles k×dim groups with
+    * map-side partial aggregation — the loop's own per-pass cost.
+    */
+  def kmeansIter1(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val emb = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label"), col("embedding"))
+    val centers = initCenters(emb)
+    assignedTo(emb, centers)
+      .select(col("cid"), posexplode(col("embedding")))
+      .groupBy("cid", "pos")
+      .agg(sum(col("col").cast("double").cast(DecimalType(28, 20)))
+        .cast("double").as("sv"), count(lit(1)).as("n"))
+      .select(col("cid"), col("pos"),
+        round(col("sv") / col("n"), 6).as("center_val"), col("n"))
+      .oracleSorted("cid", "pos")
   }
 }

@@ -52,19 +52,22 @@ class AggregatesSpec extends AnyFunSuite {
     }
   }
 
-  test("agg_sketch_merge: union of per-type sketches == direct sketch; within HLL ε (D17)") {
-    val rows = Aggregates.aggSketchMerge(spark, sfDir)
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    // merge correctness: the ALL row must equal the estimate of a sketch
-    // built directly over every event — merged sketches are lossless wrt
-    // the sketch built on the union (the property that makes stored
-    // sketches re-aggregatable at 100 TB)
-    val direct = graft.Tables.events(spark, sfDir)
-      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("e"))
-      .collect()(0).getLong(0)
-    assert(rows("ALL") == direct, s"union est ${rows("ALL")} != direct est $direct")
+  test("agg_sketch_merge: shard-union == direct sketch per row; within HLL ε (D17)") {
+    val out = Aggregates.aggSketchMerge(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // merge correctness, now row-by-row: unioning stored (type, day) shard
+    // sketches must reproduce the direct one-pass sketch exactly — the
+    // property that makes stored sketches re-aggregatable at 100 TB. A
+    // violation would also surface as an extra VIOLATION: row (the
+    // rows-only gate hook), so assert both forms.
+    out.foreach { case (t, u, d, diff) =>
+      assert(diff == 0 && u == d, s"$t: union_est $u != direct_est $d")
+    }
+    assert(!out.exists(_._1.startsWith("VIOLATION:")), "violation rows present")
+    assert(out.length == 6, s"expected 5 types + ALL, got ${out.length}")
     // accuracy: default lgConfigK=12 HLL is well within 5% at these
     // cardinalities
+    val rows = out.map(r => r._1 -> r._2).toMap
     val exact = graft.Tables.events(spark, sfDir)
       .select(countDistinct(col("user_id"))).collect()(0).getLong(0)
     assert(math.abs(rows("ALL") - exact) <= math.max(2L, (0.05 * exact).toLong),
