@@ -13,6 +13,11 @@ Test / fork := true
 // One shared SparkSession across suites — run them serially.
 Test / parallelExecution := false
 run / fork := true
+// Pass the forked run's stdout through RAW (no "[info] " decoration):
+// the driver parses Bench's one-line JSON from the tail of stdout, and
+// logger-decorated lines may defeat that parse (every prior round's
+// BENCH artifact recorded parsed: null).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

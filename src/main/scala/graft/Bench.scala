@@ -55,9 +55,15 @@ import java.nio.file.{Files, Paths}
   * with NO successful pass is excluded from the total and reported under
   * "failed". SPARK_GRAFT_BENCH_RUNS < 1 is a usage error.
   *
-  * The JSON line is printed to stdout AND written to a file
-  * (SPARK_GRAFT_BENCH_OUT, default bench.json in the CWD) so the number
-  * survives sbt's log decoration (round-1 BENCH parsed: null).
+  * Artifact shape (round-7): the FULL JSON (all diagnostics, every query)
+  * is written to SPARK_GRAFT_BENCH_OUT (default bench.json in the CWD);
+  * stdout gets a COMPACT line — headline total, the top-`InlineTopK`
+  * queries by median, capped failure lists, and a pointer to the file.
+  * Rationale: the driver keeps only the last ~2000 chars of stdout, and
+  * rounds 5-6 proved the full 119-query line overflows that window, so
+  * the driver recorded `parsed: null` while the line was in fact printed
+  * (round-6 VERDICT "What's wrong" #2). The compact line is sized to
+  * survive the window with sbt's trailing [success] line included.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -81,10 +87,14 @@ object Bench {
     // failure (e.g. a testdata schema change breaking one loader, as in the
     // round-5 driver run) must degrade to a cold first query, never zero the
     // whole artifact — per-query failures are adjudicated inside the loop.
+    // NonFatal only (round-6 ADVICE #1): an OutOfMemoryError or
+    // LinkageError here would make every later query fail confusingly —
+    // let fatal errors abort the process with their real stack.
     for (warm <- Seq(() => Tables.lineitem(spark, sfDir).count(),
                      () => Tables.events(spark, sfDir).count()))
       try warm() catch {
-        case e: Throwable => System.err.println(s"[bench] warm-up read failed (continuing cold): ${e.getMessage}")
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[bench] warm-up read failed (continuing cold): ${e.getMessage}")
       }
     // SPARK_GRAFT_ONLY=q1,q2 restricts the run (single-query iteration aid).
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
@@ -200,9 +210,17 @@ object Bench {
     val rt = obj(names.filter(retries.contains).map(n => n -> retries(n).toString))
     val total = meds.map(_._2).sum
     val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"spread":$sp,"pass_times":$pt,"pass_times_raw":$ptRaw,"best":$bst,"n_passes":$np,"stalled":$st,"slow_confirmed":${arr(slowConfirmed.toSeq)},"canary":$cn,"passes":$passes,"failed":${arr(failed)},"flaky":${arr(flaky)},"retried":$rt,"sf":"$sfDir"}"""
-    println(json)
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.json")
     Files.writeString(Paths.get(out), json + "\n")
+    // compact stdout line (see header): top-K heaviest medians inline,
+    // capped lists — must fit the driver's ~2000-char stdout tail window
+    val InlineTopK = 40
+    val CapList = 8
+    val topQs = obj(meds.sortBy(-_._2).take(InlineTopK)
+      .sortBy(_._1).map { case (k, v) => k -> fmt(v) })
+    def capped(xs: Seq[String]) = arr(xs.take(CapList))
+    val compact = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$topQs,"queries_measured":${measured.size},"queries_inline":${math.min(InlineTopK, meds.size)},"passes":$passes,"failed":${capped(failed)},"failed_n":${failed.size},"flaky":${capped(flaky)},"flaky_n":${flaky.size},"slow_confirmed":${capped(slowConfirmed.toSeq)},"slow_confirmed_n":${slowConfirmed.size},"stalled_n":${stalled.values.sum},"full":"$out","sf":"$sfDir"}"""
+    println(compact)
     spark.stop()
   }
 }
