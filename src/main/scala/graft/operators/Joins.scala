@@ -64,7 +64,10 @@ object Joins {
                              key: String, df: => DataFrame): String = {
     val fp = Relational.sourceFingerprint(s"$dir/$src.parquet")
     val digest = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$dir|$fp".getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+      // 12 hex chars (48 bits), matching Relational.stageInto's prefix —
+      // the 8-char form had a needlessly higher collision chance between
+      // distinct (dir, fingerprint) keys (round-6 advice)
+      .digest(s"$dir|$fp".getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
     val name = s"graft_${src}_bkt_$digest"
     bucketLock.synchronized {
       if (!s.catalog.tableExists(name)) {
