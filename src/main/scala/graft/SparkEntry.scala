@@ -24,6 +24,7 @@ object SparkEntry {
     "scan_schema" -> (Relational.scanSchema _),
     "scan_csv" -> (Relational.scanCsv _),
     "scan_json" -> (Relational.scanJson _),
+    "scan_orc" -> (Relational.scanOrc _),
     "scan_binaryfile" -> (Relational.scanBinaryfile _),
     "scan_evolved" -> (Relational.scanEvolved _),
     "scan_partitioned" -> (Relational.scanPartitioned _),
@@ -73,6 +74,7 @@ object SparkEntry {
     "join_salted" -> (Joins.joinSalted _),
     "join_range" -> (Joins.joinRange _),
     "join_bucketed" -> (Joins.joinBucketed _),
+    "join_bloom" -> (Joins.joinBloom _),
     "query_q3" -> (Joins.queryQ3 _),
     // §2.E/F windows + top-k
     "window_rank" -> (Windows.windowRank _),
@@ -100,6 +102,7 @@ object SparkEntry {
     "project_classified" -> (Relational.projectClassified _),
     // §2.D2/D4/D5 + §2.K5 text analysis
     "rank_tokens" -> (TextOps.rankTokens _),
+    "rank_strategies" -> (TextOps.rankStrategies _),
     "text_tfidf" -> (TextOps.textTfidf _),
     "text_logprob" -> (TextOps.textLogprob _),
     "text_tokens" -> (TextOps.textTokens _),
@@ -406,6 +409,11 @@ object SparkEntry {
     "scan_json" ->
       (s"SELECT doc_id, text, lang, source, n_chars FROM read_json('${Relational.stagedRoot(Relational.JsonStageDir)}/documents/*.json', " +
       "format='newline_delimited', columns={'doc_id':'BIGINT','text':'VARCHAR','lang':'VARCHAR','source':'VARCHAR','n_chars':'BIGINT'}) ORDER BY doc_id"),
+    // DuckDB has no ORC reader: the oracle reads the source PARQUET rows, so
+    // the hash match pins the ORC write+read round trip to value-exactness
+    // (see Relational.scanOrc — timestamps are the load-bearing column)
+    "scan_orc" ->
+      "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate FROM orders ORDER BY o_orderkey",
     // oracle filters the ORIGINAL flat table — the hash match proves the
     // hive-partitioned round-trip preserved the data
     // the oracle reads the ROW form the files were staged from — the hash
@@ -517,6 +525,11 @@ object SparkEntry {
       "SELECT user_id FROM events WHERE event_type = 'click' INTERSECT SELECT user_id FROM events WHERE event_type = 'purchase' ORDER BY user_id",
     "join_inner" ->
       "SELECT o_orderstatus, count(1) AS n_lines, CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1.0 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue FROM orders JOIN lineitem ON o_orderkey = l_orderkey GROUP BY 1 ORDER BY 1",
+    // no bloom in the oracle: the probe admits no false negatives and the
+    // equi-join removes false positives, so the sketch-prefiltered plan must
+    // equal the plain join exactly (see Joins.joinBloom)
+    "join_bloom" ->
+      "SELECT CAST(month(o_orderdate) AS INT) AS o_month, count(1) AS n_lines, CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1.0 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue FROM lineitem JOIN orders ON l_orderkey = o_orderkey WHERE o_orderpriority = '1-URGENT' AND o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01' GROUP BY 1 ORDER BY 1",
     "join_star" ->
       "SELECT r_name, CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS revenue, count(1) AS n_orders FROM orders JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey GROUP BY 1 ORDER BY 1",
     // orders restricted to 1995 so the complement is non-empty at every SF
@@ -611,6 +624,11 @@ object SparkEntry {
       "SELECT l_orderkey, l_linenumber, CAST(round(CAST(l_extendedprice AS DECIMAL(12,2)), 2) AS DOUBLE) AS money_sum, CAST(round(CAST(l_discount AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)), 2) AS DOUBLE) AS rate_sum, round(l_quantity, 2) AS qty_sum FROM lineitem ORDER BY l_orderkey, l_linenumber",
     "rank_tokens" ->
       s"WITH c AS (SELECT unnest(list_intersect(list_distinct(string_split(text, ' ')), $lexiconSql)) AS token FROM documents), g AS (SELECT token, count(1) AS n_docs FROM c GROUP BY 1) SELECT token, n_docs, CAST(rank() OVER (ORDER BY n_docs DESC) AS INT) AS rnk FROM g ORDER BY n_docs DESC, token",
+    // the oracle computes the ranking ONCE and cross-joins the three strategy
+    // labels; the Spark side really runs three different plans, so the hash
+    // match IS the cross-strategy equality law (see TextOps.rankStrategies).
+    "rank_strategies" ->
+      s"WITH c AS (SELECT unnest(list_intersect(list_distinct(string_split(text, ' ')), $lexiconSql)) AS token FROM documents), g AS (SELECT token, count(1) AS n_docs FROM c GROUP BY 1), r AS (SELECT token, n_docs, CAST(rank() OVER (ORDER BY n_docs DESC) AS INT) AS rnk FROM g), st AS (SELECT unnest(['rescan', 'index', 'onepass']) AS strategy) SELECT strategy, token, n_docs, rnk FROM st CROSS JOIN r ORDER BY strategy, n_docs DESC, token",
     "text_tfidf" ->
       "WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents), tf AS (SELECT doc_id, token, count(1) AS tf FROM tok GROUP BY 1, 2), df AS (SELECT token, count(1) AS df FROM tf GROUP BY 1), n AS (SELECT count(1) AS n_docs FROM documents) SELECT tf.doc_id, tf.token, tf.tf, df.df, round(tf.tf * ln(CAST(n_docs AS DOUBLE) / df.df), 6) AS tfidf FROM tf JOIN df USING (token) CROSS JOIN n ORDER BY doc_id, token",
     "text_logprob" ->

@@ -352,6 +352,46 @@ object Joins {
       .oracleSorted("event_id")
   }
 
+  /** C10 `join_bloom`: explicit bloom-filter semi-reduction of a fact scan.
+    *
+    * Catalyst's runtime bloom injection (RuntimeFilterSpec) lives and dies
+    * inside one query; this operator is the build-once/apply-many form a
+    * 100 TB pipeline uses when the same selective dimension gates MANY fact
+    * scans: build the sketch from the filtered dim with a distributed
+    * `stat.bloomFilter` tree-aggregate (driver receives a KB–MB bitset,
+    * never rows), then probe it in a codegen'd filter
+    * (plans/BloomProbe.scala) BELOW the fact side's exchange — the shuffle
+    * moves ~|matching| rows instead of the whole fact table. No false
+    * negatives, and the equi-join afterwards removes the ≤1% false
+    * positives, so the result is EXACT and a plain SQL join oracles it.
+    *
+    * The dim side here (urgent 1995 orders) fits a broadcast at test SF, but
+    * at the deployment scale this demo is FOR, it does not — `hint("merge")`
+    * pins the 100 TB plan so BloomSpec can assert the probe sits below the
+    * fact-side shuffle (same pinning rationale as `join_bucketed`).
+    */
+  def joinBloom(s: SparkSession, dir: String): DataFrame = {
+    val dim = Tables.orders(s, dir)
+      .filter(col("o_orderpriority") === "1-URGENT" &&
+        col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-01-01").cast("timestamp"))
+      .select("o_orderkey", "o_orderdate")
+    // one cheap dim pass to size the sketch + one to build it — both are
+    // aggregates over the (selective) dim, the documented price of cutting
+    // the fact shuffle; fpp 1% ⇒ ~9.6 bits/key
+    val nKeys = math.max(dim.count(), 1L)
+    val sketch = dim.stat.bloomFilter("o_orderkey", nKeys, 0.01)
+    val fact = Tables.lineitem(s, dir)
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+      .where(graft.plans.BloomProbe.probe(col("l_orderkey"), sketch))
+    fact.join(dim.hint("merge"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(month(col("o_orderdate")).cast("int").as("o_month"))
+      .agg(count(lit(1)).as("n_lines"),
+        graft.functions.Num.money(
+          sum(graft.functions.Num.discounted(col("l_extendedprice"), col("l_discount")))).as("revenue"))
+      .oracleSorted("o_month")
+  }
+
   /** Left outer join preserving customers with zero orders (count of a
     * nullable column counts only matches).
     */

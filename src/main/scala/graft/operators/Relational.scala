@@ -262,6 +262,46 @@ object Relational {
       .oracleSorted("doc_id")
   }
 
+  /** Fixed staging root of the ORC mirror `scan_orc` reads (same
+    * `by/<digest>` + `current` indirection as `CsvStageDir`).
+    */
+  val OrcStageDir = "/tmp/graft_scan_orc"
+
+  /** Stage the orders table as ORC once per (sfDir, source content) —
+    * fixture plumbing like `stageCsv`. Orders is chosen deliberately: it
+    * carries a TIMESTAMP column, the one type whose on-disk convention
+    * differs between the formats (ORC stores wall-clock local time,
+    * parquet instant micros) — the round trip must be value-exact under
+    * the pinned-UTC session. Parallel write, one ORC file per task.
+    */
+  private def stageOrc(s: SparkSession, dir: String): Unit = synchronized {
+    withStageLock(OrcStageDir) {
+      stageInto(OrcStageDir, s"$dir|orc1|${sourceFingerprint(s"$dir/orders.parquet")}") {
+        target =>
+          Tables.orders(s, dir)
+            .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate")
+            .write.mode("overwrite")
+            .orc(s"$target/orders")
+      }
+    }
+  }
+
+  /** A2″′ `scan_orc`: ORC scan — the second columnar format a lake-scale
+    * engine must ingest (ORC files arrive from Hive/Trino-era pipelines;
+    * rewriting 100 TB to parquet first is not a plan). Spark's ORC reader
+    * is vectorized and supports the same pushdown surface as parquet.
+    * DuckDB has no ORC reader, so the oracle reads the SAME rows from the
+    * source parquet table — the hash match therefore pins the ORC
+    * write+read ROUND TRIP (integer widths, doubles, strings, and
+    * especially the wall-clock timestamp convention) to value-exactness
+    * against the parquet original.
+    */
+  def scanOrc(s: SparkSession, dir: String): DataFrame = {
+    stageOrc(s, dir)
+    s.read.orc(s"${stagedRoot(OrcStageDir)}/orders")
+      .oracleSorted("o_orderkey")
+  }
+
   /** Fixed staging root of the schema-evolution mirror `scan_evolved`
     * reads (same `by/<digest>` + `current` indirection).
     */
