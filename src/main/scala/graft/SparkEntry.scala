@@ -75,6 +75,10 @@ object SparkEntry {
     "join_range" -> (Joins.joinRange _),
     "join_bucketed" -> (Joins.joinBucketed _),
     "join_bloom" -> (Joins.joinBloom _),
+    // lakehouse table maintenance
+    "merge_upsert" -> (Lakehouse.mergeUpsert _),
+    "layout_zorder" -> (Lakehouse.layoutZorder _),
+    "scd2_intervals" -> (EventOps.scd2Intervals _),
     "query_q3" -> (Joins.queryQ3 _),
     // §2.E/F windows + top-k
     "window_rank" -> (Windows.windowRank _),
@@ -530,6 +534,31 @@ object SparkEntry {
     // equal the plain join exactly (see Joins.joinBloom)
     "join_bloom" ->
       "SELECT CAST(month(o_orderdate) AS INT) AS o_month, count(1) AS n_lines, CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1.0 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue FROM lineitem JOIN orders ON l_orderkey = o_orderkey WHERE o_orderpriority = '1-URGENT' AND o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01' GROUP BY 1 ORDER BY 1",
+    // the oracle reconstructs the same derived CDC batch and replays the
+    // merge as one full-outer join — all four verdict classes (kept /
+    // updated / deleted / inserted) sit in one hash (see Lakehouse.mergeUpsert)
+    "merge_upsert" ->
+      ("WITH base AS (SELECT o_orderkey AS key, o_custkey, o_totalprice AS val FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01'), " +
+      "changes AS (SELECT key, o_custkey AS c_custkey, val + 100.0 AS c_val, 'U' AS op FROM base WHERE key % 7 = 3 AND key % 13 <> 5 " +
+      "UNION ALL SELECT key, o_custkey, val, 'D' FROM base WHERE key % 13 = 5 " +
+      "UNION ALL SELECT -key, o_custkey, val, 'I' FROM base WHERE key % 11 = 4) " +
+      "SELECT coalesce(b.key, c.key) AS o_orderkey, coalesce(b.o_custkey, c.c_custkey) AS o_custkey, " +
+      "CASE WHEN c.op IN ('U', 'I') THEN c.c_val ELSE b.val END AS o_totalprice, " +
+      "CASE WHEN c.op IS NULL THEN 'kept' WHEN c.op = 'U' THEN 'updated' ELSE 'inserted' END AS src " +
+      "FROM base b FULL OUTER JOIN changes c ON b.key = c.key WHERE coalesce(c.op, '') <> 'D' ORDER BY o_orderkey"),
+    // the interleave expression text is single-sourced from
+    // Lakehouse.zInterleaveSql (both engines parse the same `>> & <<`
+    // arithmetic); min/max of the RAW dims pins the region geometry
+    "layout_zorder" ->
+      (s"WITH p AS (SELECT o_custkey, CAST(date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS INT) AS day_nr FROM orders), " +
+      s"z AS (SELECT o_custkey, day_nr, ${Lakehouse.zInterleaveSql(s"o_custkey & ${(1 << Lakehouse.ZBits) - 1}", s"day_nr & ${(1 << Lakehouse.ZBits) - 1}")} AS zkey FROM p) " +
+      s"SELECT CAST(zkey >> ${Lakehouse.ZShift} AS INT) AS z_region, count(1) AS n_rows, min(o_custkey) AS min_cust, max(o_custkey) AS max_cust, min(day_nr) AS min_day, max(day_nr) AS max_day FROM z GROUP BY 1 ORDER BY 1"),
+    "scd2_intervals" ->
+      ("WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type AS state FROM events), " +
+      "b AS (SELECT user_id, event_id, ts, state, CASE WHEN lag(state, 1) OVER w IS NULL OR state <> lag(state, 1) OVER w THEN 1 ELSE 0 END AS brk FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), " +
+      "i AS (SELECT user_id, event_id, ts, state, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island FROM b), " +
+      "g AS (SELECT user_id, island, min(state) AS state, min(ts) AS effective_from, count(1) AS n_events FROM i GROUP BY 1, 2) " +
+      "SELECT user_id, CAST(island AS INT) AS version, state, effective_from, epoch_us(lead(effective_from, 1) OVER (PARTITION BY user_id ORDER BY island)) AS effective_to_us, n_events, CASE WHEN lead(effective_from, 1) OVER (PARTITION BY user_id ORDER BY island) IS NULL THEN 1 ELSE 0 END AS is_current FROM g ORDER BY user_id, version"),
     "join_star" ->
       "SELECT r_name, CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS revenue, count(1) AS n_orders FROM orders JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey GROUP BY 1 ORDER BY 1",
     // orders restricted to 1995 so the complement is non-empty at every SF

@@ -218,6 +218,44 @@ object EventOps {
       .oracleSorted("user_id", "ts", "event_id")
   }
 
+  /** `scd2_intervals`: build a slowly-changing-dimension (type 2) history
+    * from an event log — each user's event_type is treated as a mutable
+    * attribute, and every CHANGE of it opens a validity interval
+    * [effective_from, effective_to). The warehouse deliverable this feeds
+    * is "what was the user's state at time T" via a plain range predicate,
+    * instead of replaying the log per query.
+    *
+    * Gaps-and-islands over one shuffle by user_id (lag to flag changes,
+    * running sum to number islands — the `window_sessionid` machinery with
+    * equality breaks instead of time gaps), then one partial-agg groupBy
+    * per island and a lead() to close each interval with the next one's
+    * start. The open interval of each user's current state has
+    * effective_to NULL — emitted as unix-micros BIGINT (`funnel_events`'
+    * NULL-timestamp gate convention) with `is_current` as INT.
+    */
+  def scd2Intervals(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val islands = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type").as("state"))
+      .withColumn("brk",
+        when(lag("state", 1).over(w).isNull ||
+          col("state") =!= lag("state", 1).over(w), 1).otherwise(0))
+      .withColumn("island", sum("brk")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val intervals = islands
+      .groupBy("user_id", "island")
+      .agg(first("state").as("state"), min("ts").as("effective_from"),
+        count(lit(1)).as("n_events"))
+    val wi = Window.partitionBy("user_id").orderBy("island")
+    intervals
+      .withColumn("effective_to_us", unix_micros(lead("effective_from", 1).over(wi)))
+      .select(col("user_id"), col("island").cast("int").as("version"),
+        col("state"), col("effective_from"), col("effective_to_us"),
+        col("n_events"),
+        when(col("effective_to_us").isNull, 1).otherwise(0).as("is_current"))
+      .oracleSorted("user_id", "version")
+  }
+
   /** J5: keep-first dedup by (user_id, event_type) — the batch equivalent of
     * streaming `dropDuplicates` with arrival order made deterministic
     * (earliest ts, then event_id).

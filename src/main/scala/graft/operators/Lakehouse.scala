@@ -1,0 +1,120 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.OracleSort._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Table-maintenance operators a 100 TB lakehouse runs daily: CDC upsert
+  * merge and multi-dimensional clustering layout. Neither is in the
+  * reference (its corpus is immutable course data); both are table-stakes
+  * for the training-data pipelines this engine targets — a corpus is not
+  * write-once (takedowns, re-crawls, label fixes), and scans over it filter
+  * on more than one dimension.
+  */
+object Lakehouse {
+
+  /** `merge_upsert`: the MERGE INTO shape — apply a CDC batch of
+    * updates / deletes / inserts to a base snapshot in one pass.
+    *
+    * The change batch here is DERIVED deterministically from the base
+    * (update every key ≡3 mod 7, delete every key ≡5 mod 13 — deletes win
+    * the overlap — insert a fresh negative key for every key ≡4 mod 11),
+    * so the DuckDB oracle can reconstruct the identical merge from the raw
+    * table and hash-check all four verdict classes (kept / updated /
+    * deleted / inserted) in one gate row set.
+    *
+    * Shape: ONE full-outer equi-join on the key — matched+op=U rewrites
+    * values, matched+op=D drops the row, unmatched-change inserts,
+    * unmatched-base carries over. Scale: shuffle is ∝ |base|+|changes| once;
+    * at 100 TB the base side is bucketed by key (`join_bucketed`'s layout),
+    * making the daily merge exchange-free on the big side, and a
+    * broadcast join when the batch is small. Never read-modify-write per
+    * row — that is an RDBMS pattern, not a lake one.
+    */
+  def mergeUpsert(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.orders(s, dir)
+      .where(col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      .select(col("o_orderkey").as("key"), col("o_custkey"), col("o_totalprice").as("val"))
+
+    // CDC batch: op ∈ {U, D, I}; +100.0 stays engine-exact because both
+    // engines do the same IEEE double add (no decimal re-rounding involved)
+    val updates = base.where(col("key") % 7 === 3 && col("key") % 13 =!= 5)
+      .select(col("key"), col("o_custkey"), (col("val") + 100.0).as("val"), lit("U").as("op"))
+    val deletes = base.where(col("key") % 13 === 5)
+      .select(col("key"), col("o_custkey"), col("val"), lit("D").as("op"))
+    val inserts = base.where(col("key") % 11 === 4)
+      .select((-col("key")).as("key"), col("o_custkey"), col("val"), lit("I").as("op"))
+    val changes = updates.unionByName(deletes).unionByName(inserts)
+      .withColumnsRenamed(Map("key" -> "c_key", "o_custkey" -> "c_custkey", "val" -> "c_val"))
+
+    base.join(changes, col("key") === col("c_key"), "full_outer")
+      .where(coalesce(col("op"), lit("")) =!= "D")
+      .select(
+        coalesce(col("key"), col("c_key")).as("o_orderkey"),
+        coalesce(col("o_custkey"), col("c_custkey")).as("o_custkey"),
+        when(col("op").isin("U", "I"), col("c_val")).otherwise(col("val")).as("o_totalprice"),
+        when(col("op").isNull, "kept").when(col("op") === "U", "updated")
+          .otherwise("inserted").as("src"))
+      .oracleSorted("o_orderkey")
+  }
+
+  /** Bits interleaved per dimension for the Z-order key (dims fit 16 bits
+    * at every testdata SF; the 100 TB deployment widens to 21×3 or 16×4 —
+    * the construction is identical).
+    */
+  val ZBits = 16
+
+  /** Z-region width: the z-key's top bits name the region. A PREFIX, not an
+    * ntile: regions need no global sort, so assignment is a narrow per-row
+    * projection at any scale. 16 ⇒ each region is a 256-customer ×
+    * 256-day rectangle — hundreds of occupied regions at the gate SFs
+    * (region COUNT grows with the key-space the data occupies; region
+    * SHAPE is scale-invariant, which is the property under test).
+    */
+  val ZShift = 16
+
+  /** The bit-interleave Σᵢ ((x≫i)&1)≪2i | ((y≫i)&1)≪(2i+1) as SQL text —
+    * ONE definition rendered into both engines (Spark `expr` and the DuckDB
+    * oracle share `>> & <<`), so a bit-order mistake breaks both or
+    * neither… which is exactly why the gate also pins per-region min/max of
+    * the RAW dims: those expose the layout itself, not just the formula.
+    */
+  def zInterleaveSql(x: String, y: String): String =
+    // BIGINT casts: bit 2i+1 reaches position 31 — INT shift overflow
+    // territory in either engine; 64-bit lanes sidestep it identically
+    (0 until ZBits).map(i =>
+      s"(((CAST(${x} AS BIGINT) >> $i) & 1) << ${2 * i}) + " +
+        s"(((CAST(${y} AS BIGINT) >> $i) & 1) << ${2 * i + 1})")
+      .mkString("(", " + ", ")")
+
+  /** `layout_zorder`: multi-dimensional clustering — the data-layout move
+    * that makes min/max file skipping work on MORE than the sort column.
+    *
+    * A date-sorted 100 TB table prunes date predicates beautifully and
+    * customer predicates not at all (every file spans every customer).
+    * Z-ordering interleaves the bits of (customer, day) so each z-region is
+    * a RECTANGLE in key space: files carry tight min/max on BOTH dims and
+    * either predicate prunes (measured: ZorderSpec shows the per-region
+    * customer range collapses ~two orders of magnitude vs date-sorted).
+    *
+    * This query emits per-region stats (count + min/max of both raw dims) —
+    * the footer metadata a skipping scan would consult — and the oracle
+    * recomputes the interleave independently, gating the bit arithmetic
+    * AND the region geometry. Assignment is a narrow projection (no global
+    * sort: regions are z-prefixes); the deployment writes with
+    * `repartition($"z_region").sortWithinPartitions($"zkey")`.
+    */
+  def layoutZorder(s: SparkSession, dir: String): DataFrame = {
+    val prepared = Tables.orders(s, dir).select(
+      col("o_custkey"),
+      datediff(to_date(col("o_orderdate")), lit("1992-01-01").cast("date")).as("day_nr"))
+    val z = prepared.withColumn("zkey",
+      expr(zInterleaveSql(s"o_custkey & ${(1 << ZBits) - 1}", s"day_nr & ${(1 << ZBits) - 1}")))
+    z.groupBy(shiftright(col("zkey"), ZShift).cast("int").as("z_region"))
+      .agg(count(lit(1)).as("n_rows"),
+        min("o_custkey").as("min_cust"), max("o_custkey").as("max_cust"),
+        min("day_nr").as("min_day"), max("day_nr").as("max_day"))
+      .oracleSorted("z_region")
+  }
+}

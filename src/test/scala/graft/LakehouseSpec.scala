@@ -1,0 +1,106 @@
+package graft
+
+import graft.operators.{EventOps, Lakehouse}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Laws for the lakehouse-maintenance operators.
+  *
+  * merge_upsert — the gate hashes the merged snapshot; here we pin that the
+  * fixture actually EXERCISES all verdict classes (non-vacuity, the round-6
+  * lesson from join_anti) and that the arithmetic of the merge holds:
+  * |result| = |base| − |deletes| + |inserts|, no deleted key survives.
+  *
+  * layout_zorder — the defining geometric property: a z-region with the low
+  * 8 bits of each dim truncated is a ≤256×256 RECTANGLE in (customer, day)
+  * space. Plus the reason to bother: under a date-sorted layout each file
+  * spans ~the whole customer range, so customer predicates prune nothing;
+  * under z-order the per-region customer extent collapses.
+  *
+  * scd2_intervals — interval algebra: versions are contiguous from 1, each
+  * interval closes exactly at the next one's start, exactly one open
+  * (current) interval per user, and adjacent intervals really CHANGE state
+  * (islands are maximal).
+  */
+class LakehouseSpec extends AnyFunSuite {
+  import SparkTestSession.{spark, sfDir}
+
+  test("merge_upsert exercises kept/updated/inserted, removes every deleted key") {
+    val out = Lakehouse.mergeUpsert(spark, sfDir).cache()
+    try {
+      val bySrc = out.groupBy("src").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(Set("kept", "updated", "inserted").subsetOf(bySrc.keySet),
+        s"vacuous merge fixture: $bySrc")
+      assert(bySrc.values.forall(_ > 0))
+      val base = Tables.orders(spark, sfDir)
+        .where(col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      val nBase = base.count()
+      val nDel = base.where(col("o_orderkey") % 13 === 5).count()
+      val nIns = base.where(col("o_orderkey") % 11 === 4).count()
+      assert(nDel > 0 && nIns > 0, "fixture must plant deletes and inserts")
+      assert(out.count() == nBase - nDel + nIns)
+      // no deleted key survives the merge
+      assert(out.join(base.where(col("o_orderkey") % 13 === 5)
+        .select("o_orderkey"), Seq("o_orderkey"), "left_semi").count() == 0)
+    } finally out.unpersist()
+  }
+
+  test("z-regions are <=256x256 rectangles; customer extent collapses vs date-sort") {
+    // sf0.01: enough distinct customers that the rectangle bound bites
+    val dir = "/root/testdata/sf0.01"
+    val regions = Lakehouse.layoutZorder(spark, dir).collect()
+    assert(regions.length >= 10, s"only ${regions.length} occupied z-regions")
+    val side = 1 << (Lakehouse.ZShift / 2) // low 8 bits truncated per dim
+    regions.foreach { r =>
+      val custExt = r.getAs[Long]("max_cust") - r.getAs[Long]("min_cust")
+      val dayExt = (r.getAs[Int]("max_day") - r.getAs[Int]("min_day")).toLong
+      assert(custExt < side && dayExt < side,
+        s"region ${r.get(0)} not a rectangle: cust=$custExt day=$dayExt")
+    }
+    // date-sorted strawman: split the date-ordered table into as many files
+    // as there are z-regions; measure each file's customer extent
+    val g = regions.length
+    val orders = Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderdate"))
+    val custRange = orders.agg((max("o_custkey") - min("o_custkey")).as("r"))
+      .head().getAs[Long]("r")
+    val dateSorted = orders
+      .withColumn("file_id", ntile(g).over(
+        org.apache.spark.sql.expressions.Window.orderBy("o_orderdate")))
+      .groupBy("file_id")
+      .agg((max("o_custkey") - min("o_custkey")).as("ext"))
+      .agg(avg("ext")).head().getDouble(0)
+    val zAvg = regions.map(r =>
+      r.getAs[Long]("max_cust") - r.getAs[Long]("min_cust")).sum.toDouble / g
+    // date-sorted files each span ~the whole customer range; z-regions span
+    // <=255 of it. Require a 3x separation (observed: ~6x at sf0.01 and
+    // growing with SF, since zAvg is capped at 255 while custRange scales)
+    assert(dateSorted > zAvg * 3,
+      s"z-order shows no skipping advantage: dateSortedAvg=$dateSorted zAvg=$zAvg range=$custRange")
+  }
+
+  test("scd2 intervals: contiguous versions, exact closure, one current, maximal islands") {
+    val rows = EventOps.scd2Intervals(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Int]("version"),
+        r.getAs[String]("state"), r.getAs[java.sql.Timestamp]("effective_from"),
+        Option(r.getAs[java.lang.Long]("effective_to_us")).map(_.longValue),
+        r.getAs[Int]("is_current")))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (user, rs) =>
+      val sorted = rs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1 to rs.length).toSeq,
+        s"user $user versions not contiguous")
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          // closes exactly at the successor's start (timestamp micros)
+          assert(a._5.contains(b._4.getTime * 1000 + b._4.getNanos / 1000 % 1000),
+            s"user $user v${a._2} does not close at v${b._2}'s start")
+          assert(a._3 != b._3, s"user $user adjacent islands share state ${a._3}")
+        case _ => ()
+      }
+      assert(sorted.count(_._6 == 1) == 1, s"user $user current-interval count != 1")
+      assert(sorted.last._5.isEmpty && sorted.last._6 == 1)
+    }
+  }
+}
