@@ -58,6 +58,8 @@ object SparkEntry {
     "agg_percentile" -> (Aggregates.aggPercentile _),
     "agg_weighted" -> (Aggregates.aggWeighted _),
     "agg_sketch_merge" -> (Aggregates.aggSketchMerge _),
+    "agg_countmin" -> (Aggregates.aggCountmin _),
+    "resample_ffill" -> (EventOps.resampleFfill _),
     "group_collect" -> (Aggregates.groupCollect _),
     // §2.G set ops
     "setop_union" -> (Aggregates.setopUnion _),
@@ -553,6 +555,22 @@ object SparkEntry {
       (s"WITH p AS (SELECT o_custkey, CAST(date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS INT) AS day_nr FROM orders), " +
       s"z AS (SELECT o_custkey, day_nr, ${Lakehouse.zInterleaveSql(s"o_custkey & ${(1 << Lakehouse.ZBits) - 1}", s"day_nr & ${(1 << Lakehouse.ZBits) - 1}")} AS zkey FROM p) " +
       s"SELECT CAST(zkey >> ${Lakehouse.ZShift} AS INT) AS z_region, count(1) AS n_rows, min(o_custkey) AS min_cust, max(o_custkey) AS max_cust, min(day_nr) AS min_day, max(day_nr) AS max_day FROM z GROUP BY 1 ORDER BY 1"),
+    // laws-as-columns gate: the oracle's flags are literal 1s over the
+    // EXACT counts; the Spark side computes them from the sketches — a CMS
+    // underestimate / merge drift / bound blowout flips a flag and breaks
+    // the hash (estimate values themselves are engine-specific → spec'd,
+    // not gated; see Aggregates.aggCountmin)
+    "agg_countmin" ->
+      (s"WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents) " +
+      s"SELECT token, count(1) AS exact_n, 1 AS over_ok, 1 AS merge_ok, 1 AS bound_ok FROM tok " +
+      s"WHERE token IN ${TextOps.lexicon.map(t => s"'$t'").mkString("(", ", ", ")")} GROUP BY 1 ORDER BY token"),
+    "resample_ffill" ->
+      ("WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day FROM events), " +
+      "d AS (SELECT user_id, day, value AS close_value, n_obs FROM (SELECT user_id, day, value, row_number() OVER (PARTITION BY user_id, day ORDER BY ts DESC, event_id DESC) AS rn, count(1) OVER (PARTITION BY user_id, day) AS n_obs FROM e) WHERE rn = 1), " +
+      "sp AS (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM e GROUP BY 1), " +
+      "g AS (SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day FROM sp), " +
+      "j AS (SELECT g.user_id, g.day, d.close_value, coalesce(d.n_obs, 0) AS n_obs, CASE WHEN d.n_obs IS NULL THEN 0 ELSE 1 END AS is_observed FROM g LEFT JOIN d ON g.user_id = d.user_id AND g.day = d.day) " +
+      "SELECT user_id, day, n_obs, is_observed, last_value(close_value IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS close_ff FROM j ORDER BY user_id, day"),
     "scd2_intervals" ->
       ("WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type AS state FROM events), " +
       "b AS (SELECT user_id, event_id, ts, state, CASE WHEN lag(state, 1) OVER w IS NULL OR state <> lag(state, 1) OVER w THEN 1 ELSE 0 END AS brk FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), " +

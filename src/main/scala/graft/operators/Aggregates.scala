@@ -265,6 +265,56 @@ object Aggregates {
     both.unionByName(violations).oracleSorted("event_type")
   }
 
+  /** D22 `agg_countmin` (round 7): mergeable count-min frequency sketches —
+    * the heavy-hitters companion to D19's cardinality sketches. At 100 TB
+    * per-token exact counts are a full shuffle of the token stream; a CMS
+    * is a fixed (depth × width) counter grid built by `stat.countMinSketch`
+    * as a distributed tree-aggregate (what moves is sketch bytes, never
+    * rows) and MERGED by counter addition — per-segment sketches stored
+    * once answer any segment-union frequency question later.
+    *
+    * The laws are hash-GATED, not just spec'd: the oracle emits the exact
+    * lexicon counts plus literal-true flags; the Spark side emits COMPUTED
+    * flags — `over_ok` (CMS never underestimates), `merge_ok` (merged
+    * half-corpus sketches ≡ the direct sketch, counter-exact because the
+    * seeded hash grid is shared), `bound_ok` (overestimate ≤ ⌈ε·N⌉) — so a
+    * sketch defect flips a flag and breaks the hash. The estimate VALUES
+    * are engine-specific and live in AggregatesSpec, not the gate.
+    */
+  def aggCountmin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+    val (eps, conf, seed) = (CmsEps, 0.99, 42)
+    val direct = toks.stat.countMinSketch("token", eps, conf, seed)
+    val merged = toks.where(col("doc_id") % 2 === 0).stat.countMinSketch("token", eps, conf, seed)
+    merged.mergeInPlace(
+      toks.where(col("doc_id") % 2 === 1).stat.countMinSketch("token", eps, conf, seed))
+    val n = toks.count()
+    val bound = math.ceil(eps * n).toLong
+    // ≤ |lexicon| rows cross the driver — the same O(k) class as the
+    // k-means centroids
+    val exact = toks.where(col("token").isin(TextOps.lexicon: _*))
+      .groupBy("token").agg(count(lit(1)).as("exact_n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    TextOps.lexicon.sorted.flatMap { t =>
+      exact.get(t).map { ex =>
+        val d = direct.estimateCount(t)
+        val m = merged.estimateCount(t)
+        (t, ex,
+          if (d >= ex) 1 else 0,
+          if (m == d) 1 else 0,
+          if (d - ex <= bound) 1 else 0)
+      }
+    }.toDF("token", "exact_n", "over_ok", "merge_ok", "bound_ok")
+      .oracleSorted("token")
+  }
+
+  /** CMS relative-error knob: ε of total stream length N bounds the
+    * overestimate (w.p. the confidence); width = ⌈e/ε⌉ counters.
+    */
+  val CmsEps = 0.001
+
   /** 2.G: set operations — union distinct. */
   def setopUnion(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir)

@@ -218,6 +218,43 @@ object EventOps {
       .oracleSorted("user_id", "ts", "event_id")
   }
 
+  /** `resample_ffill`: time-series regularization — resample each user's
+    * irregular event stream onto a per-user DAILY grid (first to last
+    * active day) and forward-fill gaps with the last observed close value.
+    * The classic prep step before any fixed-step model (or any as-of-style
+    * dashboard) consumes an event log; without it, per-entity gaps silently
+    * bias window statistics.
+    *
+    * Shape: daily closes via one (user, day) window pass; the grid is
+    * `sequence(first_day, last_day, 1 day)` exploded from a per-user
+    * aggregate — rows ∝ users × active-span days, never driver-side; the
+    * fill is `last(value, ignoreNulls)` over one user-ordered window. Three
+    * shuffles total, each keyed by user (the session-family skew story).
+    * First grid day is always observed, so the fill never emits NULL.
+    */
+  def resampleFfill(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .withColumn("day", date_trunc("DAY", col("ts")))
+    val wDay = Window.partitionBy("user_id", "day")
+    val daily = ev
+      .withColumn("rn", row_number().over(wDay.orderBy(desc("ts"), desc("event_id"))))
+      .withColumn("n_obs", count(lit(1)).over(wDay))
+      .where(col("rn") === 1)
+      .select(col("user_id"), col("day"), col("value").as("close_value"), col("n_obs"))
+    val grid = ev.groupBy("user_id").agg(min("day").as("d0"), max("day").as("d1"))
+      .select(col("user_id"),
+        explode(sequence(col("d0"), col("d1"), expr("INTERVAL 1 DAY"))).as("day"))
+    val wff = Window.partitionBy("user_id").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(daily, Seq("user_id", "day"), "left")
+      .select(col("user_id"), col("day"),
+        coalesce(col("n_obs"), lit(0L)).as("n_obs"),
+        when(col("n_obs").isNotNull, 1).otherwise(0).as("is_observed"),
+        last("close_value", ignoreNulls = true).over(wff).as("close_ff"))
+      .oracleSorted("user_id", "day")
+  }
+
   /** `scd2_intervals`: build a slowly-changing-dimension (type 2) history
     * from an event log — each user's event_type is treated as a mutable
     * attribute, and every CHANGE of it opens a validity interval

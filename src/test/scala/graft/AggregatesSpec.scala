@@ -163,6 +163,31 @@ class AggregatesSpec extends AnyFunSuite {
       s"marginals must re-sum to the grand total: $flagSum/$statusSum/$grand")
   }
 
+  test("agg_countmin flags all pass and estimates sit inside the eps bound (D22)") {
+    val rows = Aggregates.aggCountmin(spark, sfDir).collect()
+    assert(rows.nonEmpty, "lexicon tokens must occur in the corpus")
+    rows.foreach { r =>
+      assert(r.getInt(r.fieldIndex("over_ok")) == 1, s"underestimate at ${r.get(0)}")
+      assert(r.getInt(r.fieldIndex("merge_ok")) == 1, s"merge drift at ${r.get(0)}")
+      assert(r.getInt(r.fieldIndex("bound_ok")) == 1, s"bound blowout at ${r.get(0)}")
+      assert(r.getLong(r.fieldIndex("exact_n")) > 0)
+    }
+    // the gate checks the LAWS; pin the estimate quality here: at this
+    // corpus size the CMS width (e/eps counters) dwarfs the vocabulary, so
+    // lexicon estimates should be EXACT, not merely bounded
+    import graft.Tables
+    val toks = Tables.documents(spark, sfDir)
+      .select(explode(split(col("text"), " ")).as("token"))
+    val sk = toks.stat.countMinSketch("token", Aggregates.CmsEps, 0.99, 42)
+    val exact = toks.where(col("token").isin(graft.operators.TextOps.lexicon: _*))
+      .groupBy("token").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (t, n) =>
+      assert(sk.estimateCount(t) == n,
+        s"collision-free regime expected: $t est=${sk.estimateCount(t)} exact=$n")
+    }
+  }
+
   test("agg_corr moment formula matches built-in corr/covar_samp to 1e-6 (D17)") {
     import graft.Tables
     val got = Aggregates.aggCorr(spark, sfDir).collect()
