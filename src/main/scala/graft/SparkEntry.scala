@@ -25,6 +25,7 @@ object SparkEntry {
     "scan_csv" -> (Relational.scanCsv _),
     "scan_json" -> (Relational.scanJson _),
     "scan_orc" -> (Relational.scanOrc _),
+    "scan_nested" -> (Relational.scanNested _),
     "scan_binaryfile" -> (Relational.scanBinaryfile _),
     "scan_evolved" -> (Relational.scanEvolved _),
     "scan_partitioned" -> (Relational.scanPartitioned _),
@@ -420,6 +421,12 @@ object SparkEntry {
     // (see Relational.scanOrc — timestamps are the load-bearing column)
     "scan_orc" ->
       "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate FROM orders ORDER BY o_orderkey",
+    // both engines read the SAME staged nested files with their own
+    // struct/array parquet decoders (see Relational.scanNested)
+    "scan_nested" ->
+      (s"SELECT doc_id, meta.lang AS lang, meta.source AS source, meta.n_chars AS n_chars, " +
+      s"CAST(len(tokens) AS INT) AS n_tokens, tokens[1] AS first_token, tokens[-1] AS last_token " +
+      s"FROM read_parquet('${Relational.stagedRoot(Relational.NestedStageDir)}/documents/*.parquet') ORDER BY doc_id"),
     // oracle filters the ORIGINAL flat table — the hash match proves the
     // hive-partitioned round-trip preserved the data
     // the oracle reads the ROW form the files were staged from — the hash

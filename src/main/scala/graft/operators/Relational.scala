@@ -302,6 +302,52 @@ object Relational {
       .oracleSorted("o_orderkey")
   }
 
+  /** Fixed staging root of the nested mirror `scan_nested` reads (same
+    * `by/<digest>` + `current` indirection as `CsvStageDir`).
+    */
+  val NestedStageDir = "/tmp/graft_scan_nested"
+
+  /** Stage documents as NESTED parquet — a STRUCT metadata column and an
+    * ARRAY token column — once per (sfDir, source content). Real corpora
+    * ship nested (crawl records, request/response envelopes, span
+    * annotations); an engine that only reads flat tables makes users
+    * flatten 100 TB first.
+    */
+  private def stageNested(s: SparkSession, dir: String): Unit = synchronized {
+    withStageLock(NestedStageDir) {
+      stageInto(NestedStageDir, s"$dir|nested1|${sourceFingerprint(s"$dir/documents.parquet")}") {
+        target =>
+          Tables.documents(s, dir)
+            .select(col("doc_id"),
+              struct(col("lang"), col("source"), col("n_chars")).as("meta"),
+              split(col("text"), " ").as("tokens"))
+            .write.mode("overwrite").parquet(s"$target/documents")
+      }
+    }
+  }
+
+  /** A1⁗ `scan_nested`: nested parquet scan — STRUCT field access and
+    * ARRAY element access straight off the columnar layout. Parquet stores
+    * nested fields as separate column chunks, so `meta.lang` reads ONE
+    * leaf column, not the struct (schema pruning — asserted on ReadSchema
+    * in SourcesSpec; at 100 TB reading `meta.lang` instead of a 20-field
+    * envelope struct is the same order of win as column pruning on flat
+    * tables). The DuckDB oracle reads the SAME staged files with its own
+    * nested-parquet reader, so the hash pins both engines' struct/array
+    * decoding to value-exactness.
+    */
+  def scanNested(s: SparkSession, dir: String): DataFrame = {
+    stageNested(s, dir)
+    s.read.parquet(s"${stagedRoot(NestedStageDir)}/documents")
+      .select(col("doc_id"),
+        col("meta.lang").as("lang"), col("meta.source").as("source"),
+        col("meta.n_chars").as("n_chars"),
+        size(col("tokens")).as("n_tokens"),
+        element_at(col("tokens"), 1).as("first_token"),
+        element_at(col("tokens"), -1).as("last_token"))
+      .oracleSorted("doc_id")
+  }
+
   /** Fixed staging root of the schema-evolution mirror `scan_evolved`
     * reads (same `by/<digest>` + `current` indirection).
     */

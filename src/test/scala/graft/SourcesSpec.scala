@@ -171,6 +171,25 @@ class SourcesSpec extends AnyFunSuite {
     intercept[org.apache.spark.SparkException](failfast.collect())
   }
 
+  test("scan_nested: nested-field pruning reaches the parquet reader (A1⁗)") {
+    import org.apache.spark.sql.functions._
+    // run the registered query once so the staged mirror exists
+    val full = operators.Relational.scanNested(spark, sfDir)
+    assert(full.count() > 0)
+    // a projection touching ONLY meta.lang must prune the struct: the scan
+    // schema carries the one leaf, not source/n_chars (nor tokens)
+    val pruned = spark.read
+      .parquet(s"${operators.Relational.stagedRoot(operators.Relational.NestedStageDir)}/documents")
+      .select(col("doc_id"), col("meta.lang").as("lang"))
+    val scan = pruned.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.head
+    val schemaTxt = scan.requiredSchema.catalogString
+    assert(schemaTxt.contains("lang"), schemaTxt)
+    assert(!schemaTxt.contains("n_chars") && !schemaTxt.contains("tokens"),
+      s"nested pruning failed — struct read whole: $schemaTxt")
+  }
+
   test("parquet sink round-trips every type the engine emits (A4)") {
     import org.apache.spark.sql.functions._
     val out = "/tmp/graft_test_sink"
