@@ -60,6 +60,8 @@ object SparkEntry {
     "agg_weighted" -> (Aggregates.aggWeighted _),
     "agg_sketch_merge" -> (Aggregates.aggSketchMerge _),
     "agg_countmin" -> (Aggregates.aggCountmin _),
+    "ab_ttest" -> (Aggregates.abTtest _),
+    "agg_quantile_merge" -> (Aggregates.aggQuantileMerge _),
     "resample_ffill" -> (EventOps.resampleFfill _),
     "group_collect" -> (Aggregates.groupCollect _),
     // §2.G set ops
@@ -571,6 +573,42 @@ object SparkEntry {
       (s"WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents) " +
       s"SELECT token, count(1) AS exact_n, 1 AS over_ok, 1 AS merge_ok, 1 AS bound_ok FROM tok " +
       s"WHERE token IN ${TextOps.lexicon.map(t => s"'$t'").mkString("(", ", ", ")")} GROUP BY 1 ORDER BY token"),
+    // the full histogram-quantile construction (cent binning, per-segment
+    // summaries, counter merge, cumulative selection, error vs exact) is
+    // mirrored arithmetic — the hash checks the CONSTRUCTION, not a flag
+    "agg_quantile_merge" ->
+      ("WITH x AS (SELECT l_returnflag AS seg, CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS c FROM lineitem), " +
+      "mm AS (SELECT min(c) AS lo, max(c) AS hi, count(1) AS n_total FROM x), " +
+      "b AS (SELECT seg, CAST(floor((c - lo) * 256 / (hi - lo + 1)) AS INT) AS bin FROM x CROSS JOIN mm), " +
+      "ps AS (SELECT seg, bin, count(1) AS cnt FROM b GROUP BY 1, 2), " +
+      "mg AS (SELECT bin, sum(cnt) AS cnt FROM ps GROUP BY 1), " +
+      "dr AS (SELECT bin, count(1) AS cnt FROM b GROUP BY 1), " +
+      "mgc AS (SELECT bin, sum(cnt) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM mg), " +
+      "drc AS (SELECT bin, sum(cnt) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM dr), " +
+      "sm AS (SELECT min(CASE WHEN cum >= CAST(0.5 AS DOUBLE) * n_total THEN bin END) AS bm_50, min(CASE WHEN cum >= CAST(0.9 AS DOUBLE) * n_total THEN bin END) AS bm_90, min(CASE WHEN cum >= CAST(0.99 AS DOUBLE) * n_total THEN bin END) AS bm_99 FROM mgc CROSS JOIN mm), " +
+      "sd AS (SELECT min(CASE WHEN cum >= CAST(0.5 AS DOUBLE) * n_total THEN bin END) AS bd_50, min(CASE WHEN cum >= CAST(0.9 AS DOUBLE) * n_total THEN bin END) AS bd_90, min(CASE WHEN cum >= CAST(0.99 AS DOUBLE) * n_total THEN bin END) AS bd_99 FROM drc CROSS JOIN mm), " +
+      "ex AS (SELECT quantile_cont(c, 0.5) AS ex_50, quantile_cont(c, 0.9) AS ex_90, quantile_cont(c, 0.99) AS ex_99 FROM x), " +
+      "ww AS (SELECT lo, (hi - lo + 1) / 256 AS w FROM mm), " +
+      "u AS (SELECT CAST(0.5 AS DOUBLE) AS q, bm_50 AS bin, bd_50 AS bin_direct, ex_50 AS exc FROM sm, sd, ex " +
+      "UNION ALL SELECT CAST(0.9 AS DOUBLE), bm_90, bd_90, ex_90 FROM sm, sd, ex " +
+      "UNION ALL SELECT CAST(0.99 AS DOUBLE), bm_99, bd_99, ex_99 FROM sm, sd, ex) " +
+      "SELECT q, bin, round((lo + bin * w) / 100, 4) AS approx_q, round(exc / 100, 4) AS exact_q, " +
+      "round((lo + bin * w) / 100 - exc / 100, 4) AS err, CASE WHEN bin = bin_direct THEN 1 ELSE 0 END AS merge_ok " +
+      "FROM u CROSS JOIN ww ORDER BY q"),
+    // moment CTE chain mirrors Aggregates.abTtest term-for-term, so the
+    // doubles are bit-identical before the terminal rounding
+    "ab_ttest" ->
+      ("WITH e AS (SELECT event_type, CAST(user_id % 2 AS INT) AS variant, CAST(CAST(value AS DECIMAL(12,2)) * 100 AS DECIMAL(38,0)) AS c FROM events), " +
+      "g AS (SELECT event_type, count(1) FILTER (WHERE variant = 0) AS n0, count(1) FILTER (WHERE variant = 1) AS n1, " +
+      "CAST(sum(c) FILTER (WHERE variant = 0) AS DOUBLE) AS s1_0, CAST(sum(CAST(c * c AS DECIMAL(38,0))) FILTER (WHERE variant = 0) AS DOUBLE) AS s2_0, " +
+      "CAST(sum(c) FILTER (WHERE variant = 1) AS DOUBLE) AS s1_1, CAST(sum(CAST(c * c AS DECIMAL(38,0))) FILTER (WHERE variant = 1) AS DOUBLE) AS s2_1 FROM e GROUP BY 1), " +
+      "m AS (SELECT *, s1_0 / n0 AS mu0, s1_1 / n1 AS mu1 FROM g), " +
+      "v AS (SELECT *, (s2_0 / n0 - mu0 * mu0) * n0 / (n0 - 1) AS v0, (s2_1 / n1 - mu1 * mu1) * n1 / (n1 - 1) AS v1 FROM m), " +
+      "se AS (SELECT *, v0 / n0 AS se0, v1 / n1 AS se1, v0 / n0 + v1 / n1 AS se2 FROM v) " +
+      "SELECT event_type, n0, n1, round(mu0 / 100, 4) AS mean_a, round(mu1 / 100, 4) AS mean_b, " +
+      "round((mu1 - mu0) / sqrt(se2), 6) AS t_stat, " +
+      "round(se2 * se2 / (se0 * se0 / (n0 - 1) + se1 * se1 / (n1 - 1)), 6) AS welch_df " +
+      "FROM se ORDER BY event_type"),
     "resample_ffill" ->
       ("WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day FROM events), " +
       "d AS (SELECT user_id, day, value AS close_value, n_obs FROM (SELECT user_id, day, value, row_number() OVER (PARTITION BY user_id, day ORDER BY ts DESC, event_id DESC) AS rn, count(1) OVER (PARTITION BY user_id, day) AS n_obs FROM e) WHERE rn = 1), " +

@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.Tables
 import graft.functions.{Num, TypedAvg}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import graft.functions.OracleSort._
 import org.apache.spark.sql.functions._
 
@@ -314,6 +314,123 @@ object Aggregates {
     * overestimate (w.p. the confidence); width = ⌈e/ε⌉ counters.
     */
   val CmsEps = 0.001
+
+  /** D23 `ab_ttest` (round 7): Welch two-sample t-test per event type —
+    * the A/B-experiment readout an analytics engine owes its users, and a
+    * pure single-pass moment computation at any scale: per (type, variant)
+    * exact DECIMAL cent sums n/Σx/Σx² (associative partials — identical on
+    * 32 threads or 1000 executors), then ONE fixed double expression for
+    * mean, sample variance, t, and Welch–Satterthwaite df. The variant
+    * assignment is the deterministic hash-split discipline of `sample_split`
+    * (here `user_id % 2` — unit-of-randomization = user, the experiment
+    * rule). The oracle mirrors the same moment CTE chain, so doubles are
+    * bit-identical before the terminal rounding (statsMoments discipline).
+    */
+  def abTtest(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    def cents(c: Column): Column =
+      (c.cast(DecimalType(12, 2)) * 100).cast(DecimalType(38, 0))
+    val c = cents(col("value"))
+    val c2 = (c * c).cast(DecimalType(38, 0))
+    def side(v: Int, e: Column): Column = sum(when(col("variant") === v, e))
+    Tables.events(s, dir)
+      .select(col("event_type"), (col("user_id") % 2).cast("int").as("variant"),
+        col("value"))
+      .groupBy("event_type")
+      .agg(
+        count(when(col("variant") === 0, lit(1))).as("n0"),
+        count(when(col("variant") === 1, lit(1))).as("n1"),
+        side(0, c).cast("double").as("s1_0"), side(0, c2).cast("double").as("s2_0"),
+        side(1, c).cast("double").as("s1_1"), side(1, c2).cast("double").as("s2_1"))
+      // the shared combine — SAME expression tree as the oracle CTE
+      .withColumn("mu0", col("s1_0") / col("n0"))
+      .withColumn("mu1", col("s1_1") / col("n1"))
+      .withColumn("v0",
+        (col("s2_0") / col("n0") - col("mu0") * col("mu0")) * col("n0") / (col("n0") - 1))
+      .withColumn("v1",
+        (col("s2_1") / col("n1") - col("mu1") * col("mu1")) * col("n1") / (col("n1") - 1))
+      .withColumn("se0", col("v0") / col("n0"))
+      .withColumn("se1", col("v1") / col("n1"))
+      .withColumn("se2", col("se0") + col("se1"))
+      .select(col("event_type"), col("n0"), col("n1"),
+        round(col("mu0") / 100, 4).as("mean_a"),
+        round(col("mu1") / 100, 4).as("mean_b"),
+        round((col("mu1") - col("mu0")) / sqrt(col("se2")), 6).as("t_stat"),
+        round(col("se2") * col("se2") /
+          (col("se0") * col("se0") / (col("n0") - 1) +
+           col("se1") * col("se1") / (col("n1") - 1)), 6).as("welch_df"))
+      .oracleSorted("event_type")
+  }
+
+  /** Histogram-quantile knobs: 256 fixed bins over the observed cent range;
+    * readout quantiles. Shared with the oracle SQL via SparkEntry.
+    */
+  val QmBins = 256
+  val QmQs: Seq[Double] = Seq(0.5, 0.9, 0.99)
+  private def qn(q: Double): String = (q * 100).toInt.toString
+
+  /** D24 `agg_quantile_merge` (round 7): MERGEABLE quantile summaries — the
+    * re-aggregable path D18's exact `percentile` doesn't give you. Exact
+    * percentiles need the sorted data (or all distinct values) per query;
+    * what a 100 TB warehouse stores instead is a per-segment fixed-bin
+    * histogram (256 bins over the observed cent range), because counts
+    * re-aggregate: any segment union's quantile is answered from stored
+    * summaries by bin-count addition + one cumulative pass over ≤256 rows —
+    * no raw rescan.
+    *
+    * The gate materializes both levels: `bin` from the per-returnflag
+    * summaries MERGED, `merge_ok` = (merged ≡ one-pass direct histogram;
+    * counter-exact re-aggregation law), `approx_q` = the chosen bin's lower
+    * edge, and the signed `err` vs D18's exact interpolated percentile —
+    * every column is deterministic arithmetic mirrored in the oracle, so
+    * the whole construction (binning, merge, cumulative selection, error)
+    * is hash-checked, not just spec'd. Scale shape: one scan → per-(seg,
+    * bin) partial-agg counts; everything after runs on ≤ segments×256 rows
+    * (the bounded-window precedent of `rank_tokens`).
+    */
+  def aggQuantileMerge(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.ScalarAttach._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val B = QmBins
+    val x = Tables.lineitem(s, dir).select(col("l_returnflag").as("seg"),
+      (col("l_extendedprice").cast(DecimalType(12, 2)) * 100).cast("long").as("c"))
+    val mm = x.agg(min("c").as("lo"), max("c").as("hi"), count(lit(1)).as("n_total"))
+    val binned = x.attachScalarRow(mm)
+      .withColumn("bin",
+        floor((col("c") - col("lo")) * B / (col("hi") - col("lo") + 1)).cast("int"))
+    val perSeg = binned.groupBy("seg", "bin").agg(count(lit(1)).as("cnt")) // stored summaries
+    val merged = perSeg.groupBy("bin").agg(sum("cnt").as("cnt"))          // re-aggregation
+    val direct = binned.groupBy("bin").agg(count(lit(1)).as("cnt"))       // one-pass control
+    // bounded global window: ≤ 256 bins regardless of data size
+    def qSel(hist: DataFrame, pfx: String): DataFrame = {
+      val cum = hist.withColumn("cum", sum("cnt").over(Window.orderBy("bin")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .attachScalarRow(mm)
+      val exprs = QmQs.map(q =>
+        min(when(col("cum") >= lit(q) * col("n_total"), col("bin"))).as(s"${pfx}_${qn(q)}"))
+      cum.agg(exprs.head, exprs.tail: _*)
+    }
+    val exact = x.agg(percentile(col("c"), array(QmQs.map(lit): _*)).as("ex"))
+    qSel(merged, "bm")
+      .attachScalarRow(qSel(direct, "bd"))
+      .attachScalarRow(exact)
+      .attachScalarRow(mm)
+      .withColumn("w", (col("hi") - col("lo") + 1) / lit(B))
+      .select(explode(array(QmQs.zipWithIndex.map { case (q, i) =>
+        struct(lit(q).as("q"),
+          col(s"bm_${qn(q)}").as("bin"),
+          col(s"bd_${qn(q)}").as("bin_direct"),
+          col("ex")(i).as("exc"), col("lo"), col("w"))
+      }: _*)).as("p"))
+      .select(col("p.q"),
+        col("p.bin"),
+        round((col("p.lo") + col("p.bin") * col("p.w")) / 100, 4).as("approx_q"),
+        round(col("p.exc") / 100, 4).as("exact_q"),
+        round((col("p.lo") + col("p.bin") * col("p.w")) / 100 - col("p.exc") / 100, 4).as("err"),
+        when(col("p.bin") === col("p.bin_direct"), 1).otherwise(0).as("merge_ok"))
+      .oracleSorted("q")
+  }
 
   /** 2.G: set operations — union distinct. */
   def setopUnion(s: SparkSession, dir: String): DataFrame = {
