@@ -84,6 +84,9 @@ object SparkEntry {
     "merge_upsert" -> (Lakehouse.mergeUpsert _),
     "layout_zorder" -> (Lakehouse.layoutZorder _),
     "scd2_intervals" -> (EventOps.scd2Intervals _),
+    "dq_checks" -> (Lakehouse.dqChecks _),
+    "trend_period" -> (Windows.trendPeriod _),
+    "attribution_lasttouch" -> (EventOps.attributionLasttouch _),
     "query_q3" -> (Joins.queryQ3 _),
     // §2.E/F windows + top-k
     "window_rank" -> (Windows.windowRank _),
@@ -616,6 +619,31 @@ object SparkEntry {
       "g AS (SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day FROM sp), " +
       "j AS (SELECT g.user_id, g.day, d.close_value, coalesce(d.n_obs, 0) AS n_obs, CASE WHEN d.n_obs IS NULL THEN 0 ELSE 1 END AS is_observed FROM g LEFT JOIN d ON g.user_id = d.user_id AND g.day = d.day) " +
       "SELECT user_id, day, n_obs, is_observed, last_value(close_value IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS close_ff FROM j ORDER BY user_id, day"),
+    "trend_period" ->
+      ("WITH d AS (SELECT date_trunc('day', o_orderdate) AS day, CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS revenue, count(1) AS n_orders FROM orders GROUP BY 1), " +
+      "t AS (SELECT day, revenue, n_orders, lag(revenue, 1) OVER (ORDER BY day) AS prev_d, lag(revenue, 7) OVER (ORDER BY day) AS prev_w FROM d) " +
+      "SELECT day, revenue, n_orders, round((revenue - prev_d) / prev_d * 100, 4) AS dod_pct, round((revenue - prev_w) / prev_w * 100, 4) AS wow_pct FROM t ORDER BY day"),
+    "attribution_lasttouch" ->
+      ("WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events), " +
+      "a AS (SELECT user_id, event_id, ts, event_type, " +
+      "last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS) OVER w AS click_id, " +
+      "last_value(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS) OVER w AS click_ts " +
+      "FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) " +
+      "SELECT event_id, user_id, ts, click_id, epoch_us(click_ts) AS click_us, epoch_us(ts) - epoch_us(click_ts) AS gap_us FROM a WHERE event_type = 'purchase' ORDER BY event_id"),
+    // the fixture exercises BOTH verdicts: integrity checks hold by
+    // construction, the tight quantity rule fails at every SF (non-vacuity)
+    "dq_checks" ->
+      ("WITH o AS (SELECT CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_notnull, CAST(sum(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P') THEN 1 ELSE 0 END) AS BIGINT) AS v_accepted FROM orders), " +
+      "l AS (SELECT CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 0.1 THEN 1 ELSE 0 END) AS BIGINT) AS v_range, CAST(sum(CASE WHEN l_quantity > 40 THEN 1 ELSE 0 END) AS BIGINT) AS v_tight FROM lineitem), " +
+      "uq AS (SELECT count(*) AS v FROM (SELECT o_orderkey FROM orders GROUP BY 1 HAVING count(1) > 1)), " +
+      "fk AS (SELECT count(*) AS v FROM orders WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey)), " +
+      "u AS (SELECT 'not_null:o_custkey' AS check_name, 'orders' AS table_name, v_notnull AS violations FROM o " +
+      "UNION ALL SELECT 'accepted:o_orderstatus', 'orders', v_accepted FROM o " +
+      "UNION ALL SELECT 'range:l_discount', 'lineitem', v_range FROM l " +
+      "UNION ALL SELECT 'range:l_quantity_le_40', 'lineitem', v_tight FROM l " +
+      "UNION ALL SELECT 'unique:o_orderkey', 'orders', v FROM uq " +
+      "UNION ALL SELECT 'fk:o_custkey', 'orders', v FROM fk) " +
+      "SELECT check_name, table_name, violations, CASE WHEN violations = 0 THEN 1 ELSE 0 END AS pass FROM u ORDER BY check_name"),
     "scd2_intervals" ->
       ("WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type AS state FROM events), " +
       "b AS (SELECT user_id, event_id, ts, state, CASE WHEN lag(state, 1) OVER w IS NULL OR state <> lag(state, 1) OVER w THEN 1 ELSE 0 END AS brk FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), " +

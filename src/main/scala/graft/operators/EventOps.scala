@@ -218,6 +218,34 @@ object EventOps {
       .oracleSorted("user_id", "ts", "event_id")
   }
 
+  /** `attribution_lasttouch`: marketing attribution — credit each purchase
+    * to the user's most recent click at-or-before it. The canonical form
+    * is an as-of self-join (`join_asof` machinery); this implementation is
+    * the STRONGER plan: ONE window pass per user carrying the last-seen
+    * click forward (`last(..., ignoreNulls)` over rows-unbounded-preceding)
+    * — no self-join, no second shuffle, cost = one sort per user partition.
+    * Purchases with no prior click keep NULL attribution (never dropped —
+    * the unattributed rate is itself the metric marketers watch); the
+    * click timestamp crosses the gate as micros BIGINT (the NULL-timestamp
+    * convention of `funnel_events`).
+    */
+  def attributionLasttouch(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("click_id",
+        last(when(col("event_type") === "click", col("event_id")), ignoreNulls = true).over(w))
+      .withColumn("click_ts",
+        last(when(col("event_type") === "click", col("ts")), ignoreNulls = true).over(w))
+      .where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("click_id"),
+        unix_micros(col("click_ts")).as("click_us"),
+        (unix_micros(col("ts")) - unix_micros(col("click_ts"))).as("gap_us"))
+      .oracleSorted("event_id")
+  }
+
   /** `resample_ffill`: time-series regularization — resample each user's
     * irregular event stream onto a per-user DAILY grid (first to last
     * active day) and forward-fill gaps with the last observed close value.

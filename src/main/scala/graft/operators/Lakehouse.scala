@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.Tables
 import graft.functions.OracleSort._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Table-maintenance operators a 100 TB lakehouse runs daily: CDC upsert
@@ -57,6 +57,57 @@ object Lakehouse {
         when(col("op").isNull, "kept").when(col("op") === "U", "updated")
           .otherwise("inserted").as("src"))
       .oracleSorted("o_orderkey")
+  }
+
+  /** `dq_checks`: declarative data-quality audit — the constraint report
+    * (Deequ/dbt-test class) every lake pipeline runs before publishing a
+    * snapshot: null rates, key uniqueness, referential integrity, value
+    * ranges, accepted sets. One row per check with the measured violation
+    * count and a pass verdict; the fixture yields BOTH verdicts (the
+    * integrity checks hold by construction, the deliberately tight
+    * `l_quantity ≤ 40` rule fails at every SF), so neither branch of the
+    * verdict logic is vacuous.
+    *
+    * Scale shape — CHECK FUSION: all row-predicate checks against one
+    * table run as conditional sums in ONE scan (orders: 2 checks/scan;
+    * lineitem: 2 checks/scan), not one pass per rule — at 100 TB the audit
+    * costs one read per table plus the two structurally different checks
+    * (uniqueness = partial-agg groupBy on the key; FK = left-anti against
+    * the dimension), each itself one shuffle.
+    */
+  def dqChecks(s: SparkSession, dir: String): DataFrame = {
+    def viol(c: Column): Column = sum(when(c, 1).otherwise(0))
+    val orders = Tables.orders(s, dir)
+    val oRows = orders.agg(
+      viol(col("o_custkey").isNull).as("v_notnull"),
+      viol(!col("o_orderstatus").isin("O", "F", "P")).as("v_accepted"))
+      .select(explode(array(
+        struct(lit("not_null:o_custkey").as("check_name"),
+          lit("orders").as("table_name"), col("v_notnull").as("violations")),
+        struct(lit("accepted:o_orderstatus").as("check_name"),
+          lit("orders").as("table_name"), col("v_accepted").as("violations")))).as("p"))
+      .select("p.*")
+    val lRows = Tables.lineitem(s, dir).agg(
+      viol(col("l_discount") < 0 || col("l_discount") > 0.1).as("v_range"),
+      viol(col("l_quantity") > 40).as("v_tight"))
+      .select(explode(array(
+        struct(lit("range:l_discount").as("check_name"),
+          lit("lineitem").as("table_name"), col("v_range").as("violations")),
+        struct(lit("range:l_quantity_le_40").as("check_name"),
+          lit("lineitem").as("table_name"), col("v_tight").as("violations")))).as("p"))
+      .select("p.*")
+    val uq = orders.groupBy("o_orderkey").agg(count(lit(1)).as("n"))
+      .where(col("n") > 1).agg(count(lit(1)).as("violations"))
+      .select(lit("unique:o_orderkey").as("check_name"),
+        lit("orders").as("table_name"), col("violations"))
+    val fk = orders
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"), "left_anti")
+      .agg(count(lit(1)).as("violations"))
+      .select(lit("fk:o_custkey").as("check_name"),
+        lit("orders").as("table_name"), col("violations"))
+    oRows.unionByName(lRows).unionByName(uq).unionByName(fk)
+      .withColumn("pass", when(col("violations") === 0, 1).otherwise(0))
+      .oracleSorted("check_name")
   }
 
   /** Bits interleaved per dimension for the Z-order key (dims fit 16 bits

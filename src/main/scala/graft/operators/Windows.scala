@@ -110,6 +110,32 @@ object Windows {
       .oracleSorted("o_custkey", "o_orderdate", "o_orderkey")
   }
 
+  /** E8 `trend_period` (round 7): period-over-period trend — the BI
+    * readout behind every "revenue vs yesterday / vs last week" tile.
+    * Day-grain revenue (exact decimals), then day-over-day and 7-day
+    * deltas as percentages via `lag` over the day axis.
+    *
+    * The lag window is global but runs POST-AGGREGATION over ≤ calendar
+    * days (the `rank_tokens` bounded-window justification — the heavy
+    * work is the partial-agg groupBy, whose shuffle carries one row per
+    * day per task). First-day/week rows carry NULL pcts (no prior
+    * period) — numeric NULLs cross the gate fine.
+    */
+  def trendPeriod(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy("day")
+    Tables.orders(s, dir)
+      .groupBy(date_trunc("DAY", col("o_orderdate")).as("day"))
+      .agg(graft.functions.Num.money(
+          sum(graft.functions.Num.dec2(col("o_totalprice")))).as("revenue"),
+        count(lit(1)).as("n_orders"))
+      .withColumn("prev_d", lag("revenue", 1).over(w))
+      .withColumn("prev_w", lag("revenue", 7).over(w))
+      .select(col("day"), col("revenue"), col("n_orders"),
+        round((col("revenue") - col("prev_d")) / col("prev_d") * 100, 4).as("dod_pct"),
+        round((col("revenue") - col("prev_w")) / col("prev_w") * 100, 4).as("wow_pct"))
+      .oracleSorted("day")
+  }
+
   /** F3: global top-k — plans as TakeOrderedAndProject (asserted in spec). */
   def topk(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir)
