@@ -54,6 +54,7 @@ object SparkEntry {
     "agg_cube" -> (Aggregates.aggCube _),
     "agg_typed" -> (Aggregates.aggTyped _),
     "agg_pivot" -> (Aggregates.aggPivot _),
+    "unpivot_long" -> (Aggregates.unpivotLong _),
     "agg_groupingsets" -> (Aggregates.aggGroupingSets _),
     "agg_corr" -> (Aggregates.aggCorr _),
     "agg_percentile" -> (Aggregates.aggPercentile _),
@@ -80,6 +81,7 @@ object SparkEntry {
     "join_range" -> (Joins.joinRange _),
     "join_bucketed" -> (Joins.joinBucketed _),
     "join_bloom" -> (Joins.joinBloom _),
+    "join_fuzzy" -> (Joins.joinFuzzy _),
     // lakehouse table maintenance
     "merge_upsert" -> (Lakehouse.mergeUpsert _),
     "layout_zorder" -> (Lakehouse.layoutZorder _),
@@ -619,6 +621,19 @@ object SparkEntry {
       "g AS (SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day FROM sp), " +
       "j AS (SELECT g.user_id, g.day, d.close_value, coalesce(d.n_obs, 0) AS n_obs, CASE WHEN d.n_obs IS NULL THEN 0 ELSE 1 END AS is_observed FROM g LEFT JOIN d ON g.user_id = d.user_id AND g.day = d.day) " +
       "SELECT user_id, day, n_obs, is_observed, last_value(close_value IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS close_ff FROM j ORDER BY user_id, day"),
+    // brute-force all-pairs oracle vs the deletion-neighborhood blocking:
+    // the hash match IS the recall-1.0 proof (see Joins.joinFuzzy)
+    "join_fuzzy" ->
+      ("SELECT a.c_custkey AS key_a, b.c_custkey AS key_b, a.c_name AS name_a, b.c_name AS name_b, " +
+      "CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist " +
+      "FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey AND levenshtein(a.c_name, b.c_name) <= 1 " +
+      "ORDER BY key_a, key_b"),
+    "unpivot_long" ->
+      ("WITH x AS (SELECT l_orderkey, l_quantity, l_extendedprice, l_discount, l_tax FROM lineitem WHERE l_linenumber = 1) " +
+      "SELECT l_orderkey, 'l_quantity' AS measure, l_quantity AS value FROM x " +
+      "UNION ALL SELECT l_orderkey, 'l_extendedprice', l_extendedprice FROM x " +
+      "UNION ALL SELECT l_orderkey, 'l_discount', l_discount FROM x " +
+      "UNION ALL SELECT l_orderkey, 'l_tax', l_tax FROM x ORDER BY l_orderkey, measure"),
     "trend_period" ->
       ("WITH d AS (SELECT date_trunc('day', o_orderdate) AS day, CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS revenue, count(1) AS n_orders FROM orders GROUP BY 1), " +
       "t AS (SELECT day, revenue, n_orders, lag(revenue, 1) OVER (ORDER BY day) AS prev_d, lag(revenue, 7) OVER (ORDER BY day) AS prev_w FROM d) " +

@@ -362,6 +362,25 @@ object Aggregates {
       .oracleSorted("event_type")
   }
 
+  /** D15′ `unpivot_long` (round 7): the inverse of D15's pivot — melt wide
+    * measure columns into long (measure, value) rows, the reshape every
+    * metrics store / plotting layer asks for. `unpivot` is a NARROW
+    * generator-style expansion (rows × |measures|, zero shuffle before the
+    * oracle sort) — the 100 TB cost is the output volume itself, which is
+    * why the fixture takes the one-line-per-order slice. The oracle is the
+    * UNION-ALL expansion, pinning both the stacking and the
+    * measure-name/value binding.
+    */
+  def unpivotLong(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .where(col("l_linenumber") === 1)
+      .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"),
+        col("l_discount"), col("l_tax"))
+      .unpivot(Array(col("l_orderkey")),
+        Array(col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax")),
+        "measure", "value")
+      .oracleSorted("l_orderkey", "measure")
+
   /** Histogram-quantile knobs: 256 fixed bins over the observed cent range;
     * readout quantiles. Shared with the oracle SQL via SparkEntry.
     */

@@ -392,6 +392,39 @@ object Joins {
       .oracleSorted("o_month")
   }
 
+  /** C11 `join_fuzzy` (round 7): edit-distance similarity join — fuzzy
+    * entity matching (dedup of names/addresses across sources), the string
+    * sibling of the embedding near-dup family. The naive encoding is an
+    * all-pairs `levenshtein ≤ k` theta-join — quadratic, the 100 TB failure
+    * mode PlanSweepSpec bans. Scalable shape (FastSS deletion
+    * neighborhoods): explode each name into its |name| delete-one-char
+    * variants; two names at substitution distance 1 share the variant that
+    * deletes the differing position, so candidates come from a plain
+    * EQUI-join on the variant string; `levenshtein` verifies exactly, and
+    * key_a < key_b + distinct canonicalize the pair set. Cost ∝ names ×
+    * |name| candidates, never names².
+    *
+    * The DuckDB oracle is the BRUTE-FORCE all-pairs join — the hash match
+    * proves the blocking finds exactly the quadratic answer (recall 1.0
+    * for the substitution-distance-1 class; fixed-length names make that
+    * the whole ≤1 class here).
+    */
+  def joinFuzzy(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir).select(col("c_custkey"), col("c_name"))
+    def variants(d: DataFrame, pfx: String): DataFrame = d.select(
+      col("c_custkey").as(s"key_$pfx"), col("c_name").as(s"name_$pfx"),
+      explode(expr("transform(sequence(1, length(c_name)), " +
+        "i -> concat(substring(c_name, 1, i - 1), substring(c_name, i + 1, length(c_name))))"))
+        .as(s"v_$pfx"))
+    variants(c, "a").join(variants(c, "b"),
+        col("v_a") === col("v_b") && col("key_a") < col("key_b"))
+      .select(col("key_a"), col("key_b"), col("name_a"), col("name_b"),
+        levenshtein(col("name_a"), col("name_b")).as("dist"))
+      .where(col("dist") <= 1)
+      .distinct()
+      .oracleSorted("key_a", "key_b")
+  }
+
   /** Left outer join preserving customers with zero orders (count of a
     * nullable column counts only matches).
     */
