@@ -94,6 +94,34 @@ object LawsCheck extends Properties("graft.laws") {
         all.forall(s => !s.start.after(s.last))
     }
 
+  property("bloom probe never false-negative over random key sets (C10)") =
+    Prop.forAll(Gen.listOfN(50, Gen.long), Gen.chooseNum(1, Int.MaxValue)) { (keys, seed) =>
+      val ks = keys.distinct
+      val df = ks.toDF("k")
+      val bf = df.stat.bloomFilter("k", math.max(ks.size.toLong, 1L), 0.03)
+      // probe via the codegen'd Expression path, not the sketch API
+      val kept = df.where(graft.plans.BloomProbe.probe(col("k"), bf)).count()
+      kept == ks.size.toLong
+    }
+
+  property("deletion-neighborhood blocking finds every substitution-distance-1 pair (C11)") =
+    Prop.forAll(Gen.listOfN(6, Gen.listOfN(6, Gen.oneOf('a', 'b', 'c'))).map(_.map(_.mkString))) { names =>
+      val uniq = names.distinct
+      // brute force over the tiny universe
+      def lev1(x: String, y: String) = x.length == y.length &&
+        x.zip(y).count { case (p, q) => p != q } == 1
+      val brute = (for {
+        a <- uniq; b <- uniq if a < b && lev1(a, b)
+      } yield (a, b)).toSet
+      val blocked = (for {
+        a <- uniq; b <- uniq if a < b
+        va = a.indices.map(i => (i, a.take(i) + a.drop(i + 1)))
+        vb = b.indices.map(i => (i, b.take(i) + b.drop(i + 1)))
+        if va.intersect(vb).nonEmpty && lev1(a, b)
+      } yield (a, b)).toSet
+      blocked == brute
+    }
+
   property("BMP codec round-trip: decode(encode(raw)) fields match the container arithmetic") =
     Prop.forAll(Gen.chooseNum(1, 8192), Gen.long) { (n, seed) =>
       val rnd = new scala.util.Random(seed)
