@@ -170,6 +170,8 @@ object SparkEntry {
     "kmeans_clusters" -> (VectorOps.kmeansClusters _),
     "kmeans_assign" -> (VectorOps.kmeansAssign _),
     "kmeans_iter1" -> (VectorOps.kmeansIter1 _),
+    // §2.I′ iterative graph dataflow
+    "graph_pagerank" -> (GraphOps.graphPagerank _),
   )
 
   // ---- shared DuckDB oracle fragments (kept in sync with the Scala
@@ -621,6 +623,22 @@ object SparkEntry {
       "g AS (SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day FROM sp), " +
       "j AS (SELECT g.user_id, g.day, d.close_value, coalesce(d.n_obs, 0) AS n_obs, CASE WHEN d.n_obs IS NULL THEN 0 ELSE 1 END AS is_observed FROM g LEFT JOIN d ON g.user_id = d.user_id AND g.day = d.day) " +
       "SELECT user_id, day, n_obs, is_observed, last_value(close_value IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS close_ff FROM j ORDER BY user_id, day"),
+    // integer-mass PageRank: the recursive CTE replays the IDENTICAL
+    // 15-step trajectory (floors provably engine-exact — GraphOps.PrMass0),
+    // so the full fixed point is hash-gated, not just one step
+    "graph_pagerank" ->
+      (s"WITH RECURSIVE tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents), " +
+      "p0 AS (SELECT ts, unnest(generate_series(1, len(ts) - 1)) AS i FROM tok WHERE len(ts) > 1), " +
+      "pairs AS (SELECT DISTINCT ts[i] AS src, ts[i+1] AS dst FROM p0), " +
+      "nodes AS (SELECT DISTINCT unnest(ts) AS token FROM tok), " +
+      "deg AS (SELECT src, count(1) AS outdeg FROM pairs GROUP BY 1), " +
+      "eplus AS (SELECT src, dst, 1 AS w FROM pairs UNION ALL SELECT token, token, 0 FROM nodes), " +
+      s"pr AS (SELECT token, CAST(${GraphOps.PrMass0} AS BIGINT) AS mass, 0 AS iter FROM nodes " +
+      "UNION ALL SELECT e.dst AS token, " +
+      s"CAST(${GraphOps.PrBase} + floor(sum(CAST(floor(p.mass / coalesce(d.outdeg, 1)) AS BIGINT) * e.w) * 85 / 100) AS BIGINT) AS mass, " +
+      "min(p.iter) + 1 AS iter FROM pr p JOIN eplus e ON e.src = p.token LEFT JOIN deg d ON d.src = p.token " +
+      s"WHERE p.iter < ${GraphOps.PrIters} GROUP BY e.dst) " +
+      s"SELECT token, mass, CAST(rank() OVER (ORDER BY mass DESC, token) AS INT) AS rnk FROM pr WHERE iter = ${GraphOps.PrIters} ORDER BY mass DESC, token"),
     // brute-force all-pairs oracle vs the deletion-neighborhood blocking:
     // the hash match IS the recall-1.0 proof (see Joins.joinFuzzy)
     "join_fuzzy" ->

@@ -1,0 +1,84 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.LineageCut._
+import graft.functions.OracleSort._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Graph dataflow (§2.I′ — iterative beyond k-means).
+  *
+  * The reference's iterative loop is k-means over score vectors
+  * [ref: stackoverflow/…/StackOverflow.scala#kmeans]; PageRank is the other
+  * canonical fixed-point the big-data curriculum builds on the same
+  * machinery (re-rank from neighbors until stable). Same engine discipline
+  * as `kmeans_clusters`/`dedup_cluster`: a driver-coordinated loop over
+  * DataFrames with a lineage cut per iteration, every per-iteration step a
+  * plain join + partial aggregation.
+  */
+object GraphOps {
+
+  /** Fixed iteration count — pinned (not convergence-gated) so the DuckDB
+    * recursive-CTE oracle replays the identical trajectory.
+    */
+  val PrIters = 15
+
+  /** Initial integer mass per node and the 15% teleport share of it.
+    * INTEGER mass is the determinism trick: every update is
+    * `base + ⌊(Σ ⌊mass/outdeg⌋·w) · 85 / 100⌋` — all operands stay exact
+    * in both engines' arithmetic (products ≤ 2.6e15 < 2^53, and a
+    * non-exact quotient is ≥ 1/outdeg ≥ 1/100 away from an integer while
+    * the double error is < 0.005, so the floors can never disagree) — the
+    * 15-step trajectory is hash-identical, not approximately equal.
+    */
+  val PrMass0 = 1000000000000L
+  val PrBase: Long = PrMass0 * 15 / 100
+
+  /** `graph_pagerank`: PageRank over the token-transition graph of the
+    * corpus (src = token, dst = its successor within a document; distinct,
+    * unweighted). Per iteration each node splits its mass uniformly over
+    * its out-edges, keeps nothing (dangling mass exits, a documented
+    * choice both engines share), and every node receives the 15% teleport
+    * base — expressed as ONE join + partial-agg groupBy per step over an
+    * `eplus` edge table that carries a weight-0 self-loop per node, so
+    * isolated/no-inbound nodes keep a row without a second pass (the same
+    * single-reference shape the recursive oracle needs).
+    *
+    * Scale: node/edge tables here are vocabulary-sized, but the loop body
+    * is the general shuffle-by-dst shape — at web scale each iteration is
+    * one shuffle ∝ |edges|, the textbook cost; lineage is cut per
+    * iteration so plan analysis stays linear in step count.
+    */
+  def graphPagerank(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("ts"))
+    val pairs = toks.where(size(col("ts")) > 1)
+      .select(explode(arrays_zip(
+        slice(col("ts"), lit(1), size(col("ts")) - 1),
+        slice(col("ts"), lit(2), size(col("ts")) - 1))).as("p"))
+      .select(col("p.0").as("src"), col("p.1").as("dst"))
+      .distinct()
+    val nodes = toks.select(explode(col("ts")).as("token")).distinct()
+    val deg = pairs.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val eplus = pairs.withColumn("w", lit(1))
+      .unionByName(nodes.select(col("token").as("src"), col("token").as("dst"), lit(0).as("w")))
+      .join(deg, Seq("src"), "left")
+      .withColumn("outdeg", coalesce(col("outdeg"), lit(1L)))
+      .lineageCut(eager = false)
+
+    var pr = nodes.select(col("token"), lit(PrMass0).as("mass"))
+    for (_ <- 1 to PrIters) {
+      pr = eplus.join(pr, col("src") === col("token"))
+        .select(col("dst"),
+          (floor(col("mass") / col("outdeg")).cast("long") * col("w")).as("c"))
+        .groupBy("dst")
+        .agg((lit(PrBase) + floor(sum("c") * 85 / 100).cast("long")).as("mass"))
+        .withColumnRenamed("dst", "token")
+        .lineageCut(eager = false)
+    }
+    pr.withColumn("rnk",
+        rank().over(org.apache.spark.sql.expressions.Window
+          .orderBy(desc("mass"), asc("token"))).cast("int"))
+      .oracleSorted(desc("mass"), asc("token"))
+  }
+}
