@@ -82,6 +82,17 @@ object ScaleGen {
         col("o_orderpriority")),
       "orders")
 
+    // customer: key-shifted replicas so orders' o_custkey offsets keep
+    // resolving (FK integrity preserved at every factor — dq_checks runs
+    // unchanged); name/address replicate verbatim, which deliberately makes
+    // the 10× fixture carry exact-duplicate names — fine for every query
+    // except join_fuzzy, whose output is then quadratic in the factor (a
+    // data property, not an engine one; excluded from the scale table)
+    write(replicated(Tables.customer(spark, src), factor)
+      .select(off("c_custkey") +:
+        Tables.customer(spark, src).columns.filter(_ != "c_custkey").map(col): _*),
+      "customer")
+
     write(replicated(Tables.events(spark, src), factor)
       .select(off("event_id"), col("ts"), off("user_id"),
         col("event_type"), col("value"), col("props")),
