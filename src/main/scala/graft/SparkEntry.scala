@@ -63,6 +63,9 @@ object SparkEntry {
     "agg_countmin" -> (Aggregates.aggCountmin _),
     "ab_ttest" -> (Aggregates.abTtest _),
     "agg_quantile_merge" -> (Aggregates.aggQuantileMerge _),
+    "agg_regression" -> (Aggregates.aggRegression _),
+    "agg_entropy" -> (Aggregates.aggEntropy _),
+    "agg_stringagg" -> (Aggregates.aggStringagg _),
     "resample_ffill" -> (EventOps.resampleFfill _),
     "group_collect" -> (Aggregates.groupCollect _),
     // §2.G set ops
@@ -84,6 +87,7 @@ object SparkEntry {
     "join_fuzzy" -> (Joins.joinFuzzy _),
     // lakehouse table maintenance
     "merge_upsert" -> (Lakehouse.mergeUpsert _),
+    "cdc_changefeed" -> (Lakehouse.cdcChangefeed _),
     "layout_zorder" -> (Lakehouse.layoutZorder _),
     "scd2_intervals" -> (EventOps.scd2Intervals _),
     "dq_checks" -> (Lakehouse.dqChecks _),
@@ -109,6 +113,7 @@ object SparkEntry {
     "funnel_events" -> (EventOps.funnelEvents _),
     "stream_funnel" -> (graft.streaming.StatefulOps.streamFunnel _),
     "event_retention" -> (EventOps.eventRetention _),
+    "anomaly_mad" -> (EventOps.anomalyMad _),
     "stream_stateful" -> (graft.streaming.StatefulOps.streamStateful _),
     "stream_sessionize" -> (graft.streaming.StatefulOps.streamSessionize _),
     "stream_topn_state" -> (graft.streaming.StatefulOps.streamTopnState _),
@@ -148,6 +153,7 @@ object SparkEntry {
     "pack_sequences" -> (TextOps.packSequences _),
     "sample_stratified" -> (VectorOps.sampleStratified _),
     "sample_hash" -> (Relational.sampleHash _),
+    "sample_reservoir" -> (Relational.sampleReservoir _),
     "sample_mix" -> (Relational.sampleMix _),
     "sample_split" -> (Relational.sampleSplit _),
     "stats_profile" -> (Relational.statsProfile _),
@@ -172,6 +178,7 @@ object SparkEntry {
     "kmeans_iter1" -> (VectorOps.kmeansIter1 _),
     // §2.I′ iterative graph dataflow
     "graph_pagerank" -> (GraphOps.graphPagerank _),
+    "graph_bfs" -> (GraphOps.graphBfs _),
   )
 
   // ---- shared DuckDB oracle fragments (kept in sync with the Scala
@@ -186,6 +193,17 @@ object SparkEntry {
     "o AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value, lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM events), " +
       "b AS (SELECT *, CASE WHEN prev_ts IS NULL OR ts - prev_ts >= INTERVAL '10 minutes' THEN 1 ELSE 0 END AS brk FROM o), " +
       "sa AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM b)"
+
+  /** Base-snapshot + CDC-batch CTEs shared by `merge_upsert` (apply the
+    * feed) and `cdc_changefeed` (derive the feed) — ONE definition, so a
+    * fixture edit breaks both gates or neither (mirrors
+    * Lakehouse.ordersBase/mergedSnapshot).
+    */
+  private val cdcSnapshotCtes: String =
+    "base AS (SELECT o_orderkey AS key, o_custkey, o_totalprice AS val FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01'), " +
+      "changes AS (SELECT key, o_custkey AS c_custkey, val + 100.0 AS c_val, 'U' AS op FROM base WHERE key % 7 = 3 AND key % 13 <> 5 " +
+      "UNION ALL SELECT key, o_custkey, val, 'D' FROM base WHERE key % 13 = 5 " +
+      "UNION ALL SELECT -key, o_custkey, val, 'I' FROM base WHERE key % 11 = 4)"
 
   /** Funnel oracle shared by `funnel_events` (join-chain form) and
     * `stream_funnel` (mapGroupsWithState form) — the two implementations
@@ -536,6 +554,37 @@ object SparkEntry {
       "FROM lineitem GROUP BY 1) " +
       "SELECT l_returnflag, n, round((n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS corr_qty_price, " +
       "round((sxy - sx * sy / n) / (n - 1), 4) AS covar_qty_price FROM m ORDER BY l_returnflag"),
+    // moment CTE mirrors Aggregates.aggRegression term-for-term (the D17
+    // discipline): exact DECIMAL sums → one shared double combine
+    "agg_regression" ->
+      ("WITH m AS (SELECT l_returnflag, count(1) AS n, " +
+      "CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sx, " +
+      "CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sy, " +
+      "CAST(sum(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sxx, " +
+      "CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS syy, " +
+      "CAST(sum(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sxy " +
+      "FROM lineitem GROUP BY 1), " +
+      "c AS (SELECT *, n * sxy - sx * sy AS cov_n, n * sxx - sx * sx AS var_n FROM m), " +
+      "sl AS (SELECT *, cov_n / var_n AS slope_raw FROM c) " +
+      "SELECT l_returnflag, n, round(slope_raw, 6) AS slope, " +
+      "round((sy - slope_raw * sx) / n, 4) AS intercept, " +
+      "round(cov_n * cov_n / (var_n * (n * syy - sy * sy)), 6) AS r2 " +
+      "FROM sl ORDER BY l_returnflag"),
+    // per-group ln terms cross the sum as exact DECIMAL(28,18) (the
+    // text_logprob discipline) so partial-merge order can't move the hash
+    "agg_entropy" ->
+      ("WITH g AS (SELECT source, lang, count(1) AS ni FROM documents GROUP BY 1, 2), " +
+      "e AS (SELECT source, CAST(sum(ni) AS BIGINT) AS n_docs, CAST(count(1) AS INT) AS n_langs, " +
+      "CAST(sum(CAST(CAST(ni AS DOUBLE) * ln(CAST(ni AS DOUBLE)) AS DECIMAL(28,18))) AS DOUBLE) AS snln FROM g GROUP BY 1) " +
+      "SELECT source, n_docs, n_langs, " +
+      "round(ln(CAST(n_docs AS DOUBLE)) - snln / n_docs, 6) AS entropy, " +
+      "round((ln(CAST(n_docs AS DOUBLE)) - snln / n_docs) / ln(CAST(n_langs AS DOUBLE)), 6) AS norm_entropy " +
+      "FROM e ORDER BY source"),
+    "agg_stringagg" ->
+      ("SELECT r_name, CAST(count(1) AS INT) AS n_nations, " +
+      "string_agg(n_name, ',' ORDER BY n_name) AS nations " +
+      "FROM nation JOIN region ON n_regionkey = r_regionkey " +
+      "GROUP BY r_name ORDER BY r_name"),
     "setop_union" ->
       "SELECT user_id FROM events WHERE event_type = 'click' UNION SELECT user_id FROM events WHERE event_type = 'view' ORDER BY user_id",
     // day grain, not user grain: every user does every event type, so the
@@ -556,14 +605,22 @@ object SparkEntry {
     // merge as one full-outer join — all four verdict classes (kept /
     // updated / deleted / inserted) sit in one hash (see Lakehouse.mergeUpsert)
     "merge_upsert" ->
-      ("WITH base AS (SELECT o_orderkey AS key, o_custkey, o_totalprice AS val FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01'), " +
-      "changes AS (SELECT key, o_custkey AS c_custkey, val + 100.0 AS c_val, 'U' AS op FROM base WHERE key % 7 = 3 AND key % 13 <> 5 " +
-      "UNION ALL SELECT key, o_custkey, val, 'D' FROM base WHERE key % 13 = 5 " +
-      "UNION ALL SELECT -key, o_custkey, val, 'I' FROM base WHERE key % 11 = 4) " +
+      (s"WITH $cdcSnapshotCtes " +
       "SELECT coalesce(b.key, c.key) AS o_orderkey, coalesce(b.o_custkey, c.c_custkey) AS o_custkey, " +
       "CASE WHEN c.op IN ('U', 'I') THEN c.c_val ELSE b.val END AS o_totalprice, " +
       "CASE WHEN c.op IS NULL THEN 'kept' WHEN c.op = 'U' THEN 'updated' ELSE 'inserted' END AS src " +
       "FROM base b FULL OUTER JOIN changes c ON b.key = c.key WHERE coalesce(c.op, '') <> 'D' ORDER BY o_orderkey"),
+    // diff of the SAME two snapshots merge_upsert relates (CTEs shared via
+    // cdcSnapshotCtes — the apply and derive directions can't drift)
+    "cdc_changefeed" ->
+      (s"WITH $cdcSnapshotCtes, " +
+      "merged AS (SELECT coalesce(b.key, c.key) AS key, CASE WHEN c.op IN ('U', 'I') THEN c.c_val ELSE b.val END AS val " +
+      "FROM base b FULL OUTER JOIN changes c ON b.key = c.key WHERE coalesce(c.op, '') <> 'D'), " +
+      "d AS (SELECT coalesce(a.key, m.key) AS o_orderkey, " +
+      "CASE WHEN m.key IS NULL THEN 'delete' WHEN a.key IS NULL THEN 'insert' WHEN a.val <> m.val THEN 'update' END AS op, " +
+      "a.val AS before_val, m.val AS after_val " +
+      "FROM base a FULL OUTER JOIN merged m ON a.key = m.key) " +
+      "SELECT o_orderkey, op, before_val, after_val FROM d WHERE op IS NOT NULL ORDER BY o_orderkey"),
     // the interleave expression text is single-sourced from
     // Lakehouse.zInterleaveSql (both engines parse the same `>> & <<`
     // arithmetic); min/max of the RAW dims pins the region geometry
@@ -616,6 +673,16 @@ object SparkEntry {
       "round((mu1 - mu0) / sqrt(se2), 6) AS t_stat, " +
       "round(se2 * se2 / (se0 * se0 / (n0 - 1) + se1 * se1 / (n1 - 1)), 6) AS welch_df " +
       "FROM se ORDER BY event_type"),
+    // integer-cents medians are dyadic-exact, so the flagged row set (not
+    // just a rounded score) hash-matches — see EventOps.anomalyMad
+    "anomaly_mad" ->
+      ("WITH c AS (SELECT event_type, event_id, value, CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS x FROM events), " +
+      "m AS (SELECT event_type, median(x) AS med FROM c GROUP BY 1), " +
+      "j AS (SELECT c.event_type, event_id, value, x, med, abs(x - med) AS adev FROM c JOIN m USING (event_type)), " +
+      "m2 AS (SELECT event_type, median(adev) AS mad FROM j GROUP BY 1) " +
+      "SELECT j.event_type, event_id, value, round(med / 100, 2) AS med_val, round(mad / 100, 2) AS mad_val, " +
+      "round(adev / (1.4826 * mad), 4) AS robust_z " +
+      "FROM j JOIN m2 USING (event_type) WHERE adev > 3 * 1.4826 * mad ORDER BY event_type, event_id"),
     "resample_ffill" ->
       ("WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day FROM events), " +
       "d AS (SELECT user_id, day, value AS close_value, n_obs FROM (SELECT user_id, day, value, row_number() OVER (PARTITION BY user_id, day ORDER BY ts DESC, event_id DESC) AS rn, count(1) OVER (PARTITION BY user_id, day) AS n_obs FROM e) WHERE rn = 1), " +
@@ -639,6 +706,19 @@ object SparkEntry {
       "min(p.iter) + 1 AS iter FROM pr p JOIN eplus e ON e.src = p.token LEFT JOIN deg d ON d.src = p.token " +
       s"WHERE p.iter < ${GraphOps.PrIters} GROUP BY e.dst) " +
       s"SELECT token, mass, CAST(rank() OVER (ORDER BY mass DESC, token) AS INT) AS rnk FROM pr WHERE iter = ${GraphOps.PrIters} ORDER BY mass DESC, token"),
+    // the recursive member explores every ≤k-hop path; min(dist) over the
+    // deduped (token, dist) set equals BFS first-reach depth — integer
+    // distances, so the whole bounded trajectory is hash-gated
+    "graph_bfs" ->
+      ("WITH RECURSIVE tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents), " +
+      "p0 AS (SELECT ts, unnest(generate_series(1, len(ts) - 1)) AS i FROM tok WHERE len(ts) > 1), " +
+      "pairs AS (SELECT DISTINCT ts[i] AS src, ts[i+1] AS dst FROM p0), " +
+      "nodes AS (SELECT src AS token FROM pairs UNION SELECT dst FROM pairs), " +
+      s"seeds AS (SELECT token FROM nodes WHERE token IN ${TextOps.lexicon.map(t => s"'$t'").mkString("(", ", ", ")")}), " +
+      "r AS (SELECT token, 0 AS dist FROM seeds " +
+      "UNION SELECT p.dst, r.dist + 1 FROM r JOIN pairs p ON p.src = r.token " +
+      s"WHERE r.dist < ${GraphOps.BfsMaxHops}) " +
+      "SELECT token, CAST(min(dist) AS INT) AS dist FROM r GROUP BY token ORDER BY token"),
     // brute-force all-pairs oracle vs the deletion-neighborhood blocking:
     // the hash match IS the recall-1.0 proof (see Joins.joinFuzzy)
     "join_fuzzy" ->
@@ -894,6 +974,10 @@ object SparkEntry {
       s"SELECT doc_id, shard, n_tokens, start_off, start_off // ${TextOps.PackCapacity} AS seq_id FROM o ORDER BY doc_id"),
     "sample_hash" ->
       s"WITH h AS (SELECT doc_id, lang, source, ${saltedBucketSql("graft")} AS bucket FROM documents) SELECT doc_id, lang, source, bucket FROM h WHERE bucket < ${Relational.SamplePct} ORDER BY doc_id",
+    "sample_reservoir" ->
+      (s"WITH h AS (SELECT doc_id, lang, source, CAST(('0x' || substr(md5('res:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hkey FROM documents), " +
+      s"t AS (SELECT * FROM h ORDER BY hkey, doc_id LIMIT ${Relational.ReservoirK}) " +
+      "SELECT doc_id, lang, source, hkey, CAST(row_number() OVER (ORDER BY hkey, doc_id) AS INT) AS sample_rank FROM t ORDER BY doc_id"),
     "sample_mix" ->
       (s"WITH h AS (SELECT doc_id, lang, source, ${saltedBucketSql("mix")} AS bucket, " +
       s"$mixCaseSql AS keep_pct FROM documents) " +

@@ -559,4 +559,90 @@ object Aggregates {
           .as("covar_qty_price"))
       .oracleSorted("l_returnflag")
   }
+
+  /** D25 `agg_regression` (round 7): per-group ordinary-least-squares fit —
+    * slope / intercept / R² of extended price against quantity per return
+    * flag. The regression a pricing or drift analysis runs is a pure
+    * moment computation, so it inherits `aggCorr`'s scale argument
+    * unchanged: the six sums are exact DECIMAL partials (associative —
+    * identical on local[32] and 1000 executors; shuffle ∝ groups, never
+    * rows), and the closed-form combine is one fixed double expression
+    * per group. `regr_slope`/`regr_intercept` built-ins stream doubles
+    * through merge-order-dependent partials — same reason `corr()` is
+    * avoided in D17. Terminal rounding (6/4) absorbs DuckDB's
+    * double-rounded DECIMAL→DOUBLE cast (one-ulp, observed in D17).
+    */
+  def aggRegression(s: SparkSession, dir: String): DataFrame = {
+    val (x, y) = (Num.dec2(col("l_quantity")), Num.dec2(col("l_extendedprice")))
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(x).cast("double").as("sx"),
+        sum(y).cast("double").as("sy"),
+        sum(x * x).cast("double").as("sxx"),
+        sum(y * y).cast("double").as("syy"),
+        sum(x * y).cast("double").as("sxy"))
+      .withColumn("cov_n", col("n") * col("sxy") - col("sx") * col("sy"))
+      .withColumn("var_n", col("n") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("slope_raw", col("cov_n") / col("var_n"))
+      .select(
+        col("l_returnflag"), col("n"),
+        round(col("slope_raw"), 6).as("slope"),
+        round((col("sy") - col("slope_raw") * col("sx")) / col("n"), 4).as("intercept"),
+        round(col("cov_n") * col("cov_n") /
+          (col("var_n") * (col("n") * col("syy") - col("sy") * col("sy"))), 6).as("r2"))
+      .oracleSorted("l_returnflag")
+  }
+
+  /** D26 `agg_entropy` (round 7): Shannon entropy of the language mix per
+    * source shard — the corpus-diversity diagnostic a data-mixture
+    * experiment watches (a shard whose entropy collapses is feeding the
+    * model one language). H = ln N − (Σ nᵢ·ln nᵢ)/N over the per-(source,
+    * lang) counts nᵢ, so the float work is one ln per GROUP (not per row)
+    * and the cross-group sum goes through exact DECIMAL(28,18) — the
+    * `text_logprob` discipline — making the result independent of which
+    * executor merged which partial. Scale: two chained partial-agg
+    * groupBys, shuffle ∝ |source × lang| then |source|, never rows.
+    * `norm_entropy` (H / ln k over the observed class count) is the
+    * 0-to-1 form dashboards threshold on.
+    */
+  def aggEntropy(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val nd = col("ni").cast("double")
+    Tables.documents(s, dir)
+      .groupBy("source", "lang").agg(count(lit(1)).as("ni"))
+      .groupBy("source")
+      .agg(
+        sum("ni").as("n_docs"),
+        count(lit(1)).cast("int").as("n_langs"),
+        sum((nd * log(nd)).cast(DecimalType(28, 18))).cast("double").as("snln"))
+      .select(
+        col("source"), col("n_docs"), col("n_langs"),
+        round(log(col("n_docs").cast("double")) - col("snln") / col("n_docs"), 6)
+          .as("entropy"),
+        round((log(col("n_docs").cast("double")) - col("snln") / col("n_docs")) /
+          log(col("n_langs").cast("double")), 6).as("norm_entropy"))
+      .oracleSorted("source")
+  }
+
+  /** D27 `agg_stringagg` (round 7): ordered string aggregation — the
+    * LISTAGG/STRING_AGG reporting surface (one delimited cell per group).
+    * Built as `array_join(array_sort(collect_list(...)))` rather than a
+    * nondeterministic first-come concat: the explicit sort makes the cell
+    * independent of partial-merge arrival order — the only correct form
+    * of this operator on a cluster (an unordered STRING_AGG differs
+    * run-to-run and engine-to-engine). Scale: collect_list is the one agg
+    * whose state is O(group size); sane only for bounded groups (nations
+    * per region ≤ 25 here) — unbounded-group concat at 100 TB is a design
+    * error, which is why the bounded dimension table is the right host.
+    */
+  def aggStringagg(s: SparkSession, dir: String): DataFrame =
+    Tables.nation(s, dir)
+      .join(Tables.region(s, dir), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name")
+      .agg(
+        count(lit(1)).cast("int").as("n_nations"),
+        array_join(array_sort(collect_list(col("n_name"))), ",").as("nations"))
+      .oracleSorted("r_name")
 }

@@ -332,4 +332,36 @@ object EventOps {
       .filter(col("rn") === 1)
       .select("user_id", "event_type", "event_id", "ts")
       .oracleSorted("user_id", "event_type")
+
+  /** `anomaly_mad` (round 7): robust per-group outlier detection — flag
+    * events whose value sits further than 3 scaled-MADs from its event
+    * type's median (the median/MAD rule metric-quality monitors use:
+    * unlike mean/stddev z-scores, one wild value cannot drag the
+    * threshold toward itself). Exactness: values as integer cents, so
+    * median and MAD are dyadic rationals (k or k.5 / k.25 — exact
+    * doubles) and the flag comparison is the same IEEE product in both
+    * engines — the flagged ROW SET is hash-gated, not a rounded score.
+    * The events fixture's heavy tail keeps the set non-empty at every SF
+    * (vacuity checked in EventAnalyticsSpec). Scale: two partial-agg
+    * groupBys (∝ |groups|) + two broadcast joins back; the exact medians
+    * are the `agg_median` path — at extreme group cardinality the swap is
+    * `approx_percentile` sketches, same argument as D13→D19.
+    */
+  def anomalyMad(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val e = Tables.events(s, dir)
+      .select(col("event_type"), col("event_id"), col("value"))
+      .withColumn("x", (col("value").cast(DecimalType(12, 2)) * 100).cast("long"))
+    val med = e.groupBy("event_type").agg(median(col("x")).as("med"))
+    val j = e.join(med, Seq("event_type"))
+      .withColumn("adev", abs(col("x") - col("med")))
+    val mad = j.groupBy("event_type").agg(median(col("adev")).as("mad"))
+    j.join(mad, Seq("event_type"))
+      .where(col("adev") > lit(3) * lit(1.4826) * col("mad"))
+      .select(col("event_type"), col("event_id"), col("value"),
+        round(col("med") / 100, 2).as("med_val"),
+        round(col("mad") / 100, 2).as("mad_val"),
+        round(col("adev") / (lit(1.4826) * col("mad")), 4).as("robust_z"))
+      .oracleSorted("event_type", "event_id")
+  }
 }

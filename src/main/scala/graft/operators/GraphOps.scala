@@ -49,15 +49,25 @@ object GraphOps {
     * one shuffle ∝ |edges|, the textbook cost; lineage is cut per
     * iteration so plan analysis stays linear in step count.
     */
-  def graphPagerank(s: SparkSession, dir: String): DataFrame = {
-    val toks = Tables.documents(s, dir)
-      .select(col("doc_id"), split(col("text"), " ").as("ts"))
-    val pairs = toks.where(size(col("ts")) > 1)
+  /** Distinct token-transition edges (src = token, dst = its successor
+    * within a document) — the ONE edge derivation `graph_pagerank` and
+    * `graph_bfs` share (mirrored verbatim by both recursive oracles).
+    */
+  private[graft] def tokenPairs(toks: DataFrame): DataFrame =
+    toks.where(size(col("ts")) > 1)
       .select(explode(arrays_zip(
         slice(col("ts"), lit(1), size(col("ts")) - 1),
         slice(col("ts"), lit(2), size(col("ts")) - 1))).as("p"))
       .select(col("p.0").as("src"), col("p.1").as("dst"))
       .distinct()
+
+  private[graft] def tokenized(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("ts"))
+
+  def graphPagerank(s: SparkSession, dir: String): DataFrame = {
+    val toks = tokenized(s, dir)
+    val pairs = tokenPairs(toks)
     val nodes = toks.select(explode(col("ts")).as("token")).distinct()
     val deg = pairs.groupBy("src").agg(count(lit(1)).as("outdeg"))
     val eplus = pairs.withColumn("w", lit(1))
@@ -67,18 +77,61 @@ object GraphOps {
       .lineageCut(eager = false)
 
     var pr = nodes.select(col("token"), lit(PrMass0).as("mass"))
-    for (_ <- 1 to PrIters) {
-      pr = eplus.join(pr, col("src") === col("token"))
+    for (i <- 1 to PrIters) {
+      val step = eplus.join(pr, col("src") === col("token"))
         .select(col("dst"),
           (floor(col("mass") / col("outdeg")).cast("long") * col("w")).as("c"))
         .groupBy("dst")
         .agg((lit(PrBase) + floor(sum("c") * 85 / 100).cast("long")).as("mass"))
         .withColumnRenamed("dst", "token")
-        .lineageCut(eager = false)
+      // the LAST step stays un-cut so the terminal rank window's
+      // single-partition exchange sits directly over the per-token
+      // aggregate — PlanSweepSpec can then see it moves one row per
+      // group (vocabulary-bounded), not raw rows
+      pr = if (i < PrIters) step.lineageCut(eager = false) else step
     }
     pr.withColumn("rnk",
         rank().over(org.apache.spark.sql.expressions.Window
           .orderBy(desc("mass"), asc("token"))).cast("int"))
       .oracleSorted(desc("mass"), asc("token"))
+  }
+
+  /** `graph_bfs` hop cap — fixed (not convergence-gated) so the DuckDB
+    * recursive oracle replays the identical bounded exploration.
+    */
+  val BfsMaxHops = 4
+
+  /** `graph_bfs` (round 7): multi-source breadth-first hop distance —
+    * "which tokens are within k transitions of the lexicon" — the
+    * reachability primitive under impact analysis, link-distance
+    * features, and taint propagation. Textbook Pregel BFS: per hop, join
+    * ONLY the frontier (nodes first reached last hop) against the edge
+    * table, anti-join out already-settled nodes, union into the settled
+    * set — each hop is one equi-join + anti-join shuffle ∝ |frontier
+    * edges|, never |settled| × |edges| (the naive re-propagate-everything
+    * form). Integer distances make the whole bounded exploration
+    * hash-exact, so like `graph_pagerank` — and unlike float fixed
+    * points — the ENTIRE trajectory is oracle-gated: the recursive CTE
+    * explores every ≤k-hop path and takes min(dist), which equals BFS
+    * first-reach depth.
+    */
+  def graphBfs(s: SparkSession, dir: String): DataFrame = {
+    val pairs = tokenPairs(tokenized(s, dir)).lineageCut(eager = false)
+    val seeds = pairs.select(col("src").as("token"))
+      .unionByName(pairs.select(col("dst").as("token")))
+      .distinct()
+      .where(col("token").isin(TextOps.lexicon: _*))
+    var settled = seeds.select(col("token"), lit(0).as("dist"))
+    var frontier = settled
+    for (h <- 1 to BfsMaxHops) {
+      val next = frontier.join(pairs, frontier("token") === pairs("src"))
+        .select(col("dst").as("token")).distinct()
+        .join(settled, Seq("token"), "left_anti")
+        .select(col("token"), lit(h).as("dist"))
+        .lineageCut(eager = false)
+      settled = settled.unionByName(next).lineageCut(eager = false)
+      frontier = next
+    }
+    settled.oracleSorted("token")
   }
 }

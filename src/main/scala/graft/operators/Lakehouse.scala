@@ -32,10 +32,21 @@ object Lakehouse {
     * broadcast join when the batch is small. Never read-modify-write per
     * row — that is an RDBMS pattern, not a lake one.
     */
-  def mergeUpsert(s: SparkSession, dir: String): DataFrame = {
-    val base = Tables.orders(s, dir)
+  def mergeUpsert(s: SparkSession, dir: String): DataFrame =
+    mergedSnapshot(s, dir).oracleSorted("o_orderkey")
+
+  /** The pre-merge base snapshot (shared by `merge_upsert` and
+    * `cdc_changefeed` so the two operators — apply-a-feed and
+    * derive-a-feed — can never drift apart on what the table states are).
+    */
+  private[graft] def ordersBase(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
       .where(col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
       .select(col("o_orderkey").as("key"), col("o_custkey"), col("o_totalprice").as("val"))
+
+  /** The merged (post-CDC-apply) snapshot with its verdict column. */
+  private[graft] def mergedSnapshot(s: SparkSession, dir: String): DataFrame = {
+    val base = ordersBase(s, dir)
 
     // CDC batch: op ∈ {U, D, I}; +100.0 stays engine-exact because both
     // engines do the same IEEE double add (no decimal re-rounding involved)
@@ -56,6 +67,36 @@ object Lakehouse {
         when(col("op").isin("U", "I"), col("c_val")).otherwise(col("val")).as("o_totalprice"),
         when(col("op").isNull, "kept").when(col("op") === "U", "updated")
           .otherwise("inserted").as("src"))
+  }
+
+  /** M5 `cdc_changefeed` (round 7): snapshot-diff change feed — the
+    * INVERSE of `merge_upsert`. Given two states of a table (here: the
+    * base snapshot and its post-merge successor, both reconstructible by
+    * the oracle), emit the MINIMAL change set that transforms one into
+    * the other: one row per differing key with op ∈ insert/update/delete
+    * and before/after values — what Delta's change-data-feed /
+    * `table_changes` surface exposes, and what replication, cache
+    * invalidation, and incremental downstream consumers ingest. Unchanged
+    * keys emit nothing (the feed is ∝ churn, not table size).
+    *
+    * Shape: ONE full-outer equi-join of the two snapshots; at 100 TB both
+    * snapshots share the bucketed-by-key layout (`join_bucketed`), making
+    * the diff exchange-free — the daily-diff cost is a co-located merge
+    * scan, not a shuffle of two full tables. Round-trip law (LakehouseSpec):
+    * applying the emitted feed to A reproduces B exactly.
+    */
+  def cdcChangefeed(s: SparkSession, dir: String): DataFrame = {
+    val a = ordersBase(s, dir).select(col("key").as("a_key"), col("val").as("a_val"))
+    val b = mergedSnapshot(s, dir)
+      .select(col("o_orderkey").as("b_key"), col("o_totalprice").as("b_val"))
+    a.join(b, col("a_key") === col("b_key"), "full_outer")
+      .withColumn("op",
+        when(col("b_key").isNull, "delete")
+          .when(col("a_key").isNull, "insert")
+          .when(col("a_val") =!= col("b_val"), "update"))
+      .where(col("op").isNotNull)
+      .select(coalesce(col("a_key"), col("b_key")).as("o_orderkey"), col("op"),
+        col("a_val").as("before_val"), col("b_val").as("after_val"))
       .oracleSorted("o_orderkey")
   }
 

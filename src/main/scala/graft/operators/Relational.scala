@@ -686,6 +686,34 @@ object Relational {
       .select(col("doc_id"), col("lang"), col("source"), col("bucket"))
       .oracleSorted("doc_id")
 
+  /** `sample_reservoir` size — the exact sample cardinality guaranteed. */
+  val ReservoirK = 100
+
+  /** `sample_reservoir` (round 7): exact-k uniform sample without
+    * replacement — the guarantee `sample_hash` (Bernoulli, EXPECTED
+    * fraction, binomial-variable actual count) cannot give. A seeded
+    * reservoir doesn't distribute (merge order changes the kept set);
+    * the distributed-and-deterministic equivalent is hash ORDER
+    * STATISTICS: the k smallest salted-md5 keys are the first k of a
+    * uniform permutation of the corpus, a pure function of the key set —
+    * same k rows every run, any cluster size, and in the oracle.
+    * Scale: `orderBy(hkey).limit(k)` plans as TakeOrderedAndProject —
+    * per-partition k-heaps, merged on the driver, NO global sort (the
+    * `topk` plan shape); the rank window runs AFTER the limit, over k
+    * rows only (the bounded-window justification of `rank_tokens`).
+    */
+  def sampleReservoir(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    Tables.documents(s, dir)
+      .withColumn("hkey", saltedHash("res"))
+      .select(col("doc_id"), col("lang"), col("source"), col("hkey"))
+      .orderBy(asc("hkey"), asc("doc_id"))
+      .limit(ReservoirK)
+      .withColumn("sample_rank",
+        row_number().over(Window.orderBy(asc("hkey"), asc("doc_id"))).cast("int"))
+      .oracleSorted("doc_id")
+  }
+
   /** `sample_split` boundaries: cumulative percentages for train/val/test. */
   val SplitPct: Seq[(String, Int)] = Seq("train" -> 90, "val" -> 95, "test" -> 100)
 

@@ -206,4 +206,49 @@ class AggregatesSpec extends AnyFunSuite {
         s"$k covar $cv vs ${ref(k)._2}")
     }
   }
+
+  test("agg_regression matches the built-in regr_slope/regr_intercept to 1e-6 (D25)") {
+    import graft.Tables
+    val got = Aggregates.aggRegression(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getDouble(r.fieldIndex("slope")),
+                                   r.getDouble(r.fieldIndex("intercept")),
+                                   r.getDouble(r.fieldIndex("r2")))).toMap
+    val ref = Tables.lineitem(spark, sfDir).groupBy("l_returnflag")
+      .agg(regr_slope(col("l_extendedprice"), col("l_quantity")).as("s"),
+           regr_intercept(col("l_extendedprice"), col("l_quantity")).as("i"),
+           regr_r2(col("l_extendedprice"), col("l_quantity")).as("r"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(got.keySet == ref.keySet)
+    got.foreach { case (k, (s, i, r2)) =>
+      assert(math.abs(s - ref(k)._1) < math.abs(ref(k)._1) * 1e-9 + 6e-7, s"$k slope $s vs ${ref(k)._1}")
+      assert(math.abs(i - ref(k)._2) < math.abs(ref(k)._2) * 1e-9 + 6e-5, s"$k intercept $i vs ${ref(k)._2}")
+      assert(r2 >= 0.0 && r2 <= 1.0 && math.abs(r2 - ref(k)._3) < 1e-6, s"$k r2 $r2 vs ${ref(k)._3}")
+    }
+  }
+
+  test("agg_entropy: 0 <= H <= ln(k); norm_entropy <= 1; doc counts partition the corpus (D26)") {
+    val rows = Aggregates.aggEntropy(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    var total = 0L
+    rows.foreach { r =>
+      val (n, k) = (r.getLong(r.fieldIndex("n_docs")), r.getInt(r.fieldIndex("n_langs")))
+      val (h, nh) = (r.getDouble(r.fieldIndex("entropy")), r.getDouble(r.fieldIndex("norm_entropy")))
+      total += n
+      assert(h >= -1e-9 && h <= math.log(k.toDouble) + 1e-9, s"${r.getString(0)}: H=$h outside [0, ln $k]")
+      assert(nh <= 1.0 + 1e-9, s"${r.getString(0)}: norm_entropy $nh > 1")
+    }
+    assert(total == graft.Tables.documents(spark, sfDir).count(),
+      "per-source doc counts must partition the corpus")
+  }
+
+  test("agg_stringagg: cells are sorted, sized n_nations, and jointly carry all 25 nations (D27)") {
+    val rows = Aggregates.aggStringagg(spark, sfDir).collect()
+    val all = rows.flatMap { r =>
+      val ns = r.getString(r.fieldIndex("nations")).split(",").toSeq
+      assert(ns == ns.sorted, s"${r.getString(0)}: cell not sorted")
+      assert(ns.size == r.getInt(r.fieldIndex("n_nations")), s"${r.getString(0)}: size mismatch")
+      ns
+    }
+    assert(all.length == 25 && all.distinct.length == 25)
+  }
 }

@@ -77,4 +77,17 @@ class EventAnalyticsSpec extends AnyFunSuite {
     val sumCohorts = cohorts.toSeq.map(c => rows((c, 0))).sum
     assert(sumCohorts == totalUsers, s"cohorts sum $sumCohorts != users $totalUsers")
   }
+
+  test("anomaly_mad: non-vacuous, every flag clears z>3, flags are a strict minority") {
+    val out = EventOps.anomalyMad(spark, sfDir).collect()
+    assert(out.nonEmpty, "vacuous outlier fixture — no row clears the MAD fence")
+    out.foreach { r =>
+      val z = r.getDouble(r.fieldIndex("robust_z"))
+      assert(z > 3.0 - 1e-9, s"flagged row with robust_z $z <= 3")
+      assert(r.getDouble(r.fieldIndex("mad_val")) > 0.0, "MAD must be positive where flags exist")
+    }
+    val total = Tables.events(spark, sfDir).count()
+    assert(out.length < total / 4,
+      s"${out.length} of $total rows flagged — the robust fence is not a fence")
+  }
 }

@@ -46,6 +46,36 @@ class LakehouseSpec extends AnyFunSuite {
     } finally out.unpersist()
   }
 
+  test("cdc_changefeed round-trips: applying the feed to A reproduces B exactly (M5)") {
+    val feed = Lakehouse.cdcChangefeed(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+    assert(feed.nonEmpty)
+    val ops = feed.map(_._2).toSet
+    assert(ops == Set("insert", "update", "delete"), s"vacuous feed fixture: $ops")
+    // before/after null-ness follows the op
+    feed.foreach {
+      case (_, "insert", before, after) => assert(before.isEmpty && after.nonEmpty)
+      case (_, "delete", before, after) => assert(before.nonEmpty && after.isEmpty)
+      case (_, "update", before, after) =>
+        assert(before.nonEmpty && after.nonEmpty && before != after)
+      case other => fail(s"unknown op row: $other")
+    }
+    // replay: A + feed == B, bit-exact on (key, val)
+    val a = Lakehouse.ordersBase(spark, sfDir).select("key", "val").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val b = Lakehouse.mergedSnapshot(spark, sfDir)
+      .select("o_orderkey", "o_totalprice").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val replayed = feed.foldLeft(a) {
+      case (acc, (k, "delete", _, _)) => acc - k
+      case (acc, (k, _, _, Some(after))) => acc.updated(k, after)
+      case (acc, _) => acc
+    }
+    assert(replayed == b, "feed applied to A must reproduce B")
+  }
+
   test("z-regions are <=256x256 rectangles; customer extent collapses vs date-sort") {
     // sf0.01: enough distinct customers that the rectangle bound bites
     val dir = "/root/testdata/sf0.01"

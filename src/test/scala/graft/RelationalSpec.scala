@@ -155,4 +155,21 @@ class RelationalSpec extends AnyFunSuite {
         s"bin $bin floor ${r.getDouble(3)} not derived from index")
     }
   }
+
+  test("sample_reservoir: exactly k rows, ranks bijective, kept keys dominate every excluded key") {
+    import org.apache.spark.sql.functions.col
+    val out = Relational.sampleReservoir(spark, sfDir).collect()
+    assert(out.length == Relational.ReservoirK)
+    val ranks = out.map(_.getInt(out.head.fieldIndex("sample_rank"))).sorted
+    assert(ranks.toSeq == (1 to Relational.ReservoirK), "ranks must be a bijection onto 1..k")
+    // top-k property: max kept hash < min excluded hash (ties impossible —
+    // 60-bit keys over distinct doc_ids)
+    val kept = out.map(r => r.getLong(r.fieldIndex("hkey")))
+    val keptIds = out.map(r => r.getLong(r.fieldIndex("doc_id"))).toSet
+    val minExcluded = Tables.documents(spark, sfDir)
+      .withColumn("hkey", Relational.saltedHash("res"))
+      .filter(!col("doc_id").isin(keptIds.toSeq: _*))
+      .agg(org.apache.spark.sql.functions.min("hkey")).collect()(0).getLong(0)
+    assert(kept.max < minExcluded, "a kept key exceeds an excluded key — not the k smallest")
+  }
 }
