@@ -88,6 +88,7 @@ object SparkEntry {
     // lakehouse table maintenance
     "merge_upsert" -> (Lakehouse.mergeUpsert _),
     "cdc_changefeed" -> (Lakehouse.cdcChangefeed _),
+    "compact_files" -> (Lakehouse.compactFiles _),
     "layout_zorder" -> (Lakehouse.layoutZorder _),
     "scd2_intervals" -> (EventOps.scd2Intervals _),
     "dq_checks" -> (Lakehouse.dqChecks _),
@@ -114,9 +115,11 @@ object SparkEntry {
     "stream_funnel" -> (graft.streaming.StatefulOps.streamFunnel _),
     "event_retention" -> (EventOps.eventRetention _),
     "anomaly_mad" -> (EventOps.anomalyMad _),
+    "join_interval" -> (EventOps.joinInterval _),
     "stream_stateful" -> (graft.streaming.StatefulOps.streamStateful _),
     "stream_sessionize" -> (graft.streaming.StatefulOps.streamSessionize _),
     "stream_topn_state" -> (graft.streaming.StatefulOps.streamTopnState _),
+    "stream_upsert" -> (graft.streaming.StatefulOps.streamUpsert _),
     // §2.B6 column classification
     "project_classified" -> (Relational.projectClassified _),
     // §2.D2/D4/D5 + §2.K5 text analysis
@@ -673,6 +676,26 @@ object SparkEntry {
       "round((mu1 - mu0) / sqrt(se2), 6) AS t_stat, " +
       "round(se2 * se2 / (se0 * se0 / (n0 - 1) + se1 * se1 / (n1 - 1)), 6) AS welch_df " +
       "FROM se ORDER BY event_type"),
+    // identity content + literal-TRUE law flags (the countmin pattern):
+    // a compaction that drops/duplicates rows or mis-sizes files fails the hash
+    "compact_files" ->
+      (s"SELECT doc_id, lang, source, n_chars, ${Lakehouse.CompactSmallFiles} AS files_before, " +
+      "TRUE AS compact_ok FROM documents ORDER BY doc_id"),
+    // last-writer-wins compaction ≡ window top-1 by the LSN ordinal
+    "stream_upsert" ->
+      ("WITH r AS (SELECT user_id, event_id, value, " +
+      "row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn FROM events) " +
+      "SELECT user_id, event_id AS last_seq, value FROM r WHERE rn = 1 ORDER BY user_id"),
+    // interval-overlap join: session CTEs shared with window_sessionid via
+    // sessionIdCtes; inclusive-ends overlap rule mirrored verbatim
+    "join_interval" ->
+      (s"WITH $sessionIdCtes, " +
+      "sess AS (SELECT user_id, sid, min(ts) AS s_start, max(ts) AS s_end FROM sa GROUP BY 1, 2), " +
+      "inc AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS i_start, CAST(ts AS TIMESTAMP) + INTERVAL 30 MINUTE AS i_end FROM events WHERE event_type = 'error') " +
+      "SELECT s.user_id, CAST(s.sid AS INT) AS sid, epoch_us(s.s_start) AS s_start_us, epoch_us(s.s_end) AS s_end_us, " +
+      "count(i.i_start) AS n_incidents " +
+      "FROM sess s LEFT JOIN inc i ON s.user_id = i.user_id AND s.s_start <= i.i_end AND i.i_start <= s.s_end " +
+      "GROUP BY 1, 2, 3, 4 ORDER BY s.user_id, sid"),
     // integer-cents medians are dyadic-exact, so the flagged row set (not
     // just a rounded score) hash-matches — see EventOps.anomalyMad
     "anomaly_mad" ->

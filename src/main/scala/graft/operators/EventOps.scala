@@ -333,6 +333,49 @@ object EventOps {
       .select("user_id", "event_type", "event_id", "ts")
       .oracleSorted("user_id", "event_type")
 
+  /** `join_interval` (round 7): interval-OVERLAP join — both sides are
+    * intervals, the shape `join_range` (point-in-window) doesn't cover:
+    * which user sessions overlap an error-incident window ([ts, ts+30 min]
+    * around each error event)? The ops question behind "was this session
+    * affected?". Per session, emit the overlap COUNT (left join — sessions
+    * clear of incidents keep 0, so both branches of the predicate are
+    * non-vacuous: a session containing an error always overlaps its own
+    * incident).
+    *
+    * Session intervals come from the SAME gaps-and-islands chain as
+    * `window_sessionid` (oracle single-sourced via sessionIdCtes). Overlap
+    * = `s_start <= i_end AND i_start <= s_end` (inclusive ends, the
+    * deterministic closed-interval rule). Scale: the equi-key (user_id)
+    * bounds candidates to same-user pairs — one shuffle each side; for
+    * keyless interval sets the time-bin bucketing of `join_range` is the
+    * shape (intervals explode to ≤⌈len/bin⌉ bins, candidates from the bin
+    * equi-join, dedup before count).
+    */
+  def joinInterval(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val sess = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        lag("ts", 1).over(w).as("prev_ts"))
+      .withColumn("brk", when(col("prev_ts").isNull ||
+        col("ts") >= col("prev_ts") + expr("INTERVAL 10 MINUTES"), 1).otherwise(0))
+      .withColumn("sid", sum("brk")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).cast("int"))
+      .groupBy("user_id", "sid")
+      .agg(min("ts").as("s_start"), max("ts").as("s_end"))
+    val inc = Tables.events(s, dir).filter(col("event_type") === "error")
+      .select(col("user_id").as("i_user"), col("ts").as("i_start"),
+        (col("ts") + expr("INTERVAL 30 MINUTES")).as("i_end"))
+    sess.join(inc, col("user_id") === col("i_user") &&
+        col("s_start") <= col("i_end") && col("i_start") <= col("s_end"), "left")
+      .groupBy("user_id", "sid", "s_start", "s_end")
+      .agg(count(col("i_start")).as("n_incidents"))
+      .select(col("user_id"), col("sid"),
+        unix_micros(col("s_start")).as("s_start_us"),
+        unix_micros(col("s_end")).as("s_end_us"),
+        col("n_incidents"))
+      .oracleSorted("user_id", "sid")
+  }
+
   /** `anomaly_mad` (round 7): robust per-group outlier detection — flag
     * events whose value sits further than 3 scaled-MADs from its event
     * type's median (the median/MAD rule metric-quality monitors use:

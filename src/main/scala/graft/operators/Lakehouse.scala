@@ -100,6 +100,62 @@ object Lakehouse {
       .oracleSorted("o_orderkey")
   }
 
+  /** `compact_files` staging root, fragment count, and per-file target. */
+  private val CompactStageDir =
+    s"${System.getProperty("java.io.tmpdir")}/graft_compact"
+  val CompactSmallFiles = 32
+  val CompactTargetBytes: Long = 128L * 1024 * 1024
+
+  /** M6 `compact_files` (round 7): small-file compaction — the maintenance
+    * pass every lake runs behind streaming ingest: each micro-batch commit
+    * leaves a file, and a 100 TB table accumulates millions of KB-sized
+    * fragments whose open/footer overhead dwarfs the data read (file
+    * COUNT, not bytes, is the scan bottleneck — the same argument as
+    * `scan_binaryfile`'s manifest note). The op rewrites a fragmented
+    * mirror (32 files, the post-ingest state) into ⌈bytes / 128 MB⌉
+    * right-sized files via one `repartition` job — shuffle ∝ data once,
+    * driver work ∝ file count (listing only).
+    *
+    * Gate: content IDENTITY (the compacted table reads back as exactly the
+    * source rows — the property a compaction must never break) plus a
+    * `compact_ok` law flag computed from the real file listings
+    * (files_after == ⌈bytes/target⌉ ≤ files_before); the oracle emits
+    * literal TRUE, so a compaction that drops rows, duplicates rows, or
+    * writes the wrong file count all fail the same hash (the
+    * `agg_countmin` gated-flag pattern).
+    */
+  def compactFiles(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    def parquetFiles(p: String): Vector[java.nio.file.Path] = {
+      val ls = Files.list(Paths.get(p))
+      try ls.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet")).toVector
+      finally ls.close()
+    }
+    Relational.stageInto(CompactStageDir,
+      s"$dir|compact1|${Relational.sourceFingerprint(s"$dir/documents.parquet")}") { root =>
+      // the fragmented state a micro-batch ingest leaves behind
+      Tables.documents(s, dir).repartition(CompactSmallFiles)
+        .write.mode("overwrite").parquet(s"$root/small")
+      val bytes = parquetFiles(s"$root/small").map(Files.size(_)).sum
+      val target = math.max(1L, (bytes + CompactTargetBytes - 1) / CompactTargetBytes).toInt
+      s.read.parquet(s"$root/small").repartition(target)
+        .write.mode("overwrite").parquet(s"$root/compacted")
+    }
+    val root = Relational.stagedRoot(CompactStageDir)
+    val nBefore = parquetFiles(s"$root/small").size
+    val nAfter = parquetFiles(s"$root/compacted").size
+    val bytes = parquetFiles(s"$root/small").map(Files.size(_)).sum
+    val want = math.max(1L, (bytes + CompactTargetBytes - 1) / CompactTargetBytes).toInt
+    s.read.parquet(s"$root/compacted")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .withColumn("files_before", lit(CompactSmallFiles))
+      .withColumn("compact_ok", lit(nBefore == CompactSmallFiles &&
+        nAfter == want && nAfter <= nBefore))
+      .oracleSorted("doc_id")
+  }
+
   /** `dq_checks`: declarative data-quality audit — the constraint report
     * (Deequ/dbt-test class) every lake pipeline runs before publishing a
     * snapshot: null rates, key uniqueness, referential integrity, value

@@ -139,7 +139,7 @@ object Relational {
     Option(stagedDigests.get(stageDir))
       .map(d => s"$stageDir/by/$d").getOrElse(s"$stageDir/current")
 
-  private def stageInto(stageDir: String, key: String)(write: String => Unit): Unit = {
+  private[graft] def stageInto(stageDir: String, key: String)(write: String => Unit): Unit = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val digest = java.security.MessageDigest.getInstance("MD5")
       .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)

@@ -85,6 +85,71 @@ object StatefulOps {
       .start()
 
   // ------------------------------------------------------------------
+  // mapGroupsWithState changelog compaction (§2.J13 — M1's streaming twin)
+  // ------------------------------------------------------------------
+
+  /** One version of a keyed row in a changelog (seq = version ordinal —
+    * the LSN a CDC feed carries; unique per key by contract, here
+    * `event_id`, unique by construction).
+    */
+  case class VersionedRow(key: Long, seq: Long, value: Double)
+
+  /** `stream_upsert`: changelog compaction to latest-version-per-key — the
+    * materialized-view maintenance loop every CDC consumer runs: a keyed
+    * stream of row VERSIONS arrives (events as versions of their user's
+    * state, `event_id` the LSN), and the operator maintains the CURRENT
+    * row per key under last-writer-wins. This is the streaming twin of
+    * `merge_upsert` (M1): the batch merge applies a finished feed in one
+    * join; this form applies it incrementally with O(1) state per key —
+    * (seq, row) — so a key's current value is correct after EVERY
+    * trigger, not just at the end of the day.
+    *
+    * Batch = the same typed fold per group (one pass, fresh state), which
+    * the window-top-1 oracle checks; StatefulOpsSpec proves a stale
+    * version arriving in a LATER trigger than its successor does not
+    * regress the state (the last-writer-wins point, where naive
+    * overwrite-on-arrival breaks). Scale: state shuffled by key, O(1)
+    * each; in deployment the store is RocksDB and versions carry their
+    * own ordinal so reordered delivery is safe by construction.
+    * (Version order is the LSN, deliberately NOT event time: the fixture's
+    * (key, l_linenumber)-style ordinals are non-unique in the wild — an
+    * upsert feed without a total version order per key is a bug upstream.)
+    */
+  def updateLatest(key: Long, rows: Iterator[VersionedRow],
+                   state: GroupState[VersionedRow]): VersionedRow = {
+    val updated = rows.foldLeft(state.getOption) { (cur, r) =>
+      if (cur.forall(_.seq < r.seq)) Some(r) else cur
+    }.get // rows is non-empty in both modes when the group fires
+    state.update(updated)
+    updated
+  }
+
+  /** Typed compaction pipeline, shared verbatim between batch and streaming. */
+  def latest(rows: Dataset[VersionedRow]): Dataset[VersionedRow] = {
+    import rows.sparkSession.implicits._
+    rows.groupByKey(_.key).mapGroupsWithState(GroupStateTimeout.NoTimeout())(updateLatest)
+  }
+
+  /** Batch entry for the correctness gate. */
+  def streamUpsert(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val v = Tables.events(s, dir)
+      .select(col("user_id").as("key"), col("event_id").as("seq"), col("value"))
+      .as[VersionedRow]
+    latest(v).toDF()
+      .select(col("key").as("user_id"), col("seq").as("last_seq"), col("value"))
+      .oracleSorted("user_id")
+  }
+
+  /** Streaming entry (same pipeline through `writeStream`) — parity test. */
+  def upsertStreamQuery(rows: Dataset[VersionedRow], queryName: String) =
+    latest(rows).writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode(OutputMode.Update())
+      .start()
+
+  // ------------------------------------------------------------------
   // flatMapGroupsWithState sessionization (§2.J6)
   // ------------------------------------------------------------------
 

@@ -90,4 +90,25 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(out.length < total / 4,
       s"${out.length} of $total rows flagged — the robust fence is not a fence")
   }
+
+  test("join_interval: both overlap branches non-vacuous; error-bearing sessions always hit") {
+    val rows = EventOps.joinInterval(spark, sfDir).collect()
+    val n = rows.map(_.getLong(rows.head.fieldIndex("n_incidents")))
+    assert(n.exists(_ > 0) && n.contains(0L),
+      "fixture must exercise both overlapping and clear sessions")
+    // a session containing an error event overlaps its own incident window
+    val errUsers = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "error")
+      .select("user_id", "ts").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime * 1000))
+    val byUser = rows.groupBy(_.getLong(0))
+    errUsers.foreach { case (u, tsUs) =>
+      val hosting = byUser(u).find(r =>
+        r.getLong(r.fieldIndex("s_start_us")) <= tsUs &&
+        tsUs <= r.getLong(r.fieldIndex("s_end_us")))
+      hosting.foreach(r =>
+        assert(r.getLong(r.fieldIndex("n_incidents")) > 0,
+          s"user $u session hosts an error but counts 0 incidents"))
+    }
+  }
 }

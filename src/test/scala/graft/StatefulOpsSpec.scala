@@ -53,6 +53,36 @@ class StatefulOpsSpec extends AnyFunSuite {
     assert(batchProfiles(2L).n_events == 1L && batchProfiles(2L).sum_cents == 200L)
   }
 
+  test("stream_upsert: stale version in a later trigger cannot regress the state (J13)") {
+    import spark.implicits._
+    import StatefulOps.VersionedRow
+    implicit val sqlCtx = spark.sqlContext
+
+    // seq 3 arrives in trigger 1; the STALE seq 2 arrives in trigger 2 —
+    // last-writer-wins must keep seq 3 (overwrite-on-arrival would regress)
+    val stream = MemoryStream[VersionedRow]
+    val q = StatefulOps.upsertStreamQuery(stream.toDS(), "upsert_t")
+    try {
+      stream.addData(VersionedRow(1L, 3L, 300.0), VersionedRow(2L, 1L, 100.0))
+      q.processAllAvailable()
+      stream.addData(VersionedRow(1L, 2L, 200.0), VersionedRow(2L, 2L, 110.0))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val finalByKey = spark.table("upsert_t").collect()
+      .groupBy(_.getLong(0))
+      .map { case (k, rows) => k -> rows.maxBy(_.getLong(1)).getLong(1) }
+    assert(finalByKey(1L) == 3L, "stale seq 2 regressed key 1 past seq 3")
+    assert(finalByKey(2L) == 2L, "fresh seq 2 must supersede seq 1 on key 2")
+
+    // batch fold of the union equals the streamed final state
+    val batch = StatefulOps.latest(Seq(
+      VersionedRow(1L, 3L, 300.0), VersionedRow(1L, 2L, 200.0),
+      VersionedRow(2L, 1L, 100.0), VersionedRow(2L, 2L, 110.0)).toDS())
+      .collect().map(r => r.key -> r.seq).toMap
+    assert(batch == Map(1L -> 3L, 2L -> 2L))
+  }
+
   test("flatMapGroupsWithState sessionizer: a session spanning triggers closes once, " +
        "via gap in-band or event-time timeout") {
     import spark.implicits._

@@ -71,4 +71,17 @@ class StorageLayoutSpec extends AnyFunSuite {
       .filter(col("event_type") === "purchase").count()
     assert(df.count() == expected)
   }
+
+  test("compact_files: 32 fragments rewritten to the byte-target count, content identical (M6)") {
+    import graft.operators.Lakehouse
+    val out = Lakehouse.compactFiles(spark, sfDir)
+    val rows = out.collect()
+    assert(rows.forall(_.getBoolean(rows.head.fieldIndex("compact_ok"))),
+      "compaction law flag false — file counts diverged from the byte target")
+    assert(rows.forall(_.getInt(rows.head.fieldIndex("files_before")) == Lakehouse.CompactSmallFiles))
+    // content identity with the source table (doc_id multiset)
+    val src = Tables.documents(spark, sfDir).select("doc_id").collect().map(_.getLong(0)).sorted
+    val got = rows.map(_.getLong(rows.head.fieldIndex("doc_id"))).sorted
+    assert(got.toSeq == src.toSeq, "compaction changed the row set")
+  }
 }
