@@ -107,6 +107,11 @@ class PlanShapeSpec extends AnyFunSuite {
     } finally spark.conf.unset("graft.terminalSort")
   }
 
+  test("sample_reservoir: the k-smallest-hash sample plans as a heap, not a global sort (K12')") {
+    val p = planOf(graft.operators.Relational.sampleReservoir(spark, sfDir))
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("join_bucketed: storage layout satisfies the join distribution — zero shuffle under the SMJ (C9)") {
     val df = graft.operators.Joins.joinBucketed(spark, sfDir)
     val p = df.queryExecution.executedPlan.toString
