@@ -66,6 +66,7 @@ object SparkEntry {
     "agg_regression" -> (Aggregates.aggRegression _),
     "agg_entropy" -> (Aggregates.aggEntropy _),
     "agg_stringagg" -> (Aggregates.aggStringagg _),
+    "agg_argmax" -> (Aggregates.aggArgmax _),
     "resample_ffill" -> (EventOps.resampleFfill _),
     "group_collect" -> (Aggregates.groupCollect _),
     // §2.G set ops
@@ -95,6 +96,7 @@ object SparkEntry {
     "trend_period" -> (Windows.trendPeriod _),
     "attribution_lasttouch" -> (EventOps.attributionLasttouch _),
     "query_q3" -> (Joins.queryQ3 _),
+    "query_q5" -> (Joins.queryQ5 _),
     // §2.E/F windows + top-k
     "window_rank" -> (Windows.windowRank _),
     "window_top1" -> (Windows.windowTop1 _),
@@ -140,6 +142,7 @@ object SparkEntry {
     "dedup_ngram" -> (TextOps.dedupNgram _),
     "dedup_embed" -> (VectorOps.dedupEmbed _),
     "dedup_cluster" -> (TextOps.dedupCluster _),
+    "dedup_keepbest" -> (TextOps.dedupKeepbest _),
     "dedup_incremental" -> (TextOps.dedupIncremental _),
     "dedup_pipeline" -> (TextOps.dedupPipeline _),
     "corpus_pipeline" -> (TextOps.corpusPipeline _),
@@ -157,6 +160,7 @@ object SparkEntry {
     "sample_stratified" -> (VectorOps.sampleStratified _),
     "sample_hash" -> (Relational.sampleHash _),
     "sample_reservoir" -> (Relational.sampleReservoir _),
+    "sample_weighted" -> (Relational.sampleWeighted _),
     "sample_mix" -> (Relational.sampleMix _),
     "sample_split" -> (Relational.sampleSplit _),
     "stats_profile" -> (Relational.statsProfile _),
@@ -583,6 +587,20 @@ object SparkEntry {
       "round(ln(CAST(n_docs AS DOUBLE)) - snln / n_docs, 6) AS entropy, " +
       "round((ln(CAST(n_docs AS DOUBLE)) - snln / n_docs) / ln(CAST(n_langs AS DOUBLE)), 6) AS norm_entropy " +
       "FROM e ORDER BY source"),
+    // agg-based top-1-per-group: same winner as window_top1 (packed-ordinal
+    // tiebreak mirrors desc value, asc event_id)
+    "agg_argmax" ->
+      ("WITH e AS (SELECT user_id, event_id, value, " +
+      "CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) * 1000000000000 + (999999999999 - event_id) AS ord FROM events) " +
+      "SELECT user_id, arg_max(event_id, ord) AS event_id, arg_max(value, ord) AS value, count(1) AS n_events " +
+      "FROM e GROUP BY user_id ORDER BY user_id"),
+    // A-ES weighted reservoir: u = (hkey+1)/2^60 (exact dyadic), prio =
+    // -ln(u)/n_chars; selection replayed by the same arithmetic
+    "sample_weighted" ->
+      ("WITH h AS (SELECT doc_id, lang, n_chars, CAST(('0x' || substr(md5('wres:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hkey FROM documents WHERE n_chars > 0), " +
+      "p AS (SELECT doc_id, lang, n_chars, -ln((hkey + 1) / 1152921504606846976.0) / n_chars AS prio FROM h), " +
+      s"t AS (SELECT * FROM p ORDER BY prio, doc_id LIMIT ${Relational.WeightedK}) " +
+      "SELECT doc_id, lang, n_chars, round(prio, 8) AS prio FROM t ORDER BY doc_id"),
     "agg_stringagg" ->
       ("SELECT r_name, CAST(count(1) AS INT) AS n_nations, " +
       "string_agg(n_name, ',' ORDER BY n_name) AS nations " +
@@ -813,6 +831,17 @@ object SparkEntry {
       "FROM customer JOIN orders ON c_custkey = o_custkey JOIN lineitem ON l_orderkey = o_orderkey " +
       "WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00' AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00' " +
       "GROUP BY 1, 2, 3 ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10"),
+    "query_q5" ->
+      ("SELECT n_name, " +
+      "CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1.0 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue, " +
+      "count(1) AS n_lines " +
+      "FROM customer JOIN orders ON c_custkey = o_custkey " +
+      "JOIN lineitem ON l_orderkey = o_orderkey " +
+      "JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey " +
+      "JOIN nation ON s_nationkey = n_nationkey " +
+      "JOIN region ON n_regionkey = r_regionkey " +
+      "WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01' " +
+      "GROUP BY 1 ORDER BY revenue DESC, n_name"),
     "window_rank" ->
       "SELECT s_nationkey, s_suppkey, s_name, s_acctbal, CAST(rank() OVER (PARTITION BY s_nationkey ORDER BY s_acctbal DESC) AS INT) AS rnk FROM supplier ORDER BY s_nationkey, rnk, s_suppkey",
     "window_top1" ->
@@ -930,6 +959,14 @@ object SparkEntry {
       "round(list_max(list_transform(list_zip(embedding, q), p -> abs(CAST(p[1] AS DOUBLE) - (mn + CAST(p[2] AS DOUBLE) * ((mx - mn) / 255.0))))), 6) AS max_err " +
       "FROM vc ORDER BY vec_id"),
     "dedup_cluster" -> dedupClusterSql,
+    // keep policy over the SAME cluster chain (fragments shared with
+    // dedup_cluster) + the packed-ordinal argmax of agg_argmax
+    "dedup_keepbest" ->
+      (s"WITH RECURSIVE $minhashCandSql, $minhashComponentsSql, " +
+      "q AS (SELECT lab.doc_id, lbl, n_chars FROM lab JOIN documents USING (doc_id)), " +
+      "k AS (SELECT lbl, arg_max(doc_id, n_chars * 1000000000000 + (999999999999 - doc_id)) AS keep_id, count(1) AS cluster_size FROM q GROUP BY 1) " +
+      "SELECT q.doc_id, q.lbl AS canonical_id, k.keep_id, q.doc_id = k.keep_id AS kept, k.cluster_size " +
+      "FROM q JOIN k USING (lbl) ORDER BY q.doc_id"),
     // asymmetric batch-vs-index candidates: new (doc_id % m = 0) band rows
     // join ONLY index band rows; same verify as dedup_minhash
     "dedup_incremental" ->

@@ -626,6 +626,37 @@ object Aggregates {
       .oracleSorted("source")
   }
 
+  /** D29 `agg_argmax` (round 7): top-1-per-group as an AGGREGATE —
+    * `max_by` over a composite ordinal — rather than `window_top1`'s
+    * rank-window. The two answer the same question with different scale
+    * economics: the window form sorts every group's rows inside each
+    * partition (O(n log n) per partition, full rows shuffled); this form
+    * is a partial-aggregable max (O(n) map-side, ONE (key, best) pair per
+    * task crosses the shuffle) — the preferred plan when only the top-1
+    * is wanted. Determinism: `max_by` alone is tie-arbitrary, so the
+    * ordinal packs (cents, event_id) into one BIGINT — a total order, the
+    * same discipline as `window_top1`'s explicit tiebreak. Emitted next
+    * to the window form's host columns so the parity law (AggregatesSpec:
+    * row-for-row equal to window_top1) is checkable.
+    */
+  def aggArgmax(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val cents = (col("value").cast(DecimalType(12, 2)) * 100).cast("long")
+    // cents ≤ ~10^7, event_id < 10^12 at any SF here: the packed ordinal
+    // stays < 2^63 and orders by (value asc, event_id DESC) — so max_by
+    // picks max value with MIN event_id on ties, exactly `window_top1`'s
+    // (desc value, asc event_id) winner
+    val ord = cents * lit(1000000000000L) + (lit(999999999999L) - col("event_id"))
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("value"), ord.as("ord"))
+      .groupBy("user_id")
+      .agg(
+        max_by(col("event_id"), col("ord")).as("event_id"),
+        max_by(col("value"), col("ord")).as("value"),
+        count(lit(1)).as("n_events"))
+      .oracleSorted("user_id")
+  }
+
   /** D27 `agg_stringagg` (round 7): ordered string aggregation — the
     * LISTAGG/STRING_AGG reporting surface (one delimited cell per group).
     * Built as `array_join(array_sort(collect_list(...)))` rather than a

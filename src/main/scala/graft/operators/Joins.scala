@@ -159,6 +159,45 @@ object Joins {
       .limit(10)
   }
 
+  /** C8′ `query_q5` (round 7): the SECOND composed star query — TPC-H Q5
+    * shape, local-supplier volume: revenue per nation where the customer
+    * and the line's supplier share a nation, region-filtered, one order
+    * year. Adds what Q3 doesn't exercise: a SIX-table chain, a non-key
+    * equi-condition (`c_nationkey = s_nationkey` rides the supplier join —
+    * Catalyst keeps it in the hash-join key set, no post-filter), and a
+    * dimension snowflake (region→nation) folded into ONE broadcast.
+    * Plan: date predicate pushed into the orders scan, supplier and the
+    * filtered nation⋈region broadcast; the only big shuffles are the two
+    * fact joins (orders⋈customer, lineitem⋈orders) — at 100 TB both sides
+    * of each live in the bucketed layout (`join_bucketed`). Exact decimal
+    * revenue (Num).
+    */
+  def queryQ5(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(s, dir).select("c_custkey", "c_nationkey")
+    val ord = Tables.orders(s, dir)
+      .where(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-01-01").cast("timestamp"))
+      .select("o_orderkey", "o_custkey")
+    val li = Tables.lineitem(s, dir)
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    val supp = Tables.supplier(s, dir).select("s_suppkey", "s_nationkey")
+    val natAsia = Tables.nation(s, dir)
+      .join(broadcast(Tables.region(s, dir).where(col("r_name") === "ASIA")
+        .select("r_regionkey")), col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey", "n_name")
+    ord.join(cust, col("o_custkey") === col("c_custkey"))
+      .join(li, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(supp),
+        col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(natAsia), col("s_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(graft.functions.Num.money(
+          sum(graft.functions.Num.discounted(col("l_extendedprice"), col("l_discount"))))
+          .as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .oracleSorted(desc("revenue"), asc("n_name"))
+  }
+
   /** C4: anti join — customers with no orders IN 1995 (NOT EXISTS). The
     * build side is filtered to one year BEFORE the join: at this data every
     * customer has some order, so the unfiltered anti-join is the empty set
@@ -411,13 +450,23 @@ object Joins {
     */
   def joinFuzzy(s: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(s, dir).select(col("c_custkey"), col("c_name"))
+    // Join key is (deletion INDEX, variant), not the variant alone: two
+    // equal-length names share (i, delete-at-i) iff they are equal
+    // everywhere except position i — exactly the substitution-distance-1
+    // class. Keying on the bare variant also admits every distance-2
+    // delete+insert pair (e.g. transpositions) as candidates; measured at
+    // sf0.1 that was 1.6M candidates of which ~84% failed the levenshtein
+    // verify (13.3 s); the position-qualified key prunes them at the join
+    // (5.8 s, now dominated by the 262k TRUE pairs the query must emit)
+    // while provably preserving the ≤1 answer.
     def variants(d: DataFrame, pfx: String): DataFrame = d.select(
       col("c_custkey").as(s"key_$pfx"), col("c_name").as(s"name_$pfx"),
-      explode(expr("transform(sequence(1, length(c_name)), " +
-        "i -> concat(substring(c_name, 1, i - 1), substring(c_name, i + 1, length(c_name))))"))
-        .as(s"v_$pfx"))
+      posexplode(expr("transform(sequence(1, length(c_name)), " +
+        "i -> concat(substring(c_name, 1, i - 1), substring(c_name, i + 1, length(c_name))))")))
+      .withColumnsRenamed(Map("pos" -> s"i_$pfx", "col" -> s"v_$pfx"))
     variants(c, "a").join(variants(c, "b"),
-        col("v_a") === col("v_b") && col("key_a") < col("key_b"))
+        col("i_a") === col("i_b") && col("v_a") === col("v_b") &&
+          col("key_a") < col("key_b"))
       .select(col("key_a"), col("key_b"), col("name_a"), col("name_b"),
         levenshtein(col("name_a"), col("name_b")).as("dist"))
       .where(col("dist") <= 1)

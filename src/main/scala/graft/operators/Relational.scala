@@ -714,6 +714,37 @@ object Relational {
       .oracleSorted("doc_id")
   }
 
+  /** `sample_weighted` size (exact, like the unweighted reservoir). */
+  val WeightedK = 100
+
+  /** `sample_weighted` (round 7): exact-k WEIGHTED sample without
+    * replacement — documents drawn with probability proportional to
+    * length (the token-budget sampling a corpus-mixing stage runs:
+    * sampling documents uniformly under-represents long documents'
+    * tokens). Distributed-and-deterministic via the A-ES/Efraimidis-
+    * Spirakis priority trick: u = uniform from the salted 60-bit md5 key,
+    * priority e = −ln(u)/w (an Exponential(w) draw — the k SMALLEST are
+    * the weighted sample), so the decision is again a pure function of
+    * the key set: a seeded weighted reservoir would be merge-order
+    * dependent; this isn't, and the oracle replays it. Cross-engine float
+    * safety: u is the same exact dyadic (hkey+1)/2^60 in both engines and
+    * ln of identical doubles matches (the `text_logprob` evidence).
+    * Scale: `orderBy(prio).limit(k)` = TakeOrderedAndProject per-partition
+    * heaps, one scan, no global sort — the `sample_reservoir` plan.
+    */
+  def sampleWeighted(s: SparkSession, dir: String): DataFrame = {
+    val u = (col("hkey") + 1).cast("double") / lit(1.152921504606846976e18)
+    Tables.documents(s, dir)
+      .where(col("n_chars") > 0)
+      .withColumn("hkey", saltedHash("wres"))
+      .withColumn("prio", -log(u) / col("n_chars"))
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("prio"))
+      .orderBy(asc("prio"), asc("doc_id"))
+      .limit(WeightedK)
+      .select(col("doc_id"), col("lang"), col("n_chars"), round(col("prio"), 8).as("prio"))
+      .oracleSorted("doc_id")
+  }
+
   /** `sample_split` boundaries: cumulative percentages for train/val/test. */
   val SplitPct: Seq[(String, Int)] = Seq("train" -> 90, "val" -> 95, "test" -> 100)
 

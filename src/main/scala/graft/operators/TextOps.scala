@@ -576,6 +576,33 @@ object TextOps {
       .oracleSorted("doc_id")
   }
 
+  /** K6′ `dedup_keepbest` (round 7): the KEEP POLICY over near-dup
+    * clusters — real pipelines keep the BEST member of each duplicate
+    * cluster (here: longest text, the most-complete-copy heuristic;
+    * tiebreak min doc_id), not the arbitrary first. Composes the
+    * single-sourced cluster machinery (`minhashPairs` + `clusterLabels`,
+    * the `dedup_cluster` chain) with the D29 packed-ordinal `max_by` —
+    * the selection is one partial-aggregable pass over |clustered docs|,
+    * no window sort. Output: every clustered doc with its cluster, the
+    * cluster's keeper, and its own verdict. Scale: the argmax shuffles
+    * one (cluster, best) pair per map task; everything upstream is the
+    * audited LSH chain.
+    */
+  def dedupKeepbest(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val pairs = minhashPairs(docs).select("doc_a", "doc_b").lineageCut()
+    val labels = clusterLabels(pairs)
+    val q = labels.join(docs.select(col("doc_id"), col("n_chars")), Seq("doc_id"))
+    val ord = col("n_chars") * lit(1000000000000L) + (lit(999999999999L) - col("doc_id"))
+    val k = q.withColumn("ord", ord).groupBy("lbl")
+      .agg(max_by(col("doc_id"), col("ord")).as("keep_id"),
+        count(lit(1)).as("cluster_size"))
+    q.join(k, "lbl")
+      .select(col("doc_id"), col("lbl").as("canonical_id"), col("keep_id"),
+        (col("doc_id") === col("keep_id")).as("kept"), col("cluster_size"))
+      .oracleSorted("doc_id")
+  }
+
   /** `dedup_incremental` batch split: every `IncrementalModulus`-th doc_id
     * is the INCOMING batch; the rest are the existing index.
     */

@@ -241,6 +241,15 @@ class AggregatesSpec extends AnyFunSuite {
       "per-source doc counts must partition the corpus")
   }
 
+  test("agg_argmax equals window_top1 row-for-row (the agg form of top-1-per-group, D29)") {
+    val viaAgg = Aggregates.aggArgmax(spark, sfDir)
+      .select("user_id", "event_id", "value").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1).toSeq
+    val viaWindow = graft.operators.Windows.windowTop1(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1).toSeq
+    assert(viaAgg == viaWindow)
+  }
+
   test("agg_stringagg: cells are sorted, sized n_nations, and jointly carry all 25 nations (D27)") {
     val rows = Aggregates.aggStringagg(spark, sfDir).collect()
     val all = rows.flatMap { r =>

@@ -107,6 +107,17 @@ class PlanShapeSpec extends AnyFunSuite {
     } finally spark.conf.unset("graft.terminalSort")
   }
 
+  test("query_q5: dims broadcast, date predicate inside the orders scan, no cartesian (C8')") {
+    val df = graft.operators.Joins.queryQ5(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // the order-date range must reach the orders parquet scan
+    val sp = df.queryExecution.sparkPlan.toString
+    assert(sp.contains("PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate")
+      || sp.contains("GreaterThanOrEqual(o_orderdate"), sp)
+  }
+
   test("sample_reservoir: the k-smallest-hash sample plans as a heap, not a global sort (K12')") {
     val p = planOf(graft.operators.Relational.sampleReservoir(spark, sfDir))
     assert(p.contains("TakeOrderedAndProject"), p)

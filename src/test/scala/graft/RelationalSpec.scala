@@ -172,4 +172,14 @@ class RelationalSpec extends AnyFunSuite {
       .agg(org.apache.spark.sql.functions.min("hkey")).collect()(0).getLong(0)
     assert(kept.max < minExcluded, "a kept key exceeds an excluded key — not the k smallest")
   }
+
+  test("sample_weighted: exact k, and length-weighting visibly overrepresents long docs") {
+    val out = Relational.sampleWeighted(spark, sfDir).collect()
+    assert(out.length == Relational.WeightedK)
+    val sampleMean = out.map(_.getLong(out.head.fieldIndex("n_chars"))).sum.toDouble / out.length
+    val corpus = Tables.documents(spark, sfDir).select("n_chars").collect().map(_.getLong(0))
+    val corpusMean = corpus.sum.toDouble / corpus.length
+    assert(sampleMean > corpusMean,
+      s"weighted sample mean $sampleMean not above corpus mean $corpusMean — weighting invisible")
+  }
 }

@@ -635,4 +635,22 @@ class TextOpsSpec extends AnyFunSuite {
     }
     assert(rows.nonEmpty)
   }
+
+  test("dedup_keepbest: exactly one keeper per cluster, and it is the longest member (K6')") {
+    val rows = TextOps.dedupKeepbest(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(rows.nonEmpty)
+    val nChars = Tables.documents(spark, sfDir).select("doc_id", "n_chars")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.groupBy(_._2).foreach { case (cl, members) =>
+      val keepers = members.filter(_._4)
+      assert(keepers.length == 1, s"cluster $cl: ${keepers.length} keepers")
+      val keeper = keepers.head._1
+      assert(members.forall(m => m._3 == keeper), s"cluster $cl: keep_id disagrees")
+      val maxLen = members.map(m => nChars(m._1)).max
+      assert(nChars(keeper) == maxLen, s"cluster $cl: keeper $keeper not longest")
+      // min doc_id among the equally-longest wins (the deterministic tiebreak)
+      assert(keeper == members.map(_._1).filter(id => nChars(id) == maxLen).min)
+    }
+  }
 }
