@@ -176,6 +176,7 @@ object SparkEntry {
     "multimodal_decode" -> (VectorOps.multimodalDecode _),
     "multimodal_resize" -> (VectorOps.multimodalResize _),
     "multimodal_framesample" -> (VectorOps.multimodalFramesample _),
+    "multimodal_audio" -> (VectorOps.multimodalAudio _),
     "sim_topk" -> (VectorOps.simTopk _),
     "sim_ann" -> (VectorOps.simAnn _),
     "sim_ivf" -> (VectorOps.simIvf _),
@@ -1105,6 +1106,20 @@ object SparkEntry {
       "o AS (SELECT doc_id, string_agg(seg, '' ORDER BY f) AS ohex, CAST(sum(len) AS INT) AS n_bytes FROM sl GROUP BY doc_id) " +
       s"SELECT d.doc_id, CAST(d.nf AS INT) AS n_frames, CAST((d.nf + ${VectorOps.FrameStride} - 1) // ${VectorOps.FrameStride} AS INT) AS n_sampled, coalesce(o.n_bytes, 0) AS n_bytes_sampled, md5(coalesce(o.ohex, '')) AS checksum " +
       "FROM fd d LEFT JOIN o ON d.doc_id = o.doc_id ORDER BY d.doc_id"),
+    // mirrors VectorOps.encodeWav/decodeWav: rate = 8000 + n%4000, data =
+    // text padded to even bytes; signed int16 decode from hex pairs (UTF-8
+    // high bytes make samples negative — the CASE is load-bearing)
+    "multimodal_audio" ->
+      ("WITH a AS (SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents), " +
+      "g AS (SELECT doc_id, text, n, 8000 + n % 4000 AS rate, (n + 1) // 2 AS ns FROM a), " +
+      "hx AS (SELECT doc_id, rate, ns, n, text, lower(hex(encode(text) || encode(repeat(' ', ns * 2 - n)))) AS h FROM g), " +
+      "sm AS (SELECT doc_id, h, unnest(generate_series(0, ns - 1)) AS i FROM hx), " +
+      "sv AS (SELECT doc_id, CAST(('0x' || substr(h, i * 4 + 1, 2)) AS INT) + 256 * CAST(('0x' || substr(h, i * 4 + 3, 2)) AS INT) AS v FROM sm), " +
+      "sa AS (SELECT doc_id, sum(CASE WHEN v >= 32768 THEN 65536 - v ELSE v END) AS sum_abs FROM sv GROUP BY 1) " +
+      "SELECT g.doc_id, CAST(rate AS INT) AS sample_rate, CAST(ns AS INT) AS n_samples, " +
+      "CAST(ns * 1000 // rate AS INT) AS duration_ms, CAST(coalesce(sum_abs, 0) AS BIGINT) AS sum_abs, " +
+      "md5(text || repeat(' ', ns * 2 - n)) AS checksum " +
+      "FROM g LEFT JOIN sa USING (doc_id) ORDER BY doc_id"),
     // re-derives the NN 2x downsample byte-for-byte: per-pixel coordinates
     // via unnest(generate_series), source bytes sliced out of hex(blob)
     // (byte-positional — substr on the raw UTF-8 text is character-based),

@@ -263,6 +263,96 @@ object VectorOps {
       .oracleSorted("doc_id")
   }
 
+  case class AudioFeatures(doc_id: Long, sample_rate: Int, n_samples: Int,
+                           duration_ms: Int, sum_abs: Long, checksum: String)
+
+  /** Wrap raw content bytes in a valid canonical-44-byte PCM16 WAV
+    * container: mono, 16-bit, sample rate a deterministic function of
+    * content size (8000 + n mod 4000, so rates vary per doc), data chunk =
+    * the content padded to an even byte count with one space — spaces, so
+    * the oracle rebuilds the chunk as `text || repeat(' ', pad)` exactly
+    * as the BMP family does.
+    */
+  private[graft] def encodeWav(raw: Array[Byte]): Array[Byte] = {
+    import java.nio.{ByteBuffer, ByteOrder}
+    val n = raw.length
+    val ns = (n + 1) / 2
+    val dataLen = ns * 2
+    val rate = 8000 + n % 4000
+    val b = ByteBuffer.allocate(44 + dataLen).order(ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+    b.put("WAVE".getBytes("US-ASCII"))
+    b.put("fmt ".getBytes("US-ASCII")).putInt(16)
+    b.putShort(1).putShort(1)                // PCM, mono
+    b.putInt(rate).putInt(rate * 2)          // sample rate, byte rate
+    b.putShort(2).putShort(16)               // block align, bits/sample
+    b.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    b.put(raw)
+    if (n < dataLen) b.put(' '.toByte)
+    b.array()
+  }
+
+  /** Parse the RIFF/WAVE headers (actual offsets, little-endian), reject
+    * anything that is not the canonical mono-PCM16 layout, and extract the
+    * audio features: sample count, floor-ms duration, and the exact
+    * integer sum of absolute sample amplitudes (the signal-energy proxy a
+    * filtering stage thresholds on — UTF-8 multi-byte content puts the
+    * high bit on some high bytes, so samples DO go negative and the
+    * signed int16 decode is load-bearing). Checksum covers the data chunk.
+    */
+  private[graft] def decodeWav(digest: java.security.MessageDigest, id: Long,
+                               w: Array[Byte]): AudioFeatures = {
+    import java.nio.{ByteBuffer, ByteOrder}
+    def tag(off: Int) = new String(w, off, 4, "US-ASCII")
+    require(w.length >= 44 && tag(0) == "RIFF" && tag(8) == "WAVE" &&
+      tag(12) == "fmt ", s"doc $id: payload is not a WAV (${w.length} bytes)")
+    val b = ByteBuffer.wrap(w).order(ByteOrder.LITTLE_ENDIAN)
+    require(b.getInt(16) == 16 && b.getShort(20) == 1 && b.getShort(22) == 1 &&
+      b.getShort(34) == 16, s"doc $id: not canonical mono PCM16")
+    val rate = b.getInt(24)
+    require(b.getInt(28) == rate * 2 && b.getShort(32) == 2,
+      s"doc $id: inconsistent byte rate / block align")
+    require(tag(36) == "data", s"doc $id: missing data chunk")
+    val dataLen = b.getInt(40)
+    require(44 + dataLen == w.length && b.getInt(4) == 36 + dataLen,
+      s"doc $id: data chunk length ${dataLen} does not cover the payload")
+    val ns = dataLen / 2
+    var i = 0; var sum = 0L
+    while (i < ns) {
+      val v = ((w(44 + 2 * i) & 0xff) | (w(45 + 2 * i) << 8)).toShort
+      sum += math.abs(v.toLong)
+      i += 1
+    }
+    digest.reset()
+    digest.update(w, 44, dataLen)
+    val hex = digest.digest().map("%02x".format(_)).mkString
+    AudioFeatures(id, rate, ns, (ns.toLong * 1000 / rate).toInt, sum, hex)
+  }
+
+  /** `multimodal_audio` (round 7): the audio leg of the multimodal family
+    * (image = `multimodal_decode`, video = `multimodal_framesample`) —
+    * ingest wraps payload bytes in a REAL RIFF/WAVE PCM16 container, the
+    * decode stage parses the actual header fields and rejects malformed
+    * layouts, and the features (rate, sample count, floor-ms duration,
+    * exact |amplitude| sum, data-chunk md5) are all integer/byte-exact so
+    * the DuckDB oracle re-derives every column from `text` via hex
+    * slicing — a one-byte framing error anywhere fails the hash. Same
+    * zero-shuffle typed `mapPartitions` chain as the BMP family.
+    */
+  def multimodalAudio(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, raw) => (id, encodeWav(raw)) })
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, wav) => decodeWav(md, id, wav) }
+      }
+      .toDF()
+      .oracleSorted("doc_id")
+  }
+
   /** Wrap raw content bytes in a valid 24bpp BMP: width is a deterministic
     * function of content size (so dimensions vary per doc), height covers
     * the content at the 4-byte-aligned row stride, and the pixel array is

@@ -313,6 +313,37 @@ class VectorOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("encodeWav/decodeWav round-trip: fields, signed |amplitude| sum, and rejection (K4e)") {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    for (n <- Seq(0, 1, 2, 59, 200, 4097)) {
+      // include high-bit bytes so some int16 samples go NEGATIVE — the
+      // signed decode path must not be vacuous
+      val raw = Array.tabulate(n)(i => ((i * 37) % 256).toByte)
+      val wav = VectorOps.encodeWav(raw)
+      val f = VectorOps.decodeWav(md, 3L, wav)
+      val ns = (n + 1) / 2
+      val rate = 8000 + n % 4000
+      assert(f.sample_rate == rate && f.n_samples == ns, s"n=$n: $f")
+      assert(f.duration_ms == (ns.toLong * 1000 / rate).toInt)
+      val data = raw ++ Array.fill(ns * 2 - n)(' '.toByte)
+      val want = (0 until ns).map { i =>
+        math.abs((((data(2 * i) & 0xff) | (data(2 * i + 1) << 8)).toShort).toLong)
+      }.sum
+      assert(f.sum_abs == want, s"n=$n: sum_abs ${f.sum_abs} != $want")
+      if (n >= 512) // high bytes >= 0x80 appear: negative samples exercised
+        assert((0 until ns).exists(i => (data(2 * i + 1) & 0x80) != 0))
+      md.reset()
+      assert(f.checksum == md.digest(data).map("%02x".format(_)).mkString)
+      // malformed payloads are rejected, never silently decoded
+      intercept[IllegalArgumentException] {
+        VectorOps.decodeWav(md, 3L, wav.updated(0, 'X'.toByte))
+      }
+      intercept[IllegalArgumentException] {
+        VectorOps.decodeWav(md, 3L, wav.dropRight(1))
+      }
+    }
+  }
+
   test("resizeBmp samples exactly source pixel (2x, 2y) per output pixel (K4c)") {
     val md = java.security.MessageDigest.getInstance("MD5")
     for (n <- Seq(1, 59, 61, 200, 4096)) {
