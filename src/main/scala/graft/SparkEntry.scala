@@ -166,6 +166,7 @@ object SparkEntry {
     "stats_profile" -> (Relational.statsProfile _),
     "stats_moments" -> (Relational.statsMoments _),
     "stats_histogram" -> (Relational.statsHistogram _),
+    "drift_psi" -> (Relational.driftPsi _),
     "quantile_bins" -> (VectorOps.quantileBins _),
     "shuffle_rows" -> (VectorOps.shuffleRows _),
     // §2.K3/K4 vectors / similarity / multimodal (+ B7 feature scaling)
@@ -1050,6 +1051,19 @@ object SparkEntry {
     "stats_histogram" ->
       (s"SELECT bin, count(1) AS n, CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_total, CAST(bin * ${Relational.HistBinWidth} AS DOUBLE) AS bin_lo " +
       s"FROM (SELECT CAST(least(floor(o_totalprice / ${Relational.HistBinWidth}), ${Relational.HistMaxBin}) AS INT) AS bin, o_totalprice FROM orders) GROUP BY bin ORDER BY bin"),
+    // per-bin ln terms deterministic (exact-integer proportions), total
+    // crosses bins as DECIMAL(28,18); binning constants single-sourced
+    // with stats_histogram
+    "drift_psi" ->
+      (s"WITH o AS (SELECT o_orderdate AS d, o_totalprice AS x FROM orders), " +
+      s"r AS (SELECT CAST(least(floor(x / ${Relational.HistBinWidth}), ${Relational.HistMaxBin}) AS INT) AS bin, count(1) AS n_ref FROM o WHERE d >= TIMESTAMP '1995-01-01' AND d < TIMESTAMP '1996-01-01' GROUP BY 1), " +
+      s"c AS (SELECT CAST(least(floor(x / ${Relational.HistBinWidth}), ${Relational.HistMaxBin}) AS INT) AS bin, count(1) AS n_cur FROM o WHERE d >= TIMESTAMP '1996-01-01' AND d < TIMESTAMP '1997-01-01' GROUP BY 1), " +
+      "t AS (SELECT (SELECT sum(n_ref) FROM r) AS t_ref, (SELECT sum(n_cur) FROM c) AS t_cur), " +
+      "j AS (SELECT bin, n_ref, n_cur, CAST(n_ref AS DOUBLE) / t_ref AS p, CAST(n_cur AS DOUBLE) / t_cur AS q FROM r JOIN c USING (bin) CROSS JOIN t), " +
+      "w AS (SELECT *, (q - p) * ln(q / p) AS term FROM j), " +
+      "s AS (SELECT CAST(sum(CAST(term AS DECIMAL(28,18))) AS DOUBLE) AS psi_raw FROM w) " +
+      "SELECT bin, n_ref, n_cur, round(term, 6) AS psi_term, round(psi_raw, 6) AS psi_total " +
+      "FROM w CROSS JOIN s ORDER BY bin"),
     "stats_profile" ->
       Relational.ProfileCols.map(c =>
         s"SELECT '$c' AS col_name, count(1) AS n_rows, CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls, count(DISTINCT $c) AS n_distinct, min($c) AS min_val, max($c) AS max_val FROM lineitem")

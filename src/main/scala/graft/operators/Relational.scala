@@ -839,6 +839,45 @@ object Relational {
       .oracleSorted("bin")
   }
 
+  /** `drift_psi` (round 7): population-stability-index distribution drift
+    * — the monitor a production pipeline runs between yesterday's and
+    * today's feature distribution before trusting a snapshot: bin both
+    * periods on the SAME fixed grid (`stats_histogram`'s constants —
+    * single-sourced, so a binning edit moves both gates), then
+    * PSI = Σ (qᵢ−pᵢ)·ln(qᵢ/pᵢ) over bins populated in BOTH periods (the
+    * both-support convention; ε-filling is the alternative, documented
+    * not silently chosen). Per-bin terms are one ln of a ratio of two
+    * exact-integer proportions (deterministic cross-engine), the total
+    * crosses bins through exact DECIMAL(28,18) (the `text_logprob`
+    * discipline). Scale: two partial-agg histogram scans (shuffle ≤ bins
+    * per map task) + bin-count-sized arithmetic — constant beyond the
+    * scans at any corpus size.
+    */
+  def driftPsi(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.ScalarAttach._
+    import org.apache.spark.sql.types.DecimalType
+    val o = Tables.orders(s, dir).select(col("o_orderdate").as("d"), col("o_totalprice").as("x"))
+    def hist(lo: String, hi: String, n: String) =
+      o.where(col("d") >= lit(lo).cast("timestamp") && col("d") < lit(hi).cast("timestamp"))
+        .groupBy(least(floor(col("x") / HistBinWidth), lit(HistMaxBin)).cast("int").as("bin"))
+        .agg(count(lit(1)).as(n))
+    val ref = hist("1995-01-01", "1996-01-01", "n_ref")
+    val cur = hist("1996-01-01", "1997-01-01", "n_cur")
+    val totals = ref.agg(sum("n_ref").as("t_ref"))
+      .attachScalarRow(cur.agg(sum("n_cur").as("t_cur")))
+    val terms = ref.join(cur, "bin")
+      .attachScalarRow(totals)
+      .withColumn("p", col("n_ref").cast("double") / col("t_ref"))
+      .withColumn("q", col("n_cur").cast("double") / col("t_cur"))
+      .withColumn("term", (col("q") - col("p")) * log(col("q") / col("p")))
+    val psi = terms.agg(
+      sum(col("term").cast(DecimalType(28, 18))).cast("double").as("psi_raw"))
+    terms.attachScalarRow(psi)
+      .select(col("bin"), col("n_ref"), col("n_cur"),
+        round(col("term"), 6).as("psi_term"), round(col("psi_raw"), 6).as("psi_total"))
+      .oracleSorted("bin")
+  }
+
   /** Columns profiled by `stats_profile`. */
   val ProfileCols: Seq[String] = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
 

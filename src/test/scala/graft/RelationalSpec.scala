@@ -173,6 +173,22 @@ class RelationalSpec extends AnyFunSuite {
     assert(kept.max < minExcluded, "a kept key exceeds an excluded key — not the k smallest")
   }
 
+  test("drift_psi: terms non-negative, total is their sum, stationary fixture reads no-drift") {
+    val rows = Relational.driftPsi(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val terms = rows.map(_.getDouble(rows.head.fieldIndex("psi_term")))
+    val total = rows.head.getDouble(rows.head.fieldIndex("psi_total"))
+    // (q-p)·ln(q/p) is non-negative for every bin — a negative term means
+    // the formula (not the data) is wrong
+    terms.foreach(t => assert(t >= -1e-12, s"negative PSI term $t"))
+    assert(math.abs(terms.sum - total) < 1e-4, s"terms sum ${terms.sum} != total $total")
+    // the order-total distribution is stationary across years by
+    // construction, so PSI must read "no significant drift" (< 0.1 —
+    // the standard alert threshold is 0.25); a large value here means
+    // the proportions are computed against the wrong denominators
+    assert(total >= 0.0 && total < 0.1, s"stationary fixture read as drifting: PSI $total")
+  }
+
   test("sample_weighted: exact k, and length-weighting visibly overrepresents long docs") {
     val out = Relational.sampleWeighted(spark, sfDir).collect()
     assert(out.length == Relational.WeightedK)
