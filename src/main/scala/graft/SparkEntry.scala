@@ -67,6 +67,7 @@ object SparkEntry {
     "agg_entropy" -> (Aggregates.aggEntropy _),
     "agg_stringagg" -> (Aggregates.aggStringagg _),
     "agg_argmax" -> (Aggregates.aggArgmax _),
+    "stats_ks" -> (Aggregates.statsKs _),
     "resample_ffill" -> (EventOps.resampleFfill _),
     "group_collect" -> (Aggregates.groupCollect _),
     // §2.G set ops
@@ -133,6 +134,7 @@ object SparkEntry {
     "text_quality" -> (TextOps.textQuality _),
     "text_langid" -> (TextOps.textLangid _),
     "text_fingerprint" -> (TextOps.textFingerprint _),
+    "vocab_oov" -> (TextOps.vocabOov _),
     // §2.K1/K2 deduplication
     "dedup_exact" -> (TextOps.dedupExact _),
     "dedup_minhash" -> (TextOps.dedupMinhash _),
@@ -589,6 +591,22 @@ object SparkEntry {
       "round(ln(CAST(n_docs AS DOUBLE)) - snln / n_docs, 6) AS entropy, " +
       "round((ln(CAST(n_docs AS DOUBLE)) - snln / n_docs) / ln(CAST(n_langs AS DOUBLE)), 6) AS norm_entropy " +
       "FROM e ORDER BY source"),
+    "vocab_oov" ->
+      (s"WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents), " +
+      s"v AS (SELECT token FROM (SELECT token, count(1) AS n FROM t GROUP BY 1 ORDER BY n DESC, token LIMIT ${TextOps.VocabK})), " +
+      "j AS (SELECT t.doc_id, CASE WHEN v.token IS NULL THEN 1 ELSE 0 END AS oov FROM t LEFT JOIN v ON t.token = v.token) " +
+      "SELECT doc_id, count(1) AS n_tokens, CAST(sum(oov) AS BIGINT) AS n_oov, " +
+      "round(CAST(sum(oov) AS DOUBLE) / count(1), 6) AS oov_rate FROM j GROUP BY 1 ORDER BY doc_id"),
+    // distinct-value grid -> running CDF counts -> max gap; all operands
+    // exact integers until the two divisions (mirrored verbatim)
+    "stats_ks" ->
+      ("WITH e AS (SELECT event_type, CAST(user_id % 2 AS INT) AS variant, CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS c FROM events), " +
+      "g AS (SELECT event_type, c, count(1) FILTER (WHERE variant = 0) AS d0, count(1) FILTER (WHERE variant = 1) AS d1 FROM e GROUP BY 1, 2), " +
+      "t AS (SELECT event_type, CAST(sum(d0) AS BIGINT) AS n0, CAST(sum(d1) AS BIGINT) AS n1 FROM g GROUP BY 1), " +
+      "r AS (SELECT event_type, c, CAST(sum(d0) OVER (PARTITION BY event_type ORDER BY c ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c0, " +
+      "CAST(sum(d1) OVER (PARTITION BY event_type ORDER BY c ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c1 FROM g) " +
+      "SELECT r.event_type, n0, n1, round(max(abs(CAST(c0 AS DOUBLE) / n0 - CAST(c1 AS DOUBLE) / n1)), 6) AS ks_d " +
+      "FROM r JOIN t USING (event_type) GROUP BY 1, 2, 3 ORDER BY event_type"),
     // agg-based top-1-per-group: same winner as window_top1 (packed-ordinal
     // tiebreak mirrors desc value, asc event_id)
     "agg_argmax" ->

@@ -626,6 +626,45 @@ object Aggregates {
       .oracleSorted("source")
   }
 
+  /** D30 `stats_ks` (round 7): two-sample Kolmogorov–Smirnov statistic per
+    * event type — the NONPARAMETRIC companion to D23's Welch t-test (a
+    * mean shift isn't the only drift; KS sees shape). Same experiment
+    * split (variant = user_id % 2, the user-level randomization unit).
+    * Exactness: group by the distinct integer-cent VALUE first (ties
+    * collapse, so no within-tie ordering ambiguity), running cumulative
+    * counts over the value axis, D = max |c₀/n₀ − c₁/n₁| — every operand
+    * an exact integer until the two divisions, identical IEEE in both
+    * engines. Scale: the distinct-value grid is a partial-agg groupBy
+    * (shuffle ∝ |type × distinct values|); the running window partitions
+    * by type over that GRID, not raw events — the bounded-window
+    * `rank_tokens` argument, with the D13→D19-style swap (quantile-sketch
+    * CDFs) named for unbounded value domains.
+    */
+  def statsKs(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val cents = (col("value").cast(DecimalType(12, 2)) * 100).cast("long")
+    val grid = Tables.events(s, dir)
+      .select(col("event_type"), (col("user_id") % 2).cast("int").as("variant"), cents.as("c"))
+      .groupBy("event_type", "c")
+      .agg(
+        count(when(col("variant") === 0, 1)).as("d0"),
+        count(when(col("variant") === 1, 1)).as("d1"))
+    val w = Window.partitionBy("event_type").orderBy("c")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totals = grid.groupBy("event_type").agg(sum("d0").as("n0"), sum("d1").as("n1"))
+    grid
+      .withColumn("c0", sum("d0").over(w))
+      .withColumn("c1", sum("d1").over(w))
+      .join(totals, "event_type")
+      .withColumn("gap", abs(col("c0").cast("double") / col("n0") -
+        col("c1").cast("double") / col("n1")))
+      .groupBy("event_type", "n0", "n1")
+      .agg(round(max("gap"), 6).as("ks_d"))
+      .select(col("event_type"), col("n0"), col("n1"), col("ks_d"))
+      .oracleSorted("event_type")
+  }
+
   /** D29 `agg_argmax` (round 7): top-1-per-group as an AGGREGATE —
     * `max_by` over a composite ordinal — rather than `window_top1`'s
     * rank-window. The two answer the same question with different scale

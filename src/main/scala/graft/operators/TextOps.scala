@@ -576,6 +576,34 @@ object TextOps {
       .oracleSorted("doc_id")
   }
 
+  /** `vocab_oov` vocabulary size (top-K corpus tokens by frequency). */
+  val VocabK = 200
+
+  /** K5f `vocab_oov` (round 7): per-document out-of-vocabulary rate
+    * against the corpus top-K vocabulary — the tokenizer-prep diagnostic
+    * (a doc full of OOV tokens is noise, markup, or the wrong language;
+    * the rate feeds the same filtering stage as `text_quality`).
+    * Two passes: (1) vocabulary = top-K tokens by corpus frequency
+    * (count desc, token asc tiebreak — deterministic), a partial-agg
+    * groupBy + TakeOrderedAndProject over the VOCABULARY-sized count
+    * table; (2) per-(doc, token) membership via a BROADCAST left join of
+    * the K-row vocab onto the token stream, partial-agg per doc. Shuffle
+    * ∝ token occurrences once; the vocab side never shuffles.
+    */
+  def vocabOov(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+    val vocab = toks.groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc("token")).limit(VocabK)
+      .select(col("token"), lit(1).as("iv"))
+    toks.join(broadcast(vocab), Seq("token"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("iv").isNull, 1).otherwise(0)).as("n_oov"))
+      .withColumn("oov_rate", round(col("n_oov").cast("double") / col("n_tokens"), 6))
+      .oracleSorted("doc_id")
+  }
+
   /** K6′ `dedup_keepbest` (round 7): the KEEP POLICY over near-dup
     * clusters — real pipelines keep the BEST member of each duplicate
     * cluster (here: longest text, the most-complete-copy heuristic;

@@ -241,6 +241,24 @@ class AggregatesSpec extends AnyFunSuite {
       "per-source doc counts must partition the corpus")
   }
 
+  test("stats_ks matches a brute-force two-sample KS statistic per type (D30)") {
+    val got = Aggregates.statsKs(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getDouble(r.fieldIndex("ks_d"))).toMap
+    val rows = graft.Tables.events(spark, sfDir)
+      .select("event_type", "user_id", "value").collect()
+      .map(r => (r.getString(0), r.getLong(1) % 2, math.round(r.getDouble(2) * 100)))
+    rows.groupBy(_._1).foreach { case (t, vs) =>
+      val a = vs.filter(_._2 == 0).map(_._3).sorted
+      val b = vs.filter(_._2 == 1).map(_._3).sorted
+      val xs = (a ++ b).distinct.sorted
+      val d = xs.map { x =>
+        math.abs(a.count(_ <= x).toDouble / a.length - b.count(_ <= x).toDouble / b.length)
+      }.max
+      assert(got(t) >= 0.0 && got(t) <= 1.0)
+      assert(math.abs(got(t) - d) < 1e-6, s"$t: ks ${got(t)} vs brute $d")
+    }
+  }
+
   test("agg_argmax equals window_top1 row-for-row (the agg form of top-1-per-group, D29)") {
     val viaAgg = Aggregates.aggArgmax(spark, sfDir)
       .select("user_id", "event_id", "value").collect()

@@ -636,6 +636,23 @@ class TextOpsSpec extends AnyFunSuite {
     assert(rows.nonEmpty)
   }
 
+  test("vocab_oov: rates in [0,1], token totals match the stream, vocab hits score 0 (K5f)") {
+    val rows = TextOps.vocabOov(spark, sfDir).collect()
+    val totalTokens = Tables.documents(spark, sfDir)
+      .select(org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.split(col("text"), " "))).count()
+    assert(rows.map(_.getLong(rows.head.fieldIndex("n_tokens"))).sum == totalTokens)
+    rows.foreach { r =>
+      val (n, oov, rate) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(oov >= 0 && oov <= n)
+      assert(rate >= 0.0 && rate <= 1.0)
+      assert(math.abs(rate - math.rint(oov.toDouble / n * 1e6) / 1e6) < 1e-9)
+    }
+    // the vocabulary covers the corpus head: overall OOV mass is a minority
+    val oovMass = rows.map(_.getLong(2)).sum.toDouble / totalTokens
+    assert(oovMass < 0.5, s"top-${TextOps.VocabK} vocab covers under half the stream ($oovMass)")
+  }
+
   test("dedup_keepbest: exactly one keeper per cluster, and it is the longest member (K6')") {
     val rows = TextOps.dedupKeepbest(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
