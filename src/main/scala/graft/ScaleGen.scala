@@ -84,13 +84,18 @@ object ScaleGen {
 
     // customer: key-shifted replicas so orders' o_custkey offsets keep
     // resolving (FK integrity preserved at every factor — dq_checks runs
-    // unchanged); name/address replicate verbatim, which deliberately makes
-    // the 10× fixture carry exact-duplicate names — fine for every query
-    // except join_fuzzy, whose output is then quadratic in the factor (a
-    // data property, not an engine one; excluded from the scale table)
+    // unchanged). Names get a per-replica "_r_r" suffix (the replica index
+    // TWICE): cross-replica name pairs then differ in >= 2 positions, so
+    // join_fuzzy's <=1-distance answer is exactly the union of the
+    // per-replica answers — output scales LINEARLY in the factor, the
+    // "10x more entities" semantics. (Verbatim replication would plant
+    // factor-sized exact-duplicate name groups and a quadratic output — a
+    // fixture property, which round-7's first scale table had to exclude.)
     write(replicated(Tables.customer(spark, src), factor)
-      .select(off("c_custkey") +:
-        Tables.customer(spark, src).columns.filter(_ != "c_custkey").map(col): _*),
+      .select(off("c_custkey") +: concat(col("c_name"), lit("_"), col("rep"),
+          lit("_"), col("rep")).as("c_name") +:
+        Tables.customer(spark, src).columns
+          .filter(c => c != "c_custkey" && c != "c_name").map(col): _*),
       "customer")
 
     write(replicated(Tables.events(spark, src), factor)
