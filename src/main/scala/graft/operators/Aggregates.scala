@@ -681,10 +681,12 @@ object Aggregates {
   def aggArgmax(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val cents = (col("value").cast(DecimalType(12, 2)) * 100).cast("long")
-    // cents ≤ ~10^7, event_id < 10^12 at any SF here: the packed ordinal
-    // stays < 2^63 and orders by (value asc, event_id DESC) — so max_by
-    // picks max value with MIN event_id on ties, exactly `window_top1`'s
-    // (desc value, asc event_id) winner
+    // Packing domain (LawsCheck-pinned): cents < 9.2×10^6 (~$92k — event
+    // values are ≤ ~$1k here) and event_id < 10^12, so the ordinal stays
+    // < 2^63 and orders by (value asc, event_id DESC) — max_by then picks
+    // max value with MIN event_id on ties, exactly `window_top1`'s
+    // (desc value, asc event_id) winner. Wider domains use a struct
+    // ordinal instead of the packed long.
     val ord = cents * lit(1000000000000L) + (lit(999999999999L) - col("event_id"))
     Tables.events(s, dir)
       .select(col("user_id"), col("event_id"), col("value"), ord.as("ord"))

@@ -137,4 +137,33 @@ object LawsCheck extends Properties("graft.laws") {
         stride % 4 == 0 && stride * h >= n // valid container invariants
     }
 
+  property("WAV codec round-trip: decode(encode(raw)) matches the container arithmetic (K4e)") =
+    Prop.forAll(Gen.chooseNum(0, 8192), Gen.long) { (n, seed) =>
+      val rnd = new scala.util.Random(seed)
+      val raw = Array.fill(n)(rnd.nextInt(256).toByte)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val f = graft.operators.VectorOps.decodeWav(md, 0L,
+        graft.operators.VectorOps.encodeWav(raw))
+      val ns = (n + 1) / 2
+      val data = raw ++ Array.fill(ns * 2 - n)(' '.toByte)
+      val sumAbs = (0 until ns).map { i =>
+        math.abs((((data(2 * i) & 0xff) | (data(2 * i + 1) << 8)).toShort).toLong)
+      }.sum
+      f.sample_rate == 8000 + n % 4000 && f.n_samples == ns &&
+        f.duration_ms == (ns.toLong * 1000 / f.sample_rate).toInt &&
+        f.sum_abs == sumAbs
+    }
+
+  // domain bound is part of the law: cents·10^12 overflows Long at
+  // cents ≥ 9.2×10^6 (~$92k) — the documented packing precondition
+  property("packed argmax ordinal orders exactly like (value asc, id desc) lex in-domain (D29)") =
+    Prop.forAll(Gen.chooseNum(0L, 9200000L), Gen.chooseNum(0L, 999999999999L),
+                Gen.chooseNum(0L, 9200000L), Gen.chooseNum(0L, 999999999999L)) {
+      (c1, id1, c2, id2) =>
+      def ord(c: Long, id: Long) = c * 1000000000000L + (999999999999L - id)
+      val lex = if (c1 != c2) c1 < c2 else id1 > id2
+      (ord(c1, id1) < ord(c2, id2)) == lex ||
+        (c1 == c2 && id1 == id2) // equal pair: both sides false
+    }
+
 }
