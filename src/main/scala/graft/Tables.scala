@@ -80,4 +80,23 @@ object Tables {
           "TIMESTAMP, or TIMESTAMP_NTZ")
     }
   }
+
+  /** Every loader, by its table name — the single registry `registerAll`
+    * and callers that iterate tables share.
+    */
+  val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "region" -> (region _), "nation" -> (nation _), "customer" -> (customer _),
+    "supplier" -> (supplier _), "part" -> (part _), "orders" -> (orders _),
+    "lineitem" -> (lineitem _), "documents" -> (documents _),
+    "embeddings" -> (embeddings _), "events" -> (events _))
+
+  /** Register every table as a temp view so `spark.sql` users can query
+    * the corpus directly — the reference's SQL entry point
+    * [ref: timeusage/…/TimeUsage.scala#timeUsageGroupedSql] generalized to
+    * the whole catalog (and the path `agg_sql` exercises for one table).
+    * Views go through the loaders, so the events timestamp normalization
+    * and schema pinning apply to the SQL surface identically.
+    */
+  def registerAll(s: SparkSession, dir: String): Unit =
+    all.foreach { case (name, load) => load(s, dir).createOrReplaceTempView(name) }
 }

@@ -50,4 +50,21 @@ class GraftSessionSpec extends AnyFunSuite {
       SparkSession.setActiveSession(base)
     }
   }
+
+  test("Tables.registerAll exposes the whole catalog to spark.sql, loaders applied") {
+    import SparkTestSession.{spark, sfDir}
+    Tables.registerAll(spark, sfDir)
+    Tables.all.foreach { case (name, load) =>
+      assert(spark.sql(s"SELECT count(*) AS n FROM $name").collect()(0).getLong(0) ==
+        load(spark, sfDir).count(), s"view $name diverges from its loader")
+    }
+    // cross-view join runs, and the events view carries the NORMALIZED ts
+    // type (the loader ran, not a raw parquet read)
+    assert(spark.table("events").schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+    val n = spark.sql(
+      "SELECT count(*) AS n FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey")
+      .collect()(0).getLong(0)
+    assert(n > 0)
+  }
 }
