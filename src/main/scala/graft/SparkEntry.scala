@@ -106,6 +106,7 @@ object SparkEntry {
     "window_sessionid" -> (EventOps.windowSessionId _),
     "window_range" -> (Windows.windowRange _),
     "window_moving" -> (Windows.windowMoving _),
+    "window_share" -> (Windows.windowShare _),
     "topk" -> (Windows.topk _),
     // §2.J event-time / streaming-shaped
     "stream_tumbling" -> (EventOps.streamTumbling _),
@@ -864,6 +865,13 @@ object SparkEntry {
       "GROUP BY 1 ORDER BY revenue DESC, n_name"),
     "window_rank" ->
       "SELECT s_nationkey, s_suppkey, s_name, s_acctbal, CAST(rank() OVER (PARTITION BY s_nationkey ORDER BY s_acctbal DESC) AS INT) AS rnk FROM supplier ORDER BY s_nationkey, rnk, s_suppkey",
+    // ratio-to-report via an exact-decimal scalar total (no global window)
+    "window_share" ->
+      ("WITH g AS (SELECT o_orderpriority, sum(CAST(o_totalprice AS DECIMAL(12,2))) AS rev_dec, count(1) AS n_orders FROM orders GROUP BY 1), " +
+      "t AS (SELECT sum(rev_dec) AS total_dec FROM g) " +
+      "SELECT o_orderpriority, n_orders, CAST(round(rev_dec, 2) AS DOUBLE) AS revenue, " +
+      "round(CAST(rev_dec AS DOUBLE) / CAST(total_dec AS DOUBLE), 6) AS share " +
+      "FROM g CROSS JOIN t ORDER BY o_orderpriority"),
     "window_top1" ->
       "WITH r AS (SELECT user_id, event_id, value, row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rn FROM events) SELECT user_id, event_id, value FROM r WHERE rn = 1 ORDER BY user_id",
     "window_running" ->

@@ -18,6 +18,32 @@ import org.apache.spark.sql.functions._
   */
 object Windows {
 
+  /** E9 `window_share` (round 7): ratio-to-report — each priority's share
+    * of total revenue, the percentage column every BI rollup carries. The
+    * textbook encoding is `sum() over ()`, an UNPARTITIONED window; this
+    * implementation is the scale-correct form: the grand total is ONE
+    * exact-decimal scalar aggregate broadcast back onto the (already
+    * bounded) group rows (`ScalarAttach`), so no global window exists in
+    * the plan at all and both operands of the share division are the same
+    * exact decimals in both engines. Per-group revenue is the `agg_avg`
+    * money discipline.
+    */
+  def windowShare(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{Num, ScalarAttach}
+    import ScalarAttach._
+    val g = Tables.orders(s, dir)
+      .groupBy("o_orderpriority")
+      .agg(sum(Num.dec2(col("o_totalprice"))).as("rev_dec"),
+        count(lit(1)).as("n_orders"))
+    g.attachScalarRow(
+        g.agg(sum("rev_dec").as("total_dec")))
+      .select(col("o_orderpriority"), col("n_orders"),
+        Num.money(col("rev_dec")).as("revenue"),
+        round(col("rev_dec").cast("double") / col("total_dec").cast("double"), 6)
+          .as("share"))
+      .oracleSorted("o_orderpriority")
+  }
+
   /** E1: rank within group — suppliers by account balance within nation. */
   def windowRank(s: SparkSession, dir: String): DataFrame =
     Tables.supplier(s, dir)

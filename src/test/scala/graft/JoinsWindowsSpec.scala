@@ -219,4 +219,19 @@ class JoinsWindowsSpec extends AnyFunSuite {
         s"order ${r.getLong(1)}: trailing_avg ${r.getDouble(3)} != own total $want")
     }
   }
+
+  test("window_share: shares sum to 1 and follow the revenue ratios, no global window (E9)") {
+    val df = graft.operators.Windows.windowShare(spark, sfDir)
+    val rows = df.collect()
+    val shares = rows.map(_.getDouble(rows.head.fieldIndex("share")))
+    assert(math.abs(shares.sum - 1.0) < 1e-4, s"shares sum ${shares.sum}")
+    val revs = rows.map(_.getDouble(rows.head.fieldIndex("revenue")))
+    val total = revs.sum
+    rows.indices.foreach { i =>
+      assert(math.abs(shares(i) - revs(i) / total) < 1e-4)
+    }
+    // the scale point: the plan carries no unpartitioned window at all
+    assert(!df.queryExecution.executedPlan.toString.contains("Window"),
+      "ratio-to-report must not plan a global window")
+  }
 }
