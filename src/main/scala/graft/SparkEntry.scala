@@ -118,6 +118,7 @@ object SparkEntry {
     "funnel_events" -> (EventOps.funnelEvents _),
     "stream_funnel" -> (graft.streaming.StatefulOps.streamFunnel _),
     "event_retention" -> (EventOps.eventRetention _),
+    "event_twap" -> (EventOps.eventTwap _),
     "anomaly_mad" -> (EventOps.anomalyMad _),
     "join_interval" -> (EventOps.joinInterval _),
     "stream_stateful" -> (graft.streaming.StatefulOps.streamStateful _),
@@ -725,6 +726,14 @@ object SparkEntry {
       ("WITH r AS (SELECT user_id, event_id, value, " +
       "row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn FROM events) " +
       "SELECT user_id, event_id AS last_seq, value FROM r WHERE rn = 1 ORDER BY user_id"),
+    // integer micros x integer cents per term, DECIMAL(38,0) sums, one
+    // terminal division — the held-interval weighting mirrored verbatim
+    "event_twap" ->
+      ("WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day, CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents FROM events), " +
+      "l AS (SELECT *, epoch_us(lead(ts) OVER (PARTITION BY user_id, day ORDER BY ts, event_id)) - epoch_us(ts) AS dt_us FROM e), " +
+      "g AS (SELECT user_id, day, count(1) AS n_held, sum(CAST(cents * dt_us AS DECIMAL(38,0))) AS num, sum(CAST(dt_us AS DECIMAL(38,0))) AS den FROM l WHERE dt_us IS NOT NULL GROUP BY 1, 2) " +
+      "SELECT user_id, day, n_held, round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE) / 100, 6) AS twap " +
+      "FROM g WHERE den > 0 ORDER BY user_id, day"),
     // interval-overlap join: session CTEs shared with window_sessionid via
     // sessionIdCtes; inclusive-ends overlap rule mirrored verbatim
     "join_interval" ->

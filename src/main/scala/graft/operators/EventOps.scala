@@ -333,6 +333,40 @@ object EventOps {
       .select("user_id", "event_type", "event_id", "ts")
       .oracleSorted("user_id", "event_type")
 
+  /** J14 `event_twap` (round 7): time-weighted average — the
+    * metrics-correct mean over IRREGULARLY sampled values (a value "holds"
+    * until the next observation; the plain `avg` over-weights chatty
+    * periods — the classic monitoring/finance mistake). Per (user, day):
+    * weight each event's value by the micros until the user's next event
+    * that day (the last observation closes the interval with weight 0),
+    * TWAP = Σ v·Δt / Σ Δt. Exactness: Δt is integer micros and v integer
+    * cents, per-term products ≤ ~10^16 < 2^63, cross-row sums as
+    * DECIMAL(38,0) (associative), ONE double division + round at the
+    * edge. Single-event days have no held interval and are excluded
+    * (0/0), with `n_obs` emitted so the exclusion is visible. Scale: one
+    * lead window + one partial-agg groupBy over the same (user, day)
+    * shuffle.
+    */
+  def eventTwap(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val w = Window.partitionBy("user_id", "day").orderBy("ts", "event_id")
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        date_trunc("day", col("ts")).as("day"),
+        (col("value").cast(DecimalType(12, 2)) * 100).cast("long").as("cents"))
+      .withColumn("dt_us", unix_micros(lead("ts", 1).over(w)) - unix_micros(col("ts")))
+      .where(col("dt_us").isNotNull)
+      .groupBy("user_id", "day")
+      .agg(
+        count(lit(1)).as("n_held"),
+        sum((col("cents") * col("dt_us")).cast(DecimalType(38, 0))).as("num"),
+        sum(col("dt_us").cast(DecimalType(38, 0))).as("den"))
+      .where(col("den") > 0)
+      .select(col("user_id"), col("day"), col("n_held"),
+        round(col("num").cast("double") / col("den").cast("double") / 100, 6).as("twap"))
+      .oracleSorted("user_id", "day")
+  }
+
   /** `join_interval` (round 7): interval-OVERLAP join — both sides are
     * intervals, the shape `join_range` (point-in-window) doesn't cover:
     * which user sessions overlap an error-incident window ([ts, ts+30 min]

@@ -91,6 +91,36 @@ class EventAnalyticsSpec extends AnyFunSuite {
       s"${out.length} of $total rows flagged — the robust fence is not a fence")
   }
 
+  test("event_twap matches a brute-force held-interval mean and stays in value bounds (J14)") {
+    val got = EventOps.eventTwap(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1)) -> r.getDouble(r.fieldIndex("twap"))).toMap
+    assert(got.nonEmpty)
+    val ev = Tables.events(spark, sfDir)
+      .select("user_id", "event_id", "ts", "value").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2), r.getDouble(3)))
+    val byDay = ev.groupBy { case (u, _, ts, _) =>
+      (u, java.sql.Timestamp.valueOf(ts.toLocalDateTime.toLocalDate.atStartOfDay))
+    }
+    byDay.foreach { case (key, rows) =>
+      // getTime already carries millis and getNanos the FULL fractional
+      // second — micros must not double-count the millis
+      def micros(t: java.sql.Timestamp): Long =
+        math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000
+      val sorted = rows.sortBy(e => (micros(e._3), e._2))
+      val held = sorted.init.zip(sorted.tail).map { case (a, b) =>
+        (math.round(a._4 * 100), micros(b._3) - micros(a._3))
+      }.filter(_._2 >= 0)
+      val den = held.map(_._2).sum
+      if (den > 0) {
+        val want = held.map { case (c, dt) => c.toDouble * dt }.sum / den / 100
+        val twap = got.getOrElse(key, fail(s"group $key missing from event_twap"))
+        assert(math.abs(twap - want) < 1e-4, s"$key: twap $twap vs brute $want")
+        val (lo, hi) = (held.map(_._1).min / 100.0, held.map(_._1).max / 100.0)
+        assert(twap >= lo - 1e-9 && twap <= hi + 1e-9, s"$key: twap $twap outside [$lo, $hi]")
+      } else assert(!got.contains(key), s"$key: zero-span group must be excluded")
+    }
+  }
+
   test("join_interval: both overlap branches non-vacuous; error-bearing sessions always hit") {
     val rows = EventOps.joinInterval(spark, sfDir).collect()
     val n = rows.map(_.getLong(rows.head.fieldIndex("n_incidents")))
