@@ -445,30 +445,45 @@ object Joins {
     *
     * The DuckDB oracle is the BRUTE-FORCE all-pairs join — the hash match
     * proves the blocking finds exactly the quadratic answer (recall 1.0
-    * for the substitution-distance-1 class; fixed-length names make that
-    * the whole ≤1 class here).
+    * over the FULL Levenshtein-≤1 class: substitutions via the shared
+    * position-qualified variant, insertions/deletions via name-to-variant
+    * equality across lengths — LawsCheck pins the class completeness on
+    * random variable-length universes).
     */
   def joinFuzzy(s: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(s, dir).select(col("c_custkey"), col("c_name"))
-    // Join key is (deletion INDEX, variant), not the variant alone: two
-    // equal-length names share (i, delete-at-i) iff they are equal
-    // everywhere except position i — exactly the substitution-distance-1
-    // class. Keying on the bare variant also admits every distance-2
-    // delete+insert pair (e.g. transpositions) as candidates; measured at
-    // sf0.1 that was 1.6M candidates of which ~84% failed the levenshtein
-    // verify (13.3 s); the position-qualified key prunes them at the join
-    // (5.8 s, now dominated by the 262k TRUE pairs the query must emit)
-    // while provably preserving the ≤1 answer.
-    def variants(d: DataFrame, pfx: String): DataFrame = d.select(
+    // Blocking covers the WHOLE Levenshtein-≤1 class through three
+    // disjoint equi-join routes (FastSS, position-qualified):
+    //  - substitution: shared (deletion INDEX, variant) — two equal-length
+    //    names share (i, delete-at-i) iff they differ only at position i.
+    //    Keying on the bare variant (round-7 first form) also admitted
+    //    every distance-2 delete+insert pair as a candidate; measured at
+    //    sf0.1 that was 1.6M candidates, ~84% rejected by the verify
+    //    (13.3 s) — the position-qualified key prunes them at the join
+    //    (5-6 s, dominated by the 262k TRUE pairs the query must emit);
+    //  - deletion/insertion (cross-length): one side's NAME equals the
+    //    other's variant — exact by construction, joined both directions.
+    // `levenshtein` verifies uniformly; key_a < key_b + distinct
+    // canonicalize (a deletion pair can surface at several i).
+    def named(pfx: String): DataFrame = c.select(
+      col("c_custkey").as(s"key_$pfx"), col("c_name").as(s"name_$pfx"))
+    def variants(pfx: String): DataFrame = c.select(
       col("c_custkey").as(s"key_$pfx"), col("c_name").as(s"name_$pfx"),
       posexplode(expr("transform(sequence(1, length(c_name)), " +
         "i -> concat(substring(c_name, 1, i - 1), substring(c_name, i + 1, length(c_name))))")))
       .withColumnsRenamed(Map("pos" -> s"i_$pfx", "col" -> s"v_$pfx"))
-    variants(c, "a").join(variants(c, "b"),
-        col("i_a") === col("i_b") && col("v_a") === col("v_b") &&
-          col("key_a") < col("key_b"))
-      .select(col("key_a"), col("key_b"), col("name_a"), col("name_b"),
-        levenshtein(col("name_a"), col("name_b")).as("dist"))
+    val subs = variants("a").join(variants("b"),
+      col("i_a") === col("i_b") && col("v_a") === col("v_b") &&
+        col("key_a") < col("key_b"))
+    val dels = named("a").join(variants("b"),
+      col("name_a") === col("v_b") && col("key_a") < col("key_b"))
+    val inss = variants("a").join(named("b"),
+      col("v_a") === col("name_b") && col("key_a") < col("key_b"))
+    val four = Seq(col("key_a"), col("key_b"), col("name_a"), col("name_b"))
+    subs.select(four: _*)
+      .unionByName(dels.select(four: _*))
+      .unionByName(inss.select(four: _*))
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
       .where(col("dist") <= 1)
       .distinct()
       .oracleSorted("key_a", "key_b")

@@ -104,20 +104,30 @@ object LawsCheck extends Properties("graft.laws") {
       kept == ks.size.toLong
     }
 
-  property("deletion-neighborhood blocking finds every substitution-distance-1 pair (C11)") =
-    Prop.forAll(Gen.listOfN(6, Gen.listOfN(6, Gen.oneOf('a', 'b', 'c'))).map(_.map(_.mkString))) { names =>
+  property("FastSS blocking covers the FULL levenshtein<=1 class on variable-length names (C11)") =
+    Prop.forAll(Gen.listOfN(8,
+      Gen.chooseNum(3, 7).flatMap(n => Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')))
+        .map(_.mkString))) { names =>
       val uniq = names.distinct
-      // brute force over the tiny universe
-      def lev1(x: String, y: String) = x.length == y.length &&
-        x.zip(y).count { case (p, q) => p != q } == 1
+      // textbook DP levenshtein — the brute-force truth
+      def lev(x: String, y: String): Int = {
+        val d = Array.tabulate(x.length + 1, y.length + 1)((i, j) => if (j == 0) i else if (i == 0) j else 0)
+        for (i <- 1 to x.length; j <- 1 to y.length)
+          d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+            d(i - 1)(j - 1) + (if (x(i - 1) == y(j - 1)) 0 else 1))
+        d(x.length)(y.length)
+      }
       val brute = (for {
-        a <- uniq; b <- uniq if a < b && lev1(a, b)
+        a <- uniq; b <- uniq if a < b && lev(a, b) == 1
       } yield (a, b)).toSet
+      // the three join routes, exactly as Joins.joinFuzzy blocks them:
+      // shared (index, variant) / name == other's variant (both directions)
+      def vs(x: String) = x.indices.map(i => (i, x.take(i) + x.drop(i + 1)))
       val blocked = (for {
         a <- uniq; b <- uniq if a < b
-        va = a.indices.map(i => (i, a.take(i) + a.drop(i + 1)))
-        vb = b.indices.map(i => (i, b.take(i) + b.drop(i + 1)))
-        if va.intersect(vb).nonEmpty && lev1(a, b)
+        if vs(a).intersect(vs(b)).nonEmpty ||
+          vs(b).exists(_._2 == a) || vs(a).exists(_._2 == b)
+        if lev(a, b) <= 1
       } yield (a, b)).toSet
       blocked == brute
     }
