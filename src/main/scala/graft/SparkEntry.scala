@@ -150,6 +150,7 @@ object SparkEntry {
     "dedup_incremental" -> (TextOps.dedupIncremental _),
     "dedup_pipeline" -> (TextOps.dedupPipeline _),
     "corpus_pipeline" -> (TextOps.corpusPipeline _),
+    "corpus_report" -> (TextOps.corpusReport _),
     "dedup_substring" -> (TextOps.dedupSubstring _),
     "dedup_substring_spans" -> (TextOps.dedupSubstringSpans _),
     "dedup_substring_clean" -> (TextOps.dedupSubstringClean _),
@@ -366,16 +367,31 @@ object SparkEntry {
       s"WHEN CAST(len(list_filter(string_split($t, ' '), t -> t IN $stopwordsSql)) AS DOUBLE) / len(string_split($t, ' ')) > 0.12 THEN 'stopword_heavy' " +
       "ELSE 'ok' END"
 
-  /** Composed corpus-assembly oracle: the SAME verdict chain as
-    * `dedup_pipeline`, then quality floor, per-language mix, split label —
-    * each stage the exact fragment its standalone oracle uses.
+  /** Composed corpus-assembly CTEs: the SAME verdict chain as
+    * `dedup_pipeline`, then quality floor and per-language mix — each
+    * stage the exact fragment its standalone oracle uses; ends in
+    * `mx(doc_id, lang, n_tokens)`. Shared by `corpus_pipeline` (per-doc
+    * manifest) and `corpus_report` (the datasheet over it).
     */
-  private def corpusPipelineSql: String =
-    s"WITH RECURSIVE $dedupVerdictCtes, " +
+  private def corpusAsmCtes: String =
+    s"$dedupVerdictCtes, " +
       "kept AS (SELECT doc_id FROM fin WHERE doc_id = canonical_id), " +
       s"qd AS (SELECT d.doc_id, d.lang, CAST(len(string_split(d.text, ' ')) AS INT) AS n_tokens FROM documents d JOIN kept USING (doc_id) WHERE ${qualityCaseSql("d.text")} = 'ok'), " +
-      s"mx AS (SELECT doc_id, lang, n_tokens FROM qd WHERE ${saltedBucketSql("mix")} < $mixCaseSql) " +
+      s"mx AS (SELECT doc_id, lang, n_tokens FROM qd WHERE ${saltedBucketSql("mix")} < $mixCaseSql)"
+
+  private def corpusPipelineSql: String =
+    s"WITH RECURSIVE $corpusAsmCtes " +
       s"SELECT doc_id, lang, n_tokens, ${splitCaseSql(saltedBucketSql("split"))} AS split FROM mx ORDER BY doc_id"
+
+  /** Datasheet oracle over the shared assembly CTEs + the verdict frame. */
+  private def corpusReportSql: String =
+    s"WITH RECURSIVE $corpusAsmCtes, " +
+      s"asm AS (SELECT doc_id, lang, n_tokens, ${splitCaseSql(saltedBucketSql("split"))} AS split FROM mx), " +
+      "lr AS (SELECT d.lang, round(CAST(sum(CASE WHEN f.doc_id = f.canonical_id THEN 1 ELSE 0 END) AS DOUBLE) / count(1), 6) AS lang_keep_rate " +
+      "FROM documents d JOIN fin f USING (doc_id) GROUP BY 1) " +
+      "SELECT a.lang, a.split, count(1) AS n_docs, CAST(sum(a.n_tokens) AS BIGINT) AS n_tokens_total, " +
+      "round(CAST(sum(a.n_tokens) AS DOUBLE) / count(1), 4) AS mean_tokens, lr.lang_keep_rate " +
+      "FROM asm a JOIN lr ON a.lang = lr.lang GROUP BY a.lang, a.split, lr.lang_keep_rate ORDER BY a.lang, a.split"
 
   /** Sequential-fold squared-norm of an embedding list (bitwise-matches
     * Spark's ArrayAggregate fold — see Vec).
@@ -1080,6 +1096,7 @@ object SparkEntry {
       s"$mixCaseSql AS keep_pct FROM documents) " +
       "SELECT doc_id, lang, source, bucket, keep_pct FROM h WHERE bucket < keep_pct ORDER BY doc_id"),
     "corpus_pipeline" -> corpusPipelineSql,
+    "corpus_report" -> corpusReportSql,
     "sample_split" ->
       (s"WITH h AS (SELECT doc_id, lang, ${saltedBucketSql("split")} AS bucket FROM documents) " +
       s"SELECT doc_id, lang, bucket, ${splitCaseSql("bucket")} AS split FROM h ORDER BY doc_id"),

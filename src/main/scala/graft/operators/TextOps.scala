@@ -899,15 +899,50 @@ object TextOps {
     * output — no additional shuffle beyond the dedup chain itself, because
     * quality/mix/split are all pure functions of the row.
     */
-  def corpusPipeline(s: SparkSession, dir: String): DataFrame = {
-    val kept = dedupVerdicts(s, dir)
-      .filter(col("verdict") === "keep").select("doc_id")
+  def corpusPipeline(s: SparkSession, dir: String): DataFrame =
+    assembledFrom(s, dir, dedupVerdicts(s, dir)).oracleSorted("doc_id")
+
+  /** The unsorted assembled manifest from a given verdict frame — factored
+    * so `corpus_report` aggregates the IDENTICAL assembly (and reuses one
+    * verdict computation for both its branches).
+    */
+  private[graft] def assembledFrom(s: SparkSession, dir: String,
+                                   verdicts: DataFrame): DataFrame = {
+    val kept = verdicts.filter(col("verdict") === "keep").select("doc_id")
     val docs = Tables.documents(s, dir).join(kept, "doc_id")
       .filter(qualityLabel(col("text")) === "ok")
       .select(col("doc_id"), col("lang"), size(words(col("text"))).as("n_tokens"))
     Relational.splitLabeled(Relational.mixKept(docs).drop("bucket", "keep_pct"))
       .select(col("doc_id"), col("lang"), col("n_tokens"), col("split"))
-      .oracleSorted("doc_id")
+  }
+
+  /** K29 `corpus_report` (round 7): the dataset DATASHEET — the summary
+    * table a corpus release ships next to the manifest: per (language,
+    * split) document counts, exact token totals, mean length, and the
+    * per-language dedup keep rate. Every number derives from the SAME
+    * single-sourced stages as `corpus_pipeline` (one shared verdict frame
+    * feeds both the assembly and the keep-rate branch — lineage-cut once,
+    * so the LSH chain runs once), and the mean is the exact-integer-sum /
+    * count division, never a float `avg`. Scale: two partial aggregations
+    * over the assembled frame + one over the verdict frame; everything
+    * upstream is the audited dedup chain.
+    */
+  def corpusReport(s: SparkSession, dir: String): DataFrame = {
+    val verdicts = dedupVerdicts(s, dir).lineageCut(eager = false)
+    val rate = verdicts
+      .join(Tables.documents(s, dir).select("doc_id", "lang"), "doc_id")
+      .groupBy("lang")
+      .agg(round(sum(when(col("verdict") === "keep", 1).otherwise(0)).cast("double") /
+        count(lit(1)), 6).as("lang_keep_rate"))
+    assembledFrom(s, dir, verdicts)
+      .groupBy("lang", "split")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("n_tokens_total"),
+        round(sum("n_tokens").cast("double") / count(lit(1)), 4).as("mean_tokens"))
+      .join(rate, "lang")
+      .select(col("lang"), col("split"), col("n_docs"), col("n_tokens_total"),
+        col("mean_tokens"), col("lang_keep_rate"))
+      .oracleSorted("lang", "split")
   }
 
   /** PII patterns, written WITHOUT backslash escapes so the same literal is

@@ -653,6 +653,26 @@ class TextOpsSpec extends AnyFunSuite {
     assert(oovMass < 0.5, s"top-${TextOps.VocabK} vocab covers under half the stream ($oovMass)")
   }
 
+  test("corpus_report rows are exactly the aggregation of the corpus_pipeline manifest (K29)") {
+    val manifest = TextOps.corpusPipeline(spark, sfDir).collect()
+      .map(r => (r.getString(1), r.getString(3), r.getInt(2)))
+    val want = manifest.groupBy(m => (m._1, m._2)).map { case (k, ms) =>
+      k -> (ms.length.toLong, ms.map(_._3.toLong).sum)
+    }
+    val got = TextOps.corpusReport(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(r.fieldIndex("n_docs")), r.getLong(r.fieldIndex("n_tokens_total")),
+         r.getDouble(r.fieldIndex("mean_tokens")), r.getDouble(r.fieldIndex("lang_keep_rate"))))
+      .toMap
+    assert(got.keySet == want.keySet, "datasheet cells diverge from the manifest")
+    got.foreach { case (k, (n, tot, mean, rate)) =>
+      val (wn, wtot) = want(k)
+      assert(n == wn && tot == wtot, s"$k: ($n, $tot) vs manifest ($wn, $wtot)")
+      assert(math.abs(mean - wtot.toDouble / wn) < 1e-3, s"$k: mean $mean")
+      assert(rate > 0.0 && rate <= 1.0)
+    }
+  }
+
   test("dedup_keepbest: exactly one keeper per cluster, and it is the longest member (K6')") {
     val rows = TextOps.dedupKeepbest(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
