@@ -41,6 +41,7 @@ object SparkEntry {
     "scalar_string" -> (Relational.scalarString _),
     "scalar_date" -> (Relational.scalarDate _),
     "scalar_json" -> (Relational.scalarJson _),
+    "scalar_map" -> (Relational.scalarMap _),
     // §2.D aggregations
     "agg_avg" -> (Aggregates.aggAvg _),
     "agg_sql" -> (Aggregates.aggSql _),
@@ -609,6 +610,16 @@ object SparkEntry {
       "round(ln(CAST(n_docs AS DOUBLE)) - snln / n_docs, 6) AS entropy, " +
       "round((ln(CAST(n_docs AS DOUBLE)) - snln / n_docs) / ln(CAST(n_langs AS DOUBLE)), 6) AS norm_entropy " +
       "FROM e ORDER BY source"),
+    // map-free reconstruction of the map pipeline's content: the busy
+    // threshold is the exact integer cross-product n*n_days > total
+    "scalar_map" ->
+      ("WITH d AS (SELECT event_type, strftime(date_trunc('day', CAST(ts AS TIMESTAMP)), '%Y-%m-%d') AS day, count(1) AS n FROM events GROUP BY 1, 2), " +
+      "t AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS total, count(1) AS n_days FROM d GROUP BY 1), " +
+      "b AS (SELECT d.event_type, day, CAST(n * 2 AS BIGINT) AS v2 FROM d JOIN t USING (event_type) WHERE n * n_days > total) " +
+      "SELECT t.event_type, CAST(t.n_days AS INT) AS n_days, CAST(coalesce(bc.c, 0) AS INT) AS n_busy_days, coalesce(bs.s, '') AS busy_2x " +
+      "FROM t LEFT JOIN (SELECT event_type, count(1) AS c FROM b GROUP BY 1) bc USING (event_type) " +
+      "LEFT JOIN (SELECT event_type, string_agg(day || ':' || CAST(v2 AS VARCHAR), ',' ORDER BY day) AS s FROM b GROUP BY 1) bs USING (event_type) " +
+      "ORDER BY t.event_type"),
     "vocab_oov" ->
       (s"WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents), " +
       s"v AS (SELECT token FROM (SELECT token, count(1) AS n FROM t GROUP BY 1 ORDER BY n DESC, token LIMIT ${TextOps.VocabK})), " +

@@ -839,6 +839,44 @@ object Relational {
       .oracleSorted("bin")
   }
 
+  /** H8 `scalar_map` (round 7): the MapType surface — the one Spark type
+    * family the inventory didn't yet exercise end-to-end: per event type,
+    * build a day→count map (`map_from_entries` over a SORTED entry array,
+    * so entry order is deterministic), keep the above-average days with
+    * `map_filter` (the threshold is the exact integer cross-product
+    * `n·n_days > total` — no division, engine-exact), double them with
+    * `transform_values`, and emit the result canonicalized to a sorted
+    * entry STRING — maps have no cross-engine literal form, so the gate
+    * hashes the canonical rendering while the DuckDB oracle reproduces the
+    * same content map-free (the oracle checks semantics, not
+    * representation). All-equal-day groups legitimately yield an empty
+    * busy map (both branches exist at every SF by count noise).
+    * Scale: one partial-agg groupBy to the (type, day) grid, then
+    * map work over ≤ |days| entries per group.
+    */
+  def scalarMap(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"),
+        date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n"))
+    daily.groupBy("event_type")
+      .agg(
+        map_from_entries(array_sort(collect_list(struct(col("day"), col("n")))))
+          .as("m"),
+        sum("n").as("total"),
+        count(lit(1)).as("n_days"))
+      .withColumn("m_busy",
+        map_filter(col("m"), (_, v) => v * col("n_days") > col("total")))
+      .withColumn("m_2x", transform_values(col("m_busy"), (_, v) => v * 2))
+      .select(col("event_type"),
+        col("n_days").cast("int").as("n_days"),
+        size(col("m_busy")).cast("int").as("n_busy_days"),
+        array_join(transform(map_entries(col("m_2x")),
+          e => concat(e.getField("key"), lit(":"), e.getField("value").cast("string"))),
+          ",").as("busy_2x"))
+      .oracleSorted("event_type")
+  }
+
   /** `drift_psi` (round 7): population-stability-index distribution drift
     * — the monitor a production pipeline runs between yesterday's and
     * today's feature distribution before trusting a snapshot: bin both

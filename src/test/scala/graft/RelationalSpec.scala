@@ -173,6 +173,27 @@ class RelationalSpec extends AnyFunSuite {
     assert(kept.max < minExcluded, "a kept key exceeds an excluded key — not the k smallest")
   }
 
+  test("scalar_map: busy subset is proper and non-empty somewhere; entries sorted, doubled (H8)") {
+    val rows = Relational.scalarMap(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    var anyBusy = false
+    rows.foreach { r =>
+      val (nd, nb) = (r.getInt(1), r.getInt(2))
+      assert(nb >= 0 && nb < nd, s"${r.getString(0)}: busy $nb not a proper subset of $nd days")
+      if (nb > 0) {
+        anyBusy = true
+        val entries = r.getString(3).split(",").toSeq
+        assert(entries.size == nb)
+        assert(entries == entries.sorted, "map entries must render in key order")
+        entries.foreach { e =>
+          val v = e.split(":")(1).toLong
+          assert(v % 2 == 0, s"transform_values doubling lost: $e")
+        }
+      }
+    }
+    assert(anyBusy, "no group has any above-average day — map_filter untested")
+  }
+
   test("drift_psi: terms non-negative, total is their sum, stationary fixture reads no-drift") {
     val rows = Relational.driftPsi(spark, sfDir).collect()
     assert(rows.nonEmpty)
