@@ -84,10 +84,17 @@ def main():
             tag = ("rescued-stall" if stalled.get(q, 0) > 0 else
                    "confirmed-slow" if q in slow else "REGRESSION?")
             regressions.append((q, r, tag))
-    total_b = sum(v for q, v in base["queries"].items() if q not in short)
-    total_n = sum(v for q, v in new["queries"].items() if q not in short)
+    # Totals over the COMMON, fully-sampled subset ONLY (round-7 VERDICT
+    # "What's wrong" #1: summing each artifact's own full map next to
+    # "over N queries" read as a 1.69x regression when the true common-set
+    # ratio was 0.91 — queries present in only one run must not enter the
+    # comparable-totals line).
+    comparable = [q for q in common if q not in short]
+    total_b = sum(base["queries"][q] for q in comparable)
+    total_n = sum(new["queries"][q] for q in comparable)
     print(f"comparable totals: base={total_b:.2f}s new={total_n:.2f}s "
-          f"ratio={total_n / total_b / machine:.2f} over {len(common) - len(short)} queries")
+          f"raw-ratio={total_n / total_b:.2f} canary-normalized={total_n / total_b / machine:.2f} "
+          f"over {len(comparable)} queries")
     for q, r, tag in sorted(regressions, key=lambda t: -t[1]):
         print(f"  {q}: {r:.2f}x [{tag}] base={base['queries'][q]} new={new['queries'][q]} "
               f"stalled={stalled.get(q, 0)} best={new.get('best', {}).get(q)}")
