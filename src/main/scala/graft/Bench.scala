@@ -1,6 +1,8 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import java.nio.file.{Files, Paths}
+import java.util.concurrent.atomic.AtomicLong
 
 /** Benchmark main: times every registered query at SPARK_GRAFT_SF_DIR.
   *
@@ -96,6 +98,47 @@ object Bench {
         case scala.util.control.NonFatal(e) =>
           System.err.println(s"[bench] warm-up read failed (continuing cold): ${e.getMessage}")
       }
+    // SHUFFLE-VOLUME TELEMETRY (round-7 VERDICT next-round #5): wall time on
+    // local[32] hides exchange mass — the in-memory shuffle runs at RAM
+    // speed, but on a 1000-executor cluster every shuffled byte crosses the
+    // network and is what the bill scales with. A task-end listener
+    // accumulates shuffle read/write and spill bytes; per-query DELTAS are
+    // captured once, on the warm-up pass (bytes are plan-determined and
+    // pass-invariant — only times need medians), and published next to the
+    // medians as `shuffle_write_mb` / `shuffle_read_mb` / `spill_mb`.
+    val accRead, accWrite, accSpill = new AtomicLong
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null) {
+          accRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+          accWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          accSpill.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
+        }
+      }
+    })
+    // Listener events are delivered async; drain the bus before reading a
+    // snapshot so the delta attributes to the query that just ran. The
+    // bus accessor is private[spark] (= public in bytecode), so reflection
+    // reaches it without shimming into Spark's package; best-effort — a
+    // Spark-internal rename degrades to slightly-blurred attribution, not
+    // a crash.
+    def drainListenerBus(): Unit =
+      try {
+        val bus = spark.sparkContext.getClass.getMethod("listenerBus")
+          .invoke(spark.sparkContext)
+        bus.getClass.getMethods
+          .find(m => m.getName == "waitUntilEmpty" && m.getParameterCount == 0)
+          .foreach(_.invoke(bus))
+      } catch { case scala.util.control.NonFatal(_) => }
+    def shuffleSnapshot(): (Long, Long, Long) = {
+      drainListenerBus()
+      (accWrite.get(), accRead.get(), accSpill.get())
+    }
+    val shufWrite = scala.collection.mutable.Map.empty[String, Long]
+    val shufRead = scala.collection.mutable.Map.empty[String, Long]
+    val spill = scala.collection.mutable.Map.empty[String, Long]
+
     // SPARK_GRAFT_ONLY=q1,q2 restricts the run (single-query iteration aid).
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
@@ -132,6 +175,10 @@ object Bench {
       for (name <- names if !retired.contains(name)) {
         def runOnce(): Double =
           timed(SparkEntry.queries(name)(spark, sfDir).queryExecution.toRdd.count())
+        // shuffle deltas captured on the warm-up pass only (see header);
+        // a pass-0 retry doubles the delta for that query — bytes are
+        // still plan-proportional, and the retry is published
+        val shufBase = if (pass == 0) Some(shuffleSnapshot()) else None
         try {
           val sec = try runOnce() catch {
             case e: Throwable => // transient? one retry inside the same pass
@@ -172,6 +219,10 @@ object Bench {
               }
             } else sec
           best(name) = math.min(best.getOrElse(name, Double.MaxValue), recorded)
+          shufBase.foreach { case (w0, r0, s0) =>
+            val (w1, r1, s1) = shuffleSnapshot()
+            shufWrite(name) = w1 - w0; shufRead(name) = r1 - r0; spill(name) = s1 - s0
+          }
           if (pass > 0) times(name) = times.getOrElse(name, Vector.empty) :+ recorded
         } catch {
           case e: Throwable =>
@@ -205,11 +256,15 @@ object Bench {
     val bst = obj(measured.map(n => n -> fmt(best(n))))
     val np = obj(measured.map(n => n -> times(n).size.toString))
     val st = obj(measured.filter(stalled.contains).map(n => n -> stalled(n).toString))
+    def mb(b: Long): String = fmt(b / 1048576.0)
+    val sw = obj(names.filter(shufWrite.contains).map(n => n -> mb(shufWrite(n))))
+    val sr = obj(names.filter(shufRead.contains).map(n => n -> mb(shufRead(n))))
+    val spl = obj(names.filter(spill.contains).map(n => n -> mb(spill(n))))
     val cn = canaries.map(_.map(fmt).mkString("[", ",", "]")).mkString("[", ",", "]")
     def arr(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
     val rt = obj(names.filter(retries.contains).map(n => n -> retries(n).toString))
     val total = meds.map(_._2).sum
-    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"spread":$sp,"pass_times":$pt,"pass_times_raw":$ptRaw,"best":$bst,"n_passes":$np,"stalled":$st,"slow_confirmed":${arr(slowConfirmed.toSeq)},"canary":$cn,"passes":$passes,"failed":${arr(failed)},"flaky":${arr(flaky)},"retried":$rt,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"spread":$sp,"pass_times":$pt,"pass_times_raw":$ptRaw,"best":$bst,"n_passes":$np,"stalled":$st,"slow_confirmed":${arr(slowConfirmed.toSeq)},"canary":$cn,"passes":$passes,"failed":${arr(failed)},"flaky":${arr(flaky)},"retried":$rt,"shuffle_write_mb":$sw,"shuffle_read_mb":$sr,"spill_mb":$spl,"sf":"$sfDir"}"""
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.json")
     Files.writeString(Paths.get(out), json + "\n")
     // compact stdout line (see header): top-K heaviest medians inline,
@@ -219,7 +274,7 @@ object Bench {
     val topQs = obj(meds.sortBy(-_._2).take(InlineTopK)
       .sortBy(_._1).map { case (k, v) => k -> fmt(v) })
     def capped(xs: Seq[String]) = arr(xs.take(CapList))
-    val compact = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$topQs,"queries_measured":${measured.size},"queries_inline":${math.min(InlineTopK, meds.size)},"passes":$passes,"failed":${capped(failed)},"failed_n":${failed.size},"flaky":${capped(flaky)},"flaky_n":${flaky.size},"slow_confirmed":${capped(slowConfirmed.toSeq)},"slow_confirmed_n":${slowConfirmed.size},"stalled_n":${stalled.values.sum},"full":"$out","sf":"$sfDir"}"""
+    val compact = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$topQs,"queries_measured":${measured.size},"queries_inline":${math.min(InlineTopK, meds.size)},"passes":$passes,"failed":${capped(failed)},"failed_n":${failed.size},"flaky":${capped(flaky)},"flaky_n":${flaky.size},"slow_confirmed":${capped(slowConfirmed.toSeq)},"slow_confirmed_n":${slowConfirmed.size},"stalled_n":${stalled.values.sum},"shuffle_write_mb_total":${mb(shufWrite.values.sum)},"spill_mb_total":${mb(spill.values.sum)},"full":"$out","sf":"$sfDir"}"""
     println(compact)
     spark.stop()
   }

@@ -191,6 +191,7 @@ object SparkEntry {
     "kmeans_clusters" -> (VectorOps.kmeansClusters _),
     "kmeans_assign" -> (VectorOps.kmeansAssign _),
     "kmeans_iter1" -> (VectorOps.kmeansIter1 _),
+    "kmeans_int_trace" -> (VectorOps.kmeansIntTrace _),
     // §2.I′ iterative graph dataflow
     "graph_pagerank" -> (GraphOps.graphPagerank _),
     "graph_bfs" -> (GraphOps.graphBfs _),
@@ -595,10 +596,10 @@ object SparkEntry {
       "CAST(sum(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sxy " +
       "FROM lineitem GROUP BY 1), " +
       "c AS (SELECT *, n * sxy - sx * sy AS cov_n, n * sxx - sx * sx AS var_n FROM m), " +
-      "sl AS (SELECT *, cov_n / var_n AS slope_raw FROM c) " +
+      "sl AS (SELECT *, CASE WHEN var_n <> 0 THEN cov_n / var_n END AS slope_raw FROM c) " +
       "SELECT l_returnflag, n, round(slope_raw, 6) AS slope, " +
       "round((sy - slope_raw * sx) / n, 4) AS intercept, " +
-      "round(cov_n * cov_n / (var_n * (n * syy - sy * sy)), 6) AS r2 " +
+      "CASE WHEN var_n <> 0 THEN round(cov_n * cov_n / (var_n * (n * syy - sy * sy)), 6) END AS r2 " +
       "FROM sl ORDER BY l_returnflag"),
     // per-group ln terms cross the sum as exact DECIMAL(28,18) (the
     // text_logprob discipline) so partial-merge order can't move the hash
@@ -608,7 +609,7 @@ object SparkEntry {
       "CAST(sum(CAST(CAST(ni AS DOUBLE) * ln(CAST(ni AS DOUBLE)) AS DECIMAL(28,18))) AS DOUBLE) AS snln FROM g GROUP BY 1) " +
       "SELECT source, n_docs, n_langs, " +
       "round(ln(CAST(n_docs AS DOUBLE)) - snln / n_docs, 6) AS entropy, " +
-      "round((ln(CAST(n_docs AS DOUBLE)) - snln / n_docs) / ln(CAST(n_langs AS DOUBLE)), 6) AS norm_entropy " +
+      "CASE WHEN n_langs > 1 THEN round((ln(CAST(n_docs AS DOUBLE)) - snln / n_docs) / ln(CAST(n_langs AS DOUBLE)), 6) END AS norm_entropy " +
       "FROM e ORDER BY source"),
     // map-free reconstruction of the map pipeline's content: the busy
     // threshold is the exact integer cross-product n*n_days > total
@@ -746,7 +747,8 @@ object SparkEntry {
     // identity content + literal-TRUE law flags (the countmin pattern):
     // a compaction that drops/duplicates rows or mis-sizes files fails the hash
     "compact_files" ->
-      (s"SELECT doc_id, lang, source, n_chars, ${Lakehouse.CompactSmallFiles} AS files_before, " +
+      (s"SELECT doc_id, lang, source, n_chars, " +
+      s"CAST(LEAST((SELECT count(1) FROM documents), ${Lakehouse.CompactSmallFiles}) AS INT) AS files_before, " +
       "TRUE AS compact_ok FROM documents ORDER BY doc_id"),
     // last-writer-wins compaction ≡ window top-1 by the LSN ordinal
     "stream_upsert" ->
@@ -1238,5 +1240,16 @@ object SparkEntry {
       "asg AS (SELECT cid, embedding FROM a WHERE arn = 1), " +
       s"ex AS (SELECT cid, CAST(g.i - 1 AS INT) AS pos, CAST(CAST(embedding[g.i] AS DOUBLE) AS DECIMAL(28,20)) AS v FROM asg, (SELECT unnest(generate_series(1, ${VectorOps.Dim})) AS i) g) " +
       "SELECT cid, pos, round(CAST(sum(v) AS DOUBLE) / count(1), 6) AS center_val, count(1) AS n FROM ex GROUP BY 1, 2 ORDER BY 1, 2"),
+    // the FULL integer-grid k-means loop replayed by a recursive CTE (the
+    // graph_pagerank floor-exactness trick — see VectorOps.kmeansIntTrace):
+    // all 8 iterations' centroids/sizes hash-gated, not just one step
+    "kmeans_int_trace" ->
+      (s"WITH RECURSIVE pts AS (SELECT event_id, CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS x, CAST(event_id % 997 AS BIGINT) AS y FROM events), " +
+      s"init AS (SELECT CAST(event_id % ${VectorOps.KmIntK} AS INT) AS cid, arg_min(x, event_id) AS cx, arg_min(y, event_id) AS cy FROM pts GROUP BY 1), " +
+      "c AS (SELECT cid, cx, cy, CAST(0 AS BIGINT) AS n_pts, 0 AS iter FROM init " +
+      s"UNION ALL SELECT CAST(a.cid AS INT) AS cid, CAST(floor(sum(a.x) * 1.0 / count(1)) AS BIGINT) AS cx, CAST(floor(sum(a.y) * 1.0 / count(1)) AS BIGINT) AS cy, count(1) AS n_pts, min(a.iter) + 1 AS iter " +
+      s"FROM (SELECT p.x, p.y, min(c.iter) AS iter, min(((p.x - c.cx) * (p.x - c.cx) + (p.y - c.cy) * (p.y - c.cy)) * ${VectorOps.KmIntK} + c.cid) % ${VectorOps.KmIntK} AS cid " +
+      s"FROM pts p JOIN c ON c.iter < ${VectorOps.KmIntIters} GROUP BY p.event_id, p.x, p.y) a GROUP BY 1) " +
+      "SELECT iter, cid, cx, cy, n_pts FROM c WHERE iter >= 1 ORDER BY iter, cid"),
   )
 }

@@ -585,13 +585,18 @@ object Aggregates {
         sum(x * y).cast("double").as("sxy"))
       .withColumn("cov_n", col("n") * col("sxy") - col("sx") * col("sy"))
       .withColumn("var_n", col("n") * col("sxx") - col("sx") * col("sx"))
-      .withColumn("slope_raw", col("cov_n") / col("var_n"))
+      // constant-x group => var_n = 0: the fit is undefined (0/0 or k/0)
+      // and NaN/Inf rendering is engine-specific — emit NULL for all three
+      // derived columns (oracle mirrors the guard; round-7 ADVICE #2)
+      .withColumn("slope_raw",
+        when(col("var_n") =!= 0.0, col("cov_n") / col("var_n")))
       .select(
         col("l_returnflag"), col("n"),
         round(col("slope_raw"), 6).as("slope"),
         round((col("sy") - col("slope_raw") * col("sx")) / col("n"), 4).as("intercept"),
-        round(col("cov_n") * col("cov_n") /
-          (col("var_n") * (col("n") * col("syy") - col("sy") * col("sy"))), 6).as("r2"))
+        when(col("var_n") =!= 0.0,
+          round(col("cov_n") * col("cov_n") /
+            (col("var_n") * (col("n") * col("syy") - col("sy") * col("sy"))), 6)).as("r2"))
       .oracleSorted("l_returnflag")
   }
 
@@ -621,8 +626,12 @@ object Aggregates {
         col("source"), col("n_docs"), col("n_langs"),
         round(log(col("n_docs").cast("double")) - col("snln") / col("n_docs"), 6)
           .as("entropy"),
-        round((log(col("n_docs").cast("double")) - col("snln") / col("n_docs")) /
-          log(col("n_langs").cast("double")), 6).as("norm_entropy"))
+        // single-language source => ln(n_langs)=0 and H=0: norm 0/0 is
+        // undefined, and engines render NaN differently — emit NULL (the
+        // oracle mirrors the CASE; round-7 ADVICE #1)
+        when(col("n_langs") > 1,
+          round((log(col("n_docs").cast("double")) - col("snln") / col("n_docs")) /
+            log(col("n_langs").cast("double")), 6)).as("norm_entropy"))
       .oracleSorted("source")
   }
 
@@ -686,8 +695,17 @@ object Aggregates {
     // < 2^63 and orders by (value asc, event_id DESC) — max_by then picks
     // max value with MIN event_id on ties, exactly `window_top1`'s
     // (desc value, asc event_id) winner. Wider domains use a struct
-    // ordinal instead of the packed long.
-    val ord = cents * lit(1000000000000L) + (lit(999999999999L) - col("event_id"))
+    // ordinal instead of the packed long. The domain is ENFORCED at
+    // runtime (round-7 ADVICE #4): out-of-range rows raise instead of
+    // silently overflowing Long and crowning a wrong top-1 — two codegen'd
+    // comparisons per row, no extra pass.
+    val inDomain = cents.between(0L, 9200000L) &&
+      col("event_id").between(0L, 999999999999L)
+    val ordRaw = cents * lit(1000000000000L) + (lit(999999999999L) - col("event_id"))
+    val ord = when(inDomain, ordRaw).otherwise(raise_error(concat(
+      lit("agg_argmax packed-ordinal domain violated (value in [0,$92k], " +
+        "event_id in [0,1e12) required; use a struct ordinal beyond): value="),
+      col("value"), lit(" event_id="), col("event_id"))))
     Tables.events(s, dir)
       .select(col("user_id"), col("event_id"), col("value"), ord.as("ord"))
       .groupBy("user_id")

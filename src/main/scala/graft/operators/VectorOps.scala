@@ -1042,4 +1042,84 @@ object VectorOps {
         round(col("sv") / col("n"), 6).as("center_val"), col("n"))
       .oracleSorted("cid", "pos")
   }
+
+  /** `kmeans_int_trace` iteration count and cluster count — pinned so the
+    * DuckDB recursive-CTE oracle replays the identical trajectory.
+    */
+  val KmIntIters = 8
+  val KmIntK = 4
+
+  /** `kmeans_int_trace` (round 8): the FULL k-means loop, hash-gated — the
+    * float loop's integer twin (round-7 VERDICT next-round #6, closing the
+    * last rows-only residue of the §2.I family the way `graph_pagerank`
+    * closed the PageRank loop). Points are the cents-quantized 2-D grid
+    * (x = value in integer cents, y = event_id mod 997); centroids are
+    * floor-quantized back onto the grid each iteration, so every operand
+    * in all 8 iterations is an exact integer in BOTH engines and the DuckDB
+    * recursive CTE replays the identical 32-row (iter × cluster) trajectory
+    * — centroids, sizes, and path, not just the fixed point.
+    *
+    * Exactness argument (the `graph_pagerank` floor trick): the packed
+    * argmin `min(sqdist·k + cid)` is pure BIGINT arithmetic (sqdist ≤
+    * 1e10 ≪ 2^63); the only division is `floor(Σx / n)`, whose quotient is
+    * either an integer or ≥ 1/n ≈ 1e-5 away from one, while the double
+    * error at magnitude ≤ 1e5 is ~2e-11 — the floors can never disagree,
+    * at this SF or 100× it.
+    *
+    * Architecture = the real loop's (not a SQL translation): the driver
+    * holds k×2 integer centers, each iteration bakes them into the plan as
+    * a literal array and assigns SHUFFLE-FREE via the codegen'd per-row
+    * packed argmin (`kmeans_clusters`'s centersLit discipline — no k-way
+    * crossJoin, no shuffle-by-point), then one partial-aggregated
+    * groupBy(cid) returns k (Σx, Σy, n) rows to the coordinator. Per
+    * iteration: one scan + one k-group shuffle — the textbook per-pass
+    * cost at any scale. A cluster that loses all members drops out (inner
+    * semantics, mirrored by the recursive member's GROUP BY); the fixture
+    * keeps all 4 alive through every iteration.
+    */
+  def kmeansIntTrace(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val pts = Tables.events(s, dir)
+      .select(col("event_id"),
+        (col("value").cast(DecimalType(12, 2)) * 100).cast("long").as("x"),
+        (col("event_id") % 997).cast("long").as("y"))
+      .cache() // A5: one materialization feeds init + all 8 passes
+    try {
+      // deterministic init: per residue class event_id % k, the point of
+      // the SMALLEST event_id (min_by — unique ids, no tie ambiguity)
+      val init = pts
+        .groupBy((col("event_id") % KmIntK).cast("int").as("cid"))
+        .agg(min_by(col("x"), col("event_id")).as("cx"),
+          min_by(col("y"), col("event_id")).as("cy"))
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+      var centers = init
+      val frames = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Long, Long, Long)]
+      for (it <- 1 to KmIntIters) {
+        val centLit = array(centers.map { case (cid, cx, cy) =>
+          struct(lit(cid).as("cid"), lit(cx).as("cx"), lit(cy).as("cy"))
+        }: _*)
+        // packed ordinal argmin: min over (sqdist·k + cid) — total order,
+        // ties to the lower cid, all-integer (see header)
+        val packed = array_min(transform(centLit, c =>
+          ((col("x") - c.getField("cx")) * (col("x") - c.getField("cx")) +
+            (col("y") - c.getField("cy")) * (col("y") - c.getField("cy"))) *
+            lit(KmIntK.toLong) + c.getField("cid").cast("long")))
+        val agg = pts
+          .select((packed % KmIntK).cast("int").as("cid"), col("x"), col("y"))
+          .groupBy("cid")
+          .agg(sum("x").as("sx"), sum("y").as("sy"), count(lit(1)).as("n"))
+          .select(col("cid"),
+            floor(col("sx").cast("double") / col("n")).cast("long").as("cx"),
+            floor(col("sy").cast("double") / col("n")).cast("long").as("cy"),
+            col("n"))
+          .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+          .sortBy(_._1)
+        centers = agg.map(t => (t._1, t._2, t._3))
+        frames ++= agg.map(t => (it, t._1, t._2, t._3, t._4))
+      }
+      import s.implicits._
+      frames.toSeq.toDF("iter", "cid", "cx", "cy", "n_pts")
+        .oracleSorted("iter", "cid")
+    } finally pts.unpersist()
+  }
 }

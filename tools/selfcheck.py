@@ -6,7 +6,15 @@ testdata parquet tables as DuckDB views, runs each oracle SQL, and compares
 row counts, column names/dtypes, and values (exact for non-floats, tolerant
 then-exact-hash report for floats). Usage:
 
-    python3 tools/selfcheck.py <sfDir> <verifyOutDir>
+    python3 tools/selfcheck.py [--unordered] [--json OUT.json] <sfDir> <verifyOutDir>
+
+--unordered: order-INSENSITIVE comparison — both sides are canonically
+  row-sorted over ALL columns before the exact compare, certifying row
+  MULTISET equality. This is the deployment-shape gate: run Verify with
+  SPARK_GRAFT_TERMINAL_SORT=false (terminal oracle sorts elided plan-wide,
+  the production plan) and certify it computes the same rows as the DuckDB
+  oracle regardless of arrival order (round-7 VERDICT next-round #1).
+--json OUT.json: also write a machine-readable artifact (per-query status).
 """
 import sys, os, json, glob
 import duckdb
@@ -20,7 +28,22 @@ def canon(df):
     df = df.reindex(sorted(df.columns), axis=1)
     return df.reset_index(drop=True)
 
-def main(sf_dir, out_dir):
+def row_sorted(df):
+    """Deterministic total row order over ALL columns (multiset canon).
+
+    Sort keys: native for numeric/bool/datetime (NaN last, stable), repr()
+    for object columns (mixed None/str cells would otherwise break the
+    comparison inside sort). Rows that tie on every key are identical
+    rows, so order among them cannot affect the exact compare."""
+    if len(df) == 0 or not len(df.columns):
+        return df
+    keys = pd.DataFrame({
+        c: (df[c].map(repr) if df[c].dtype == object else df[c])
+        for c in df.columns})
+    order = keys.sort_values(by=list(df.columns), kind="mergesort").index
+    return df.loc[order].reset_index(drop=True)
+
+def main(sf_dir, out_dir, unordered=False, json_out=None):
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
@@ -28,22 +51,33 @@ def main(sf_dir, out_dir):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
+    report = {}
+    def record(name, status, rows=None, detail=None):
+        report[name] = {"status": status, "rows": rows}
+        if detail:
+            report[name]["detail"] = str(detail)[:500]
     for name in sorted(oracle):
         sql = oracle[name]
         pdir = f"{out_dir}/{name}"
         files = glob.glob(f"{pdir}/*.parquet")
         if not files:
-            print(f"FAIL {name}: no spark output");  n_fail += 1; continue
+            print(f"FAIL {name}: no spark output")
+            record(name, "fail", detail="no spark output"); n_fail += 1; continue
         try:
             got = canon(pd.read_parquet(pdir))
             exp = canon(con.execute(sql).fetchdf())
+            if unordered:
+                got, exp = row_sorted(got), row_sorted(exp)
         except Exception as e:
-            print(f"FAIL {name}: {e}"); n_fail += 1; continue
+            print(f"FAIL {name}: {e}")
+            record(name, "fail", detail=e); n_fail += 1; continue
         if list(got.columns) != list(exp.columns):
             print(f"FAIL {name}: cols spark={list(got.columns)} duck={list(exp.columns)}")
+            record(name, "fail", detail=f"cols spark={list(got.columns)} duck={list(exp.columns)}")
             n_fail += 1; continue
         if len(got) != len(exp):
             print(f"FAIL {name}: rows spark={len(got)} duck={len(exp)}")
+            record(name, "fail", detail=f"rows spark={len(got)} duck={len(exp)}")
             n_fail += 1; continue
         bad = None
         for c in got.columns:
@@ -86,9 +120,9 @@ def main(sf_dir, out_dir):
             except Exception as ex:
                 bad = f"col {c}: compare error {ex}"; break
         if bad:
-            print(f"FAIL {name}: {bad}"); n_fail += 1
+            print(f"FAIL {name}: {bad}"); record(name, "fail", len(got), bad); n_fail += 1
         else:
-            print(f"PASS {name} ({len(got)} rows)"); n_pass += 1
+            print(f"PASS {name} ({len(got)} rows)"); record(name, "pass", len(got)); n_pass += 1
     # queries without oracle: just report row counts
     for d in sorted(os.listdir(out_dir)):
         if d in oracle or not os.path.isdir(f"{out_dir}/{d}"):
@@ -96,10 +130,27 @@ def main(sf_dir, out_dir):
         try:
             n = len(pd.read_parquet(f"{out_dir}/{d}"))
             print(f"ROWS {d}: {n}")
+            record(d, "no_oracle", n)
         except Exception as e:
             print(f"ROWS {d}: unreadable {e}")
+            record(d, "no_oracle", detail=f"unreadable {e}")
     print(f"\n{n_pass} pass / {n_fail} fail")
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump({"mode": "unordered" if unordered else "ordered",
+                       "sf_dir": sf_dir, "verify_dir": out_dir,
+                       "n_pass": n_pass, "n_fail": n_fail,
+                       "queries": report}, f, indent=1)
+        print(f"wrote {json_out}")
     return 1 if n_fail else 0
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    argv = sys.argv[1:]
+    unordered = "--unordered" in argv
+    argv = [a for a in argv if a != "--unordered"]
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        del argv[i:i + 2]
+    sys.exit(main(argv[0], argv[1], unordered=unordered, json_out=json_out))
