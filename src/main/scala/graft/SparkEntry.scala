@@ -464,7 +464,7 @@ object SparkEntry {
     "scan_documents" ->
       "SELECT doc_id, text, lang, source, n_chars FROM documents ORDER BY doc_id",
     "scan_schema" ->
-      "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem ORDER BY l_orderkey, l_linenumber",
+      "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem ORDER BY l_orderkey, l_linenumber, l_quantity",
     "scan_csv" ->
       // stagedRoot pins the digest this JVM staged (oracleSql is a def,
       // re-evaluated when Verify dumps it AFTER the queries ran), so an
@@ -519,15 +519,15 @@ object SparkEntry {
        "SELECT CAST(f.cohort_day AS TIMESTAMP) AS cohort_day, CAST(date_diff('day', f.cohort_day, a.day) AS INT) AS day_offset, count(DISTINCT a.user_id) AS n_users " +
        "FROM a JOIN f ON a.user_id = f.user_id GROUP BY 1, 2 ORDER BY 1, 2"),
     "filter_range" ->
-      "SELECT l_orderkey, l_linenumber, l_quantity, l_discount FROM lineitem WHERE l_quantity BETWEEN 10 AND 20 AND l_discount < 0.05 ORDER BY l_orderkey, l_linenumber",
+      "SELECT l_orderkey, l_linenumber, l_quantity, l_discount FROM lineitem WHERE l_quantity BETWEEN 10 AND 20 AND l_discount < 0.05 ORDER BY l_orderkey, l_linenumber, l_quantity, l_discount",
     "filter_token" ->
       "SELECT doc_id, lang FROM documents WHERE list_contains(string_split(text, ' '), 'spark') ORDER BY doc_id",
     "project_case" ->
       "SELECT o_orderkey, CASE WHEN o_totalprice < 1000 THEN 'low' WHEN o_totalprice < 5000 THEN 'mid' ELSE 'high' END AS price_bucket FROM orders ORDER BY o_orderkey",
     "project_arith" ->
-      "SELECT l_orderkey, l_linenumber, CAST(round(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1.0 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) * (CAST(1.0 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2))), 2) AS DOUBLE) AS net_price FROM lineitem ORDER BY l_orderkey, l_linenumber",
+      "SELECT l_orderkey, l_linenumber, CAST(round(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1.0 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) * (CAST(1.0 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2))), 2) AS DOUBLE) AS net_price FROM lineitem ORDER BY l_orderkey, l_linenumber, net_price",
     "scalar_math" ->
-      "SELECT l_orderkey, l_linenumber, round(sqrt(l_extendedprice), 4) AS sqrt_price, round(pow(l_discount, 2), 6) AS disc_sq, CAST(ceil(l_quantity / 7) AS BIGINT) AS qty_ceil, CAST(floor(l_extendedprice / 100) AS BIGINT) AS price_floor, abs(l_quantity - 25) AS qty_dev FROM lineitem ORDER BY l_orderkey, l_linenumber",
+      "SELECT l_orderkey, l_linenumber, round(sqrt(l_extendedprice), 4) AS sqrt_price, round(pow(l_discount, 2), 6) AS disc_sq, CAST(ceil(l_quantity / 7) AS BIGINT) AS qty_ceil, CAST(floor(l_extendedprice / 100) AS BIGINT) AS price_floor, abs(l_quantity - 25) AS qty_dev FROM lineitem ORDER BY l_orderkey, l_linenumber, sqrt_price, disc_sq, qty_ceil, price_floor, qty_dev",
     "scalar_string" ->
       "SELECT p_partkey, upper(p_name) AS name_upper, substr(p_name, 1, 5) AS name_pre, concat_ws('#', p_brand, p_type) AS brand_type, CAST(length(p_name) AS INT) AS name_len, regexp_replace(p_name, '[aeiou]', '', 'g') AS name_novowel FROM part ORDER BY p_partkey",
     "scalar_date" ->
@@ -831,7 +831,7 @@ object SparkEntry {
       "SELECT l_orderkey, 'l_quantity' AS measure, l_quantity AS value FROM x " +
       "UNION ALL SELECT l_orderkey, 'l_extendedprice', l_extendedprice FROM x " +
       "UNION ALL SELECT l_orderkey, 'l_discount', l_discount FROM x " +
-      "UNION ALL SELECT l_orderkey, 'l_tax', l_tax FROM x ORDER BY l_orderkey, measure"),
+      "UNION ALL SELECT l_orderkey, 'l_tax', l_tax FROM x ORDER BY l_orderkey, measure, value"),
     "trend_period" ->
       ("WITH d AS (SELECT date_trunc('day', o_orderdate) AS day, CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS revenue, count(1) AS n_orders FROM orders GROUP BY 1), " +
       "t AS (SELECT day, revenue, n_orders, lag(revenue, 1) OVER (ORDER BY day) AS prev_d, lag(revenue, 7) OVER (ORDER BY day) AS prev_w FROM d) " +
@@ -972,7 +972,7 @@ object SparkEntry {
     "stream_topn_state" ->
       s"SELECT user_id, CAST(rn AS INT) AS rn, event_id, value FROM (SELECT user_id, event_id, value, row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rn FROM events) WHERE rn <= ${graft.streaming.StatefulOps.TopNPerUser} ORDER BY user_id, rn",
     "project_classified" ->
-      "SELECT l_orderkey, l_linenumber, CAST(round(CAST(l_extendedprice AS DECIMAL(12,2)), 2) AS DOUBLE) AS money_sum, CAST(round(CAST(l_discount AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)), 2) AS DOUBLE) AS rate_sum, round(l_quantity, 2) AS qty_sum FROM lineitem ORDER BY l_orderkey, l_linenumber",
+      "SELECT l_orderkey, l_linenumber, CAST(round(CAST(l_extendedprice AS DECIMAL(12,2)), 2) AS DOUBLE) AS money_sum, CAST(round(CAST(l_discount AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)), 2) AS DOUBLE) AS rate_sum, round(l_quantity, 2) AS qty_sum FROM lineitem ORDER BY l_orderkey, l_linenumber, money_sum, rate_sum, qty_sum",
     "rank_tokens" ->
       s"WITH c AS (SELECT unnest(list_intersect(list_distinct(string_split(text, ' ')), $lexiconSql)) AS token FROM documents), g AS (SELECT token, count(1) AS n_docs FROM c GROUP BY 1) SELECT token, n_docs, CAST(rank() OVER (ORDER BY n_docs DESC) AS INT) AS rnk FROM g ORDER BY n_docs DESC, token",
     // the oracle computes the ranking ONCE and cross-joins the three strategy

@@ -379,7 +379,10 @@ object Aggregates {
       .unpivot(Array(col("l_orderkey")),
         Array(col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax")),
         "measure", "value")
-      .oracleSorted("l_orderkey", "measure")
+      // (l_orderkey, l_linenumber=1) is not unique in this synthetic data,
+      // so (l_orderkey, measure) ties with different values — total order
+      // needs the value column too (round-8 10x-gate tie class)
+      .oracleSorted("l_orderkey", "measure", "value")
 
   /** Histogram-quantile knobs: 256 fixed bins over the observed cent range;
     * readout quantiles. Shared with the oracle SQL via SparkEntry.

@@ -50,7 +50,11 @@ object Relational {
   def scanSchema(s: SparkSession, dir: String): DataFrame =
     s.read.schema(lineitemSchema).parquet(s"$dir/lineitem.parquet")
       .select("l_orderkey", "l_linenumber", "l_quantity")
-      .oracleSorted("l_orderkey", "l_linenumber")
+      // (l_orderkey, l_linenumber) is NOT unique in this synthetic data —
+      // the oracle sort must be a TOTAL order over the output columns or
+      // tie order diverges between engines once input order is shuffled
+      // (caught by the round-8 10x gate on scalar_math; same class here)
+      .oracleSorted("l_orderkey", "l_linenumber", "l_quantity")
 
   /** Expected part-table schema for the CSV scan (explicit, no inference). */
   val partCsvSchema: StructType = StructType(Seq(
@@ -538,7 +542,8 @@ object Relational {
     Tables.lineitem(s, dir)
       .filter(col("l_quantity").between(10, 20) && col("l_discount") < 0.05)
       .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
-      .oracleSorted("l_orderkey", "l_linenumber")
+      // total order over all outputs — see scanSchema's tie note
+      .oracleSorted("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
 
   /** B1/H1: token-membership predicate — the reference's
     * `text.split(' ').contains(lang)` as pure Catalyst (no UDF)
@@ -572,7 +577,8 @@ object Relational {
         graft.functions.Num.money(
           graft.functions.Num.charged(col("l_extendedprice"), col("l_discount"), col("l_tax")))
           .as("net_price"))
-      .oracleSorted("l_orderkey", "l_linenumber")
+      // total order over all outputs — see scanSchema's tie note
+      .oracleSorted("l_orderkey", "l_linenumber", "net_price")
 
   /** B6: name-driven column classification — the reference partitions 455
     * survey column names into groups by prefix sets and folds each group
@@ -602,7 +608,8 @@ object Relational {
         Num.money(money.map(c => Num.dec2(col(c))).reduce(_ + _)).as("money_sum"),
         Num.money(rates.map(c => Num.rate2(col(c))).reduce(_ + _)).as("rate_sum"),
         round(qty.map(col).reduce(_ + _), 2).as("qty_sum"))
-      .oracleSorted("l_orderkey", "l_linenumber")
+      // total order over all outputs — see scanSchema's tie note
+      .oracleSorted("l_orderkey", "l_linenumber", "money_sum", "rate_sum", "qty_sum")
   }
 
   /** H3: math scalars [ref: stackoverflow/…/StackOverflow.scala#euclideanDistance]. */
@@ -615,7 +622,10 @@ object Relational {
         ceil(col("l_quantity") / 7).as("qty_ceil"),
         floor(col("l_extendedprice") / 100).as("price_floor"),
         abs(col("l_quantity") - lit(25)).as("qty_dev"))
-      .oracleSorted("l_orderkey", "l_linenumber")
+      // total order over all outputs — see scanSchema's tie note (the
+      // round-8 10x gate caught exactly this query's tie divergence)
+      .oracleSorted("l_orderkey", "l_linenumber", "sqrt_price", "disc_sq",
+        "qty_ceil", "price_floor", "qty_dev")
 
   /** H2/H7: string scalars + regex [ref: stackoverflow/…/StackOverflow.scala#rawPostings,
     * wikipedia/…/WikipediaData.scala#parse].
