@@ -138,6 +138,7 @@ object SparkEntry {
     "text_langid" -> (TextOps.textLangid _),
     "text_fingerprint" -> (TextOps.textFingerprint _),
     "vocab_oov" -> (TextOps.vocabOov _),
+    "vocab_bpe" -> (TextOps.vocabBpe _),
     // §2.K1/K2 deduplication
     "dedup_exact" -> (TextOps.dedupExact _),
     "dedup_minhash" -> (TextOps.dedupMinhash _),
@@ -621,6 +622,28 @@ object SparkEntry {
       "FROM t LEFT JOIN (SELECT event_type, count(1) AS c FROM b GROUP BY 1) bc USING (event_type) " +
       "LEFT JOIN (SELECT event_type, string_agg(day || ':' || CAST(v2 AS VARCHAR), ',' ORDER BY day) AS s FROM b GROUP BY 1) bs USING (event_type) " +
       "ORDER BY t.event_type"),
+    // the full BPE merge trajectory replayed by one chained CTE per step:
+    // identical greedy-fold semantics via list_reduce (see TextOps.vocabBpe)
+    "vocab_bpe" -> {
+      val mergeSql = (j: Int) =>
+        s"p$j AS (SELECT syms[i] AS l, syms[i+1] AS r, n FROM " +
+        s"(SELECT syms, n, unnest(generate_series(1, len(syms) - 1)) AS i FROM s${j - 1}) x$j), " +
+        s"b$j AS (SELECT l, r, CAST(sum(n) AS BIGINT) AS cnt FROM p$j GROUP BY 1, 2 ORDER BY cnt DESC, l, r LIMIT 1)" +
+        (if (j < TextOps.BpeMerges)
+          s", s$j AS (SELECT n, list_reduce(list_transform(syms, s -> [s]), " +
+          s"(acc, s) -> CASE WHEN len(acc) >= 1 AND acc[-1] = b$j.l AND s[1] = b$j.r " +
+          s"THEN list_concat(acc[1:-2], [b$j.l || b$j.r]) ELSE list_concat(acc, s) END) AS syms " +
+          s"FROM s${j - 1}, b$j)"
+         else "")
+      "WITH w AS (SELECT word, count(1) AS n FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) t WHERE length(word) > 0 GROUP BY 1), " +
+      "s0 AS (SELECT n, string_split(word, '') AS syms FROM w), " +
+      (1 to TextOps.BpeMerges).map(mergeSql).mkString(", ") + " " +
+      "SELECT * FROM (" +
+      (1 to TextOps.BpeMerges).map(j =>
+        s"SELECT CAST($j AS INT) AS step, l AS lhs, r AS rhs, cnt AS pair_count FROM b$j")
+        .mkString(" UNION ALL ") +
+      ") u ORDER BY step"
+    },
     "vocab_oov" ->
       (s"WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents), " +
       s"v AS (SELECT token FROM (SELECT token, count(1) AS n FROM t GROUP BY 1 ORDER BY n DESC, token LIMIT ${TextOps.VocabK})), " +

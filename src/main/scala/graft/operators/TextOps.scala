@@ -604,6 +604,86 @@ object TextOps {
       .oracleSorted("doc_id")
   }
 
+  /** `vocab_bpe` merge-step count — pinned so the DuckDB chained-CTE
+    * oracle replays the identical merge sequence.
+    */
+  val BpeMerges = 6
+
+  /** K5g `vocab_bpe` (round 8): byte-pair-encoding vocabulary induction —
+    * the first `BpeMerges` BPE merges learned from the corpus, the
+    * canonical tokenizer-training computation (Sennrich et al. 2016; the
+    * algorithm behind GPT/Llama tokenizers). Classic word-type
+    * formulation: the corpus collapses to a (word, count) table ONCE
+    * (partial-agg shuffle ∝ corpus, output ∝ |vocabulary|), then every
+    * merge step runs on the vocabulary-sized table: count adjacent symbol
+    * pairs weighted by word count (exact integers), pick the argmax pair
+    * (count desc, then lexicographic — total order), rewrite each word's
+    * symbol array with a greedy left-to-right non-overlapping merge fold.
+    * The driver holds one (left, right) pair per step — the same
+    * coordinator contract as `kmeans_int_trace`.
+    *
+    * Exactness: all counts are integers and the fold is order-exact, so
+    * the full merge TRAJECTORY is hash-gated — the DuckDB oracle replays
+    * all steps via chained CTEs with the identical `list_reduce` fold
+    * (greedy non-overlap falls out of the fold: a merged token can never
+    * equal the pair's left symbol, so no same-scan re-merge is possible).
+    *
+    * Scale: at 100 TB the one corpus-wide pass is the word count; each of
+    * the k steps shuffles |vocabulary| rows (pair partial-agg) and one
+    * TakeOrdered(1) — the textbook BPE-on-word-types cost. The base word
+    * table is cached across steps (A5), released before returning.
+    */
+  def vocabBpe(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(s, dir)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .where(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("n"))
+      .select(col("n"), split(col("word"), "").as("syms"))
+      .cache()
+    try {
+      // greedy left-to-right non-overlapping merge of (l, r) in a symbol
+      // array, as an order-exact fold (mirrored by the oracle's
+      // list_reduce): append s, unless the accumulated tail is l and s is
+      // r — then replace the tail with the merged token
+      def mergeFold(syms: Column, l: String, r: String): Column =
+        aggregate(syms, array().cast("array<string>"), (acc, x) =>
+          when(size(acc) > 0 && element_at(acc, -1) === l && x === r,
+            concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+            .otherwise(concat(acc, array(x))))
+      var cur = base
+      val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+      var step = 1
+      var exhausted = false
+      while (step <= BpeMerges && !exhausted) {
+        val best = cur
+          .select(col("n"), explode(arrays_zip(
+            slice(col("syms"), lit(1), size(col("syms")) - 1),
+            slice(col("syms"), lit(2), size(col("syms")) - 1))).as("p"))
+          .groupBy(col("p.0").as("l"), col("p.1").as("r"))
+          .agg(sum("n").as("cnt"))
+          .orderBy(desc("cnt"), asc("l"), asc("r")).limit(1)
+          .collect()
+        if (best.isEmpty) {
+          // every word fully merged — a degenerate-corpus case the fixed
+          // step count can hit on tiny inputs; the oracle agrees (an empty
+          // p_j empties b_j and every later CTE, truncating its UNION at
+          // the same step)
+          exhausted = true
+        } else {
+          val l = best(0).getString(0)
+          val r = best(0).getString(1)
+          val cnt = best(0).getLong(2)
+          merges += ((step, l, r, cnt))
+          cur = cur.select(col("n"), mergeFold(col("syms"), l, r).as("syms"))
+          step += 1
+        }
+      }
+      import s.implicits._
+      merges.toSeq.toDF("step", "lhs", "rhs", "pair_count")
+        .oracleSorted("step")
+    } finally base.unpersist()
+  }
+
   /** K6′ `dedup_keepbest` (round 7): the KEEP POLICY over near-dup
     * clusters — real pipelines keep the BEST member of each duplicate
     * cluster (here: longest text, the most-complete-copy heuristic;

@@ -50,6 +50,11 @@ class SqlSurfaceSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     // ... and reject aggregation over the recursive reference
     "graph_pagerank" -> "INVALID_RECURSIVE_REFERENCE",
     "kmeans_int_trace" -> "INVALID_RECURSIVE_REFERENCE",
+    // init-less list fold: DuckDB list_reduce seeds the accumulator with
+    // the first element; Spark SQL's aggregate() requires an explicit
+    // init and no mechanical shape bridge exists (the DataFrame form uses
+    // aggregate with an explicit empty-array init)
+    "vocab_bpe" -> "list_reduce",
     // no ASOF JOIN syntax in Spark SQL (the DataFrame form IS the op)
     "join_asof" -> "ASOF",
     "join_asof_salted" -> "ASOF",

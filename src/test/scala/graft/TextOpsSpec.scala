@@ -690,4 +690,29 @@ class TextOpsSpec extends AnyFunSuite {
       assert(keeper == members.map(_._1).filter(id => nChars(id) == maxLen).min)
     }
   }
+
+  test("vocab_bpe learns hand-computed merges and stops when pairs are exhausted") {
+    import spark.implicits._
+    // words: abab n=2, ab n=3, cd n=1
+    //  step1 pairs: (a,b) 2*2+3 = 7, (b,a) 2, (c,d) 1      -> merge (a,b,7)
+    //  step2: abab=[ab,ab], cd=[c,d]: (ab,ab) 2, (c,d) 1   -> merge (ab,ab,2)
+    //  step3: (c,d) 1                                       -> merge (c,d,1)
+    //  step4: no pairs left -> the fixed-k loop must stop, not throw
+    Seq("abab ab", "abab ab", "ab cd").toDF("text")
+      .write.mode("overwrite").parquet("/tmp/graft_test_bpe/documents.parquet")
+    val got = TextOps.vocabBpe(spark, "/tmp/graft_test_bpe")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(got == Seq((1, "a", "b", 7L), (2, "ab", "ab", 2L), (3, "c", "d", 1L)))
+  }
+
+  test("vocab_bpe merge fold is greedy left-to-right non-overlapping") {
+    import spark.implicits._
+    // "aaa": step1 merges (a,a) cnt 2; GREEDY fold gives [aa, a] (not
+    // [a, aa]), so step2's winning pair must be (aa, a)
+    Seq("aaa").toDF("text")
+      .write.mode("overwrite").parquet("/tmp/graft_test_bpe2/documents.parquet")
+    val got = TextOps.vocabBpe(spark, "/tmp/graft_test_bpe2")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(got == Seq((1, "a", "a", 2L), (2, "aa", "a", 1L)))
+  }
 }
