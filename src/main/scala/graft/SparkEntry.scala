@@ -139,6 +139,7 @@ object SparkEntry {
     "text_fingerprint" -> (TextOps.textFingerprint _),
     "vocab_oov" -> (TextOps.vocabOov _),
     "vocab_bpe" -> (TextOps.vocabBpe _),
+    "tokenize_bpe" -> (TextOps.tokenizeBpe _),
     // §2.K1/K2 deduplication
     "dedup_exact" -> (TextOps.dedupExact _),
     "dedup_minhash" -> (TextOps.dedupMinhash _),
@@ -402,6 +403,25 @@ object SparkEntry {
   private def sqNorm(c: String) =
     s"list_sum(list_transform($c, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
 
+  /** BPE learn CTEs (shared by `vocab_bpe` and `tokenize_bpe` — one merge
+    * sequence by construction, like the Scala side's shared bpeLearn):
+    * w = word types, s0 = char symbols, then per step j: pair counts p_j,
+    * argmax b_j, greedy-fold rewrite s_j via list_reduce.
+    */
+  private val bpeLearnCtes: String = {
+    val mergeSql = (j: Int) =>
+      s"p$j AS (SELECT syms[i] AS l, syms[i+1] AS r, n FROM " +
+      s"(SELECT syms, n, unnest(generate_series(1, len(syms) - 1)) AS i FROM s${j - 1}) x$j), " +
+      s"b$j AS (SELECT l, r, CAST(sum(n) AS BIGINT) AS cnt FROM p$j GROUP BY 1, 2 ORDER BY cnt DESC, l, r LIMIT 1), " +
+      s"s$j AS (SELECT word, n, list_reduce(list_transform(syms, s -> [s]), " +
+      s"(acc, s) -> CASE WHEN len(acc) >= 1 AND acc[-1] = b$j.l AND s[1] = b$j.r " +
+      s"THEN list_concat(acc[1:-2], [b$j.l || b$j.r]) ELSE list_concat(acc, s) END) AS syms " +
+      s"FROM s${j - 1}, b$j)"
+    "w AS (SELECT word, count(1) AS n FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) t WHERE length(word) > 0 GROUP BY 1), " +
+    "s0 AS (SELECT word, n, string_split(word, '') AS syms FROM w), " +
+    (1 to TextOps.BpeMerges).map(mergeSql).mkString(", ")
+  }
+
   private def dotSql(a: String, b: String) =
     s"list_sum(list_transform(list_zip($a, $b), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
 
@@ -625,24 +645,24 @@ object SparkEntry {
     // the full BPE merge trajectory replayed by one chained CTE per step:
     // identical greedy-fold semantics via list_reduce (see TextOps.vocabBpe)
     "vocab_bpe" -> {
-      val mergeSql = (j: Int) =>
-        s"p$j AS (SELECT syms[i] AS l, syms[i+1] AS r, n FROM " +
-        s"(SELECT syms, n, unnest(generate_series(1, len(syms) - 1)) AS i FROM s${j - 1}) x$j), " +
-        s"b$j AS (SELECT l, r, CAST(sum(n) AS BIGINT) AS cnt FROM p$j GROUP BY 1, 2 ORDER BY cnt DESC, l, r LIMIT 1)" +
-        (if (j < TextOps.BpeMerges)
-          s", s$j AS (SELECT n, list_reduce(list_transform(syms, s -> [s]), " +
-          s"(acc, s) -> CASE WHEN len(acc) >= 1 AND acc[-1] = b$j.l AND s[1] = b$j.r " +
-          s"THEN list_concat(acc[1:-2], [b$j.l || b$j.r]) ELSE list_concat(acc, s) END) AS syms " +
-          s"FROM s${j - 1}, b$j)"
-         else "")
-      "WITH w AS (SELECT word, count(1) AS n FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) t WHERE length(word) > 0 GROUP BY 1), " +
-      "s0 AS (SELECT n, string_split(word, '') AS syms FROM w), " +
-      (1 to TextOps.BpeMerges).map(mergeSql).mkString(", ") + " " +
+      s"WITH $bpeLearnCtes " +
       "SELECT * FROM (" +
       (1 to TextOps.BpeMerges).map(j =>
         s"SELECT CAST($j AS INT) AS step, l AS lhs, r AS rhs, cnt AS pair_count FROM b$j")
         .mkString(" UNION ALL ") +
       ") u ORDER BY step"
+    },
+    // apply the same learned merges (shared CTE prefix): word-type token
+    // counts joined back onto the token stream, per-doc partial agg
+    "tokenize_bpe" -> {
+      s"WITH $bpeLearnCtes, " +
+      s"wl AS (SELECT word, CAST(len(syms) AS BIGINT) AS w_bpe FROM s${TextOps.BpeMerges}), " +
+      "t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents), " +
+      "tj AS (SELECT doc_id, w_bpe FROM t JOIN wl USING (word)), " +
+      "g AS (SELECT doc_id, count(1) AS n_words, CAST(sum(w_bpe) AS BIGINT) AS n_bpe_tokens FROM tj GROUP BY 1) " +
+      "SELECT d.doc_id, n_words, n_bpe_tokens, " +
+      "round(CAST(length(replace(d.text, ' ', '')) AS DOUBLE) / n_bpe_tokens, 4) AS chars_per_token " +
+      "FROM documents d JOIN g USING (doc_id) ORDER BY doc_id"
     },
     "vocab_oov" ->
       (s"WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents), " +

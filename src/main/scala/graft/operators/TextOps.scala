@@ -633,54 +633,105 @@ object TextOps {
     * TakeOrdered(1) — the textbook BPE-on-word-types cost. The base word
     * table is cached across steps (A5), released before returning.
     */
-  def vocabBpe(s: SparkSession, dir: String): DataFrame = {
-    val base = Tables.documents(s, dir)
+  /** Word-type table (word, n, syms): the corpus collapsed once — the
+    * shared base of `vocab_bpe` (learn) and `tokenize_bpe` (apply).
+    */
+  private def bpeWordTypes(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
       .select(explode(split(col("text"), " ")).as("word"))
       .where(length(col("word")) > 0)
       .groupBy("word").agg(count(lit(1)).as("n"))
-      .select(col("n"), split(col("word"), "").as("syms"))
-      .cache()
-    try {
-      // greedy left-to-right non-overlapping merge of (l, r) in a symbol
-      // array, as an order-exact fold (mirrored by the oracle's
-      // list_reduce): append s, unless the accumulated tail is l and s is
-      // r — then replace the tail with the merged token
-      def mergeFold(syms: Column, l: String, r: String): Column =
-        aggregate(syms, array().cast("array<string>"), (acc, x) =>
-          when(size(acc) > 0 && element_at(acc, -1) === l && x === r,
-            concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
-            .otherwise(concat(acc, array(x))))
-      var cur = base
-      val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
-      var step = 1
-      var exhausted = false
-      while (step <= BpeMerges && !exhausted) {
-        val best = cur
-          .select(col("n"), explode(arrays_zip(
-            slice(col("syms"), lit(1), size(col("syms")) - 1),
-            slice(col("syms"), lit(2), size(col("syms")) - 1))).as("p"))
-          .groupBy(col("p.0").as("l"), col("p.1").as("r"))
-          .agg(sum("n").as("cnt"))
-          .orderBy(desc("cnt"), asc("l"), asc("r")).limit(1)
-          .collect()
-        if (best.isEmpty) {
-          // every word fully merged — a degenerate-corpus case the fixed
-          // step count can hit on tiny inputs; the oracle agrees (an empty
-          // p_j empties b_j and every later CTE, truncating its UNION at
-          // the same step)
-          exhausted = true
-        } else {
-          val l = best(0).getString(0)
-          val r = best(0).getString(1)
-          val cnt = best(0).getLong(2)
-          merges += ((step, l, r, cnt))
-          cur = cur.select(col("n"), mergeFold(col("syms"), l, r).as("syms"))
-          step += 1
-        }
+      .select(col("word"), col("n"), split(col("word"), "").as("syms"))
+
+  /** Greedy left-to-right non-overlapping merge of (l, r) in a symbol
+    * array, as an order-exact fold (mirrored by the oracle's list_reduce):
+    * append s, unless the accumulated tail is l and s is r — then replace
+    * the tail with the merged token. A merged token can never equal the
+    * pair's left symbol, so no same-scan re-merge is possible — exactly
+    * BPE's greedy contract.
+    */
+  private def bpeMergeFold(syms: Column, l: String, r: String): Column =
+    aggregate(syms, array().cast("array<string>"), (acc, x) =>
+      when(size(acc) > 0 && element_at(acc, -1) === l && x === r,
+        concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+        .otherwise(concat(acc, array(x))))
+
+  /** The BPE learn loop over a (word, n, syms) base: per step, exact-
+    * integer pair counts + deterministic argmax + greedy merge fold.
+    * Returns the merge sequence; the driver holds one pair per step.
+    */
+  private def bpeLearn(base: DataFrame): Seq[(Int, String, String, Long)] = {
+    var cur = base
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var step = 1
+    var exhausted = false
+    while (step <= BpeMerges && !exhausted) {
+      val best = cur
+        .select(col("n"), explode(arrays_zip(
+          slice(col("syms"), lit(1), size(col("syms")) - 1),
+          slice(col("syms"), lit(2), size(col("syms")) - 1))).as("p"))
+        .groupBy(col("p.0").as("l"), col("p.1").as("r"))
+        .agg(sum("n").as("cnt"))
+        .orderBy(desc("cnt"), asc("l"), asc("r")).limit(1)
+        .collect()
+      if (best.isEmpty) {
+        // every word fully merged — a degenerate-corpus case the fixed
+        // step count can hit on tiny inputs; the oracle agrees (an empty
+        // p_j empties b_j and every later CTE, truncating at the same step)
+        exhausted = true
+      } else {
+        val l = best(0).getString(0)
+        val r = best(0).getString(1)
+        val cnt = best(0).getLong(2)
+        merges += ((step, l, r, cnt))
+        cur = cur.select(col("word"), col("n"), bpeMergeFold(col("syms"), l, r).as("syms"))
+        step += 1
       }
+    }
+    merges.toSeq
+  }
+
+  def vocabBpe(s: SparkSession, dir: String): DataFrame = {
+    val base = bpeWordTypes(s, dir).cache()
+    try {
       import s.implicits._
-      merges.toSeq.toDF("step", "lhs", "rhs", "pair_count")
+      bpeLearn(base).toDF("step", "lhs", "rhs", "pair_count")
         .oracleSorted("step")
+    } finally base.unpersist()
+  }
+
+  /** K5h `tokenize_bpe` (round 8): APPLY the learned merges — the other
+    * half of the tokenizer round trip. Scale shape is the important part:
+    * the k merge folds run over the WORD-TYPE table (vocabulary-sized,
+    * never the corpus), producing a (word → bpe token count) map; the
+    * corpus-sized work is ONE equi-join of the token stream against that
+    * map plus a per-doc partial agg — tokenizing 100 TB costs one join,
+    * not k folds per occurrence. Per doc: whitespace token count, BPE
+    * token count under the learned vocabulary, and chars-per-token (the
+    * compression dashboards track; exact-int division, one terminal
+    * round). Learn and apply share `bpeLearn` — one merge sequence, by
+    * construction.
+    */
+  def tokenizeBpe(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val base = bpeWordTypes(s, dir).cache()
+    try {
+      var wt = base
+      bpeLearn(base).foreach { case (_, l, r, _) =>
+        wt = wt.select(col("word"), bpeMergeFold(col("syms"), l, r).as("syms"))
+      }
+      val wordLen = wt.select(col("word"), size(col("syms")).cast("long").as("w_bpe"))
+      docs.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+        .where(length(col("word")) > 0)
+        .join(wordLen, "word")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_words"), sum("w_bpe").as("n_bpe_tokens"))
+        .join(docs.select(col("doc_id"),
+          length(translate(col("text"), " ", "")).cast("long").as("n_chars_txt")), "doc_id")
+        .select(col("doc_id"), col("n_words"), col("n_bpe_tokens"),
+          round(col("n_chars_txt").cast("double") / col("n_bpe_tokens"), 4)
+            .as("chars_per_token"))
+        .oracleSorted("doc_id")
     } finally base.unpersist()
   }
 

@@ -55,6 +55,7 @@ class SqlSurfaceSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     // init and no mechanical shape bridge exists (the DataFrame form uses
     // aggregate with an explicit empty-array init)
     "vocab_bpe" -> "list_reduce",
+    "tokenize_bpe" -> "list_reduce",
     // no ASOF JOIN syntax in Spark SQL (the DataFrame form IS the op)
     "join_asof" -> "ASOF",
     "join_asof_salted" -> "ASOF",

@@ -715,4 +715,16 @@ class TextOpsSpec extends AnyFunSuite {
       .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
     assert(got == Seq((1, "a", "a", 2L), (2, "aa", "a", 1L)))
   }
+
+  test("tokenize_bpe applies the learned merges: hand-computed per-doc counts") {
+    import spark.implicits._
+    // same corpus as the learn test: after its 3 merges every word is one
+    // token (abab, ab, cd), so n_bpe_tokens = n_words per doc and
+    // chars_per_token = chars / n_words exactly
+    Seq((0L, "abab ab"), (1L, "abab ab"), (2L, "ab cd")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet("/tmp/graft_test_bpe3/documents.parquet")
+    val got = TextOps.tokenizeBpe(spark, "/tmp/graft_test_bpe3")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got == Seq((0L, 2L, 2L, 3.0), (1L, 2L, 2L, 3.0), (2L, 2L, 2L, 2.0)))
+  }
 }
