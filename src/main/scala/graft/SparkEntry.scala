@@ -154,6 +154,7 @@ object SparkEntry {
     "dedup_pipeline" -> (TextOps.dedupPipeline _),
     "corpus_pipeline" -> (TextOps.corpusPipeline _),
     "corpus_report" -> (TextOps.corpusReport _),
+    "corpus_budget" -> (TextOps.corpusBudget _),
     "dedup_substring" -> (TextOps.dedupSubstring _),
     "dedup_substring_spans" -> (TextOps.dedupSubstringSpans _),
     "dedup_substring_clean" -> (TextOps.dedupSubstringClean _),
@@ -664,6 +665,14 @@ object SparkEntry {
       "round(CAST(length(replace(d.text, ' ', '')) AS DOUBLE) / n_bpe_tokens, 4) AS chars_per_token " +
       "FROM documents d JOIN g USING (doc_id) ORDER BY doc_id"
     },
+    // greedy per-source token-budget fill in quality order (single-sourced
+    // quality bucket + chars/4 token estimate); both verdict branches gated
+    "corpus_budget" ->
+      (s"WITH b AS (SELECT doc_id, source, CAST(ceil(n_chars / 4.0) AS BIGINT) AS tok_est, " +
+      s"CAST(CASE WHEN ${qualityCaseSql("text")} = 'ok' THEN 0 WHEN ${qualityCaseSql("text")} = 'stopword_heavy' THEN 1 ELSE 2 END AS INT) AS q_rank FROM documents), " +
+      "c AS (SELECT *, CAST(sum(tok_est) OVER (PARTITION BY source ORDER BY q_rank, doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens FROM b) " +
+      s"SELECT doc_id, source, tok_est, q_rank, cum_tokens, CAST(cum_tokens <= ${TextOps.BudgetTokens} AS INT) AS kept " +
+      "FROM c ORDER BY source, doc_id"),
     "vocab_oov" ->
       (s"WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents), " +
       s"v AS (SELECT token FROM (SELECT token, count(1) AS n FROM t GROUP BY 1 ORDER BY n DESC, token LIMIT ${TextOps.VocabK})), " +

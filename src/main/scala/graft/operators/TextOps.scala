@@ -735,6 +735,42 @@ object TextOps {
     } finally base.unpersist()
   }
 
+  /** `corpus_budget` per-source token budget (calibrated so every source
+    * both keeps and drops documents at every shipped SF — non-vacuous
+    * gate branches; sources carry ~1.6–2.3k estimated tokens).
+    */
+  val BudgetTokens = 1000L
+
+  /** K7′ `corpus_budget` (round 8): token-budget-capped per-source
+    * selection — the DATA-MIXING primitive (Pile/DoReMi-style): each
+    * source/domain gets a token budget, filled greedily in quality order
+    * (quality bucket rank, then doc_id — a total, deterministic order)
+    * until the running token estimate exceeds the budget. Emits EVERY doc
+    * with its running total and keep verdict, so both branches are
+    * hash-gated. Quality bucket is [[qualityLabel]] — single-sourced with
+    * `text_quality` / `corpus_pipeline`; token estimate is the
+    * `text_tokens` chars/4 convention.
+    *
+    * Scale: one partitioned window per source (shuffle ∝ rows, once; at
+    * 100 TB source cardinality ≫ parallelism so the cumsum parallelizes),
+    * no global window, all-integer arithmetic — the verdict is exact at
+    * any cluster size.
+    */
+  def corpusBudget(s: SparkSession, dir: String): DataFrame = {
+    val qRank = when(qualityLabel(col("text")) === "ok", 0)
+      .when(qualityLabel(col("text")) === "stopword_heavy", 1)
+      .otherwise(2).cast("int")
+    val w = Window.partitionBy("source").orderBy("q_rank", "doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        ceil(col("n_chars") / 4.0).cast("long").as("tok_est"),
+        qRank.as("q_rank"))
+      .withColumn("cum_tokens", sum("tok_est").over(w))
+      .withColumn("kept", (col("cum_tokens") <= BudgetTokens).cast("int"))
+      .oracleSorted("source", "doc_id")
+  }
+
   /** K6′ `dedup_keepbest` (round 7): the KEEP POLICY over near-dup
     * clusters — real pipelines keep the BEST member of each duplicate
     * cluster (here: longest text, the most-complete-copy heuristic;

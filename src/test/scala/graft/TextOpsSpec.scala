@@ -727,4 +727,19 @@ class TextOpsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
     assert(got == Seq((0L, 2L, 2L, 3.0), (1L, 2L, 2L, 3.0), (2L, 2L, 2L, 2.0)))
   }
+
+  test("corpus_budget: greedy fill keeps the exact-boundary doc and drops the overflow") {
+    import spark.implicits._
+    // all docs 'ok' quality (21 distinct non-stopword tokens), one source;
+    // tok_est = ceil(n_chars/4): 400, 400, 200, 300 -> cum 400/800/1000/1300
+    // with BudgetTokens=1000: docs 0,1,2 kept (boundary INCLUSIVE), 3 dropped
+    val text = (1 to 21).map(i => s"w$i").mkString(" ")
+    Seq((0L, "sA", 1600, text), (1L, "sA", 1600, text),
+        (2L, "sA", 800, text), (3L, "sA", 1200, text))
+      .toDF("doc_id", "source", "n_chars", "text")
+      .write.mode("overwrite").parquet("/tmp/graft_test_budget/documents.parquet")
+    val got = TextOps.corpusBudget(spark, "/tmp/graft_test_budget")
+      .collect().map(r => (r.getLong(0), r.getLong(4), r.getInt(5))).toSeq
+    assert(got == Seq((0L, 400L, 1), (1L, 800L, 1), (2L, 1000L, 1), (3L, 1300L, 0)))
+  }
 }
