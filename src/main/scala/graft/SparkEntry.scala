@@ -659,11 +659,10 @@ object SparkEntry {
       s"WITH $bpeLearnCtes, " +
       s"wl AS (SELECT word, CAST(len(syms) AS BIGINT) AS w_bpe FROM s${TextOps.BpeMerges}), " +
       "t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents), " +
-      "tj AS (SELECT doc_id, w_bpe FROM t JOIN wl USING (word)), " +
-      "g AS (SELECT doc_id, count(1) AS n_words, CAST(sum(w_bpe) AS BIGINT) AS n_bpe_tokens FROM tj GROUP BY 1) " +
-      "SELECT d.doc_id, n_words, n_bpe_tokens, " +
-      "round(CAST(length(replace(d.text, ' ', '')) AS DOUBLE) / n_bpe_tokens, 4) AS chars_per_token " +
-      "FROM documents d JOIN g USING (doc_id) ORDER BY doc_id"
+      "tj AS (SELECT doc_id, word, w_bpe FROM t JOIN wl USING (word)) " +
+      "SELECT doc_id, count(1) AS n_words, CAST(sum(w_bpe) AS BIGINT) AS n_bpe_tokens, " +
+      "round(CAST(sum(length(word)) AS DOUBLE) / CAST(sum(w_bpe) AS BIGINT), 4) AS chars_per_token " +
+      "FROM tj GROUP BY doc_id ORDER BY doc_id"
     },
     // greedy per-source token-budget fill in quality order (single-sourced
     // quality bucket + chars/4 token estimate); both verdict branches gated

@@ -721,13 +721,14 @@ object TextOps {
         wt = wt.select(col("word"), bpeMergeFold(col("syms"), l, r).as("syms"))
       }
       val wordLen = wt.select(col("word"), size(col("syms")).cast("long").as("w_bpe"))
+      // char mass rides the SAME token stream (Σ|word| ≡ chars minus
+      // spaces) — one corpus scan total, no second scan + re-join
       docs.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
         .where(length(col("word")) > 0)
         .join(wordLen, "word")
         .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_words"), sum("w_bpe").as("n_bpe_tokens"))
-        .join(docs.select(col("doc_id"),
-          length(translate(col("text"), " ", "")).cast("long").as("n_chars_txt")), "doc_id")
+        .agg(count(lit(1)).as("n_words"), sum("w_bpe").as("n_bpe_tokens"),
+          sum(length(col("word")).cast("long")).as("n_chars_txt"))
         .select(col("doc_id"), col("n_words"), col("n_bpe_tokens"),
           round(col("n_chars_txt").cast("double") / col("n_bpe_tokens"), 4)
             .as("chars_per_token"))
