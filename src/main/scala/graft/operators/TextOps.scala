@@ -650,7 +650,7 @@ object TextOps {
     * pair's left symbol, so no same-scan re-merge is possible — exactly
     * BPE's greedy contract.
     */
-  private def bpeMergeFold(syms: Column, l: String, r: String): Column =
+  private[graft] def bpeMergeFold(syms: Column, l: String, r: String): Column =
     aggregate(syms, array().cast("array<string>"), (acc, x) =>
       when(size(acc) > 0 && element_at(acc, -1) === l && x === r,
         concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))

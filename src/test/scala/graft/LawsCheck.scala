@@ -176,4 +176,26 @@ object LawsCheck extends Properties("graft.laws") {
         (c1 == c2 && id1 == id2) // equal pair: both sides false
     }
 
+
+  // --- BPE merge-fold laws (round 8: TextOps.bpeMergeFold) ---
+  private val symGen: Gen[List[String]] =
+    Gen.listOfN(12, Gen.oneOf("a", "b", "c", "ab", "aa"))
+  private val pairGen: Gen[(String, String)] =
+    Gen.zip(Gen.oneOf("a", "b", "c", "ab", "aa"), Gen.oneOf("a", "b", "c", "ab", "aa"))
+
+  property("bpe merge fold preserves concatenation: join(fold) == join(input)") =
+    Prop.forAll(symGen, pairGen) { case (syms, (l, r)) =>
+      val got = Seq(Tuple1(syms)).toDF("syms")
+        .select(TextOps.bpeMergeFold(col("syms"), l, r).as("m"))
+        .collect().head.getSeq[String](0)
+      got.mkString == syms.mkString
+    }
+
+  property("bpe merge fold leaves no adjacent (l, r) pair (greedy completeness)") =
+    Prop.forAll(symGen, pairGen) { case (syms, (l, r)) =>
+      val got = Seq(Tuple1(syms)).toDF("syms")
+        .select(TextOps.bpeMergeFold(col("syms"), l, r).as("m"))
+        .collect().head.getSeq[String](0)
+      !got.iterator.sliding(2).withPartial(false).exists(p => p(0) == l && p(1) == r)
+    }
 }
