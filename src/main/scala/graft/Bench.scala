@@ -49,6 +49,12 @@ import java.util.concurrent.atomic.AtomicLong
   *    replaced originals, and `best` the per-query floor; `n_passes` gives
   *    per-query sample counts so cross-run total diffs can exclude
   *    short-sampled flaky queries (round-4 ADVICE #5).
+  *  - CANARY-NORMALIZED MEDIANS (round 9): `queries_norm` scales each
+  *    pass's sample by the ratio of the least-contended pass's canary
+  *    median to that pass's, then re-medians — machine co-tenancy divides
+  *    out, plan regressions don't. `slow_confirmed_norm` re-applies the
+  *    stall rule to those medians vs the run's best floor, so "contention
+  *    or regression?" is answerable from the artifact alone.
   *
   * Failure handling (round-3 ADVICE #1): a failing query is RETRIED once in
   * the same pass; if the retry also fails the query keeps any
@@ -179,9 +185,10 @@ object Bench {
         def runOnce(): Double =
           timed(SparkEntry.queries(name)(spark, sfDir).queryExecution.toRdd.count())
         // shuffle deltas captured on the warm-up pass only (see header);
-        // a pass-0 retry doubles the delta for that query — bytes are
-        // still plan-proportional, and the retry is published
-        val shufBase = if (pass == 0) Some(shuffleSnapshot()) else None
+        // a pass-0 retry RE-SNAPSHOTS the base first (round-8 ADVICE #4:
+        // without the reset, the failed attempt's bytes doubled the
+        // published delta and a consumer couldn't tell it from a real one)
+        var shufBase = if (pass == 0) Some(shuffleSnapshot()) else None
         try {
           val sec = try runOnce() catch {
             case e: Throwable => // transient? one retry inside the same pass
@@ -192,6 +199,7 @@ object Bench {
               // no recorded number and stays out of the map
               if (pass > 0) retries(name) = retries.getOrElse(name, 0) + 1
               System.err.println(s"[bench] $name failed once (pass $pass), retrying: ${e.getMessage}")
+              if (pass == 0) shufBase = Some(shuffleSnapshot())
               runOnce()
           }
           // in-run stall adjudication (measured passes, once a floor exists).
@@ -267,7 +275,31 @@ object Bench {
     def arr(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
     val rt = obj(names.filter(retries.contains).map(n => n -> retries(n).toString))
     val total = meds.map(_._2).sum
-    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"spread":$sp,"pass_times":$pt,"pass_times_raw":$ptRaw,"best":$bst,"n_passes":$np,"stalled":$st,"slow_confirmed":${arr(slowConfirmed.toSeq)},"canary":$cn,"passes":$passes,"failed":${arr(failed)},"flaky":${arr(flaky)},"retried":$rt,"shuffle_write_mb":$sw,"shuffle_read_mb":$sr,"spill_mb":$spl,"sf":"$sfDir"}"""
+    // CANARY-NORMALIZED MEDIANS (round-8 VERDICT "What's wrong" #3): the
+    // canary is fixed no-IO work, so a pass's canary median measures the
+    // MACHINE during that pass, not the inventory. Scaling each pass's
+    // sample by (least-contended pass's canary / its pass's canary)
+    // removes co-tenancy inflation a plan regression cannot hide behind —
+    // `slow_confirmed_norm` re-applies the stall rule to the normalized
+    // medians against the run's own best-of-passes floor, making the
+    // "contention or regression?" adjudication mechanical from the
+    // artifact alone (round 8's four contention flags normalize away).
+    // Alignment: a query's times vector is a PREFIX of the measured
+    // passes (a twice-failed query is retired immediately), so sample i
+    // belongs to pass i+1.
+    val canaryMed = canaries.toVector.map(median)
+    val canaryRef = if (canaryMed.size > 1) canaryMed.drop(1).min else 1.0
+    def normed(n: String): Vector[Double] = times(n).zipWithIndex.map { case (t, i) =>
+      val cm = canaryMed(math.min(i + 1, canaryMed.size - 1))
+      if (cm > 0) t * (canaryRef / cm) else t
+    }
+    val medsNorm = measured.map(n => n -> median(normed(n)))
+    val totalNorm = medsNorm.map(_._2).sum
+    val qsNorm = obj(medsNorm.map { case (k, v) => k -> fmt(v) })
+    val slowNorm = medsNorm.collect {
+      case (n, m) if m > StallFactor * best(n) && m - best(n) > StallAbsSec => n
+    }
+    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"spread":$sp,"pass_times":$pt,"pass_times_raw":$ptRaw,"best":$bst,"n_passes":$np,"stalled":$st,"slow_confirmed":${arr(slowConfirmed.toSeq)},"queries_norm":$qsNorm,"total_norm":${fmt(totalNorm)},"canary_pass_med":${canaryMed.map(fmt).mkString("[", ",", "]")},"canary_ref":${fmt(canaryRef)},"slow_confirmed_norm":${arr(slowNorm)},"canary":$cn,"passes":$passes,"failed":${arr(failed)},"flaky":${arr(flaky)},"retried":$rt,"shuffle_write_mb":$sw,"shuffle_read_mb":$sr,"spill_mb":$spl,"sf":"$sfDir"}"""
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.json")
     Files.writeString(Paths.get(out), json + "\n")
     // compact stdout line (see header): top-K heaviest medians inline,
@@ -277,7 +309,7 @@ object Bench {
     val topQs = obj(meds.sortBy(-_._2).take(InlineTopK)
       .sortBy(_._1).map { case (k, v) => k -> fmt(v) })
     def capped(xs: Seq[String]) = arr(xs.take(CapList))
-    val compact = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$topQs,"queries_measured":${measured.size},"queries_inline":${math.min(InlineTopK, meds.size)},"passes":$passes,"failed":${capped(failed)},"failed_n":${failed.size},"flaky":${capped(flaky)},"flaky_n":${flaky.size},"slow_confirmed":${capped(slowConfirmed.toSeq)},"slow_confirmed_n":${slowConfirmed.size},"stalled_n":${stalled.values.sum},"shuffle_write_mb_total":${mb(shufWrite.values.sum)},"spill_mb_total":${mb(spill.values.sum)},"full":"$out","sf":"$sfDir"}"""
+    val compact = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","total_norm":${fmt(totalNorm)},"queries":$topQs,"queries_measured":${measured.size},"queries_inline":${math.min(InlineTopK, meds.size)},"passes":$passes,"failed":${capped(failed)},"failed_n":${failed.size},"flaky":${capped(flaky)},"flaky_n":${flaky.size},"slow_confirmed":${capped(slowConfirmed.toSeq)},"slow_confirmed_n":${slowConfirmed.size},"slow_confirmed_norm":${capped(slowNorm)},"slow_confirmed_norm_n":${slowNorm.size},"stalled_n":${stalled.values.sum},"shuffle_write_mb_total":${mb(shufWrite.values.sum)},"spill_mb_total":${mb(spill.values.sum)},"full":"$out","sf":"$sfDir"}"""
     println(compact)
     spark.stop()
   }

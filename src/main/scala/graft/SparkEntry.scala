@@ -405,21 +405,30 @@ object SparkEntry {
     s"list_sum(list_transform($c, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
 
   /** BPE learn CTEs (shared by `vocab_bpe` and `tokenize_bpe` — one merge
-    * sequence by construction, like the Scala side's shared bpeLearn):
+    * sequence by construction, like the Scala side's shared bpeLearnLocal):
     * w = word types, s0 = char symbols, then per step j: pair counts p_j,
-    * argmax b_j, greedy-fold rewrite s_j via list_reduce.
+    * argmax b_j, greedy-fold rewrite s_j via list_reduce. Two totality /
+    * scale properties (round 9, BpeMerges = 200):
+    *  - s_j LEFT JOINs its (0-or-1-row) argmax and carries s_{j-1} through
+    *    UNCHANGED when b_j is empty (round-8 ADVICE #1) — so the chain is
+    *    total past pair exhaustion (the shipped corpora exhaust at < 200
+    *    merges) and b_k onward contribute no trajectory rows, exactly
+    *    like the engine's early stop.
+    *  - every CTE is MATERIALIZED: DuckDB would otherwise INLINE each of
+    *    the 200 chained steps into every downstream reference, re-opening
+    *    the parquet source per step ("too many open files" at k = 200).
     */
   private val bpeLearnCtes: String = {
     val mergeSql = (j: Int) =>
       s"p$j AS (SELECT syms[i] AS l, syms[i+1] AS r, n FROM " +
       s"(SELECT syms, n, unnest(generate_series(1, len(syms) - 1)) AS i FROM s${j - 1}) x$j), " +
-      s"b$j AS (SELECT l, r, CAST(sum(n) AS BIGINT) AS cnt FROM p$j GROUP BY 1, 2 ORDER BY cnt DESC, l, r LIMIT 1), " +
-      s"s$j AS (SELECT word, n, list_reduce(list_transform(syms, s -> [s]), " +
+      s"b$j AS MATERIALIZED (SELECT l, r, CAST(sum(n) AS BIGINT) AS cnt FROM p$j GROUP BY 1, 2 ORDER BY cnt DESC, l, r LIMIT 1), " +
+      s"s$j AS MATERIALIZED (SELECT word, n, CASE WHEN b$j.l IS NULL THEN syms ELSE list_reduce(list_transform(syms, s -> [s]), " +
       s"(acc, s) -> CASE WHEN len(acc) >= 1 AND acc[-1] = b$j.l AND s[1] = b$j.r " +
-      s"THEN list_concat(acc[1:-2], [b$j.l || b$j.r]) ELSE list_concat(acc, s) END) AS syms " +
-      s"FROM s${j - 1}, b$j)"
-    "w AS (SELECT word, count(1) AS n FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) t WHERE length(word) > 0 GROUP BY 1), " +
-    "s0 AS (SELECT word, n, string_split(word, '') AS syms FROM w), " +
+      s"THEN list_concat(acc[1:-2], [b$j.l || b$j.r]) ELSE list_concat(acc, s) END) END AS syms " +
+      s"FROM s${j - 1} LEFT JOIN b$j ON TRUE)"
+    "w AS MATERIALIZED (SELECT word, count(1) AS n FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) t WHERE length(word) > 0 GROUP BY 1), " +
+    "s0 AS MATERIALIZED (SELECT word, n, string_split(word, '') AS syms FROM w), " +
     (1 to TextOps.BpeMerges).map(mergeSql).mkString(", ")
   }
 

@@ -605,36 +605,45 @@ object TextOps {
   }
 
   /** `vocab_bpe` merge-step count — pinned so the DuckDB chained-CTE
-    * oracle replays the identical merge sequence.
+    * oracle replays the identical merge sequence. Round 9: production
+    * merge count (the learn loop is driver-local over the collected
+    * word-type table, so steps cost no Spark jobs; the shipped corpora
+    * exhaust their pair supply before 200, which the oracle's total
+    * LEFT-JOIN fold carries through step-for-step).
     */
-  val BpeMerges = 6
+  val BpeMerges = 200
 
-  /** K5g `vocab_bpe` (round 8): byte-pair-encoding vocabulary induction —
-    * the first `BpeMerges` BPE merges learned from the corpus, the
-    * canonical tokenizer-training computation (Sennrich et al. 2016; the
-    * algorithm behind GPT/Llama tokenizers). Classic word-type
-    * formulation: the corpus collapses to a (word, count) table ONCE
-    * (partial-agg shuffle ∝ corpus, output ∝ |vocabulary|), then every
-    * merge step runs on the vocabulary-sized table: count adjacent symbol
-    * pairs weighted by word count (exact integers), pick the argmax pair
-    * (count desc, then lexicographic — total order), rewrite each word's
-    * symbol array with a greedy left-to-right non-overlapping merge fold.
-    * The driver holds one (left, right) pair per step — the same
-    * coordinator contract as `kmeans_int_trace`.
+  /** K5g `vocab_bpe` (round 8; round 9: production shape): byte-pair-
+    * encoding vocabulary induction — the first `BpeMerges` BPE merges
+    * learned from the corpus, the canonical tokenizer-training
+    * computation (Sennrich et al. 2016; the algorithm behind GPT/Llama
+    * tokenizers). Classic word-type formulation: the corpus collapses to
+    * a (word, count) table ONCE (partial-agg shuffle ∝ corpus, output ∝
+    * |vocabulary|) — the ONLY distributed pass. The vocabulary-sized
+    * table is then collected and the merge loop runs DRIVER-LOCAL with
+    * incrementally-maintained pair counts (only words containing the
+    * merged pair are rescanned — the standard tokenizer-trainer update),
+    * so per-step cost is independent of corpus size and carries no Spark
+    * job scheduling: k = 30k merges is ~k × |affected words| local work,
+    * vs the round-8 distributed loop's ~2 jobs per merge. This is the
+    * same coordinator contract as `kmeans_int_trace` (vocabulary-sized
+    * driver state, corpus-sized work stays distributed), and the realist
+    * production shape: word-type tables fit driver memory at any corpus
+    * size that fits a language (they grow ~Heaps' law, not linearly).
     *
-    * Exactness: all counts are integers and the fold is order-exact, so
-    * the full merge TRAJECTORY is hash-gated — the DuckDB oracle replays
-    * all steps via chained CTEs with the identical `list_reduce` fold
-    * (greedy non-overlap falls out of the fold: a merged token can never
-    * equal the pair's left symbol, so no same-scan re-merge is possible).
-    *
-    * Scale: at 100 TB the one corpus-wide pass is the word count; each of
-    * the k steps shuffles |vocabulary| rows (pair partial-agg) and one
-    * TakeOrdered(1) — the textbook BPE-on-word-types cost. The base word
-    * table is cached across steps (A5), released before returning.
+    * Exactness: all counts are integers, the argmax tiebreak compares
+    * UTF-8 bytes (== Spark UTF8String == DuckDB binary collation), and
+    * the greedy fold is order-exact, so the full merge TRAJECTORY is
+    * hash-gated — the DuckDB oracle replays all 200 steps via chained
+    * MATERIALIZED CTEs with the identical `list_reduce` fold; steps past
+    * pair exhaustion carry the symbol table through unchanged via a
+    * LEFT JOIN on the empty argmax (total fold — round-8 ADVICE #1).
+    * A parity law (TextOpsSpec) pins the driver-local loop to the
+    * round-8 distributed form merge-for-merge.
     */
   /** Word-type table (word, n, syms): the corpus collapsed once — the
-    * shared base of `vocab_bpe` (learn) and `tokenize_bpe` (apply).
+    * distributed base of the round-8 k-step loop, kept as the parity
+    * reference for [[bpeLearnLocal]].
     */
   private def bpeWordTypes(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
@@ -642,6 +651,18 @@ object TextOps {
       .where(length(col("word")) > 0)
       .groupBy("word").agg(count(lit(1)).as("n"))
       .select(col("word"), col("n"), split(col("word"), "").as("syms"))
+
+  /** The ONE distributed pass of the production BPE path: word-type
+    * counts, collected (vocabulary-sized — 31 types on the synthetic
+    * corpus, ~10^6-10^7 on a real one; Heaps' law keeps it driver-sized
+    * at any corpus scale).
+    */
+  private def bpeCollectTypes(s: SparkSession, dir: String): Seq[(String, Long)] =
+    Tables.documents(s, dir)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .where(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("n"))
+      .collect().toSeq.map(r => (r.getString(0), r.getLong(1)))
 
   /** Greedy left-to-right non-overlapping merge of (l, r) in a symbol
     * array, as an order-exact fold (mirrored by the oracle's list_reduce):
@@ -656,16 +677,19 @@ object TextOps {
         concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
         .otherwise(concat(acc, array(x))))
 
-  /** The BPE learn loop over a (word, n, syms) base: per step, exact-
-    * integer pair counts + deterministic argmax + greedy merge fold.
-    * Returns the merge sequence; the driver holds one pair per step.
+  /** The round-8 DISTRIBUTED BPE learn loop over a (word, n, syms) base:
+    * per step, exact-integer pair counts + deterministic argmax + greedy
+    * merge fold, each step ~2 Spark jobs. Superseded by [[bpeLearnLocal]]
+    * for the registered queries (the distributed form doesn't survive
+    * production k); retained as the parity reference — TextOpsSpec pins
+    * local ≡ distributed merge-for-merge at small k.
     */
-  private def bpeLearn(base: DataFrame): Seq[(Int, String, String, Long)] = {
+  private[graft] def bpeLearnDistributed(base: DataFrame, k: Int): Seq[(Int, String, String, Long)] = {
     var cur = base
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var step = 1
     var exhausted = false
-    while (step <= BpeMerges && !exhausted) {
+    while (step <= k && !exhausted) {
       val best = cur
         .select(col("n"), explode(arrays_zip(
           slice(col("syms"), lit(1), size(col("syms")) - 1),
@@ -675,9 +699,9 @@ object TextOps {
         .orderBy(desc("cnt"), asc("l"), asc("r")).limit(1)
         .collect()
       if (best.isEmpty) {
-        // every word fully merged — a degenerate-corpus case the fixed
-        // step count can hit on tiny inputs; the oracle agrees (an empty
-        // p_j empties b_j and every later CTE, truncating at the same step)
+        // every word fully merged — the fixed step count past exhaustion;
+        // the oracle agrees (an empty b_j carries s_{j-1} through its
+        // LEFT-JOIN fold and contributes no trajectory row)
         exhausted = true
       } else {
         val l = best(0).getString(0)
@@ -691,49 +715,140 @@ object TextOps {
     merges.toSeq
   }
 
-  def vocabBpe(s: SparkSession, dir: String): DataFrame = {
-    val base = bpeWordTypes(s, dir).cache()
-    try {
-      import s.implicits._
-      bpeLearn(base).toDF("step", "lhs", "rhs", "pair_count")
-        .oracleSorted("step")
-    } finally base.unpersist()
+  /** Unsigned UTF-8 byte-order comparison — the collation Spark's
+    * UTF8String ordering and DuckDB's binary string sort both use, so the
+    * driver-local argmax tiebreak is bit-identical to both engines
+    * (Java's String.compareTo is UTF-16 code-unit order, which diverges
+    * on supplementary-plane characters — not used here).
+    */
+  private def cmpUtf8(a: String, b: String): Int = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val d = (x(i) & 0xff) - (y(i) & 0xff)
+      if (d != 0) return d
+      i += 1
+    }
+    x.length - y.length
   }
 
-  /** K5h `tokenize_bpe` (round 8): APPLY the learned merges — the other
-    * half of the tokenizer round trip. Scale shape is the important part:
-    * the k merge folds run over the WORD-TYPE table (vocabulary-sized,
-    * never the corpus), producing a (word → bpe token count) map; the
-    * corpus-sized work is ONE equi-join of the token stream against that
-    * map plus a per-doc partial agg — tokenizing 100 TB costs one join,
-    * not k folds per occurrence. Per doc: whitespace token count, BPE
-    * token count under the learned vocabulary, and chars-per-token (the
-    * compression dashboards track; exact-int division, one terminal
-    * round). Learn and apply share `bpeLearn` — one merge sequence, by
-    * construction.
+  /** Driver-local BPE learn over the collected word-type table, with
+    * incrementally-maintained pair counts: a merge rescans only the words
+    * that contain the merged pair (the standard tokenizer-trainer
+    * update), so total work is ~Σ|affected words| across steps, not
+    * k × |vocabulary|. Semantics are EXACTLY the distributed loop's:
+    * symbols are code points (mirror of `split(word, "")` /
+    * `string_split(word, '')`), pair counts weighted by word count,
+    * argmax by (count desc, lhs asc, rhs asc) under UTF-8 byte order,
+    * greedy left-to-right non-overlapping fold ([[bpeMergeFold]]'s
+    * contract). Stops at pair exhaustion like the distributed form.
+    *
+    * Returns (merge trajectory, final per-word BPE token count) — learn
+    * and apply share one merge sequence by construction.
+    */
+  private[graft] def bpeLearnLocal(types: Seq[(String, Long)], k: Int)
+      : (Seq[(Int, String, String, Long)], Map[String, Int]) = {
+    val words = types.iterator.map(_._1).toArray
+    val counts = types.iterator.map(_._2).toArray
+    val syms: Array[Array[String]] = words.map(w =>
+      w.codePoints().toArray.map(cp => new String(Character.toChars(cp))))
+    val pc = scala.collection.mutable.HashMap.empty[(String, String), Long]
+    // pair -> word indexes that currently contain it (candidate set; a
+    // stale member is filtered by the per-word adjacency re-check below)
+    val occ = scala.collection.mutable.HashMap.empty[(String, String), scala.collection.mutable.BitSet]
+    def tally(w: Int, sign: Long): Unit = {
+      val s = syms(w)
+      var j = 0
+      while (j < s.length - 1) {
+        val key = (s(j), s(j + 1))
+        val nv = pc.getOrElse(key, 0L) + sign * counts(w)
+        if (nv == 0L) pc.remove(key) else pc.update(key, nv)
+        if (sign > 0) occ.getOrElseUpdate(key, new scala.collection.mutable.BitSet()) += w
+        j += 1
+      }
+    }
+    var w0 = 0
+    while (w0 < words.length) { tally(w0, 1L); w0 += 1 }
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var step = 1
+    while (step <= k && pc.nonEmpty) {
+      var bl: String = null; var br: String = null; var bc = 0L
+      pc.foreach { case ((l, r), c) =>
+        if (bl == null || c > bc || (c == bc && {
+          val dl = cmpUtf8(l, bl); dl < 0 || (dl == 0 && cmpUtf8(r, br) < 0)
+        })) { bl = l; br = r; bc = c }
+      }
+      merges += ((step, bl, br, bc))
+      val affected = occ.remove((bl, br)).getOrElse(new scala.collection.mutable.BitSet())
+      affected.foreach { w =>
+        val s = syms(w)
+        // adjacency re-check: the candidate set is not maintained on
+        // removal, so a word whose (bl, br) was destroyed by an earlier
+        // merge may linger — the fold below would be the identity anyway,
+        // but skipping it keeps the count bookkeeping exact
+        var has = false; var j = 0
+        while (!has && j < s.length - 1) { if (s(j) == bl && s(j + 1) == br) has = true; j += 1 }
+        if (has) {
+          tally(w, -1L)
+          val out = new scala.collection.mutable.ArrayBuffer[String](s.length)
+          var i = 0
+          while (i < s.length) {
+            val x = s(i)
+            if (out.nonEmpty && out(out.length - 1) == bl && x == br)
+              out(out.length - 1) = bl + br
+            else out += x
+            i += 1
+          }
+          syms(w) = out.toArray
+          tally(w, 1L)
+        }
+      }
+      step += 1
+    }
+    (merges.toSeq, words.iterator.zipWithIndex.map { case (w, i) => w -> syms(i).length }.toMap)
+  }
+
+  def vocabBpe(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (merges, _) = bpeLearnLocal(bpeCollectTypes(s, dir), BpeMerges)
+    merges.toDF("step", "lhs", "rhs", "pair_count")
+      .oracleSorted("step")
+  }
+
+  /** K5h `tokenize_bpe` (round 8; round 9: production shape): APPLY the
+    * learned merges — the other half of the tokenizer round trip. Scale
+    * shape is the important part: the merge folds run DRIVER-LOCAL over
+    * the collected word-type table (vocabulary-sized, never the corpus —
+    * [[bpeLearnLocal]] returns the final word → BPE-token-count map
+    * directly, replacing the round-8 chain of k column-level folds whose
+    * plan grew linearly in k); the corpus-sized work is ONE broadcast
+    * equi-join of the token stream against that map plus a per-doc
+    * partial agg — tokenizing 100 TB costs one scan + one broadcast
+    * probe, flat in k. Per doc: whitespace token count, BPE token count
+    * under the learned vocabulary, and chars-per-token (the compression
+    * dashboards track; exact-int division, one terminal round). Learn and
+    * apply share `bpeLearnLocal` — one merge sequence, by construction.
     */
   def tokenizeBpe(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
-    val base = bpeWordTypes(s, dir).cache()
-    try {
-      var wt = base
-      bpeLearn(base).foreach { case (_, l, r, _) =>
-        wt = wt.select(col("word"), bpeMergeFold(col("syms"), l, r).as("syms"))
-      }
-      val wordLen = wt.select(col("word"), size(col("syms")).cast("long").as("w_bpe"))
-      // char mass rides the SAME token stream (Σ|word| ≡ chars minus
-      // spaces) — one corpus scan total, no second scan + re-join
-      docs.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
-        .where(length(col("word")) > 0)
-        .join(wordLen, "word")
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_words"), sum("w_bpe").as("n_bpe_tokens"),
-          sum(length(col("word")).cast("long")).as("n_chars_txt"))
-        .select(col("doc_id"), col("n_words"), col("n_bpe_tokens"),
-          round(col("n_chars_txt").cast("double") / col("n_bpe_tokens"), 4)
-            .as("chars_per_token"))
-        .oracleSorted("doc_id")
-    } finally base.unpersist()
+    import s.implicits._
+    val (_, tokCount) = bpeLearnLocal(bpeCollectTypes(s, dir), BpeMerges)
+    val wordLen = tokCount.toSeq.toDF("word", "w_bpe_i")
+      .select(col("word"), col("w_bpe_i").cast("long").as("w_bpe"))
+    // char mass rides the SAME token stream (Σ|word| ≡ chars minus
+    // spaces) — one corpus scan total, no second scan + re-join
+    Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .where(length(col("word")) > 0)
+      .join(broadcast(wordLen), "word")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum("w_bpe").as("n_bpe_tokens"),
+        sum(length(col("word")).cast("long")).as("n_chars_txt"))
+      .select(col("doc_id"), col("n_words"), col("n_bpe_tokens"),
+        round(col("n_chars_txt").cast("double") / col("n_bpe_tokens"), 4)
+          .as("chars_per_token"))
+      .oracleSorted("doc_id")
   }
 
   /** `corpus_budget` per-source token budget (calibrated so every source

@@ -1060,8 +1060,10 @@ object VectorOps {
     * — centroids, sizes, and path, not just the fixed point.
     *
     * Exactness argument (the `graph_pagerank` floor trick): the packed
-    * argmin `min(sqdist·k + cid)` is pure BIGINT arithmetic (sqdist ≤
-    * 1e10 ≪ 2^63); the only division is `floor(Σx / n)`, whose quotient is
+    * argmin `min(sqdist·k + cid)` is pure BIGINT arithmetic — under the
+    * runtime-enforced cents domain [0, 9.2e6] (~$92k, the `agg_argmax`
+    * bound) sqdist reaches ~8.5e13, so the packed ordinal stays < 3.4e14
+    * ≪ 2^63; the only division is `floor(Σx / n)`, whose quotient is
     * either an integer or ≥ 1/n ≈ 1e-5 away from one, while the double
     * error at magnitude ≤ 1e5 is ~2e-11 — the floors can never disagree,
     * at this SF or 100× it.
@@ -1079,9 +1081,20 @@ object VectorOps {
     */
   def kmeansIntTrace(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
+    // Packing domain ENFORCED at runtime (round-8 ADVICE #2, the
+    // agg_argmax discipline): past ~$92k cents the sqdist·k packing could
+    // exceed 2^63, where Spark silently wraps Long but DuckDB raises on
+    // BIGINT overflow — the trajectories would diverge without an error.
+    // Two codegen'd comparisons per row, no extra pass.
+    val xRaw = (col("value").cast(DecimalType(12, 2)) * 100).cast("long")
+    val xGuarded = when(xRaw.between(0L, 9200000L) && col("event_id") >= 0L, xRaw)
+      .otherwise(raise_error(concat(
+        lit("kmeans_int_trace packed-argmin domain violated (value in " +
+          "[0,$92k], event_id >= 0 required; use a struct argmin beyond): value="),
+        col("value"), lit(" event_id="), col("event_id"))))
     val pts = Tables.events(s, dir)
       .select(col("event_id"),
-        (col("value").cast(DecimalType(12, 2)) * 100).cast("long").as("x"),
+        xGuarded.as("x"),
         (col("event_id") % 997).cast("long").as("y"))
       .cache() // A5: one materialization feeds init + all 8 passes
     try {

@@ -728,6 +728,44 @@ class TextOpsSpec extends AnyFunSuite {
     assert(got == Seq((0L, 2L, 2L, 3.0), (1L, 2L, 2L, 3.0), (2L, 2L, 2L, 2.0)))
   }
 
+  test("bpe parity law: driver-local learn == round-8 distributed learn, merge-for-merge") {
+    import spark.implicits._
+    // the production driver-local loop (incremental pair counts, UTF-8
+    // argmax tiebreak) must replay the distributed k-step loop exactly —
+    // on a fixture with count ties (exercising the lexicographic
+    // tiebreak) AND on the real sf0.001 corpus
+    val fixture = Seq("abab ab", "abab ab", "ab cd", "xy xz zy").toDF("text")
+    fixture.write.mode("overwrite").parquet("/tmp/graft_test_bpe_parity/documents.parquet")
+    for ((dir, k) <- Seq(("/tmp/graft_test_bpe_parity", 8), (sfDir, 6))) {
+      val types = graft.Tables.documents(spark, dir)
+        .select(explode(split(col("text"), " ")).as("word"))
+        .where(length(col("word")) > 0)
+        .groupBy("word").agg(count(lit(1)).as("n"))
+      val base = types.select(col("word"), col("n"), split(col("word"), "").as("syms"))
+      val dist = TextOps.bpeLearnDistributed(base, k)
+      val local = TextOps.bpeLearnLocal(
+        types.collect().toSeq.map(r => (r.getString(0), r.getLong(1))), k)._1
+      assert(local == dist, s"dir=$dir k=$k")
+    }
+  }
+
+  test("bpe learn at production k: trajectory stops at pair exhaustion, apply map is the fixpoint") {
+    // the 31-word-type synthetic corpus exhausts before BpeMerges=200;
+    // every word type must then be a single symbol (the BPE fixpoint), so
+    // tokenize's word -> count map is all ones
+    val types = graft.Tables.documents(spark, sfDir)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .where(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("n"))
+      .collect().toSeq.map(r => (r.getString(0), r.getLong(1)))
+    val (merges, tok) = TextOps.bpeLearnLocal(types, TextOps.BpeMerges)
+    assert(merges.nonEmpty && merges.size < TextOps.BpeMerges,
+      s"expected exhaustion before ${TextOps.BpeMerges}, got ${merges.size}")
+    assert(merges.map(_._1) == (1 to merges.size), "steps must be dense from 1")
+    assert(tok.size == types.size && tok.values.forall(_ == 1),
+      "at exhaustion every word type is one token")
+  }
+
   test("corpus_budget: greedy fill keeps the exact-boundary doc and drops the overflow") {
     import spark.implicits._
     // all docs 'ok' quality (21 distinct non-stopword tokens), one source;
