@@ -148,6 +148,7 @@ object SparkEntry {
     "dedup_simhash_wide" -> (TextOps.dedupSimhashWide _),
     "dedup_ngram" -> (TextOps.dedupNgram _),
     "dedup_embed" -> (VectorOps.dedupEmbed _),
+    "dedup_semantic" -> (VectorOps.dedupSemantic _),
     "dedup_cluster" -> (TextOps.dedupCluster _),
     "dedup_keepbest" -> (TextOps.dedupKeepbest _),
     "dedup_incremental" -> (TextOps.dedupIncremental _),
@@ -1073,6 +1074,21 @@ object SparkEntry {
       s"e AS (SELECT vec_id, embedding, sqrt(${sqNorm("embedding")}) AS nrm FROM embeddings), " +
       s"p AS (SELECT vec_a, vec_b, ${dotSql("ea.embedding", "eb.embedding")} / (ea.nrm * eb.nrm) AS cos FROM c JOIN e ea ON c.vec_a = ea.vec_id JOIN e eb ON c.vec_b = eb.vec_id) " +
       s"SELECT vec_a, vec_b, cos FROM p WHERE cos >= ${VectorOps.EmbedDupTau} ORDER BY vec_a, vec_b"),
+    // SemDeDup verdict: centroid CTEs shared fragment-for-fragment with
+    // sim_ivf (cell/comp/cent + the same argmin), cosine with dedup_embed;
+    // the domination CASE mirrors VectorOps.dedupSemantic's keep-priority
+    // (dist asc, vec_id asc) term-for-term
+    "dedup_semantic" ->
+      (s"WITH cell AS (SELECT label AS c_label, g.i AS pos, CAST(CAST(embedding[g.i] AS DOUBLE) AS DECIMAL(28,20)) AS v FROM embeddings, (SELECT unnest(generate_series(1, ${VectorOps.Dim})) AS i) g), " +
+      "comp AS (SELECT c_label, pos, CAST(sum(v) AS DOUBLE) / count(1) AS comp FROM cell GROUP BY 1, 2), " +
+      "cent AS (SELECT c_label, list(comp ORDER BY pos) AS cvec FROM comp GROUP BY 1), " +
+      s"asg AS (SELECT vec_id, embedding, c_label, ${sqDistSql("embedding", "cvec")} AS dist, row_number() OVER (PARTITION BY vec_id ORDER BY ${sqDistSql("embedding", "cvec")}, c_label) AS rn FROM embeddings, cent), " +
+      s"a AS (SELECT vec_id, embedding, c_label AS cid, dist, sqrt(${sqNorm("embedding")}) AS nrm FROM asg WHERE rn = 1), " +
+      "pr AS (SELECT x.vec_id, CASE WHEN y.dist < x.dist OR (y.dist = x.dist AND y.vec_id < x.vec_id) THEN 1 ELSE 0 END AS dom " +
+      s"FROM a x JOIN a y ON x.cid = y.cid AND x.vec_id <> y.vec_id AND ${dotSql("x.embedding", "y.embedding")} / (x.nrm * y.nrm) >= ${VectorOps.SemDupTau}), " +
+      "v AS (SELECT vec_id, count(1) AS n_dup_nbrs, max(dom) AS dominated FROM pr GROUP BY 1) " +
+      "SELECT a.vec_id, CAST(a.cid AS INT) AS cid, round(a.dist, 6) AS c_dist, CAST(coalesce(v.n_dup_nbrs, 0) AS INT) AS n_dup_nbrs, CAST(CASE WHEN coalesce(v.dominated, 0) = 1 THEN 0 ELSE 1 END AS INT) AS kept " +
+      "FROM a LEFT JOIN v ON a.vec_id = v.vec_id ORDER BY a.vec_id"),
     "vec_norm" ->
       s"SELECT vec_id, label, CAST(len(embedding) AS INT) AS dim, sqrt(${sqNorm("embedding")}) AS l2_norm, list_sum(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS l1_norm FROM embeddings ORDER BY vec_id",
     // mirrors VectorOps.vecQuantize: floor-based affine int8 codes — floor

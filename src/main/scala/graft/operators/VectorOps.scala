@@ -694,10 +694,19 @@ object VectorOps {
     * list id. Nothing concentrates on one task at any corpus size.
     */
   def simIvf(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.types.DecimalType
     val emb = Tables.embeddings(s, dir)
+    simIvfWith(emb, labelMeanCentroids(emb))
+  }
 
-    val cent = emb
+  /** Per-label mean centroids with exact decimal cross-row sums
+    * (posexplode → partial-agg sum(DECIMAL(28,20)) → double): bitwise-
+    * identical for any partition count / merge order — shared by
+    * `sim_ivf` and `dedup_semantic`, mirrored cell-for-cell by their
+    * oracles' `cell/comp/cent` CTEs.
+    */
+  private def labelMeanCentroids(emb: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    emb
       .select(col("label").as("c_label"), posexplode(col("embedding")))
       .groupBy("c_label", "pos")
       .agg((sum(col("col").cast("double").cast(DecimalType(28, 20))).cast("double")
@@ -705,7 +714,6 @@ object VectorOps {
       .groupBy("c_label")
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("comp")))),
         x => x.getField("comp")).as("cvec"))
-    simIvfWith(emb, cent)
   }
 
   /** The DEPLOYMENT form of IVF (SURVEY §2.K3c): coarse centroids LEARNED by
@@ -819,6 +827,83 @@ object VectorOps {
         Vec.cosineF(col("emb_a"), col("emb_b")).as("cos"))
       .filter(col("cos") >= EmbedDupTau)
       .oracleSorted("vec_a", "vec_b")
+  }
+
+  /** `dedup_semantic` within-cluster prune threshold. Calibrated on the
+    * shipped embeddings (pure random vectors — see `dedupEmbed`'s
+    * similarity-regime note): 0.35 keeps both verdict branches populated
+    * at every SF (57/500 dropped at sf0.001, 775/2000 at sf0.1); on a
+    * real corpus τ would sit in the 0.9+ planted-dup regime, which the
+    * planted-fixture law in VectorOpsSpec exercises.
+    */
+  val SemDupTau = 0.35
+
+  /** §2.K2g `dedup_semantic` (round 9): SEMANTIC deduplication, the
+    * modern embedding-cluster-then-prune stage (SemDeDup, Abbas et al.
+    * 2023 — the shape behind LAION/web-scale corpus pruning): cluster the
+    * embedding space, then within each cluster drop every vector that has
+    * a cosine-≥ τ neighbour of higher keep-priority. Keep-priority is
+    * (closer to own centroid, then lower vec_id) — the paper's
+    * "most-representative member survives" policy under a TOTAL
+    * deterministic order (K6′'s argmax discipline, on doubles both
+    * engines compute bit-identically).
+    *
+    * Structure: (1) centroids = [[labelMeanCentroids]] — sim_ivf's
+    * exact-decimal build, oracle-reproducible where k-means' driver loop
+    * is not (at deployment the centroids come from `kmeans_clusters`;
+    * everything downstream is unchanged); (2) assignment is SHUFFLE-FREE
+    * (broadcast k×dim centroid row, per-row codegen'd struct-argmin —
+    * ties to the lower label, total); (3) candidate pairs come ONLY from
+    * the within-cluster equi-join on cid — the SemDeDup contract: k grows
+    * with the corpus (k ≈ N/target-cluster-size), so Σ|cluster|² stays
+    * ~N·|cluster| — linear in N at fixed cluster size, never all-pairs
+    * (PlanSweepSpec bans CartesianProduct); (4) the verdict emits EVERY
+    * vector with its cluster, centroid distance, ≥τ-neighbour count and
+    * kept flag, so both branches are hash-gated.
+    *
+    * Exactness: centroid means are order-invariant exact decimals; sqdist
+    * / cosine are sequential HOF folds over identical doubles (the
+    * sim_ivf / dedup_embed parity arguments); the domination predicate
+    * compares those doubles and breaks ties by vec_id — total, so the
+    * verdict is reproducible at any partition count or input order.
+    */
+  def dedupSemantic(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.ScalarAttach._
+    val emb = Tables.embeddings(s, dir)
+    val centsRow = labelMeanCentroids(emb)
+      .agg(collect_list(struct(col("c_label"), col("cvec"))).as("cents"))
+      .lineageCut(eager = false)
+    def nearest(v: Column): Column =
+      array_min(transform(col("cents"),
+        c => struct(Vec.sqDistF(v, c.getField("cvec")).as("dist"),
+          c.getField("c_label").as("lbl"))))
+    // assignment frame is referenced twice (pair join + verdict join);
+    // the lineage cut materializes the one centroid aggregation + assign
+    // pass instead of recomputing it per reference
+    val a = emb.attachScalarRow(centsRow)
+      .select(col("vec_id"), col("embedding"),
+        nearest(col("embedding")).getField("lbl").as("cid"),
+        nearest(col("embedding")).getField("dist").as("c_dist_raw"))
+      .lineageCut(eager = false)
+    // within-cluster ≥τ neighbours, with the domination verdict folded
+    // into the same pass: y beats x iff closer to the centroid (vec_id
+    // tiebreak) — one partial-agg per vector, no second join
+    val nbrs = a.as("x").join(a.as("y"),
+        col("x.cid") === col("y.cid") && col("x.vec_id") =!= col("y.vec_id"))
+      .where(Vec.cosineF(col("x.embedding"), col("y.embedding")) >= SemDupTau)
+      .select(col("x.vec_id").as("vec_id"),
+        when(col("y.c_dist_raw") < col("x.c_dist_raw") ||
+          (col("y.c_dist_raw") === col("x.c_dist_raw") &&
+            col("y.vec_id") < col("x.vec_id")), 1).otherwise(0).as("dom"))
+      .groupBy("vec_id")
+      .agg(count(lit(1)).as("n_dup_nbrs"), max("dom").as("dominated"))
+    a.join(nbrs, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cid").cast("int").as("cid"),
+        round(col("c_dist_raw"), 6).as("c_dist"),
+        coalesce(col("n_dup_nbrs"), lit(0L)).cast("int").as("n_dup_nbrs"),
+        when(coalesce(col("dominated"), lit(0)) === 1, 0).otherwise(1)
+          .cast("int").as("kept"))
+      .oracleSorted("vec_id")
   }
 
   /** §2.I `kmeans_clusters`: the reference's iterative k-means re-expressed

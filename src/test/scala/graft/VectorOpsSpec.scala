@@ -234,6 +234,32 @@ class VectorOpsSpec extends AnyFunSuite {
     assert((found & planted).size >= 18, s"recall ${(found & planted).size}/20")
   }
 
+  test("dedup_semantic: planted near-dup dropped, most-representative kept, clean vecs untouched") {
+    import spark.implicits._
+    // hand-built geometry (dim 4): cluster 0 holds a planted near-dup
+    // pair v0/v1 (cos ≈ 0.9987) plus a same-cluster-but-dissimilar v2
+    // (cos < τ with both); cluster 1 holds two anti-parallel clean vecs.
+    // Centroid distances: |v1−c0|² ≈ 15.03 < |v0−c0|² ≈ 15.45, so the
+    // keep-priority (closer to centroid) must keep v1 and drop v0.
+    val rows = Seq(
+      (0L, Seq(10f, 0f, 0f, 0f), 0),
+      (1L, Seq(9.9f, 0.5f, 0f, 0f), 0),
+      (2L, Seq(2.5f, 0f, 9f, 0f), 0),
+      (3L, Seq(0f, 0f, 0f, 10f), 1),
+      (4L, Seq(0f, 0.5f, 0f, -9.9f), 1))
+    val dir = "/tmp/graft_test_semdedup"
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = VectorOps.dedupSemantic(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(r.fieldIndex("n_dup_nbrs")), r.getInt(r.fieldIndex("kept")))).toMap
+    assert(got.size == 5, "every vector gets a verdict row")
+    assert(got(0L) == ((1, 0)), s"planted dup v0 must be dropped: ${got(0L)}")
+    assert(got(1L) == ((1, 1)), s"representative v1 must be kept: ${got(1L)}")
+    for (id <- Seq(2L, 3L, 4L))
+      assert(got(id) == ((0, 1)), s"clean v$id must be kept with no dup nbrs: ${got(id)}")
+  }
+
   test("sim_ann multi-probe has full recall when buckets differ by at most one bit") {
     import spark.implicits._
     val rnd = new scala.util.Random(31)
