@@ -46,6 +46,108 @@ class StreamingParitySpec extends AnyFunSuite {
     assert(batch.nonEmpty)
   }
 
+  test("sliding window aggregation: MemoryStream result == batch result (J2)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    def aggregate(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy(window(col("ts"), "1 hour", "15 minutes"))
+        .agg(count(lit(1)).as("n"), sum("value").as("sv"))
+        .select(col("window.start").as("ws"), col("n"), col("sv"))
+
+    val batch = aggregate(rows.toDF("ts", "event_type", "value"))
+      .orderBy("ws").collect().toSeq
+
+    val stream = MemoryStream[(Timestamp, String, Double)]
+    stream.addData(rows: _*)
+    val q = aggregate(stream.toDF.toDF("ts", "event_type", "value"))
+      .writeStream.format("memory").queryName("parity_sl").outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("parity_sl").orderBy("ws").collect().toSeq
+
+    assert(streamed == batch)
+    // 4 windows/row at a 1h/15m slide — the overlap must materialize
+    assert(batch.size >= 4)
+  }
+
+  test("session window per user: MemoryStream result == batch result (J3)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // u1: two events 5m apart (one session), then a 25m gap (new session);
+    // u2: a single event. Same 10m gap as EventOps.streamSession.
+    val sessionRows = Seq(
+      (ts("2024-01-01 10:00:00"), 1L, 1.0),
+      (ts("2024-01-01 10:05:00"), 1L, 2.0),
+      (ts("2024-01-01 10:30:00"), 1L, 4.0),
+      (ts("2024-01-01 10:02:00"), 2L, 8.0))
+    // session_window streaming runs APPEND mode (complete is unsupported
+    // for session merges): a session emits only once the watermark passes
+    // its end, and the watermark both updates AFTER a batch and gates
+    // emission in the NEXT one — so two next-day flusher batches close
+    // every real session (flushers filtered from the comparison)
+    val flush1 = (ts("2024-01-02 00:00:00"), 9L, 0.0)
+    val flush2 = (ts("2024-01-02 00:20:00"), 9L, 0.0)
+
+    def aggregate(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy(session_window(col("ts"), "10 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"), sum("value").as("sv"))
+        .select(col("session_window.start").as("ss"), col("user_id"),
+          col("n_events"), col("sv"))
+
+    val batch = aggregate(sessionRows.toDF("ts", "user_id", "value"))
+      .orderBy("user_id", "ss").collect().toSeq
+
+    val stream = MemoryStream[(Timestamp, Long, Double)]
+    val q = aggregate(stream.toDF.toDF("ts", "user_id", "value")
+        .withWatermark("ts", "0 seconds"))
+      .writeStream.format("memory").queryName("parity_sess").outputMode("append").start()
+    try {
+      stream.addData(sessionRows: _*); q.processAllAvailable()
+      stream.addData(flush1); q.processAllAvailable()
+      stream.addData(flush2); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("parity_sess").filter(col("user_id") =!= 9L)
+      .orderBy("user_id", "ss").collect().toSeq
+
+    assert(streamed == batch)
+    // u1 must split into two sessions across the 25m gap
+    assert(batch.count(_.getLong(1) == 1L) == 2)
+  }
+
+  test("keep-first dedup: streaming dropDuplicates across triggers == batch keep-first (J5)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // dedup_state's contract: batch keep-first over (earliest ts, event_id)
+    // equals streaming dropDuplicates when arrival order is the event-time
+    // order — feed the rows in that order across TWO triggers, so the
+    // state must persist between micro-batches to suppress the later dup
+    val evs = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 7L, "click"),
+      (2L, ts("2024-01-01 10:01:00"), 7L, "view"),
+      (3L, ts("2024-01-01 10:02:00"), 8L, "click"),
+      (4L, ts("2024-01-01 10:03:00"), 7L, "click"), // dup of (7, click)
+      (5L, ts("2024-01-01 10:04:00"), 8L, "click")) // dup of (8, click)
+    val batch = evs.toDF("event_id", "ts", "user_id", "event_type")
+      .withColumn("rn", row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id", "event_type").orderBy(asc("ts"), asc("event_id"))))
+      .filter(col("rn") === 1).drop("rn")
+      .orderBy("user_id", "event_type").collect().toSeq
+
+    val stream = MemoryStream[(Long, Timestamp, Long, String)]
+    val q = stream.toDF.toDF("event_id", "ts", "user_id", "event_type")
+      .dropDuplicates("user_id", "event_type")
+      .writeStream.format("memory").queryName("parity_dd").outputMode("append").start()
+    try {
+      stream.addData(evs.take(3): _*); q.processAllAvailable()
+      stream.addData(evs.drop(3): _*); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("parity_dd")
+      .orderBy("user_id", "event_type").collect().toSeq
+
+    assert(streamed == batch)
+    assert(batch.size == 3 && evs.size == 5, "dups must actually be suppressed")
+  }
+
   test("decontaminate is streamable at ingest: per-doc flags on a stream == batch audit") {
     import graft.operators.TextOps
     import spark.implicits._
