@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.VectorOps
+
+/** ANN recall-vs-cost measurement (round-8 VERDICT next-round #4): runs
+  * `sim_topk` (brute-force cosine, the exact baseline) as ground truth,
+  * then sweeps `sim_ann`'s multi-probe radius (0/1/2 bit flips) and
+  * `sim_ivf`'s probed-list count (1/2/4/8 of the k lists), reporting for
+  * each configuration recall@k, wall seconds, and SCORED CANDIDATE PAIRS —
+  * the cost axis that survives scale-up (wall time on a 200k-vector
+  * staging is noise; candidates-per-query is the number a 1000-executor
+  * deployment bills for). Candidate counts come from the operators' own
+  * pre-rank frames ([[VectorOps.annCandidates]] / [[VectorOps.ivfCandidates]]),
+  * so the measurement cannot drift from the shipped plans.
+  *
+  * Usage: `sbt "runMain graft.AnnRecall <sfDir>"` — one JSON line to
+  * stdout; run against the 100× ScaleGen staging for the published
+  * BASELINE.md table.
+  */
+object AnnRecall {
+  def main(args: Array[String]): Unit = {
+    val dir =
+      if (args.nonEmpty) args(0)
+      else sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def pairs(df: DataFrame): Set[(Long, Long)] =
+      df.select("q_id", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def timed[T](body: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val r = body; (r, (System.nanoTime() - t0) / 1e9)
+    }
+    def fmt(x: Double): String =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
+
+    val emb = Tables.embeddings(spark, dir)
+    val nCorpus = emb.count() // also warms the IO path
+    val (want, bruteSec) =
+      timed(pairs(VectorOps.simTopk(spark, dir).filter(col("rn") <= VectorOps.AnnTopK)))
+    val rows = scala.collection.mutable.ArrayBuffer.empty[String]
+    def row(op: String, conf: Int, got: Set[(Long, Long)], sec: Double, scored: Long): Unit =
+      rows += (s"""{"op":"$op","conf":$conf,""" +
+        s""""recall":${fmt((got & want).size.toDouble / want.size)},""" +
+        s""""secs":${fmt(sec)},"scored_pairs":$scored}""")
+
+    for (flips <- 0 to 2) {
+      spark.conf.set(VectorOps.AnnProbeFlipsConf, flips.toString)
+      val (got, sec) = timed(pairs(VectorOps.simAnn(spark, dir)))
+      row("sim_ann", flips, got, sec, VectorOps.annCandidates(spark, dir).count())
+    }
+    spark.conf.unset(VectorOps.AnnProbeFlipsConf)
+    for (p <- Seq(1, 2, 4, 8)) {
+      spark.conf.set(VectorOps.IvfProbesConf, p.toString)
+      val (got, sec) = timed(pairs(VectorOps.simIvf(spark, dir)))
+      val cent = VectorOps.labelMeanCentroids(emb)
+      row("sim_ivf", p, got, sec, VectorOps.ivfCandidates(emb, cent).count())
+    }
+    spark.conf.unset(VectorOps.IvfProbesConf)
+
+    println(s"""{"metric":"ann_recall","sf":"$dir","n_corpus":$nCorpus,""" +
+      s""""ground_truth_pairs":${want.size},"brute_secs":${fmt(bruteSec)},""" +
+      s""""sweeps":[${rows.mkString(",")}]}""")
+    spark.stop()
+  }
+}

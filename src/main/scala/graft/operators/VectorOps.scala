@@ -652,7 +652,19 @@ object VectorOps {
     * by design). The probe fan-out multiplies only the tiny broadcast query
     * side (k×9 rows), never the corpus.
     */
-  def simAnn(s: SparkSession, dir: String): DataFrame = {
+  def simAnn(s: SparkSession, dir: String): DataFrame =
+    annCandidates(s, dir)
+      .withColumn("rn", row_number()
+        .over(Window.partitionBy("q_id").orderBy(desc("cos"), asc("vec_id"))).cast("int"))
+      .filter(col("rn") <= AnnTopK)
+      .oracleSorted("q_id", "rn")
+
+  /** The scored-candidate frame of `sim_ann` (every bucket-matched
+    * (query, corpus) pair with its cosine, BEFORE ranking) — split out so
+    * [[graft.AnnRecall]] can count scored pairs as the cost axis of the
+    * recall-vs-cost measurement without duplicating the probe logic.
+    */
+  private[graft] def annCandidates(s: SparkSession, dir: String): DataFrame = {
     val masks = probeMasks(s.conf.get(AnnProbeFlipsConf, "1").toInt)
     val bucketed = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding"),
@@ -666,10 +678,6 @@ object VectorOps {
     corpus.join(broadcast(q), "bucket")
       .select(col("q_id"), col("vec_id"),
         Vec.cosineF(col("q_emb"), col("embedding")).as("cos"))
-      .withColumn("rn", row_number()
-        .over(Window.partitionBy("q_id").orderBy(desc("cos"), asc("vec_id"))).cast("int"))
-      .filter(col("rn") <= AnnTopK)
-      .oracleSorted("q_id", "rn")
   }
 
   /** K3c `sim_ivf`: IVF (inverted-file) ANN — the second classic coarse
@@ -704,7 +712,7 @@ object VectorOps {
     * `sim_ivf` and `dedup_semantic`, mirrored cell-for-cell by their
     * oracles' `cell/comp/cent` CTEs.
     */
-  private def labelMeanCentroids(emb: DataFrame): DataFrame = {
+  private[graft] def labelMeanCentroids(emb: DataFrame): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     emb
       .select(col("label").as("c_label"), posexplode(col("embedding")))
@@ -744,7 +752,25 @@ object VectorOps {
     * assignment + probing + scoring, shared by the oracle-checked `sim_ivf`
     * (label-mean centroids) and the kmeans-learned deployment form.
     */
-  private[graft] def simIvfWith(emb: DataFrame, cent: DataFrame): DataFrame = {
+  private[graft] def simIvfWith(emb: DataFrame, cent: DataFrame): DataFrame =
+    ivfCandidates(emb, cent)
+      .withColumn("rn", row_number()
+        .over(Window.partitionBy("q_id").orderBy(desc("cos"), asc("vec_id"))).cast("int"))
+      .filter(col("rn") <= AnnTopK)
+      .oracleSorted("q_id", "rn")
+
+  /** Probed lists per query: `graft.ivfProbes` session conf overrides the
+    * pinned [[IvfProbes]] default — the sweep axis of AnnRecall's
+    * recall-vs-cost measurement (the registered `sim_ivf` query never sets
+    * it, so the oracle contract is untouched).
+    */
+  val IvfProbesConf = "graft.ivfProbes"
+
+  /** The scored-candidate frame of IVF search (every probed-list
+    * (query, corpus) pair with its cosine, BEFORE ranking) — split out for
+    * [[graft.AnnRecall]], same rationale as [[annCandidates]].
+    */
+  private[graft] def ivfCandidates(emb: DataFrame, cent: DataFrame): DataFrame = {
     // One row holding all k centroids → broadcast, no shuffle to assign.
     // Lineage cut + materialized once (`localCheckpoint(false)`, not
     // `cache`): both the corpus-assignment branch and the query-probe branch
@@ -768,21 +794,18 @@ object VectorOps {
     val withCents = emb.attachScalarRow(centsRow)
     val corpus = withCents.filter(col("vec_id") >= QuerySetSize)
       .select(col("vec_id"), col("embedding"), nearest(col("embedding")).getField("lbl").as("ilist"))
-    // Queries probe their IvfProbes nearest lists (query set is tiny).
+    // Queries probe their nProbes nearest lists (query set is tiny).
+    val nProbes = emb.sparkSession.conf.get(IvfProbesConf, IvfProbes.toString).toInt
     val probes = withCents.filter(col("vec_id") < QuerySetSize)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         posexplode(slice(array_sort(transform(col("cents"),
           c => struct(Vec.sqDistF(col("embedding"), c.getField("cvec")).as("dist"),
-            c.getField("c_label").as("lbl")))), 1, IvfProbes)))
+            c.getField("c_label").as("lbl")))), 1, nProbes)))
       .select(col("q_id"), col("q_emb"), col("col.lbl").as("ilist"))
 
     corpus.join(broadcast(probes), "ilist")
       .select(col("q_id"), col("vec_id"),
         Vec.cosineF(col("q_emb"), col("embedding")).as("cos"))
-      .withColumn("rn", row_number()
-        .over(Window.partitionBy("q_id").orderBy(desc("cos"), asc("vec_id"))).cast("int"))
-      .filter(col("rn") <= AnnTopK)
-      .oracleSorted("q_id", "rn")
   }
 
   /** K2d `dedup_embed`: embedding-cosine near-dup pairs via BANDED

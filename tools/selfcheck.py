@@ -6,7 +6,7 @@ testdata parquet tables as DuckDB views, runs each oracle SQL, and compares
 row counts, column names/dtypes, and values (exact for non-floats, tolerant
 then-exact-hash report for floats). Usage:
 
-    python3 tools/selfcheck.py [--unordered] [--json OUT.json] <sfDir> <verifyOutDir>
+    python3 tools/selfcheck.py [--unordered] [--json OUT.json] [--timeout-sec N] <sfDir> <verifyOutDir>
 
 --unordered: order-INSENSITIVE comparison — both sides are canonically
   row-sorted over ALL columns before the exact compare, certifying row
@@ -15,6 +15,9 @@ then-exact-hash report for floats). Usage:
   the production plan) and certify it computes the same rows as the DuckDB
   oracle regardless of arrival order (round-7 VERDICT next-round #1).
 --json OUT.json: also write a machine-readable artifact (per-query status).
+--timeout-sec N: interrupt any oracle running longer than N seconds and record
+  it as `oracle_timeout` (a tractability exclusion for scale gates, not a
+  verdict) — round 9, used by the 100x gate.
 """
 import sys, os, json, glob
 import duckdb
@@ -43,7 +46,7 @@ def row_sorted(df):
     order = keys.sort_values(by=list(df.columns), kind="mergesort").index
     return df.loc[order].reset_index(drop=True)
 
-def main(sf_dir, out_dir, unordered=False, json_out=None):
+def main(sf_dir, out_dir, unordered=False, json_out=None, timeout_sec=None):
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
@@ -68,10 +71,28 @@ def main(sf_dir, out_dir, unordered=False, json_out=None):
             record(name, "fail", detail="no spark output"); n_fail += 1; continue
         try:
             got = canon(pd.read_parquet(pdir))
-            exp = canon(con.execute(sql).fetchdf())
+            if timeout_sec:
+                # scale-gate guard (round 9): a quadratic-at-scale oracle is
+                # interrupted and recorded as oracle_timeout — an EXCLUSION
+                # (tractability), never a pass/fail verdict on the engine
+                import threading
+                t = threading.Timer(timeout_sec, con.interrupt)
+                t.start()
+                try:
+                    exp = canon(con.execute(sql).fetchdf())
+                finally:
+                    t.cancel()
+            else:
+                exp = canon(con.execute(sql).fetchdf())
             if unordered:
                 got, exp = row_sorted(got), row_sorted(exp)
+        except duckdb.InterruptException:
+            print(f"TIMEOUT {name}: oracle exceeded {timeout_sec}s (excluded)")
+            record(name, "oracle_timeout"); continue
         except Exception as e:
+            if timeout_sec and "INTERRUPT" in str(e).upper():
+                print(f"TIMEOUT {name}: oracle exceeded {timeout_sec}s (excluded)")
+                record(name, "oracle_timeout"); continue
             print(f"FAIL {name}: {e}")
             record(name, "fail", detail=e); n_fail += 1; continue
         if list(got.columns) != list(exp.columns):
@@ -151,9 +172,13 @@ if __name__ == "__main__":
     argv = sys.argv[1:]
     unordered = "--unordered" in argv
     argv = [a for a in argv if a != "--unordered"]
+    timeout_sec = None
+    if "--timeout-sec" in argv:
+        i = argv.index("--timeout-sec")
+        timeout_sec = float(argv[i + 1]); del argv[i:i + 2]
     json_out = None
     if "--json" in argv:
         i = argv.index("--json")
         json_out = argv[i + 1]
         del argv[i:i + 2]
-    sys.exit(main(argv[0], argv[1], unordered=unordered, json_out=json_out))
+    sys.exit(main(argv[0], argv[1], unordered=unordered, json_out=json_out, timeout_sec=timeout_sec))
