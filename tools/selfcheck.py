@@ -47,14 +47,23 @@ def row_sorted(df):
     return df.loc[order].reset_index(drop=True)
 
 def main(sf_dir, out_dir, unordered=False, json_out=None, timeout_sec=None):
-    con = duckdb.connect()
-    for t in TABLES:
-        p = f"{sf_dir}/{t}.parquet"
-        if os.path.isdir(p):  # Spark-written dataset dir (e.g. ScaleGen output)
-            p = f"{p}/*.parquet"
-        elif not os.path.exists(p):
-            continue
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    # Fresh connection factory (round 9): each oracle runs on its OWN
+    # connection with a bounded memory_limit (override via SELFCHECK_MEM).
+    # Rationale: a hex-blowup oracle at 100x exhausts the buffer manager,
+    # and on a SHARED connection the failed query's reservation leaked —
+    # every later oracle (even a parquet open) then malloc-failed. Per-query
+    # connections make an OOM a self-contained tractability exclusion.
+    def fresh_con():
+        c = duckdb.connect()
+        c.execute(f"SET memory_limit='{os.environ.get('SELFCHECK_MEM', '48GB')}'")
+        for t in TABLES:
+            p = f"{sf_dir}/{t}.parquet"
+            if os.path.isdir(p):  # Spark-written dataset dir (ScaleGen output)
+                p = f"{p}/*.parquet"
+            elif not os.path.exists(p):
+                continue
+            c.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+        return c
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
     report = {}
@@ -69,8 +78,10 @@ def main(sf_dir, out_dir, unordered=False, json_out=None, timeout_sec=None):
         if not files:
             print(f"FAIL {name}: no spark output")
             record(name, "fail", detail="no spark output"); n_fail += 1; continue
+        con = None
         try:
             got = canon(pd.read_parquet(pdir))
+            con = fresh_con()
             if timeout_sec:
                 # scale-gate guard (round 9): a quadratic-at-scale oracle is
                 # interrupted and recorded as oracle_timeout — an EXCLUSION
@@ -89,12 +100,20 @@ def main(sf_dir, out_dir, unordered=False, json_out=None, timeout_sec=None):
         except duckdb.InterruptException:
             print(f"TIMEOUT {name}: oracle exceeded {timeout_sec}s (excluded)")
             record(name, "oracle_timeout"); continue
+        except duckdb.OutOfMemoryException as e:
+            # same class of exclusion as the timeout: the ORACLE is
+            # intractable at this scale within the memory budget
+            print(f"OOM {name}: oracle exceeded the memory budget (excluded): {e}")
+            record(name, "oracle_oom", detail=e); continue
         except Exception as e:
             if timeout_sec and "INTERRUPT" in str(e).upper():
                 print(f"TIMEOUT {name}: oracle exceeded {timeout_sec}s (excluded)")
                 record(name, "oracle_timeout"); continue
             print(f"FAIL {name}: {e}")
             record(name, "fail", detail=e); n_fail += 1; continue
+        finally:
+            if con is not None:
+                con.close()
         if list(got.columns) != list(exp.columns):
             print(f"FAIL {name}: cols spark={list(got.columns)} duck={list(exp.columns)}")
             record(name, "fail", detail=f"cols spark={list(got.columns)} duck={list(exp.columns)}")
