@@ -140,6 +140,7 @@ object SparkEntry {
     "vocab_oov" -> (TextOps.vocabOov _),
     "vocab_bpe" -> (TextOps.vocabBpe _),
     "tokenize_bpe" -> (TextOps.tokenizeBpe _),
+    "tokenize_bpe_encode" -> (TextOps.tokenizeBpeEncode _),
     // §2.K1/K2 deduplication
     "dedup_exact" -> (TextOps.dedupExact _),
     "dedup_minhash" -> (TextOps.dedupMinhash _),
@@ -672,6 +673,20 @@ object SparkEntry {
       "tj AS (SELECT doc_id, word, w_bpe FROM t JOIN wl USING (word)) " +
       "SELECT doc_id, count(1) AS n_words, CAST(sum(w_bpe) AS BIGINT) AS n_bpe_tokens, " +
       "round(CAST(sum(length(word)) AS DOUBLE) / CAST(sum(w_bpe) AS BIGINT), 4) AS chars_per_token " +
+      "FROM tj GROUP BY doc_id ORDER BY doc_id"
+    },
+    // ENCODE leg: the same learned symbol table emits each document's full
+    // ordered token stream; word order via original split positions (pos
+    // indexes the full words array INCLUDING empties, exactly Spark's
+    // posexplode indices — the empty-word filter never renumbers)
+    "tokenize_bpe_encode" -> {
+      s"WITH $bpeLearnCtes, " +
+      s"wl AS (SELECT word, array_to_string(syms, ' ') AS wtoks, CAST(len(syms) AS BIGINT) AS w_bpe FROM s${TextOps.BpeMerges}), " +
+      "tw AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents), " +
+      "tp AS (SELECT doc_id, g.i - 1 AS pos, words[g.i] AS word FROM tw, LATERAL (SELECT unnest(generate_series(1, len(words))) AS i) g WHERE length(words[g.i]) > 0), " +
+      "tj AS (SELECT doc_id, pos, wtoks, w_bpe FROM tp JOIN wl USING (word)) " +
+      "SELECT doc_id, CAST(sum(w_bpe) AS BIGINT) AS n_bpe_tokens, " +
+      "string_agg(wtoks, ' ' ORDER BY pos) AS bpe_tokens " +
       "FROM tj GROUP BY doc_id ORDER BY doc_id"
     },
     // greedy per-source token-budget fill in quality order (single-sourced

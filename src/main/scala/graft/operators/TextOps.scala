@@ -745,11 +745,12 @@ object TextOps {
     * greedy left-to-right non-overlapping fold ([[bpeMergeFold]]'s
     * contract). Stops at pair exhaustion like the distributed form.
     *
-    * Returns (merge trajectory, final per-word BPE token count) — learn
-    * and apply share one merge sequence by construction.
+    * Returns (merge trajectory, final per-word token SEQUENCE) — learn,
+    * count-apply (`tokenize_bpe`) and encode-apply (`tokenize_bpe_encode`)
+    * all share one merge sequence and one fold by construction.
     */
   private[graft] def bpeLearnLocal(types: Seq[(String, Long)], k: Int)
-      : (Seq[(Int, String, String, Long)], Map[String, Int]) = {
+      : (Seq[(Int, String, String, Long)], Map[String, Seq[String]]) = {
     val words = types.iterator.map(_._1).toArray
     val counts = types.iterator.map(_._2).toArray
     val syms: Array[Array[String]] = words.map(w =>
@@ -807,7 +808,7 @@ object TextOps {
       }
       step += 1
     }
-    (merges.toSeq, words.iterator.zipWithIndex.map { case (w, i) => w -> syms(i).length }.toMap)
+    (merges.toSeq, words.iterator.zipWithIndex.map { case (w, i) => w -> syms(i).toSeq }.toMap)
   }
 
   def vocabBpe(s: SparkSession, dir: String): DataFrame = {
@@ -833,8 +834,8 @@ object TextOps {
     */
   def tokenizeBpe(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val (_, tokCount) = bpeLearnLocal(bpeCollectTypes(s, dir), BpeMerges)
-    val wordLen = tokCount.toSeq.toDF("word", "w_bpe_i")
+    val (_, tokSeqs) = bpeLearnLocal(bpeCollectTypes(s, dir), BpeMerges)
+    val wordLen = tokSeqs.view.mapValues(_.size).toSeq.toDF("word", "w_bpe_i")
       .select(col("word"), col("w_bpe_i").cast("long").as("w_bpe"))
     // char mass rides the SAME token stream (Σ|word| ≡ chars minus
     // spaces) — one corpus scan total, no second scan + re-join
@@ -848,6 +849,43 @@ object TextOps {
       .select(col("doc_id"), col("n_words"), col("n_bpe_tokens"),
         round(col("n_chars_txt").cast("double") / col("n_bpe_tokens"), 4)
           .as("chars_per_token"))
+      .oracleSorted("doc_id")
+  }
+
+  /** K5i `tokenize_bpe_encode` (round 9): EMIT the BPE token stream —
+    * the third leg of the tokenizer round trip (learn = `vocab_bpe`,
+    * count = `tokenize_bpe`, encode = this): per document, the full
+    * ordered token sequence under the learned merges, as a
+    * space-joined string (tokens contain no spaces by construction —
+    * they are substrings of whitespace-split words — so the join is
+    * injective and the hash gate covers the exact sequence).
+    *
+    * Scale shape = `tokenize_bpe`'s: the merges run driver-local, the
+    * word → token-string map broadcasts, and the corpus pays ONE scan +
+    * one broadcast probe. Word order is preserved via `posexplode`
+    * positions (original split indices — identical on both engines, so
+    * the in-doc ordering is total) with a per-doc sort_array over
+    * (pos, tokens) structs — the same bounded in-group sort every
+    * sequence emitter pays; output bytes ≈ corpus bytes, the encoder's
+    * intrinsic floor.
+    */
+  def tokenizeBpeEncode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (_, tokSeqs) = bpeLearnLocal(bpeCollectTypes(s, dir), BpeMerges)
+    val wordToks = tokSeqs.view.mapValues(_.mkString(" ")).toSeq
+      .toDF("word", "wtoks")
+    Tables.documents(s, dir)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .select(col("doc_id"), col("pos"), col("col").as("word"))
+      .where(length(col("word")) > 0)
+      .join(broadcast(wordToks), "word")
+      .groupBy("doc_id")
+      .agg(
+        array_join(transform(
+          sort_array(collect_list(struct(col("pos"), col("wtoks")))),
+          x => x.getField("wtoks")), " ").as("bpe_tokens"),
+        sum(size(split(col("wtoks"), " ")).cast("long")).as("n_bpe_tokens"))
+      .select(col("doc_id"), col("n_bpe_tokens"), col("bpe_tokens"))
       .oracleSorted("doc_id")
   }
 

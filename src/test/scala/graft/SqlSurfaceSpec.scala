@@ -56,6 +56,7 @@ class SqlSurfaceSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     // aggregate with an explicit empty-array init)
     "vocab_bpe" -> "list_reduce",
     "tokenize_bpe" -> "list_reduce",
+    "tokenize_bpe_encode" -> "list_reduce",
     // no ASOF JOIN syntax in Spark SQL (the DataFrame form IS the op)
     "join_asof" -> "ASOF",
     "join_asof_salted" -> "ASOF",

@@ -728,6 +728,26 @@ class TextOpsSpec extends AnyFunSuite {
     assert(got == Seq((0L, 2L, 2L, 3.0), (1L, 2L, 2L, 3.0), (2L, 2L, 2L, 2.0)))
   }
 
+  test("tokenize_bpe_encode emits the exact ordered token stream; concatenation rebuilds the text") {
+    import spark.implicits._
+    // same corpus as the learn test: merges (a,b), (ab,ab), (c,d) leave
+    // every word a single token, so the stream equals the word stream
+    Seq((0L, "abab ab"), (1L, "ab cd"), (2L, "cd abab"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet("/tmp/graft_test_bpe_enc/documents.parquet")
+    val got = TextOps.tokenizeBpeEncode(spark, "/tmp/graft_test_bpe_enc")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq.sortBy(_._1)
+    assert(got == Seq((0L, 2L, "abab ab"), (1L, 2L, "ab cd"), (2L, 2L, "cd abab")))
+    // round-trip law on the real corpus: per doc, concatenating the token
+    // stream (spaces removed) rebuilds the document's non-space text
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), regexp_replace(col("text"), " ", "").as("flat"))
+    val enc = TextOps.tokenizeBpeEncode(spark, sfDir)
+      .select(col("doc_id"), regexp_replace(col("bpe_tokens"), " ", "").as("cat"))
+    val bad = docs.join(enc, "doc_id").filter(col("flat") =!= col("cat")).count()
+    assert(bad == 0, s"$bad docs fail the encode round trip")
+  }
+
   test("bpe parity law: driver-local learn == round-8 distributed learn, merge-for-merge") {
     import spark.implicits._
     // the production driver-local loop (incremental pair counts, UTF-8
@@ -762,8 +782,10 @@ class TextOpsSpec extends AnyFunSuite {
     assert(merges.nonEmpty && merges.size < TextOps.BpeMerges,
       s"expected exhaustion before ${TextOps.BpeMerges}, got ${merges.size}")
     assert(merges.map(_._1) == (1 to merges.size), "steps must be dense from 1")
-    assert(tok.size == types.size && tok.values.forall(_ == 1),
+    assert(tok.size == types.size && tok.values.forall(_.size == 1),
       "at exhaustion every word type is one token")
+    assert(tok.forall { case (w, ts) => ts.mkString("") == w },
+      "token sequences must concatenate back to the word")
   }
 
   test("corpus_budget: greedy fill keeps the exact-boundary doc and drops the overflow") {
