@@ -890,10 +890,38 @@ object VectorOps {
     * compares those doubles and breaks ties by vec_id — total, so the
     * verdict is reproducible at any partition count or input order.
     */
-  def dedupSemantic(s: SparkSession, dir: String): DataFrame = {
-    import graft.functions.ScalarAttach._
+  def dedupSemantic(s: SparkSession, dir: String): DataFrame =
+    dedupSemanticWith(Tables.embeddings(s, dir), null)
+
+  /** The DEPLOYMENT form of semantic dedup (mirror of [[simIvfKmeans]]):
+    * coarse clusters LEARNED by the k-means loop instead of label means —
+    * the shape a user runs on an unlabeled corpus. Downstream of the
+    * centroid source everything is [[dedupSemanticWith]], identical to
+    * `dedup_semantic`. Not oracle-checkable (iterative driver loop, per
+    * the SURVEY contract); VectorOpsSpec pins verdict parity with the
+    * label-mean form on separable data.
+    */
+  def dedupSemanticKmeans(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     val emb = Tables.embeddings(s, dir)
-    val centsRow = labelMeanCentroids(emb)
+      .select(col("vec_id"), col("label"), col("embedding")).cache()
+    try {
+      val cent = kmeansCenters(emb).zipWithIndex
+        .map { case (c, cid) => (cid, c) }.toSeq
+        .toDF("c_label", "cvec")
+      dedupSemanticWith(emb, cent).lineageCut()
+    } finally emb.unpersist()
+  }
+
+  /** Semantic-dedup core over ANY (c_label, cvec) centroid frame (null →
+    * the oracle-checkable [[labelMeanCentroids]] build) — assignment +
+    * within-cluster prune + verdict, shared by `dedup_semantic` and the
+    * kmeans-learned deployment form.
+    */
+  private[graft] def dedupSemanticWith(emb: DataFrame, cent0: DataFrame): DataFrame = {
+    import graft.functions.ScalarAttach._
+    val cent = if (cent0 == null) labelMeanCentroids(emb) else cent0
+    val centsRow = cent
       .agg(collect_list(struct(col("c_label"), col("cvec"))).as("cents"))
       .lineageCut(eager = false)
     def nearest(v: Column): Column =

@@ -260,6 +260,29 @@ class VectorOpsSpec extends AnyFunSuite {
       assert(got(id) == ((0, 1)), s"clean v$id must be kept with no dup nbrs: ${got(id)}")
   }
 
+  test("dedup_semantic over KMEANS-LEARNED centroids: same verdicts as label means on separable data") {
+    import spark.implicits._
+    // the deployment form (unlabeled corpora) must agree with the
+    // oracle-checked label-mean form wherever clusters are separable —
+    // same geometry as the planted-dup law (restaged: self-contained test)
+    val dir = "/tmp/graft_test_semdedup_km"
+    Seq(
+      (0L, Seq(10f, 0f, 0f, 0f), 0),
+      (1L, Seq(9.9f, 0.5f, 0f, 0f), 0),
+      (2L, Seq(2.5f, 0f, 9f, 0f), 0),
+      (3L, Seq(0f, 0f, 0f, 10f), 1),
+      (4L, Seq(0f, 0.5f, 0f, -9.9f), 1))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    def verdicts(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id", "n_dup_nbrs", "kept").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    val labelForm = verdicts(VectorOps.dedupSemantic(spark, dir))
+    val kmeansForm = verdicts(VectorOps.dedupSemanticKmeans(spark, dir))
+    assert(kmeansForm == labelForm)
+    assert(labelForm.nonEmpty)
+  }
+
   test("sim_ann multi-probe has full recall when buckets differ by at most one bit") {
     import spark.implicits._
     val rnd = new scala.util.Random(31)
