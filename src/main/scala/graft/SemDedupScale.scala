@@ -37,20 +37,33 @@ object SemDedupScale {
 
     val emb = Tables.embeddings(spark, dir)
     val n = emb.count() // warms IO
+    // SEMDEDUP_SKIP_TOY=1 skips the two argmin-based measurements (the
+    // toy k=10 pays ~7 min at 100×; set it when only the lsh number is
+    // wanted — the argmin over 2^16 centroid structs is itself quadratic
+    // territory, which is exactly why the lsh form skips assignment)
+    val skipToy = sys.env.get("SEMDEDUP_SKIP_TOY").contains("1")
     // toy shape: the registered query (label-mean centroids, k = 10)
-    val (rows10, sec10) = timed(
+    val (rows10, sec10) = if (skipToy) (0L, 0.0) else timed(
       VectorOps.dedupSemantic(spark, dir).queryExecution.toRdd.count())
     // deployment shape: k = 2^bits sign-bucket coarse quantizer
     val rel = emb.select(
       Vec.signBucket(col("embedding"), bits).cast("int").as("label"),
       col("embedding"))
     val cent = VectorOps.labelMeanCentroids(rel)
-    val k = cent.count()
-    val (rowsK, secK) = timed(
+    val k = if (skipToy) 0L else cent.count()
+    val (rowsK, secK) = if (skipToy) (0L, 0.0) else timed(
       VectorOps.dedupSemanticWith(emb, cent).queryExecution.toRdd.count())
+    // the REGISTERED linear-scale form at deployment width (conf knob —
+    // same bits as the ad-hoc quantizer above, but cluster = own bucket,
+    // no argmin pass at all)
+    spark.conf.set(VectorOps.SemLshBitsConf, bits.toString)
+    val (rowsL, secL) = timed(
+      VectorOps.dedupSemanticLsh(spark, dir).queryExecution.toRdd.count())
+    spark.conf.unset(VectorOps.SemLshBitsConf)
     println(s"""{"metric":"semdedup_scale","sf":"$dir","n_corpus":$n,""" +
       s""""toy":{"k":10,"secs":${fmt(sec10)},"rows":$rows10},""" +
-      s""""deploy":{"k":$k,"secs":${fmt(secK)},"rows":$rowsK}}""")
+      s""""deploy":{"k":$k,"secs":${fmt(secK)},"rows":$rowsK},""" +
+      s""""lsh":{"bits":$bits,"secs":${fmt(secL)},"rows":$rowsL}}""")
     spark.stop()
   }
 }

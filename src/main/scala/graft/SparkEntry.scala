@@ -150,6 +150,7 @@ object SparkEntry {
     "dedup_ngram" -> (TextOps.dedupNgram _),
     "dedup_embed" -> (VectorOps.dedupEmbed _),
     "dedup_semantic" -> (VectorOps.dedupSemantic _),
+    "dedup_semantic_lsh" -> (VectorOps.dedupSemanticLsh _),
     "dedup_cluster" -> (TextOps.dedupCluster _),
     "dedup_keepbest" -> (TextOps.dedupKeepbest _),
     "dedup_incremental" -> (TextOps.dedupIncremental _),
@@ -1104,6 +1105,21 @@ object SparkEntry {
       "v AS (SELECT vec_id, count(1) AS n_dup_nbrs, max(dom) AS dominated FROM pr GROUP BY 1) " +
       "SELECT a.vec_id, CAST(a.cid AS INT) AS cid, round(a.dist, 6) AS c_dist, CAST(coalesce(v.n_dup_nbrs, 0) AS INT) AS n_dup_nbrs, CAST(CASE WHEN coalesce(v.dominated, 0) = 1 THEN 0 ELSE 1 END AS INT) AS kept " +
       "FROM a LEFT JOIN v ON a.vec_id = v.vec_id ORDER BY a.vec_id"),
+    // linear-scale SemDeDup: cluster = own sign bucket (no argmin), bucket
+    // means via the shared cell/comp/cent discipline, same domination CASE
+    "dedup_semantic_lsh" -> {
+      val bkt = s"list_sum(list_transform(generate_series(1, ${VectorOps.SemLshBits}), i -> CASE WHEN embedding[i] >= 0 THEN 1 << (i - 1) ELSE 0 END))"
+      s"WITH e AS (SELECT vec_id, embedding, $bkt AS b FROM embeddings), " +
+      s"cell AS (SELECT b, g.i AS pos, CAST(CAST(embedding[g.i] AS DOUBLE) AS DECIMAL(28,20)) AS v FROM e, (SELECT unnest(generate_series(1, ${VectorOps.Dim})) AS i) g), " +
+      "comp AS (SELECT b, pos, CAST(sum(v) AS DOUBLE) / count(1) AS comp FROM cell GROUP BY 1, 2), " +
+      "cent AS (SELECT b, list(comp ORDER BY pos) AS cvec FROM comp GROUP BY 1), " +
+      s"a AS (SELECT vec_id, embedding, e.b, ${sqDistSql("embedding", "cvec")} AS dist, sqrt(${sqNorm("embedding")}) AS nrm FROM e JOIN cent USING (b)), " +
+      "pr AS (SELECT x.vec_id, CASE WHEN y.dist < x.dist OR (y.dist = x.dist AND y.vec_id < x.vec_id) THEN 1 ELSE 0 END AS dom " +
+      s"FROM a x JOIN a y ON x.b = y.b AND x.vec_id <> y.vec_id AND ${dotSql("x.embedding", "y.embedding")} / (x.nrm * y.nrm) >= ${VectorOps.SemDupTau}), " +
+      "v AS (SELECT vec_id, count(1) AS n_dup_nbrs, max(dom) AS dominated FROM pr GROUP BY 1) " +
+      "SELECT a.vec_id, CAST(a.b AS INT) AS bucket, round(a.dist, 6) AS c_dist, CAST(coalesce(v.n_dup_nbrs, 0) AS INT) AS n_dup_nbrs, CAST(CASE WHEN coalesce(v.dominated, 0) = 1 THEN 0 ELSE 1 END AS INT) AS kept " +
+      "FROM a LEFT JOIN v ON a.vec_id = v.vec_id ORDER BY a.vec_id"
+    },
     "vec_norm" ->
       s"SELECT vec_id, label, CAST(len(embedding) AS INT) AS dim, sqrt(${sqNorm("embedding")}) AS l2_norm, list_sum(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS l1_norm FROM embeddings ORDER BY vec_id",
     // mirrors VectorOps.vecQuantize: floor-based affine int8 codes — floor

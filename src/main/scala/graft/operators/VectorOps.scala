@@ -957,6 +957,68 @@ object VectorOps {
       .oracleSorted("vec_id")
   }
 
+  /** `dedup_semantic_lsh` bucket width: 2^5 = 32 sign-bit clusters at the
+    * toy corpus (both verdict branches populated at every shipped SF —
+    * 44-47/500 vectors carry ≥τ neighbours at sf0.001/0.01); a 100 TB
+    * deployment widens to 16-20 bits the same way IVF widens k.
+    */
+  val SemLshBits = 5
+
+  /** `graft.semLshBits` session conf overrides the pinned [[SemLshBits]] —
+    * the deployment width knob (the registered query never sets it, so
+    * the 5-bit oracle contract is untouched; scale runs set 2^16+ the way
+    * AnnRecall sweeps `graft.ivfProbes`).
+    */
+  val SemLshBitsConf = "graft.semLshBits"
+
+  /** §2.K2h `dedup_semantic_lsh` (round 9): the LINEAR-SCALE form of
+    * semantic dedup — clusters come from the deterministic sign-bucket
+    * quantizer itself (cluster id = [[Vec.signBucket]] of the vector, an
+    * axis-aligned random-hyperplane IVF init), so there is NO k×N argmin
+    * assignment pass and k scales freely with the corpus (2^bits). The
+    * k = 10 label-mean form (`dedup_semantic`) is the oracle-friendly toy
+    * whose fixed k makes the within-cluster join quadratic at 100×
+    * (BASELINE: 346.8 s); this form, measured on the identical 200k-vector
+    * staging via the same prune core, is the 10-second cost class — the
+    * SemDeDup contract (k ∝ N ⇒ Σ|cluster|² ≈ N·|cluster|) realized as a
+    * REGISTERED, fully DuckDB-gated query, not a side measurement.
+    * Keep-priority is unchanged: within one bucket a vector is dropped iff
+    * a cosine-≥ τ neighbour sits closer to the bucket's exact-decimal mean
+    * (vec_id tiebreak — total). Buckets, means, cosines, and distances are
+    * all oracle-reproducible (the `dedup_embed` / `sim_ivf` parity
+    * arguments), so the verdict hash-gates like the toy form.
+    */
+  def dedupSemanticLsh(s: SparkSession, dir: String): DataFrame = {
+    val bits = s.conf.get(SemLshBitsConf, SemLshBits.toString).toInt
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"),
+        Vec.signBucket(col("embedding"), bits).as("b"))
+    // per-bucket exact-decimal means — labelMeanCentroids keyed on the
+    // bucket (single-sourced with sim_ivf / dedup_semantic)
+    val cent = labelMeanCentroids(e.select(col("b").as("label"), col("embedding")))
+      .select(col("c_label").as("b"), col("cvec"))
+    val a = e.join(broadcast(cent), "b")
+      .select(col("vec_id"), col("embedding"), col("b"),
+        Vec.sqDistF(col("embedding"), col("cvec")).as("c_dist_raw"))
+      .lineageCut(eager = false)
+    val nbrs = a.as("x").join(a.as("y"),
+        col("x.b") === col("y.b") && col("x.vec_id") =!= col("y.vec_id"))
+      .where(Vec.cosineF(col("x.embedding"), col("y.embedding")) >= SemDupTau)
+      .select(col("x.vec_id").as("vec_id"),
+        when(col("y.c_dist_raw") < col("x.c_dist_raw") ||
+          (col("y.c_dist_raw") === col("x.c_dist_raw") &&
+            col("y.vec_id") < col("x.vec_id")), 1).otherwise(0).as("dom"))
+      .groupBy("vec_id")
+      .agg(count(lit(1)).as("n_dup_nbrs"), max("dom").as("dominated"))
+    a.join(nbrs, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("b").cast("int").as("bucket"),
+        round(col("c_dist_raw"), 6).as("c_dist"),
+        coalesce(col("n_dup_nbrs"), lit(0L)).cast("int").as("n_dup_nbrs"),
+        when(coalesce(col("dominated"), lit(0)) === 1, 0).otherwise(1)
+          .cast("int").as("kept"))
+      .oracleSorted("vec_id")
+  }
+
   /** §2.I `kmeans_clusters`: the reference's iterative k-means re-expressed
     * over DataFrames [ref: stackoverflow/…/StackOverflow.scala#kmeans].
     *

@@ -260,6 +260,24 @@ class VectorOpsSpec extends AnyFunSuite {
       assert(got(id) == ((0, 1)), s"clean v$id must be kept with no dup nbrs: ${got(id)}")
   }
 
+  test("dedup_semantic_lsh: co-bucketed planted dup pruned, sign-separated vectors untouched") {
+    import spark.implicits._
+    // dim 8, SemLshBits=5: v0/v1 share sign pattern 11111 (one bucket) at
+    // cos ≈ 1 — a 2-member cluster is equidistant from its mean, so the
+    // vec_id tiebreak keeps v0 and drops v1; v2 flips dim 0's sign into
+    // bucket 11110 alone — kept, no neighbours
+    Seq(
+      (0L, Seq(10f, 1f, 1f, 1f, 1f, 0f, 0f, 0f), 0),
+      (1L, Seq(9.9f, 1.1f, 1f, 1f, 1f, 0f, 0f, 0f), 0),
+      (2L, Seq(-10f, 1f, 1f, 1f, 1f, 0f, 0f, 0f), 1))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet("/tmp/graft_test_semlsh/embeddings.parquet")
+    val got = VectorOps.dedupSemanticLsh(spark, "/tmp/graft_test_semlsh")
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(r.fieldIndex("n_dup_nbrs")), r.getInt(r.fieldIndex("kept")))).toMap
+    assert(got == Map(0L -> ((1, 1)), 1L -> ((1, 0)), 2L -> ((0, 1))), got.toString)
+  }
+
   test("dedup_semantic over KMEANS-LEARNED centroids: same verdicts as label means on separable data") {
     import spark.implicits._
     // the deployment form (unlabeled corpora) must agree with the
