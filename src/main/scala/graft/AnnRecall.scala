@@ -59,10 +59,13 @@ object AnnRecall {
       row("sim_ann", flips, got, sec, VectorOps.annCandidates(spark, dir).count())
     }
     spark.conf.unset(VectorOps.AnnProbeFlipsConf)
+    // round-9 ADVICE: the centroid frame is probe-count independent — hoist
+    // it out of the sweep (the per-probe candidate count still re-runs, its
+    // result genuinely depends on the nProbe conf set each iteration).
+    val cent = VectorOps.labelMeanCentroids(emb)
     for (p <- Seq(1, 2, 4, 8)) {
       spark.conf.set(VectorOps.IvfProbesConf, p.toString)
       val (got, sec) = timed(pairs(VectorOps.simIvf(spark, dir)))
-      val cent = VectorOps.labelMeanCentroids(emb)
       row("sim_ivf", p, got, sec, VectorOps.ivfCandidates(emb, cent).count())
     }
     spark.conf.unset(VectorOps.IvfProbesConf)

@@ -296,8 +296,16 @@ object Bench {
     val medsNorm = measured.map(n => n -> median(normed(n)))
     val totalNorm = medsNorm.map(_._2).sum
     val qsNorm = obj(medsNorm.map { case (k, v) => k -> fmt(v) })
+    // round-9 ADVICE: the floor must come from the NORMALIZED samples too —
+    // the raw best can itself be a contended measurement, and normalization
+    // only scales samples down, so a raw floor makes the rule strictly laxer.
     val slowNorm = medsNorm.collect {
-      case (n, m) if m > StallFactor * best(n) && m - best(n) > StallAbsSec => n
+      case (n, m)
+          if {
+            val floor = normed(n).min
+            m > StallFactor * floor && m - floor > StallAbsSec
+          } =>
+        n
     }
     val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"spread":$sp,"pass_times":$pt,"pass_times_raw":$ptRaw,"best":$bst,"n_passes":$np,"stalled":$st,"slow_confirmed":${arr(slowConfirmed.toSeq)},"queries_norm":$qsNorm,"total_norm":${fmt(totalNorm)},"canary_pass_med":${canaryMed.map(fmt).mkString("[", ",", "]")},"canary_ref":${fmt(canaryRef)},"slow_confirmed_norm":${arr(slowNorm)},"canary":$cn,"passes":$passes,"failed":${arr(failed)},"flaky":${arr(flaky)},"retried":$rt,"shuffle_write_mb":$sw,"shuffle_read_mb":$sr,"spill_mb":$spl,"sf":"$sfDir"}"""
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.json")

@@ -177,12 +177,20 @@ def main(sf_dir, out_dir, unordered=False, json_out=None, timeout_sec=None):
         except Exception as e:
             print(f"ROWS {d}: unreadable {e}")
             record(d, "no_oracle", detail=f"unreadable {e}")
-    print(f"\n{n_pass} pass / {n_fail} fail")
+    # round-9 ADVICE: exclusions (oracle_timeout / oracle_oom) must be visible
+    # in the headline summary, not only in the JSON artifact — a gate run that
+    # skipped queries must not read as "everything verified".
+    n_excl = sum(1 for r in report.values()
+                 if r["status"] in ("oracle_timeout", "oracle_oom"))
+    n_noracle = sum(1 for r in report.values() if r["status"] == "no_oracle")
+    print(f"\n{n_pass} pass / {n_fail} fail / {n_excl} excluded"
+          f" / {n_noracle} no_oracle")
     if json_out:
         with open(json_out, "w") as f:
             json.dump({"mode": "unordered" if unordered else "ordered",
                        "sf_dir": sf_dir, "verify_dir": out_dir,
                        "n_pass": n_pass, "n_fail": n_fail,
+                       "n_excluded": n_excl, "n_no_oracle": n_noracle,
                        "queries": report}, f, indent=1)
         print(f"wrote {json_out}")
     return 1 if n_fail else 0
