@@ -107,6 +107,7 @@ object SparkEntry {
     "window_sessionid" -> (EventOps.windowSessionId _),
     "window_range" -> (Windows.windowRange _),
     "window_moving" -> (Windows.windowMoving _),
+    "window_ewma" -> (Windows.windowEwma _),
     "window_share" -> (Windows.windowShare _),
     "topk" -> (Windows.topk _),
     // §2.J event-time / streaming-shaped
@@ -1017,6 +1018,21 @@ object SparkEntry {
       "count(1) OVER w AS n_window " +
       "FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) " +
       "ORDER BY o_custkey, o_orderdate, o_orderkey"),
+    // window_ewma: the [0e0] prepend aligns list_reduce's first-element init
+    // with Spark aggregate's explicit zero — both engines run the identical
+    // exact-dyadic fold sequence (see Windows.windowEwma). 0e0/1e0 are DOUBLE
+    // literals: a bare `1.0` is DECIMAL(2,1) in DuckDB and silently runs the
+    // whole fold in scale-1 decimal (measured: den 1.8 instead of 1.75).
+    "window_ewma" ->
+      ("WITH f AS (SELECT o_custkey, o_orderkey, o_orderdate, " +
+      "list(CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT) AS DOUBLE)) OVER w AS frame " +
+      "FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey " +
+      s"ROWS BETWEEN ${graft.operators.Windows.EwmaFrame - 1} PRECEDING AND CURRENT ROW)) " +
+      "SELECT o_custkey, o_orderkey, o_orderdate, " +
+      "list_reduce([0e0] || frame, (acc, x) -> acc / 2 + x) " +
+      "/ list_reduce([0e0] || list_transform(frame, x -> 1e0), (acc, x) -> acc / 2 + x) " +
+      "/ 100 AS ewma " +
+      "FROM f ORDER BY o_custkey, o_orderdate, o_orderkey"),
     "stream_tumbling" ->
       "SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS window_start, event_type, count(1) AS n, CAST(round(sum(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_value FROM events GROUP BY 1, 2 ORDER BY 1, 2",
     "stream_sliding" ->

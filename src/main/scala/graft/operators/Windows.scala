@@ -136,6 +136,43 @@ object Windows {
       .oracleSorted("o_custkey", "o_orderdate", "o_orderkey")
   }
 
+  /** Trailing-frame length for `window_ewma` (current row + 15 prior). */
+  val EwmaFrame = 16
+
+  /** E10 `window_ewma` (round 10): exponentially weighted moving average —
+    * the smoothing every monitoring/forecasting readout applies where the
+    * plain trailing mean (`window_moving`) reacts too slowly. Per customer
+    * over (o_orderdate, o_orderkey): EWMA with α = 1/2 over the trailing
+    * 16-row frame, ewma = Σ x_j·2^-j / Σ 2^-j (j = rows back from current).
+    *
+    * Cross-engine exactness: the numerator is a LEFT FOLD `acc/2 + x` over
+    * the frame's cent values (oldest → newest) — halving a dyadic double
+    * and adding an integer are both IEEE-exact, so every intermediate is
+    * exact and the fold sequence is replayed verbatim by DuckDB's
+    * `list_reduce` (a prepended 0.0 aligns its first-element init with
+    * Spark's explicit zero). The denominator runs the SAME fold over a
+    * ones-list (never a `pow` call whose libm rounding could differ), and
+    * the two terminal divisions are single IEEE ops — bit-identical in
+    * both engines, no rounding needed at the edge.
+    *
+    * Scale: per-customer window partitions are bounded; the collected
+    * frame is O(16) per row — constant memory, one shuffle by customer,
+    * same cost class as `window_moving`.
+    */
+  def windowEwma(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      .rowsBetween(-(EwmaFrame - 1), Window.currentRow)
+    val cents = round(col("o_totalprice") * 100, 0).cast("long")
+    Tables.orders(s, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        collect_list(cents.cast("double")).over(w).as("frame"))
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        (expr("aggregate(frame, 0D, (acc, x) -> acc / 2D + x)") /
+          expr("aggregate(transform(frame, x -> 1D), 0D, (acc, x) -> acc / 2D + x)")
+          / 100).as("ewma"))
+      .oracleSorted("o_custkey", "o_orderdate", "o_orderkey")
+  }
+
   /** E8 `trend_period` (round 7): period-over-period trend — the BI
     * readout behind every "revenue vs yesterday / vs last week" tile.
     * Day-grain revenue (exact decimals), then day-over-day and 7-day

@@ -220,6 +220,50 @@ class JoinsWindowsSpec extends AnyFunSuite {
     }
   }
 
+  test("window_ewma: first row is its own value, ewma stays in the frame hull, recency dominates (E10)") {
+    import org.apache.spark.sql.functions.col
+    val rows = graft.operators.Windows.windowEwma(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val iK = rows.head.fieldIndex("o_orderkey")
+    val iE = rows.head.fieldIndex("ewma")
+    // rows arrive in (custkey, orderdate, orderkey) order: each customer's
+    // first row has a 1-element frame, so ewma == its own total
+    val totals = graft.Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_totalprice")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val byCust = rows.groupBy(_.getLong(rows.head.fieldIndex("o_custkey")))
+    byCust.values.map(_.head).foreach { r =>
+      val want = math.round(totals(r.getLong(iK)) * 100).toDouble / 100
+      assert(math.abs(r.getDouble(iE) - want) < 1e-9,
+        s"order ${r.getLong(iK)}: ewma ${r.getDouble(iE)} != own total $want")
+    }
+    // convex-combination hull: every ewma lies within the customer's
+    // trailing-16 min..max of raw totals (weights are positive, sum to 1)
+    byCust.values.foreach { rs =>
+      rs.indices.foreach { i =>
+        val frame = rs.slice(math.max(0, i - 15), i + 1).map(r => totals(r.getLong(iK)))
+        val e = rs(i).getDouble(iE)
+        assert(e >= frame.min - 1e-6 && e <= frame.max + 1e-6,
+          s"ewma $e escaped frame hull [${frame.min}, ${frame.max}]")
+      }
+    }
+    // recency dominance: the current row's weight (1/den >= 1/2) exceeds all
+    // older weights combined, so ewma always lands in the half-interval
+    // between the current value and the previous row's ewma
+    byCust.values.foreach { rs =>
+      rs.indices.drop(1).foreach { i =>
+        if (i <= 15) { // exact recurrence only while the frame still grows
+          val x = totals(rs(i).getLong(iK))
+          val prev = rs(i - 1).getDouble(iE)
+          val lo = math.min(x, prev) - 1e-6
+          val hi = math.max(x, prev) + 1e-6
+          val e = rs(i).getDouble(iE)
+          assert(e >= lo && e <= hi, s"ewma $e outside [$lo, $hi]")
+        }
+      }
+    }
+  }
+
   test("window_share: shares sum to 1 and follow the revenue ratios, no global window (E9)") {
     val df = graft.operators.Windows.windowShare(spark, sfDir)
     val rows = df.collect()
