@@ -116,6 +116,7 @@ object SparkEntry {
     "stream_session" -> (EventOps.streamSession _),
     "stream_watermark" -> (EventOps.streamWatermark _),
     "dedup_state" -> (EventOps.dedupState _),
+    "dedup_ttl" -> (EventOps.dedupTtl _),
     "stream_join" -> (EventOps.streamJoin _),
     "funnel_events" -> (EventOps.funnelEvents _),
     "stream_funnel" -> (graft.streaming.StatefulOps.streamFunnel _),
@@ -1056,6 +1057,14 @@ object SparkEntry {
       s"WITH $sessionIdCtes SELECT user_id, event_id, ts, CAST(sid AS INT) AS sid FROM sa ORDER BY user_id, ts, event_id",
     "dedup_state" ->
       "WITH r AS (SELECT user_id, event_type, event_id, CAST(ts AS TIMESTAMP) AS ts, row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn FROM events) SELECT user_id, event_type, event_id, ts FROM r WHERE rn = 1 ORDER BY user_id, event_type",
+    "dedup_ttl" ->
+      ("WITH e AS (SELECT user_id, event_type, event_id, CAST(ts AS TIMESTAMP) AS ts, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events), " +
+      "b AS (SELECT user_id, event_type, event_id, ts, CASE WHEN lag(us, 1) OVER w IS NULL OR us - lag(us, 1) OVER w > " +
+      s"${graft.operators.EventOps.DedupTtlUs} THEN 1 ELSE 0 END AS kept " +
+      "FROM e WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)) " +
+      "SELECT user_id, event_type, event_id, ts, CAST(sum(kept) OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INT) AS burst, kept " +
+      "FROM b ORDER BY user_id, event_type, ts, event_id"),
     "stream_join" ->
       "SELECT p.event_id, p.user_id, CAST(p.ts AS TIMESTAMP) AS ts, count(c.event_id) AS n_clicks_10m FROM events p LEFT JOIN events c ON p.user_id = c.user_id AND c.event_type = 'click' AND CAST(c.ts AS TIMESTAMP) >= CAST(p.ts AS TIMESTAMP) - INTERVAL 10 MINUTE AND CAST(c.ts AS TIMESTAMP) < CAST(p.ts AS TIMESTAMP) WHERE p.event_type = 'purchase' GROUP BY 1, 2, 3 ORDER BY 1",
     "stream_stateful" ->

@@ -150,6 +150,100 @@ object StatefulOps {
       .start()
 
   // ------------------------------------------------------------------
+  // flatMapGroupsWithState TTL-bounded dedup (§2.J15 — dedup_ttl's twin)
+  // ------------------------------------------------------------------
+
+  case class KeyedEvent(user_id: Long, event_type: String, event_id: Long,
+                        ts: Timestamp)
+
+  /** Per-(user, type) dedup state: last event's micros + bursts so far —
+    * O(1) per LIVE key, the whole point of the TTL (see
+    * `EventOps.dedupTtl`'s Scaladoc).
+    */
+  case class TtlState(last_us: Long, bursts: Int)
+
+  case class TtlVerdict(user_id: Long, event_type: String, event_id: Long,
+                        ts: Timestamp, burst: Int, kept: Int)
+
+  /** Pure TTL-dedup core, shared verbatim by batch and streaming: fold
+    * time-sorted events against the last-seen micros — kept iff silent past
+    * the TTL (or first ever); EVERY event advances the clock, kept or not
+    * (island semantics: the gap is measured from the previous event).
+    */
+  def foldTtl(key: (Long, String), events: Seq[KeyedEvent],
+              st: Option[TtlState]): (Seq[TtlVerdict], Option[TtlState]) = {
+    val sorted = events.sortBy(e => (tsMicros(e.ts), e.event_id))
+    var cur = st
+    val out = sorted.map { e =>
+      val us = tsMicros(e.ts)
+      val kept = cur.forall(s => us - s.last_us > graft.operators.EventOps.DedupTtlUs)
+      cur = Some(TtlState(us, cur.map(_.bursts).getOrElse(0) + (if (kept) 1 else 0)))
+      TtlVerdict(key._1, key._2, e.event_id, e.ts, cur.get.bursts, if (kept) 1 else 0)
+    }
+    (out, cur)
+  }
+
+  /** Batch transition (fresh state per group, one pass) — law-tested to
+    * equal the window-based `EventOps.dedupTtl` verdict for verdict.
+    */
+  def ttlBatch(key: (Long, String), events: Iterator[KeyedEvent],
+               state: GroupState[TtlState]): Iterator[TtlVerdict] =
+    foldTtl(key, events.toSeq, state.getOption)._1.iterator
+
+  /** Streaming transition: same fold, but state EXPIRES via event-time
+    * timeout once the watermark passes last_ts + TTL — expiry ≡ "gap > TTL",
+    * so the next event is kept again exactly as the batch islands say, and
+    * state size is bounded by the number of keys WARM within one TTL
+    * horizon, not keys ever seen. (Burst ordinals restart after an expiry —
+    * the cross-mode invariant is the kept/dropped verdict, which the parity
+    * test pins per event.)
+    */
+  def ttlStream(key: (Long, String), events: Iterator[KeyedEvent],
+                state: GroupState[TtlState]): Iterator[TtlVerdict] = {
+    if (state.hasTimedOut) { state.remove(); Iterator.empty }
+    else {
+      val (out, cur) = foldTtl(key, events.toSeq, state.getOption)
+      cur.foreach { s =>
+        state.update(s)
+        state.setTimeoutTimestamp(
+          Math.floorDiv(s.last_us, 1000L) + graft.operators.EventOps.DedupTtlUs / 1000L)
+      }
+      out.iterator
+    }
+  }
+
+  /** Typed batch entry (the law-test surface; the registered gate query is
+    * the window form `EventOps.dedupTtl`).
+    */
+  def dedupTtlTyped(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("event_id"), col("ts"))
+      .as[KeyedEvent]
+      .groupByKey(e => (e.user_id, e.event_type))
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(ttlBatch)
+      .toDF()
+  }
+
+  /** Streaming entry (bounded-state deployment shape) — parity test feeds
+    * MemoryStream batches in event-time order and compares per-event kept
+    * verdicts against the batch islands.
+    */
+  def dedupTtlStreamQuery(events: Dataset[KeyedEvent], queryName: String) = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "0 seconds")
+      .groupByKey(e => (e.user_id, e.event_type))
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout())(ttlStream)
+      .writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode(OutputMode.Append())
+      .start()
+  }
+
+  // ------------------------------------------------------------------
   // flatMapGroupsWithState sessionization (§2.J6)
   // ------------------------------------------------------------------
 

@@ -221,4 +221,19 @@ class StatefulOpsSpec extends AnyFunSuite {
     assert(a.length == b.length && a.zip(b).forall { case (x, y) => x == y },
       s"join-chain and stateful funnels disagree: ${a.length}/${b.length}")
   }
+
+  test("dedup_ttl: typed fold equals the window-islands form verdict-for-verdict (J15)") {
+    import org.apache.spark.sql.functions.col
+    val want = graft.operators.EventOps.dedupTtl(spark, SparkTestSession.sfDir)
+      .select("event_id", "burst", "kept").collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    val got = graft.streaming.StatefulOps.dedupTtlTyped(spark, SparkTestSession.sfDir)
+      .select("event_id", "burst", "kept").collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    assert(got.size == want.size, s"${got.size} vs ${want.size}")
+    assert(got == want)
+    // non-vacuity: both verdict branches carry real mass
+    val kepts = want.values.map(_._2).toSeq
+    assert(kepts.contains(1) && kepts.contains(0), "a verdict branch is vacuous")
+  }
 }

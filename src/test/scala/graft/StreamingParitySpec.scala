@@ -411,4 +411,45 @@ class StreamingParitySpec extends AnyFunSuite {
       s"batch watermark replay diverges from Structured Streaming:\n  stream=$streamed\n  batch=$batch")
     assert(batch.nonEmpty)
   }
+
+  test("dedup_ttl streaming twin: bounded state expires and re-keeps, verdicts == batch islands (J15)") {
+    import spark.implicits._
+    import graft.streaming.StatefulOps.KeyedEvent
+    implicit val sqlCtx = spark.sqlContext
+    // u1/click: keeper, dup inside TTL, then a >24h-silent keeper with its
+    // own dup — the second keeper only happens if streaming state EXPIRED
+    // (EventTimeTimeout), the bounded-state property under test.
+    // u2/view: single event (trivially kept). u1/view: same user, other
+    // type — keys are (user, type), so it dedups independently.
+    val day1 = Seq(
+      KeyedEvent(1L, "click", 10L, ts("2024-01-01 10:00:00")),
+      KeyedEvent(1L, "click", 11L, ts("2024-01-01 11:00:00")),
+      KeyedEvent(1L, "view", 12L, ts("2024-01-01 11:30:00")),
+      KeyedEvent(2L, "view", 20L, ts("2024-01-01 12:00:00")))
+    val day3 = Seq(
+      KeyedEvent(1L, "click", 30L, ts("2024-01-03 09:00:00")),
+      KeyedEvent(1L, "click", 31L, ts("2024-01-03 09:30:00")))
+    val all = day1 ++ day3
+
+    // batch islands truth (same TTL constant, same fold core)
+    val want = all.groupBy(e => (e.user_id, e.event_type)).flatMap { case (k, es) =>
+      graft.streaming.StatefulOps.foldTtl(k, es, None)._1
+    }.map(v => v.event_id -> v.kept).toMap
+
+    val stream = MemoryStream[KeyedEvent]
+    val q = graft.streaming.StatefulOps.dedupTtlStreamQuery(stream.toDS(), "ttl_parity_t")
+    try {
+      for (b <- Seq(day1, day3)) { stream.addData(b: _*); q.processAllAvailable() }
+    } finally q.stop()
+    val got = spark.table("ttl_parity_t")
+      .select("event_id", "kept").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+
+    assert(got.keySet == want.keySet, s"missing verdicts: got=$got want=$want")
+    assert(got == want, s"stream verdicts diverge: got=$got want=$want")
+    // the scenario really exercised both branches and the expiry re-keep
+    assert(want(10L) == 1 && want(11L) == 0, "day-1 keeper/dup shape broken")
+    assert(want(30L) == 1, "post-expiry event was not re-kept — state never expired in batch truth")
+    assert(want(31L) == 0)
+  }
 }
