@@ -203,6 +203,7 @@ object SparkEntry {
     // §2.I′ iterative graph dataflow
     "graph_pagerank" -> (GraphOps.graphPagerank _),
     "graph_bfs" -> (GraphOps.graphBfs _),
+    "graph_triangles" -> (GraphOps.graphTriangles _),
   )
 
   // ---- shared DuckDB oracle fragments (kept in sync with the Scala
@@ -898,6 +899,21 @@ object SparkEntry {
       "UNION SELECT p.dst, r.dist + 1 FROM r JOIN pairs p ON p.src = r.token " +
       s"WHERE r.dist < ${GraphOps.BfsMaxHops}) " +
       "SELECT token, CAST(min(dist) AS INT) AS dist FROM r GROUP BY token ORDER BY token"),
+    // graph_triangles: the oracle replays the same degree-ordered DAG — each
+    // triangle closes exactly once at its lowest-(deg, token) corner
+    "graph_triangles" ->
+      ("WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents), " +
+      "p0 AS (SELECT ts, unnest(generate_series(1, len(ts) - 1)) AS i FROM tok WHERE len(ts) > 1), " +
+      "pairs AS (SELECT DISTINCT ts[i] AS src, ts[i+1] AS dst FROM p0), " +
+      "und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM pairs WHERE src <> dst), " +
+      "deg AS (SELECT node, count(1) AS deg FROM (SELECT a AS node FROM und UNION ALL SELECT b FROM und) GROUP BY 1), " +
+      "d AS (SELECT CASE WHEN (da.deg, u.a) < (db.deg, u.b) THEN u.a ELSE u.b END AS u, " +
+      "CASE WHEN (da.deg, u.a) < (db.deg, u.b) THEN u.b ELSE u.a END AS v, " +
+      "CASE WHEN (da.deg, u.a) < (db.deg, u.b) THEN db.deg ELSE da.deg END AS dv " +
+      "FROM und u JOIN deg da ON da.node = u.a JOIN deg db ON db.node = u.b), " +
+      "tri AS (SELECT e1.u, e1.v, e2.v AS w FROM d e1 JOIN d e2 ON e1.u = e2.u AND (e1.dv, e1.v) < (e2.dv, e2.v) " +
+      "JOIN d e3 ON e3.u = e1.v AND e3.v = e2.v) " +
+      "SELECT token, count(1) AS n_tri FROM (SELECT unnest([u, v, w]) AS token FROM tri) GROUP BY token ORDER BY token"),
     // brute-force all-pairs oracle vs the deletion-neighborhood blocking:
     // the hash match IS the recall-1.0 proof (see Joins.joinFuzzy)
     "join_fuzzy" ->

@@ -134,4 +134,54 @@ object GraphOps {
     }
     settled.oracleSorted("token")
   }
+
+  /** `graph_triangles` (round 10): per-node triangle counts over the
+    * undirected token-transition graph — the clustering/community signal
+    * (and the dedup-graph density diagnostic) every graph stack ships.
+    *
+    * Algorithm is the DISTRIBUTED-SCALE one, not the naive 3-way self-join:
+    * compact-forward / degree ordering (Latapy 2008; the same trick
+    * Cohen's MapReduce triangle paper and GraphFrames use). Rank nodes by
+    * (degree, token); direct every undirected edge from lower to higher
+    * rank — a DAG where each triangle appears EXACTLY once, as a wedge
+    * (u→v, u→w) at its lowest-rank corner closed by the edge v→w. The
+    * wedge join's intermediate is Σ_u outdeg(u)² with outdeg bounded by
+    * O(√|E|) on any graph (every out-neighbour outranks u), vs the naive
+    * join's Σ deg² with hub degrees unbounded — the difference between
+    * tractable and not on a power-law graph at 100 TB. Corners then
+    * explode (3 rows per triangle) into one partial-agg groupBy.
+    *
+    * Joins here are broadcast (vocabulary-sized tables); at corpus scale
+    * the same plan shuffles by `u` / `(v, w)` — plain equi-joins, AQE
+    * skew-splittable. Self-loops (repeated tokens) are dropped; counts are
+    * exact integers, fully hash-gated.
+    */
+  def graphTriangles(s: SparkSession, dir: String): DataFrame = {
+    val und = tokenPairs(tokenized(s, dir))
+      .where(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+    val deg = und.select(col("a").as("node"))
+      .unionAll(und.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val lower = col("da") < col("db") || (col("da") === col("db") && col("a") < col("b"))
+    val d = und
+      .join(deg.select(col("node").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("node").as("b"), col("deg").as("db")), "b")
+      .select(
+        when(lower, col("a")).otherwise(col("b")).as("u"),
+        when(lower, col("b")).otherwise(col("a")).as("v"),
+        when(lower, col("db")).otherwise(col("da")).as("dv"))
+    val wedges = d.select(col("u"), col("v"), col("dv"))
+      .join(d.select(col("u").as("u2"), col("v").as("w"), col("dv").as("dw")),
+        col("u") === col("u2") &&
+          (struct(col("dv"), col("v")) < struct(col("dw"), col("w"))))
+    val tris = wedges.join(d.select(col("u").as("v3"), col("v").as("w3")),
+      col("v") === col("v3") && col("w") === col("w3"))
+    tris
+      .select(explode(array(col("u"), col("v"), col("w"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n_tri"))
+      .oracleSorted("token")
+  }
 }

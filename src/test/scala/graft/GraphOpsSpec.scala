@@ -42,6 +42,39 @@ class GraphOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("graph_triangles: counts equal an independent driver-side brute force, per-node bound holds") {
+    // independent truth: collect the small undirected edge set and count
+    // triangles naively in Scala (the vocabulary graph is tiny by
+    // construction — 31 word types — so brute force is exact and cheap)
+    val und = GraphOps.tokenPairs(
+        spark.read.parquet(s"$sfDir/documents.parquet")
+          .select(col("doc_id"), split(col("text"), " ").as("ts")))
+      .where(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"), greatest(col("src"), col("dst")).as("b"))
+      .distinct().collect().map(r => (r.getString(0), r.getString(1)))
+    val adj = und.flatMap(e => Seq(e, (e._2, e._1))).groupBy(_._1)
+      .map { case (k, vs) => k -> vs.map(_._2).toSet }
+    val nodes = adj.keys.toSeq.sorted
+    val brute = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    for {
+      i <- nodes.indices; j <- (i + 1) until nodes.size
+      if adj(nodes(i)).contains(nodes(j))
+      k <- (j + 1) until nodes.size
+      if adj(nodes(i)).contains(nodes(k)) && adj(nodes(j)).contains(nodes(k))
+    } { brute(nodes(i)) += 1; brute(nodes(j)) += 1; brute(nodes(k)) += 1 }
+
+    val got = GraphOps.graphTriangles(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == brute.toMap, s"degree-ordered count diverges from brute force")
+    assert(got.values.sum % 3 == 0, "corner sum must be 3x the triangle total")
+    assert(got.nonEmpty && got.values.exists(_ > 0), "no triangles — vacuous gate")
+    // per-node ceiling: a node's triangles cannot exceed C(deg, 2)
+    got.foreach { case (t, n) =>
+      val d = adj(t).size.toLong
+      assert(n <= d * (d - 1) / 2, s"$t: $n triangles > C($d,2)")
+    }
+  }
+
   test("graph_pagerank: every node ranked, teleport floor holds, rank follows mass") {
     val rows = GraphOps.graphPagerank(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
