@@ -165,6 +165,7 @@ object SparkEntry {
     "dedup_substring_clean" -> (TextOps.dedupSubstringClean _),
     "explode_tokens" -> (TextOps.explodeTokens _),
     "text_chunk" -> (TextOps.textChunk _),
+    "rag_retrieve" -> (TextOps.ragRetrieve _),
     "text_normalize" -> (TextOps.textNormalize _),
     "text_pii" -> (TextOps.textPii _),
     "text_ngrams" -> (TextOps.textNgrams _),
@@ -1228,6 +1229,26 @@ object SparkEntry {
       s"SELECT doc_id, CAST(off // ${TextOps.ChunkStride} AS INT) AS chunk_id, " +
       s"text[off+1:off+${TextOps.ChunkLen}] AS chunk, CAST(length(text[off+1:off+${TextOps.ChunkLen}]) AS INT) AS chunk_len " +
       "FROM s ORDER BY doc_id, chunk_id"),
+    // rag_retrieve: hashed-BoW vectors are integer counts, so scores and the
+    // full top-k ranking hash-gate; the hash is the house md5-prefix idiom
+    "rag_retrieve" -> {
+      def bow(src: String) =
+        s"list_transform(generate_series(0, ${TextOps.RagDims - 1}), d -> CAST(len(list_filter(" +
+        s"list_transform(string_split($src, ' '), t -> CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) % ${TextOps.RagDims}), " +
+        "h -> h = d)) AS BIGINT))"
+      (s"WITH d AS (SELECT doc_id, text, length(text) AS len FROM documents), " +
+      s"s AS (SELECT doc_id, text, unnest(generate_series(0, greatest(len - 1, 0), ${TextOps.ChunkStride})) AS off FROM d), " +
+      s"ch AS (SELECT doc_id, CAST(off // ${TextOps.ChunkStride} AS INT) AS chunk_id, text[off+1:off+${TextOps.ChunkLen}] AS chunk FROM s), " +
+      s"cv AS (SELECT doc_id, chunk_id, ${bow("chunk")} AS vec FROM ch), " +
+      s"qv AS (SELECT doc_id AS query_doc, ${bow("text")} AS qvec FROM documents WHERE doc_id % ${TextOps.RagQueryMod} = 0), " +
+      s"sc AS (SELECT q.query_doc, c.doc_id, c.chunk_id, " +
+      s"list_sum(list_transform(generate_series(1, ${TextOps.RagDims}), i -> q.qvec[i] * c.vec[i])) AS score " +
+      "FROM qv q CROSS JOIN cv c), " +
+      "r AS (SELECT query_doc, doc_id, chunk_id, score, " +
+      "row_number() OVER (PARTITION BY query_doc ORDER BY score DESC, doc_id, chunk_id) AS rnk FROM sc) " +
+      s"SELECT query_doc, CAST(rnk AS INT) AS rnk, doc_id, chunk_id, CAST(score AS BIGINT) AS score " +
+      s"FROM r WHERE rnk <= ${TextOps.RagTopK} ORDER BY query_doc, rnk")
+    },
     "text_ngrams" ->
       "WITH g AS (SELECT unnest(list_transform(generate_series(1, greatest(len(string_split(text, ' ')) - 1, 1)), i -> array_to_string((string_split(text, ' '))[i:i+1], ' '))) AS bigram FROM documents) SELECT bigram, count(1) AS n FROM g GROUP BY 1 HAVING count(1) >= 2 ORDER BY n DESC, bigram",
     "text_repetition" ->

@@ -220,7 +220,11 @@ object TextOps {
     */
   val ChunkLen = 200
   val ChunkStride = 150
-  def textChunk(s: SparkSession, dir: String): DataFrame = {
+
+  /** Shared chunk derivation — `text_chunk`'s frame, reused verbatim by
+    * `rag_retrieve` so the retrieval corpus cannot drift from the chunker.
+    */
+  private[graft] def chunkFrame(s: SparkSession, dir: String): DataFrame = {
     val chunk = col("text").substr(col("off") + 1, lit(ChunkLen))
     Tables.documents(s, dir)
       .select(col("doc_id"), col("text"),
@@ -228,7 +232,65 @@ object TextOps {
           .as(Seq("chunk_id", "off")))
       .select(col("doc_id"), col("chunk_id"), chunk.as("chunk"),
         length(chunk).cast("int").as("chunk_len"))
-      .oracleSorted("doc_id", "chunk_id")
+  }
+
+  def textChunk(s: SparkSession, dir: String): DataFrame =
+    chunkFrame(s, dir).oracleSorted("doc_id", "chunk_id")
+
+  /** `rag_retrieve` (round 10): the retrieval stage of a RAG pipeline as ONE
+    * composed query — chunk the corpus (`chunkFrame`, shared verbatim with
+    * `text_chunk`), embed every chunk, embed the queries the same way, and
+    * return each query's top-`RagTopK` chunks by similarity.
+    *
+    * The embedding is a hashed bag-of-words count vector (feature hashing,
+    * Weinberger 2009): token → house md5-prefix hash mod `RagDims`, vector
+    * = per-dimension counts. ALL-INTEGER, so the dot-product scores — and
+    * therefore the ranking — are engine-exact and the full top-k result
+    * hash-gates against DuckDB (a float model embedding would be
+    * `no_oracle`; the plumbing, not the model, is what an engine owns).
+    * Queries are every `RagQueryMod`-th document's full text.
+    *
+    * Scale shape is the one that holds at 100 TB: the query table is tiny
+    * by construction → BROADCAST cross join (fan-out only on the broadcast
+    * side, corpus scanned once, zero shuffle for scoring); per-query top-k
+    * via a window partitioned by query (bounded partitions — one row per
+    * corpus chunk per query enters, k leave). Chunk vectors are computed in
+    * the same narrow pass as the chunker: md5 ONCE per token, then
+    * `RagDims` filter-folds over the small hashed-int list. For a real
+    * float-embedding corpus the scoring swaps to the native `FloatVecDot`
+    * kernel and the IVF/LSH index (`sim_ivf`/`sim_ann`) replaces the
+    * brute-force scan — same frame, same top-k tail.
+    */
+  val RagDims = 16
+  val RagTopK = 3
+  val RagQueryMod = 100
+
+  /** Hashed-BoW embedding of a text column: md5-prefix hash per token
+    * (house portable-hash idiom), then per-dimension counts.
+    */
+  private def hashedBow(textCol: String, out: String): Seq[Column] = {
+    val th = s"transform(split($textCol, ' '), t -> " +
+      s"cast(conv(substring(md5(cast(t as binary)), 1, 15), 16, 10) as bigint) % $RagDims)"
+    Seq(expr(s"transform(sequence(0, ${RagDims - 1}), d -> " +
+      s"cast(size(filter($th, h -> h = cast(d as bigint))) as bigint))").as(out))
+  }
+
+  def ragRetrieve(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val chunks = chunkFrame(s, dir)
+      .select(Seq(col("doc_id"), col("chunk_id")) ++ hashedBow("chunk", "vec"): _*)
+    val queries = Tables.documents(s, dir)
+      .where(col("doc_id") % RagQueryMod === 0)
+      .select(Seq(col("doc_id").as("query_doc")) ++ hashedBow("text", "qvec"): _*)
+    val w = Window.partitionBy("query_doc")
+      .orderBy(desc("score"), asc("doc_id"), asc("chunk_id"))
+    chunks.crossJoin(broadcast(queries))
+      .withColumn("score",
+        expr("aggregate(zip_with(qvec, vec, (a, b) -> a * b), 0L, (acc, x) -> acc + x)"))
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= RagTopK)
+      .select("query_doc", "rnk", "doc_id", "chunk_id", "score")
+      .oracleSorted("query_doc", "rnk")
   }
 
   /** `text_ngrams`: corpus-level bigram counts (every occurrence, not

@@ -802,4 +802,44 @@ class TextOpsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(4), r.getInt(5))).toSeq
     assert(got == Seq((0L, 400L, 1), (1L, 800L, 1), (2L, 1000L, 1), (3L, 1300L, 0)))
   }
+
+  test("rag_retrieve: exact-k per query, monotone scores, scores are the real BoW dot products, broadcast plan") {
+    import java.security.MessageDigest
+    val df = TextOps.ragRetrieve(spark, SparkTestSession.sfDir)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    val byQ = rows.groupBy(_.getLong(0))
+    byQ.values.foreach { rs =>
+      assert(rs.map(_.getInt(1)).sorted.toSeq == (1 to TextOps.RagTopK), "rank set broken")
+      val scores = rs.sortBy(_.getInt(1)).map(_.getLong(4))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b }, "scores not monotone in rank")
+      assert(scores.head > 0, "top score is zero — vacuous retrieval")
+    }
+    // independent truth: recompute each reported score from raw text with
+    // java.security MD5 (not Spark's md5) — hashed-BoW dot, same 15-hex-char
+    // prefix, same mod
+    def bow(text: String): Array[Long] = {
+      val v = Array.fill(TextOps.RagDims)(0L)
+      text.split(" ", -1).foreach { t =>
+        val hex = MessageDigest.getInstance("MD5").digest(t.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(15)
+        v((java.lang.Long.parseLong(hex, 16) % TextOps.RagDims).toInt) += 1
+      }
+      v
+    }
+    val texts = Tables.documents(spark, SparkTestSession.sfDir)
+      .select("doc_id", "text").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.foreach { r =>
+      val q = bow(texts(r.getLong(0)))
+      val off = r.getInt(3) * TextOps.ChunkStride
+      val chunkText = texts(r.getLong(2)).drop(off).take(TextOps.ChunkLen)
+      val c = bow(chunkText)
+      val want = q.zip(c).map { case (a, b) => a * b }.sum
+      assert(r.getLong(4) == want,
+        s"score mismatch for query ${r.getLong(0)} chunk (${r.getLong(2)},${r.getInt(3)}): ${r.getLong(4)} != $want")
+    }
+    // the scale claim: the query side is broadcast, never shuffled
+    assert(df.queryExecution.executedPlan.toString.contains("Broadcast"),
+      "rag_retrieve must broadcast the query vectors")
+  }
 }
