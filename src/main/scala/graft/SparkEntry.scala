@@ -93,6 +93,7 @@ object SparkEntry {
     "cdc_changefeed" -> (Lakehouse.cdcChangefeed _),
     "compact_files" -> (Lakehouse.compactFiles _),
     "layout_zorder" -> (Lakehouse.layoutZorder _),
+    "layout_hilbert" -> (Lakehouse.layoutHilbert _),
     "scd2_intervals" -> (EventOps.scd2Intervals _),
     "dq_checks" -> (Lakehouse.dqChecks _),
     "trend_period" -> (Windows.trendPeriod _),
@@ -780,6 +781,14 @@ object SparkEntry {
       (s"WITH p AS (SELECT o_custkey, CAST(date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS INT) AS day_nr FROM orders), " +
       s"z AS (SELECT o_custkey, day_nr, ${Lakehouse.zInterleaveSql(s"o_custkey & ${(1 << Lakehouse.ZBits) - 1}", s"day_nr & ${(1 << Lakehouse.ZBits) - 1}")} AS zkey FROM p) " +
       s"SELECT CAST(zkey >> ${Lakehouse.ZShift} AS INT) AS z_region, count(1) AS n_rows, min(o_custkey) AS min_cust, max(o_custkey) AS max_cust, min(day_nr) AS min_day, max(day_nr) AS max_day FROM z GROUP BY 1 ORDER BY 1"),
+    // layout_hilbert: the oracle replays the full 16-level encode through the
+    // SAME per-level fragments Spark executes (Lakehouse.hilbertLevelSql)
+    "layout_hilbert" ->
+      (s"WITH p AS (SELECT o_custkey, CAST(date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS INT) AS day_nr FROM orders), " +
+      s"prep AS (SELECT o_custkey, day_nr, CAST(o_custkey & ${(1L << Lakehouse.HBits) - 1} AS BIGINT) AS hx${Lakehouse.HBits}, " +
+      s"CAST(day_nr & ${(1L << Lakehouse.HBits) - 1} AS BIGINT) AS hy${Lakehouse.HBits}, CAST(0 AS BIGINT) AS hd${Lakehouse.HBits} FROM p), " +
+      s"${Lakehouse.hilbertCtesSql} " +
+      s"SELECT CAST(hd0 >> ${Lakehouse.HShift} AS INT) AS h_region, count(1) AS n_rows, min(o_custkey) AS min_cust, max(o_custkey) AS max_cust, min(day_nr) AS min_day, max(day_nr) AS max_day FROM l0 GROUP BY 1 ORDER BY 1"),
     // laws-as-columns gate: the oracle's flags are literal 1s over the
     // EXACT counts; the Spark side computes them from the sketches — a CMS
     // underestimate / merge drift / bound blowout flips a flag and breaks

@@ -110,6 +110,41 @@ class LakehouseSpec extends AnyFunSuite {
       s"z-order shows no skipping advantage: dateSortedAvg=$dateSorted zAvg=$zAvg range=$custRange")
   }
 
+  test("hilbert encode: bijection + unit-step walk on a full subgrid; h-regions are quadrants (M2')") {
+    import spark.implicits._
+    // structural proof on the complete 16x16 subgrid: the 12 upper levels
+    // see rx=ry=0 (an even number of frame swaps — identity), so cells
+    // [0,16)^2 must map EXACTLY onto hkeys 0..255, and walking the curve in
+    // key order must move one cell per step — the locality property Z-order
+    // lacks (its bit-boundary jumps), and the whole point of M2'.
+    val grid = (for (x <- 0 until 16; y <- 0 until 16) yield (x, y)).toDF("gx", "gy")
+    val keyed = Lakehouse.hilbertKey(grid, "gx", "gy")
+      .select("gx", "gy", "hkey").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).sortBy(_._3)
+    assert(keyed.map(_._3).toSeq == (0L until 256L), "not a bijection onto 0..255")
+    keyed.zip(keyed.tail).foreach { case ((x0, y0, k), (x1, y1, _)) =>
+      assert(math.abs(x1 - x0) + math.abs(y1 - y0) == 1,
+        s"jump at key $k: ($x0,$y0) -> ($x1,$y1)")
+    }
+    // aligned 16-key blocks are EXACT 4x4 quadrants (tight bounding boxes)
+    keyed.grouped(16).zipWithIndex.foreach { case (blk, b) =>
+      val xs = blk.map(_._1); val ys = blk.map(_._2)
+      assert(xs.max - xs.min == 3 && ys.max - ys.min == 3, s"block $b not a 4x4 quadrant")
+    }
+    // real-data gate shape: every occupied h-region (an aligned 2^16 block)
+    // is one 256x256 quadrant, same footer-metadata law as z-order — but
+    // EXACT sides, where a z-region is only bounded by 256x256
+    val regions = Lakehouse.layoutHilbert(spark, "/root/testdata/sf0.01").collect()
+    assert(regions.length >= 10, s"only ${regions.length} occupied h-regions")
+    val side = 1 << (Lakehouse.HShift / 2)
+    regions.foreach { r =>
+      val custExt = r.getAs[Long]("max_cust") - r.getAs[Long]("min_cust")
+      val dayExt = (r.getAs[Int]("max_day") - r.getAs[Int]("min_day")).toLong
+      assert(custExt < side && dayExt < side,
+        s"region ${r.get(0)} escaped its quadrant: cust=$custExt day=$dayExt")
+    }
+  }
+
   test("scd2 intervals: contiguous versions, exact closure, one current, maximal islands") {
     val rows = EventOps.scd2Intervals(spark, sfDir).collect()
       .map(r => (r.getAs[Long]("user_id"), r.getAs[Int]("version"),
