@@ -94,6 +94,7 @@ object SparkEntry {
     "compact_files" -> (Lakehouse.compactFiles _),
     "layout_zorder" -> (Lakehouse.layoutZorder _),
     "layout_hilbert" -> (Lakehouse.layoutHilbert _),
+    "zonemap_skip" -> (Lakehouse.zonemapSkip _),
     "scd2_intervals" -> (EventOps.scd2Intervals _),
     "dq_checks" -> (Lakehouse.dqChecks _),
     "trend_period" -> (Windows.trendPeriod _),
@@ -789,6 +790,21 @@ object SparkEntry {
       s"CAST(day_nr & ${(1L << Lakehouse.HBits) - 1} AS BIGINT) AS hy${Lakehouse.HBits}, CAST(0 AS BIGINT) AS hd${Lakehouse.HBits} FROM p), " +
       s"${Lakehouse.hilbertCtesSql} " +
       s"SELECT CAST(hd0 >> ${Lakehouse.HShift} AS INT) AS h_region, count(1) AS n_rows, min(o_custkey) AS min_cust, max(o_custkey) AS max_cust, min(day_nr) AS min_day, max(day_nr) AS max_day FROM l0 GROUP BY 1 ORDER BY 1"),
+    // zonemap_skip: skip_safe is the gated-flag law (oracle emits literal 1 —
+    // a pruning rule that skips a file holding a match breaks the hash)
+    "zonemap_skip" ->
+      (s"WITH p AS (SELECT o_custkey, CAST(date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS INT) AS day_nr FROM orders), " +
+      s"prep AS (SELECT o_custkey, day_nr, CAST(o_custkey & ${(1L << Lakehouse.HBits) - 1} AS BIGINT) AS hx${Lakehouse.HBits}, " +
+      s"CAST(day_nr & ${(1L << Lakehouse.HBits) - 1} AS BIGINT) AS hy${Lakehouse.HBits}, CAST(0 AS BIGINT) AS hd${Lakehouse.HBits} FROM p), " +
+      s"${Lakehouse.hilbertCtesSql}, " +
+      s"f AS (SELECT CAST(hd0 >> ${Lakehouse.HShift} AS INT) AS file_id, count(1) AS n_rows, " +
+      "min(o_custkey) AS min_cust, max(o_custkey) AS max_cust, min(day_nr) AS min_day, max(day_nr) AS max_day, " +
+      s"sum(CASE WHEN o_custkey BETWEEN ${Lakehouse.ZmCustLo} AND ${Lakehouse.ZmCustHi} " +
+      s"AND day_nr BETWEEN ${Lakehouse.ZmDayLo} AND ${Lakehouse.ZmDayHi} THEN 1 ELSE 0 END)::BIGINT AS n_match FROM l0 GROUP BY 1) " +
+      s"SELECT file_id, n_rows, min_cust, max_cust, min_day, max_day, " +
+      s"CASE WHEN min_cust <= ${Lakehouse.ZmCustHi} AND max_cust >= ${Lakehouse.ZmCustLo} " +
+      s"AND min_day <= ${Lakehouse.ZmDayHi} AND max_day >= ${Lakehouse.ZmDayLo} THEN 1 ELSE 0 END AS scanned, " +
+      "n_match, 1 AS skip_safe FROM f ORDER BY file_id"),
     // laws-as-columns gate: the oracle's flags are literal 1s over the
     // EXACT counts; the Spark side computes them from the sketches — a CMS
     // underestimate / merge drift / bound blowout flips a flag and breaks

@@ -371,4 +371,61 @@ object Lakehouse {
         min("day_nr").as("min_day"), max("day_nr").as("max_day"))
       .oracleSorted("h_region")
   }
+
+  // ------------------------------------------------------------------
+  // M8 zone-map file skipping (round 10)
+  // ------------------------------------------------------------------
+
+  /** The 2-D range predicate `zonemap_skip` prunes against — calibrated so
+    * the file set splits into BOTH scanned and skipped at every SF.
+    */
+  val ZmCustLo = 0L
+  val ZmCustHi = 999L
+  val ZmDayLo = 1500 // orders start 1995 → day_nr ∈ [1096, ~3500] at every SF
+  val ZmDayHi = 1900
+
+  /** M8 `zonemap_skip` (round 10): min/max zone maps + file pruning — the
+    * mechanism that makes `layout_zorder`/`layout_hilbert` PAY at 100 TB.
+    * Parquet footers (and Delta/Iceberg manifests) carry per-file min/max
+    * per column; a scan consults only that metadata and opens a file iff
+    * its ranges overlap the predicate box. This op materializes the whole
+    * decision over the Hilbert layout ("files" = the h-regions the
+    * deployment `repartition($"h_region")` writes, so the oracle can
+    * replay file assignment exactly): per file, the zone map, the
+    * `scanned` verdict for a fixed 2-D box, the EXACT match count, and
+    * `skip_safe` = scanned OR n_match = 0.
+    *
+    * The gate carries the laws, not just the stats: the oracle emits
+    * literal TRUE for `skip_safe` (the `compact_ok` gated-flag pattern),
+    * so a pruning rule that ever skips a file containing a matching row
+    * breaks the hash — the one property file skipping must never lose.
+    * Completeness of the metadata (min/max really bound the file) is
+    * implied: n_match > 0 forces overlap forces scanned.
+    *
+    * Scale: the decision input is one row PER FILE (metadata, not data) —
+    * at 100 TB that is the manifest scan, millions of times smaller than
+    * the table; the per-file stats here are the one-off layout-build cost
+    * (`layout_hilbert`'s own aggregation, reused shuffle shape).
+    */
+  def zonemapSkip(s: SparkSession, dir: String): DataFrame = {
+    val prepared = Tables.orders(s, dir).select(
+      col("o_custkey"),
+      datediff(to_date(col("o_orderdate")), lit("1992-01-01").cast("date")).as("day_nr"))
+    val matched = col("o_custkey").between(ZmCustLo, ZmCustHi) &&
+      col("day_nr").between(ZmDayLo, ZmDayHi)
+    val overlap = col("min_cust") <= ZmCustHi && col("max_cust") >= ZmCustLo &&
+      col("min_day") <= ZmDayHi && col("max_day") >= ZmDayLo
+    hilbertKey(prepared, "o_custkey", "day_nr")
+      .groupBy(shiftright(col("hkey"), HShift).cast("int").as("file_id"))
+      .agg(count(lit(1)).as("n_rows"),
+        min("o_custkey").as("min_cust"), max("o_custkey").as("max_cust"),
+        min("day_nr").as("min_day"), max("day_nr").as("max_day"),
+        sum(when(matched, 1L).otherwise(0L)).as("n_match"))
+      .withColumn("scanned", when(overlap, 1).otherwise(0))
+      .withColumn("skip_safe",
+        when(col("scanned") === 1 || col("n_match") === 0, 1).otherwise(0))
+      .select("file_id", "n_rows", "min_cust", "max_cust", "min_day", "max_day",
+        "scanned", "n_match", "skip_safe")
+      .oracleSorted("file_id")
+  }
 }

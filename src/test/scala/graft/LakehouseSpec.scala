@@ -145,6 +145,30 @@ class LakehouseSpec extends AnyFunSuite {
     }
   }
 
+  test("zonemap_skip: pruning is complete and non-vacuous, and actually saves IO (M8)") {
+    val dir = "/root/testdata/sf0.01"
+    val files = Lakehouse.zonemapSkip(spark, dir).collect()
+    val scanned = files.filter(_.getAs[Int]("scanned") == 1)
+    val skipped = files.filter(_.getAs[Int]("scanned") == 0)
+    assert(scanned.nonEmpty && skipped.nonEmpty, "predicate box must split the file set")
+    // completeness: every matching row lives in a scanned file (skip_safe is
+    // also in the gate hash; this is the independent engine-side assertion)
+    assert(skipped.forall(_.getAs[Long]("n_match") == 0L),
+      "a skipped file contains matching rows — pruning lost data")
+    val totalMatches = Tables.orders(spark, dir)
+      .where(col("o_custkey").between(Lakehouse.ZmCustLo, Lakehouse.ZmCustHi) &&
+        datediff(to_date(col("o_orderdate")), lit("1992-01-01").cast("date"))
+          .between(Lakehouse.ZmDayLo, Lakehouse.ZmDayHi))
+      .count()
+    assert(scanned.map(_.getAs[Long]("n_match")).sum == totalMatches && totalMatches > 0,
+      "scanned files' matches must account for every match")
+    // effectiveness: the skipped fraction of ROWS is the IO saved
+    val rowsScanned = scanned.map(_.getAs[Long]("n_rows")).sum
+    val rowsTotal = files.map(_.getAs[Long]("n_rows")).sum
+    assert(rowsScanned * 2 < rowsTotal,
+      s"zone maps must skip >half the IO here (scanned $rowsScanned of $rowsTotal)")
+  }
+
   test("scd2 intervals: contiguous versions, exact closure, one current, maximal islands") {
     val rows = EventOps.scd2Intervals(spark, sfDir).collect()
       .map(r => (r.getAs[Long]("user_id"), r.getAs[Int]("version"),
