@@ -799,8 +799,8 @@ object SparkEntry {
       s"${Lakehouse.hilbertCtesSql}, " +
       s"f AS (SELECT CAST(hd0 >> ${Lakehouse.HShift} AS INT) AS file_id, count(1) AS n_rows, " +
       "min(o_custkey) AS min_cust, max(o_custkey) AS max_cust, min(day_nr) AS min_day, max(day_nr) AS max_day, " +
-      s"sum(CASE WHEN o_custkey BETWEEN ${Lakehouse.ZmCustLo} AND ${Lakehouse.ZmCustHi} " +
-      s"AND day_nr BETWEEN ${Lakehouse.ZmDayLo} AND ${Lakehouse.ZmDayHi} THEN 1 ELSE 0 END)::BIGINT AS n_match FROM l0 GROUP BY 1) " +
+      s"CAST(sum(CASE WHEN o_custkey BETWEEN ${Lakehouse.ZmCustLo} AND ${Lakehouse.ZmCustHi} " +
+      s"AND day_nr BETWEEN ${Lakehouse.ZmDayLo} AND ${Lakehouse.ZmDayHi} THEN 1 ELSE 0 END) AS BIGINT) AS n_match FROM l0 GROUP BY 1) " +
       s"SELECT file_id, n_rows, min_cust, max_cust, min_day, max_day, " +
       s"CASE WHEN min_cust <= ${Lakehouse.ZmCustHi} AND max_cust >= ${Lakehouse.ZmCustLo} " +
       s"AND min_day <= ${Lakehouse.ZmDayHi} AND max_day >= ${Lakehouse.ZmDayLo} THEN 1 ELSE 0 END AS scanned, " +

@@ -15,16 +15,19 @@ import org.scalatest.funsuite.AnyFunSuite
   * all-pairs plan unnoticed — adding a query to the registry automatically
   * adds it to the audit.
   *
-  * `sim_topk` is the one sanctioned BNLJ: the exact-recall baseline
-  * deliberately scans the corpus against a broadcast query set bounded at
-  * QueryVecs (=8) rows, so the "loop" side is a constant — that is the
-  * documented scale story, and the allowlist below is the single place it is
-  * granted.
+  * `sim_topk` is the one sanctioned shuffle-join BNLJ: the exact-recall
+  * baseline deliberately scans the corpus against a broadcast query set
+  * bounded at QueryVecs (=8) rows, so the "loop" side is a constant — that
+  * is the documented scale story. `rag_retrieve` (round 10) gets the same
+  * grant for the same reason: its brute-force scoring stage is a broadcast
+  * cross join against a query set bounded by construction (every
+  * RagQueryMod-th document), fan-out only on the broadcast side — the
+  * allowlist below is the single place these are granted.
   */
 class PlanSweepSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
   import SparkTestSession.{spark, sfDir}
 
-  private val bnljAllowed = Set("sim_topk")
+  private val bnljAllowed = Set("sim_topk", "rag_retrieve")
 
   /** Unwrap the execution-detail nodes that can sit between an exchange and
     * its semantic child (round-3 ADVICE #3: the previous adjacent-plan-LINE
