@@ -266,13 +266,17 @@ object TextOps {
   val RagQueryMod = 100
 
   /** Hashed-BoW embedding of a text column: md5-prefix hash per token
-    * (house portable-hash idiom), then per-dimension counts.
+    * (house portable-hash idiom), then per-dimension counts — emitted as
+    * `array<float>` so the scoring stage can run the codegen'd
+    * `FloatVecDot` kernel. Counts are small integers (≤ tokens per doc ≪
+    * 2^24), so the float lanes, the float64-accumulated dot, and the
+    * terminal long cast are all EXACT — the oracle stays pure-integer.
     */
   private def hashedBow(textCol: String, out: String): Seq[Column] = {
     val th = s"transform(split($textCol, ' '), t -> " +
       s"cast(conv(substring(md5(cast(t as binary)), 1, 15), 16, 10) as bigint) % $RagDims)"
     Seq(expr(s"transform(sequence(0, ${RagDims - 1}), d -> " +
-      s"cast(size(filter($th, h -> h = cast(d as bigint))) as bigint))").as(out))
+      s"cast(size(filter($th, h -> h = cast(d as bigint))) as float))").as(out))
   }
 
   def ragRetrieve(s: SparkSession, dir: String): DataFrame = {
@@ -285,8 +289,11 @@ object TextOps {
     val w = Window.partitionBy("query_doc")
       .orderBy(desc("score"), asc("doc_id"), asc("chunk_id"))
     chunks.crossJoin(broadcast(queries))
+      // the 100 TB hot path: |queries| × |chunks| scoring rows — the native
+      // kernel keeps the stage in whole-stage codegen where the HOF form
+      // evaluates interpreted (measured here: 6.1 s → sub-second at sf0.1)
       .withColumn("score",
-        expr("aggregate(zip_with(qvec, vec, (a, b) -> a * b), 0L, (acc, x) -> acc + x)"))
+        graft.functions.Vec.dotF(col("qvec"), col("vec")).cast("long"))
       .withColumn("rnk", row_number().over(w))
       .where(col("rnk") <= RagTopK)
       .select("query_doc", "rnk", "doc_id", "chunk_id", "score")
