@@ -254,12 +254,15 @@ object TextOps {
     * by construction → BROADCAST cross join (fan-out only on the broadcast
     * side, corpus scanned once, zero shuffle for scoring); per-query top-k
     * via a window partitioned by query (bounded partitions — one row per
-    * corpus chunk per query enters, k leave). Chunk vectors are computed in
-    * the same narrow pass as the chunker: md5 ONCE per token, then
-    * `RagDims` filter-folds over the small hashed-int list. For a real
-    * float-embedding corpus the scoring swaps to the native `FloatVecDot`
-    * kernel and the IVF/LSH index (`sim_ivf`/`sim_ann`) replaces the
-    * brute-force scan — same frame, same top-k tail.
+    * corpus chunk per query enters, k leave). Both hot stages run native
+    * kernels: embedding via the fused `HashedBow` expression (one
+    * md5+count loop per row; the HOF form's per-dimension interpreted
+    * filters cost 3.9 s for 12k chunks at sf0.1 — parity law in
+    * NativeVecSpec) and scoring via `FloatVecDot` (codegen'd; the float
+    * lanes are exact for these small-integer counts, so the long-cast
+    * scores still hash-gate). For a real float-embedding corpus the
+    * IVF/LSH index (`sim_ivf`/`sim_ann`) replaces the brute-force scan —
+    * same frame, same top-k tail.
     */
   val RagDims = 16
   val RagTopK = 3
@@ -272,20 +275,35 @@ object TextOps {
     * 2^24), so the float lanes, the float64-accumulated dot, and the
     * terminal long cast are all EXACT — the oracle stays pure-integer.
     */
-  private def hashedBow(textCol: String, out: String): Seq[Column] = {
+  /** The HOF reference form of the embedding (md5 per token → per-dim
+    * filter counts) — kept for the bitwise parity law in NativeVecSpec;
+    * the production path is the fused `HashedBow` kernel (the `dims`
+    * interpreted filter lambdas per row cost 3.9 s for 12k rows at sf0.1).
+    */
+  private[graft] def hashedBowHof(textCol: String): Column = {
     val th = s"transform(split($textCol, ' '), t -> " +
       s"cast(conv(substring(md5(cast(t as binary)), 1, 15), 16, 10) as bigint) % $RagDims)"
-    Seq(expr(s"transform(sequence(0, ${RagDims - 1}), d -> " +
-      s"cast(size(filter($th, h -> h = cast(d as bigint))) as float))").as(out))
+    expr(s"transform(sequence(0, ${RagDims - 1}), d -> " +
+      s"cast(size(filter($th, h -> h = cast(d as bigint))) as float))")
   }
 
   def ragRetrieve(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // The repartition is a deliberate pipeline barrier, not a distribution
+    // need: whole-stage codegen DEFERS a deterministic projection into the
+    // nested-loop join's build loop, so without it `vec` re-evaluates per
+    // (chunk × query) PAIR — measured 3.6 s vs 0.4 s at sf0.1. The exchange
+    // materializes the embedding exactly once per chunk (the "build the
+    // embedding table" stage every vector pipeline has anyway); it ships
+    // ids + 16 floats, far smaller than the chunk text it replaces.
     val chunks = chunkFrame(s, dir)
-      .select(Seq(col("doc_id"), col("chunk_id")) ++ hashedBow("chunk", "vec"): _*)
+      .select(col("doc_id"), col("chunk_id"),
+        graft.plans.HashedBow.of(col("chunk"), RagDims).as("vec"))
+      .repartition(col("doc_id"))
     val queries = Tables.documents(s, dir)
       .where(col("doc_id") % RagQueryMod === 0)
-      .select(Seq(col("doc_id").as("query_doc")) ++ hashedBow("text", "qvec"): _*)
+      .select(col("doc_id").as("query_doc"),
+        graft.plans.HashedBow.of(col("text"), RagDims).as("qvec"))
     val w = Window.partitionBy("query_doc")
       .orderBy(desc("score"), asc("doc_id"), asc("chunk_id"))
     chunks.crossJoin(broadcast(queries))

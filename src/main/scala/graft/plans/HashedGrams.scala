@@ -509,3 +509,64 @@ object BandSigs {
   def of(hv: Column, bands: Int): Column =
     GraftSqlBridge.column(BandSigs(GraftSqlBridge.expression(hv), bands))
 }
+
+/** Native hashed bag-of-words count vector — `rag_retrieve`'s embedding
+  * kernel (round 10). One fused pass per row: split on single space, md5
+  * per token (thread-local digest), 60-bit hex-prefix fold mod `dims`,
+  * count per dimension — emitted as `array<float>` so the scoring stage
+  * feeds `FloatVecDot` directly (counts ≪ 2^24, float lanes exact).
+  *
+  * Why native: the HOF form evaluates `dims` interpreted `filter` lambdas
+  * per row over the hashed-token list (measured 3.9 s for 12k rows at
+  * sf0.1 — ~7M boxed lambda invocations); this kernel is one arithmetic
+  * loop, bitwise-identical output (parity law in NativeVecSpec, same
+  * md5-prefix fold as every kernel in this family = the DuckDB oracle's
+  * `CAST(('0x' || substr(md5(t),1,15)) AS BIGINT)` reconstruction).
+  */
+case class HashedBow(child: Expression, dims: Int) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string input, got ${child.dataType.simpleString}")
+
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def prettyName: String = "hashed_bow"
+
+  override protected def nullSafeEval(input: Any): Any =
+    HashedBow.compute(input.asInstanceOf[UTF8String], dims)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.HashedBow.compute($c, $dims);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object HashedBow {
+  /** Static kernel, also callable from generated code. Tokenization is
+    * `split(text, ' ')` semantics with trailing empties kept (limit −1),
+    * matching both the Spark HOF form and DuckDB `string_split`.
+    */
+  def compute(t: UTF8String, dims: Int): ArrayData = {
+    val md = HashedGrams.md5Local.get()
+    val counts = new Array[Float](dims)
+    val w = t.toString.split(" ", -1)
+    var i = 0
+    while (i < w.length) {
+      md.reset()
+      val d = md.digest(w(i).getBytes(StandardCharsets.UTF_8))
+      var v = 0L
+      var j = 0
+      while (j < 7) { v = (v << 8) | (d(j) & 0xffL); j += 1 }
+      v = (v << 4) | ((d(7) & 0xffL) >>> 4)
+      counts((v % dims).toInt) += 1f
+      i += 1
+    }
+    new GenericArrayData(counts)
+  }
+
+  def of(text: Column, dims: Int): Column =
+    GraftSqlBridge.column(HashedBow(GraftSqlBridge.expression(text), dims))
+}

@@ -132,6 +132,24 @@ class NativeVecSpec extends AnyFunSuite {
     minMd5.foreach(r => assert(r.getString(0) == r.getString(1), r.toString))
   }
 
+  test("HashedBow == HOF per-dimension filter chain bitwise (rag_retrieve's embedding)") {
+    import spark.implicits._
+    import graft.operators.TextOps
+    val rnd = new scala.util.Random(23)
+    // edge cases: empty text (one empty token), repeated spaces, unicode
+    val texts = Seq("", "one", "a b", "a  b c", "héllo wörld") ++
+      Seq.fill(100)(Seq.fill(rnd.nextInt(40) + 1)("tok" + rnd.nextInt(30)).mkString(" "))
+    val rows = texts.toDF("text").select(
+        graft.plans.HashedBow.of(col("text"), TextOps.RagDims).as("native"),
+        TextOps.hashedBowHof("text").as("hof"))
+      .collect()
+    rows.foreach(r => assert(r.getSeq[Float](0) == r.getSeq[Float](1), r.toString))
+    // counts conserve the token total (split keeps empties — limit -1)
+    rows.zip(texts).foreach { case (r, t) =>
+      assert(r.getSeq[Float](0).sum == t.split(" ", -1).length.toFloat)
+    }
+  }
+
   test("WinnowedGramPos == HOF positional hash-then-filter chain") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{expr, filter, greatest, length, lit, sequence, struct, transform}
