@@ -570,3 +570,70 @@ object HashedBow {
   def of(text: Column, dims: Int): Column =
     GraftSqlBridge.column(HashedBow(GraftSqlBridge.expression(text), dims))
 }
+
+/** Native 2-D Hilbert index — `layout_hilbert`/`zonemap_skip`'s encode
+  * kernel (round 10). The 16-level xy→d iteration (quadrant digit +
+  * rotate/flip) as one arithmetic loop per row.
+  *
+  * Why native: the single-sourced per-level SQL fragments
+  * (`Lakehouse.hilbertLevelSql` — still the oracle's form, and the parity
+  * reference) execute as an 80-expression projection chain, ~1.1 µs/row
+  * (measured 1.7 s over 600k orders at sf0.1). This kernel is the same
+  * arithmetic fused; parity law in NativeVecSpec pins it bitwise to the
+  * fragment chain over the full orders table, so a bit-order mistake
+  * still breaks both engines or neither.
+  */
+case class HilbertKey(left: Expression, right: Expression, bits: Int)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == LongType && right.dataType == LongType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two bigint inputs, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "hilbert_key"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    HilbertKey.compute(a.asInstanceOf[Long], b.asInstanceOf[Long], bits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) =>
+      s"${ev.value} = graft.plans.HilbertKey.compute($x, $y, $bits);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object HilbertKey {
+  /** Static kernel, also callable from generated code — the standard
+    * xy2d loop (masking to `bits` per dim, full-grid N−1 flips; see
+    * Lakehouse.hilbertLevelSql for the shared derivation notes).
+    */
+  def compute(x0: Long, y0: Long, bits: Int): Long = {
+    val n1 = (1L << bits) - 1
+    var x = x0 & n1
+    var y = y0 & n1
+    var d = 0L
+    var i = bits - 1
+    while (i >= 0) {
+      val rx = (x >> i) & 1L
+      val ry = (y >> i) & 1L
+      val s = 1L << i
+      d += s * s * (3 * rx + ry - 2 * rx * ry)
+      if (ry == 0L) {
+        if (rx == 1L) { x = n1 - x; y = n1 - y }
+        val t = x; x = y; y = t
+      }
+      i -= 1
+    }
+    d
+  }
+
+  def of(x: Column, y: Column, bits: Int): Column =
+    GraftSqlBridge.column(HilbertKey(
+      GraftSqlBridge.expression(x), GraftSqlBridge.expression(y), bits))
+}

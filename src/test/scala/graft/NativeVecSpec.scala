@@ -132,6 +132,31 @@ class NativeVecSpec extends AnyFunSuite {
     minMd5.foreach(r => assert(r.getString(0) == r.getString(1), r.toString))
   }
 
+  test("HilbertKey kernel == the per-level fragment chain bitwise over the full orders table") {
+    import graft.operators.Lakehouse
+    val prepared = Tables.orders(spark, sfDir).select(
+      col("o_custkey"),
+      org.apache.spark.sql.functions.datediff(
+        org.apache.spark.sql.functions.to_date(col("o_orderdate")),
+        org.apache.spark.sql.functions.lit("1992-01-01").cast("date")).as("day_nr"))
+    val both = Lakehouse.hilbertKey(prepared, "o_custkey", "day_nr")
+      .withColumnRenamed("hkey", "k_native")
+      .transform(df => Lakehouse.hilbertKeyFragments(df, "o_custkey", "day_nr"))
+      .select(col("k_native"), col("hkey").as("k_frag"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach(r => assert(r.getLong(0) == r.getLong(1), r.toString))
+    // mask edge: values beyond the 16-bit lane wrap identically
+    val edge = Seq((-1L, 70000L), (65535L, 65536L), (0L, 0L))
+    edge.foreach { case (x, y) =>
+      import spark.implicits._
+      val df = Seq((x, y)).toDF("x", "y")
+      val n = Lakehouse.hilbertKey(df, "x", "y").collect()(0).getLong(2)
+      val f = Lakehouse.hilbertKeyFragments(df, "x", "y").collect()(0).getLong(2)
+      assert(n == f, s"edge ($x, $y): $n != $f")
+    }
+  }
+
   test("HashedBow == HOF per-dimension filter chain bitwise (rag_retrieve's embedding)") {
     import spark.implicits._
     import graft.operators.TextOps
