@@ -174,6 +174,7 @@ object SparkEntry {
     "text_repetition" -> (TextOps.textRepetition _),
     "decontaminate" -> (TextOps.decontaminate _),
     "pack_sequences" -> (TextOps.packSequences _),
+    "pack_greedy" -> (TextOps.packGreedy _),
     "sample_stratified" -> (VectorOps.sampleStratified _),
     "sample_hash" -> (Relational.sampleHash _),
     "sample_reservoir" -> (Relational.sampleReservoir _),
@@ -1292,6 +1293,18 @@ object SparkEntry {
       (s"WITH t AS (SELECT doc_id, CAST(doc_id % ${TextOps.PackShards} AS INT) AS shard, CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_tokens FROM documents), " +
       "o AS (SELECT doc_id, shard, n_tokens, CAST(COALESCE(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_off FROM t) " +
       s"SELECT doc_id, shard, n_tokens, start_off, start_off // ${TextOps.PackCapacity} AS seq_id FROM o ORDER BY doc_id"),
+    // pack_greedy: the recursive member replays the per-shard next-fit fold
+    // step-for-step (rn order = the NFD sort), so bin ordinals AND running
+    // fills are in the hash — a one-doc misplacement breaks it
+    "pack_greedy" ->
+      (s"WITH RECURSIVE t AS (SELECT doc_id, CAST(doc_id % ${TextOps.PackShards} AS INT) AS shard, CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_tokens FROM documents), " +
+      "o AS (SELECT doc_id, shard, n_tokens, CAST(row_number() OVER (PARTITION BY shard ORDER BY n_tokens DESC, doc_id) AS BIGINT) AS rn FROM t), " +
+      "r AS (SELECT shard, rn, doc_id, n_tokens, 1 AS bin_id, n_tokens AS fill FROM o WHERE rn = 1 " +
+      "UNION ALL SELECT o.shard, o.rn, o.doc_id, o.n_tokens, " +
+      s"CASE WHEN r.fill + o.n_tokens > ${TextOps.PackBinCapacity} THEN r.bin_id + 1 ELSE r.bin_id END, " +
+      s"CASE WHEN r.fill + o.n_tokens > ${TextOps.PackBinCapacity} THEN o.n_tokens ELSE r.fill + o.n_tokens END " +
+      "FROM r JOIN o ON o.shard = r.shard AND o.rn = r.rn + 1) " +
+      "SELECT doc_id, shard, n_tokens, CAST(bin_id AS INT) AS bin_id, fill AS bin_fill FROM r ORDER BY doc_id"),
     "sample_hash" ->
       s"WITH h AS (SELECT doc_id, lang, source, ${saltedBucketSql("graft")} AS bucket FROM documents) SELECT doc_id, lang, source, bucket FROM h WHERE bucket < ${Relational.SamplePct} ORDER BY doc_id",
     "sample_reservoir" ->

@@ -1504,6 +1504,56 @@ object TextOps {
       .oracleSorted("doc_id")
   }
 
+  /** Bin capacity for `pack_greedy` — calibrated (tok_est p50 ≈ 77, max ≈
+    * 140) so bins hold 1-5 docs AND genuinely oversized docs exist at every
+    * SF (27-38 of 500 at 1×), exercising the own-bin branch.
+    */
+  val PackBinCapacity = 128L
+
+  case class PackDoc(doc_id: Long, shard: Int, n_tokens: Long)
+  case class PackedDoc(doc_id: Long, shard: Int, n_tokens: Long,
+                       bin_id: Int, bin_fill: Long)
+
+  /** K17′ `pack_greedy` (round 10): DOCUMENT-PRESERVING sequence packing —
+    * the padding-minimizing batcher (next-fit-decreasing bin packing) that
+    * complements K17's concat-and-chunk: K17 splits documents across
+    * sequence boundaries (right for pretraining token streams); this op
+    * keeps each document intact in exactly one ≤`PackBinCapacity` bin
+    * (right for instruction tuning / long-context curation, where a split
+    * example is a corrupted example). Per shard: sort by (tokens desc,
+    * doc_id), fold next-fit — a bin closes when the next doc would
+    * overflow; an oversized doc takes a bin alone. NFD is the classic
+    * 2-approximation; the greedy fold is inherently sequential, which is
+    * exactly why the op SHARDS FIRST: parallelism = shard count (a tunable
+    * ∝ cluster), per-shard state is O(1), and the typed `flatMapGroups`
+    * fold is the sanctioned per-group-imperative route (the sessionize /
+    * BPE-learn justification). All-integer outputs (doc, bin ordinal,
+    * running fill) — the full packing hash-gates against a recursive-CTE
+    * oracle that replays the fold step-for-step.
+    */
+  def packGreedy(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        pmod(col("doc_id"), lit(PackShards)).cast("int").as("shard"),
+        ceil(length(col("text")) / lit(4.0)).cast("long").as("n_tokens"))
+      .as[PackDoc]
+      .groupByKey(_.shard)
+      .flatMapGroups { (_: Int, it: Iterator[PackDoc]) =>
+        val docs = it.toSeq.sortBy(d => (-d.n_tokens, d.doc_id))
+        var bin = 0
+        var fill = 0L
+        docs.iterator.map { d =>
+          if (bin == 0 || fill + d.n_tokens > PackBinCapacity) {
+            bin += 1; fill = d.n_tokens
+          } else fill += d.n_tokens
+          PackedDoc(d.doc_id, d.shard, d.n_tokens, bin, fill)
+        }
+      }
+      .toDF()
+      .oracleSorted("doc_id")
+  }
+
   /** K2b `dedup_simhash`: 16-bit SimHash over the distinct token set, folded
     * per row with HOFs (array accumulator of bit weights) — zero shuffle
     * until the final groupBy(simhash) bucket report. Token bit i weights

@@ -803,6 +803,39 @@ class TextOpsSpec extends AnyFunSuite {
     assert(got == Seq((0L, 400L, 1), (1L, 800L, 1), (2L, 1000L, 1), (3L, 1300L, 0)))
   }
 
+  test("pack_greedy: bins respect capacity, NFD bound holds, oversized branch non-vacuous (K17')") {
+    val rows = TextOps.packGreedy(spark, SparkTestSession.sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    val cap = TextOps.PackBinCapacity
+    // partition law: every doc packed exactly once
+    assert(rows.map(_._1).distinct.length == rows.length)
+    val byBin = rows.groupBy(r => (r._2, r._4))
+    byBin.foreach { case ((shard, bin), ds) =>
+      val total = ds.map(_._3).sum
+      // capacity law: a bin only overflows when it holds ONE oversized doc
+      assert(total <= cap || (ds.length == 1 && ds.head._3 > cap),
+        s"bin ($shard, $bin) holds $total tokens across ${ds.length} docs")
+      // the reported running fill ends at the bin total
+      assert(ds.map(_._5).max == total)
+    }
+    // the oversized own-bin branch really fires (capacity calibration)
+    assert(rows.exists(_._3 > cap), "no oversized doc — own-bin branch vacuous")
+    // some bin actually packs >1 doc (otherwise packing is trivial)
+    assert(byBin.exists(_._2.length > 1), "no bin holds 2+ docs — packing vacuous")
+    rows.groupBy(_._2).foreach { case (shard, ds) =>
+      // bin ordinals are contiguous from 1
+      val bins = ds.map(_._4).distinct.sorted
+      assert(bins.head == 1 && bins.last == bins.length, s"shard $shard bins not contiguous")
+      // NFD quality: never worse than 2x the fractional lower bound
+      // (+ oversized docs, each forced to its own bin)
+      val nOver = ds.count(_._3 > cap)
+      val lower = math.ceil(ds.filter(_._3 <= cap).map(_._3).sum.toDouble / cap)
+      assert(bins.length <= 2 * lower + nOver,
+        s"shard $shard: ${bins.length} bins > 2*$lower + $nOver — NFD bound broken")
+    }
+  }
+
   test("rag_retrieve: exact-k per query, monotone scores, scores are the real BoW dot products, broadcast plan") {
     import java.security.MessageDigest
     val df = TextOps.ragRetrieve(spark, SparkTestSession.sfDir)
