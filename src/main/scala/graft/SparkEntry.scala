@@ -1266,7 +1266,8 @@ object SparkEntry {
       s"s AS (SELECT doc_id, text, unnest(generate_series(0, greatest(len - 1, 0), ${TextOps.ChunkStride})) AS off FROM d), " +
       s"ch AS (SELECT doc_id, CAST(off // ${TextOps.ChunkStride} AS INT) AS chunk_id, text[off+1:off+${TextOps.ChunkLen}] AS chunk FROM s), " +
       s"cv AS (SELECT doc_id, chunk_id, ${bow("chunk")} AS vec FROM ch), " +
-      s"qv AS (SELECT doc_id AS query_doc, ${bow("text")} AS qvec FROM documents WHERE doc_id % ${TextOps.RagQueryMod} = 0), " +
+      s"qv AS (SELECT doc_id AS query_doc, ${bow("text")} AS qvec FROM documents " +
+      s"WHERE doc_id % ${TextOps.RagQueryMod} = 0 AND doc_id < ${TextOps.RagMaxQueryDoc}), " +
       s"sc AS (SELECT q.query_doc, c.doc_id, c.chunk_id, " +
       s"list_sum(list_transform(generate_series(1, ${TextOps.RagDims}), i -> q.qvec[i] * c.vec[i])) AS score " +
       "FROM qv q CROSS JOIN cv c), " +

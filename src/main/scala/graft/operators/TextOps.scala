@@ -248,7 +248,8 @@ object TextOps {
     * therefore the ranking — are engine-exact and the full top-k result
     * hash-gates against DuckDB (a float model embedding would be
     * `no_oracle`; the plumbing, not the model, is what an engine owns).
-    * Queries are every `RagQueryMod`-th document's full text.
+    * Queries are every `RagQueryMod`-th document below `RagMaxQueryDoc` —
+    * a query set bounded by construction at every scale.
     *
     * Scale shape is the one that holds at 100 TB: the query table is tiny
     * by construction → BROADCAST cross join (fan-out only on the broadcast
@@ -267,6 +268,16 @@ object TextOps {
   val RagDims = 16
   val RagTopK = 3
   val RagQueryMod = 100
+
+  /** Hard cap on the query-doc id — what makes the query set BOUNDED BY
+    * CONSTRUCTION (the BNLJ grant's premise): real retrieval query sets
+    * don't grow with the corpus, but `doc_id % RagQueryMod` alone would
+    * (measured: at 100× it made 5k queries × 1.25M chunks — a 6.25-G-row
+    * window sort that spilled the disk dry). With the cap the query count
+    * is ≤ 50 at EVERY scale (identical result at 1×/10× where all doc_ids
+    * are below it), and the scored-row mass is linear in the corpus.
+    */
+  val RagMaxQueryDoc = 5000L
 
   /** Hashed-BoW embedding of a text column: md5-prefix hash per token
     * (house portable-hash idiom), then per-dimension counts — emitted as
@@ -301,7 +312,7 @@ object TextOps {
         graft.plans.HashedBow.of(col("chunk"), RagDims).as("vec"))
       .repartition(col("doc_id"))
     val queries = Tables.documents(s, dir)
-      .where(col("doc_id") % RagQueryMod === 0)
+      .where(col("doc_id") % RagQueryMod === 0 && col("doc_id") < RagMaxQueryDoc)
       .select(col("doc_id").as("query_doc"),
         graft.plans.HashedBow.of(col("text"), RagDims).as("qvec"))
     val w = Window.partitionBy("query_doc")
