@@ -199,6 +199,7 @@ object SparkEntry {
     "sim_topk" -> (VectorOps.simTopk _),
     "sim_ann" -> (VectorOps.simAnn _),
     "sim_ivf" -> (VectorOps.simIvf _),
+    "vec_pq" -> (VectorOps.vecPq _),
     // §2.I iterative k-means (+ the oracle-checkable single assignment step)
     "kmeans_clusters" -> (VectorOps.kmeansClusters _),
     "kmeans_assign" -> (VectorOps.kmeansAssign _),
@@ -1424,7 +1425,22 @@ object SparkEntry {
     "sim_topk" ->
       s"WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < ${VectorOps.QuerySetSize}), c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= ${VectorOps.QuerySetSize}), s AS (SELECT q_id, vec_id, ${dotSql("q_emb", "embedding")} / (sqrt(${sqNorm("q_emb")}) * sqrt(${sqNorm("embedding")})) AS cos FROM c CROSS JOIN q), r AS (SELECT q_id, vec_id, cos, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn FROM s) SELECT q_id, vec_id, cos, CAST(rn AS INT) AS rn FROM r WHERE rn <= ${VectorOps.TopK} ORDER BY q_id, rn",
     "sim_ivf" ->
-      s"WITH cell AS (SELECT label AS c_label, g.i AS pos, CAST(CAST(embedding[g.i] AS DOUBLE) AS DECIMAL(28,20)) AS v FROM embeddings, (SELECT unnest(generate_series(1, ${VectorOps.Dim})) AS i) g), comp AS (SELECT c_label, pos, CAST(sum(v) AS DOUBLE) / count(1) AS comp FROM cell GROUP BY 1, 2), cent AS (SELECT c_label, list(comp ORDER BY pos) AS cvec FROM comp GROUP BY 1), asg AS (SELECT vec_id, embedding, c_label, row_number() OVER (PARTITION BY vec_id ORDER BY ${sqDistSql("embedding", "cvec")}, c_label) AS rn FROM embeddings, cent), inv AS (SELECT vec_id, embedding, c_label AS ilist FROM asg WHERE rn = 1 AND vec_id >= ${VectorOps.QuerySetSize}), probes AS (SELECT vec_id AS q_id, embedding AS q_emb, c_label AS ilist FROM asg WHERE rn <= ${VectorOps.IvfProbes} AND vec_id < ${VectorOps.QuerySetSize}), sc AS (SELECT q_id, inv.vec_id, ${dotSql("q_emb", "inv.embedding")} / (sqrt(${sqNorm("q_emb")}) * sqrt(${sqNorm("inv.embedding")})) AS cos FROM inv JOIN probes USING (ilist)), r AS (SELECT q_id, vec_id, cos, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn FROM sc) SELECT q_id, vec_id, cos, CAST(rn AS INT) AS rn FROM r WHERE rn <= ${VectorOps.AnnTopK} ORDER BY q_id, rn",
+      (s"WITH cell AS (SELECT label AS c_label, g.i AS pos, CAST(CAST(embedding[g.i] AS DOUBLE) AS DECIMAL(28,20)) AS v FROM embeddings, (SELECT unnest(generate_series(1, ${VectorOps.Dim})) AS i) g), " +
+      "comp AS (SELECT c_label, pos, CAST(sum(v) AS DOUBLE) / count(1) AS comp FROM cell GROUP BY 1, 2), " +
+      s"cent AS (SELECT c_label, list(comp ORDER BY pos) AS cvec FROM comp GROUP BY 1), asg AS (SELECT vec_id, embedding, c_label, row_number() OVER (PARTITION BY vec_id ORDER BY ${sqDistSql("embedding", "cvec")}, c_label) AS rn FROM embeddings, cent), inv AS (SELECT vec_id, embedding, c_label AS ilist FROM asg WHERE rn = 1 AND vec_id >= ${VectorOps.QuerySetSize}), probes AS (SELECT vec_id AS q_id, embedding AS q_emb, c_label AS ilist FROM asg WHERE rn <= ${VectorOps.IvfProbes} AND vec_id < ${VectorOps.QuerySetSize}), sc AS (SELECT q_id, inv.vec_id, ${dotSql("q_emb", "inv.embedding")} / (sqrt(${sqNorm("q_emb")}) * sqrt(${sqNorm("inv.embedding")})) AS cos FROM inv JOIN probes USING (ilist)), r AS (SELECT q_id, vec_id, cos, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn FROM sc) SELECT q_id, vec_id, cos, CAST(rn AS INT) AS rn FROM r WHERE rn <= ${VectorOps.AnnTopK} ORDER BY q_id, rn"),
+    // vec_pq: same exact-decimal centroid CTEs as sim_ivf, sliced into
+    // subspaces; codes AND the ordered-fold reconstruction error hash-gate
+    "vec_pq" ->
+      (s"WITH cell AS (SELECT label AS c_label, g.i AS pos, CAST(CAST(embedding[g.i] AS DOUBLE) AS DECIMAL(28,20)) AS v FROM embeddings, (SELECT unnest(generate_series(1, ${VectorOps.Dim})) AS i) g), " +
+      "comp AS (SELECT c_label, pos, CAST(sum(v) AS DOUBLE) / count(1) AS comp FROM cell GROUP BY 1, 2), " +
+      "cent AS (SELECT c_label, list(comp ORDER BY pos) AS cvec FROM comp GROUP BY 1), " +
+      s"sg AS (SELECT unnest(generate_series(0, ${VectorOps.PqSubspaces - 1})) AS s), " +
+      s"cs AS (SELECT c_label, s, cvec[s * ${VectorOps.PqSubDim} + 1 : s * ${VectorOps.PqSubDim} + ${VectorOps.PqSubDim}] AS csub FROM cent, sg), " +
+      s"vs AS (SELECT vec_id, s, embedding[s * ${VectorOps.PqSubDim} + 1 : s * ${VectorOps.PqSubDim} + ${VectorOps.PqSubDim}] AS subv FROM embeddings, sg), " +
+      s"dd AS (SELECT vec_id, vs.s AS s, c_label, ${sqDistSql("subv", "csub")} AS d2 FROM vs JOIN cs ON vs.s = cs.s), " +
+      "b AS (SELECT vec_id, s, c_label, d2, row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, c_label) AS rn FROM dd), " +
+      "f AS (SELECT vec_id, list(c_label ORDER BY s) AS codes, round(list_sum(list(d2 ORDER BY s)), 6) AS recon_err FROM b WHERE rn = 1 GROUP BY 1) " +
+      s"SELECT vec_id, ${(0 until VectorOps.PqSubspaces).map(i => s"codes[${i + 1}] AS code_$i").mkString(", ")}, recon_err FROM f ORDER BY vec_id"),
     "sim_ann" ->
       (s"WITH e AS (SELECT vec_id, embedding, $bucket8 AS bucket FROM embeddings), " +
       s"q AS (SELECT vec_id AS q_id, embedding AS q_emb, xor(bucket, m.mask) AS bucket FROM e, (SELECT unnest(${VectorOps.AnnProbeMasks.mkString("[", ", ", "]")}) AS mask) m WHERE vec_id < ${VectorOps.QuerySetSize}), " +

@@ -622,6 +622,65 @@ object VectorOps {
       .oracleSorted("vec_id")
   }
 
+  /** Product-quantization geometry: `PqSubspaces` disjoint `PqSubDim`-dim
+    * slices of the 64-dim embedding; codebook per subspace = the label-mean
+    * sub-centroids (5 labels ⇒ 5 codes per subspace here; a production
+    * codebook is k-means-learned per subspace — same swap as `sim_ivf` →
+    * `simIvfKmeans`).
+    */
+  val PqSubspaces = 4
+  val PqSubDim: Int = Dim / PqSubspaces
+
+  /** K21′ `vec_pq` (round 10): product quantization (Jégou 2011) — the
+    * memory-compression half of a billion-scale ANN stack (IVF-PQ): each
+    * vector is stored as `PqSubspaces` small codebook ids instead of 64
+    * floats (here 4 codes ≈ 64× smaller), and distances are later
+    * approximated per-subspace from tiny lookup tables. This op computes
+    * the ENCODE: per vector × subspace, the nearest sub-centroid
+    * (sequential-fold squared distance, `(d2, label)` struct-min argmin —
+    * ONE partial aggregation, no window sort) plus the total
+    * reconstruction error Σ_s min-d2 (a 4-term ordered fold, rounded at
+    * the edge to 6 dp — DuckDB's DECIMAL→DOUBLE centroid cast can sit one
+    * ulp off Spark's BigDecimal.doubleValue, measured on one subspace
+    * term; the vec_quantize max_err precedent).
+    *
+    * Oracle-exactness: the codebook is `labelMeanCentroids`' exact-decimal
+    * means (bitwise-reproducible in DuckDB), sub-distances are the house
+    * strict sequential float64 fold, and the argmin tiebreak is total —
+    * codes AND the error are in the hash. Scale: codebook broadcast
+    * (k × Dim doubles), corpus scanned once, shuffle = one partial agg by
+    * (vec, subspace) then by vec; at 100 TB this is the one-pass encode
+    * job that writes the PQ column.
+    */
+  def vecPq(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{posexplode, broadcast}
+    val emb = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label"), col("embedding"))
+    val subIdx = 0 until PqSubspaces
+    val subs = emb.select(col("vec_id"),
+      posexplode(array(subIdx.map(i =>
+        slice(col("embedding"), i * PqSubDim + 1, PqSubDim)): _*))
+        .as(Seq("s", "subv")))
+    val centSubs = labelMeanCentroids(emb).select(col("c_label"),
+      posexplode(array(subIdx.map(i =>
+        slice(col("cvec"), i * PqSubDim + 1, PqSubDim)): _*))
+        .as(Seq("s", "csub")))
+    subs.join(broadcast(centSubs), "s")
+      .withColumn("d2", graft.functions.Vec.sqDistF(col("subv"), col("csub")))
+      .groupBy("vec_id", "s")
+      .agg(min(struct(col("d2"), col("c_label"))).as("best"))
+      .groupBy("vec_id")
+      .agg(
+        expr("transform(array_sort(collect_list(struct(s, best.c_label AS c))), x -> x.c)")
+          .as("codes"),
+        round(expr("aggregate(transform(array_sort(collect_list(struct(s, best.d2 AS d))), x -> x.d), " +
+          "0D, (acc, x) -> acc + x)"), 6).as("recon_err"))
+      .select(Seq(col("vec_id")) ++
+        subIdx.map(i => element_at(col("codes"), i + 1).as(s"code_$i")) :+
+        col("recon_err"): _*)
+      .oracleSorted("vec_id")
+  }
+
   /** K3 `sim_topk`: brute-force cosine top-k of the corpus against a small
     * broadcast query set — the exact baseline an ANN variant is judged
     * against. Corpus scans once; shuffle only for the per-query window over

@@ -46,6 +46,10 @@ class SqlSurfaceSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     // span-slice applied to an expression base — DuckDB's x[a:b] over a
     // non-identifier has no mechanical substring() bridge here
     "dedup_substring_clean" -> "PARSE_SYNTAX_ERROR",
+    // DuckDB list slices x[a:b] over ARRAY columns — the mechanical bridge
+    // maps slices to substring (the string case); an array-typed base has
+    // no token-level rewrite to slice() without type inference
+    "vec_pq" -> "DATATYPE_MISMATCH",
     "graph_bfs" -> "UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE",
     // ... and reject aggregation over the recursive reference
     "graph_pagerank" -> "INVALID_RECURSIVE_REFERENCE",

@@ -522,6 +522,48 @@ class VectorOpsSpec extends AnyFunSuite {
     assert(VectorOps.decodeBmp(md, 6L, valid).width > 0)
   }
 
+  test("vec_pq: codes are per-subspace argmins (driver brute force), PQ compresses, error reconstructs (K21')") {
+    val out = VectorOps.vecPq(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    // independent truth: recompute codebooks + assignments driver-side from
+    // the raw parquet (double means — within-tolerance of the decimal path,
+    // far finer than the argmin margins on random data)
+    val emb = Tables.embeddings(spark, sfDir)
+      .select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2).toArray))
+    val byLabel = emb.groupBy(_._2)
+    val cent: Map[Int, Array[Double]] = byLabel.map { case (l, vs) =>
+      val acc = Array.fill(VectorOps.Dim)(0.0)
+      vs.foreach(v => v._3.indices.foreach(i => acc(i) += v._3(i).toDouble))
+      l -> acc.map(_ / vs.length)
+    }
+    val labels = cent.keys.toSeq.sorted
+    val vecs = emb.map(v => v._1 -> v._3).toMap
+    val sd = VectorOps.PqSubDim
+    out.foreach { r =>
+      val v = vecs(r.getLong(0))
+      var err = 0.0
+      (0 until VectorOps.PqSubspaces).foreach { s =>
+        val dists = labels.map { l =>
+          l -> (0 until sd).map { i =>
+            val d = v(s * sd + i).toDouble - cent(l)(s * sd + i); d * d
+          }.sum
+        }
+        val (bestL, bestD) = dists.minBy { case (l, d) => (d, l) }
+        assert(r.getInt(r.fieldIndex(s"code_$s")) == bestL,
+          s"vec ${r.getLong(0)} subspace $s: code ${r.get(r.fieldIndex(s"code_$s"))} != $bestL")
+        err += bestD
+      }
+      assert(math.abs(r.getDouble(r.fieldIndex("recon_err")) - err) < 1e-6,
+        s"vec ${r.getLong(0)}: recon_err ${r.getDouble(r.fieldIndex("recon_err"))} != $err")
+    }
+    // compression: distinct code tuples are far fewer than vectors, > 1
+    val tuples = out.map(r => (0 until VectorOps.PqSubspaces)
+      .map(s => r.getInt(r.fieldIndex(s"code_$s"))).mkString(",")).distinct
+    assert(tuples.length > 1 && tuples.length < out.length,
+      s"${tuples.length} code tuples over ${out.length} vectors — no compression")
+  }
+
   test("multimodal_join carries binary payload features consistent with text") {
     val r = VectorOps.multimodalJoin(spark, sfDir)
       .select("n_chars", "n_bytes").limit(20).collect()
