@@ -168,6 +168,7 @@ object SparkEntry {
     "explode_tokens" -> (TextOps.explodeTokens _),
     "text_chunk" -> (TextOps.textChunk _),
     "rag_retrieve" -> (TextOps.ragRetrieve _),
+    "rag_bm25" -> (TextOps.ragBm25 _),
     "text_normalize" -> (TextOps.textNormalize _),
     "text_pii" -> (TextOps.textPii _),
     "text_ngrams" -> (TextOps.textNgrams _),
@@ -1276,6 +1277,31 @@ object SparkEntry {
       "row_number() OVER (PARTITION BY query_doc ORDER BY score DESC, doc_id, chunk_id) AS rnk FROM sc) " +
       s"SELECT query_doc, CAST(rnk AS INT) AS rnk, doc_id, chunk_id, CAST(score AS BIGINT) AS score " +
       s"FROM r WHERE rnk <= ${TextOps.RagTopK} ORDER BY query_doc, rnk")
+    },
+    // rag_bm25: per-term float64 contributions mirrored operation-for-operation
+    // (ln of identical doubles matches), cross-term sum through DECIMAL(28,18)
+    // (the text_logprob discipline); ranking key = the exact decimal sum
+    "rag_bm25" -> {
+      val toks = (src: String) => s"list_filter(string_split($src, ' '), t -> t <> '')"
+      val avgdl = "(CAST(tot_dl AS DOUBLE) / CAST(n_chunks AS DOUBLE))"
+      val idf = "ln(1.0 + (CAST(n_chunks AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))"
+      val norm = "((CAST(tf AS DOUBLE) * 2.2) / " +
+        s"(CAST(tf AS DOUBLE) + 1.2 * (0.25 + (0.75 * CAST(dl AS DOUBLE)) / $avgdl)))"
+      (s"WITH d AS (SELECT doc_id, text, length(text) AS len FROM documents), " +
+      s"s AS (SELECT doc_id, text, unnest(generate_series(0, greatest(len - 1, 0), ${TextOps.ChunkStride})) AS off FROM d), " +
+      s"ch AS (SELECT doc_id, CAST(off // ${TextOps.ChunkStride} AS INT) AS chunk_id, text[off+1:off+${TextOps.ChunkLen}] AS chunk FROM s), " +
+      s"ct AS (SELECT doc_id, chunk_id, CAST(len(${toks("chunk")}) AS BIGINT) AS dl, unnest(${toks("chunk")}) AS term FROM ch), " +
+      "tf AS (SELECT doc_id, chunk_id, dl, term, count(1) AS tf FROM ct GROUP BY 1, 2, 3, 4), " +
+      "df AS (SELECT term, count(1) AS df FROM tf GROUP BY 1), " +
+      s"st AS (SELECT count(1) AS n_chunks, sum(dl) AS tot_dl FROM (SELECT CAST(len(${toks("chunk")}) AS BIGINT) AS dl FROM ch) WHERE dl > 0), " +
+      s"qt AS (SELECT doc_id AS query_doc, unnest(list_distinct(${toks("text")})) AS term FROM documents " +
+      s"WHERE doc_id % ${TextOps.RagQueryMod} = 0 AND doc_id < ${TextOps.RagMaxQueryDoc}), " +
+      s"sc AS (SELECT query_doc, doc_id, chunk_id, sum(CAST($idf * $norm AS DECIMAL(28,18))) AS score_d " +
+      "FROM tf JOIN qt USING (term) JOIN df USING (term) CROSS JOIN st GROUP BY 1, 2, 3), " +
+      "r AS (SELECT query_doc, doc_id, chunk_id, score_d, " +
+      "row_number() OVER (PARTITION BY query_doc ORDER BY score_d DESC, doc_id, chunk_id) AS rnk FROM sc) " +
+      s"SELECT query_doc, CAST(rnk AS INT) AS rnk, doc_id, chunk_id, round(CAST(score_d AS DOUBLE), 6) AS score " +
+      s"FROM r WHERE rnk <= ${TextOps.Bm25TopK} ORDER BY query_doc, rnk")
     },
     "text_ngrams" ->
       "WITH g AS (SELECT unnest(list_transform(generate_series(1, greatest(len(string_split(text, ' ')) - 1, 1)), i -> array_to_string((string_split(text, ' '))[i:i+1], ' '))) AS bigram FROM documents) SELECT bigram, count(1) AS n FROM g GROUP BY 1 HAVING count(1) >= 2 ORDER BY n DESC, bigram",

