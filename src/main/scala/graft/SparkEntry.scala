@@ -169,6 +169,7 @@ object SparkEntry {
     "text_chunk" -> (TextOps.textChunk _),
     "rag_retrieve" -> (TextOps.ragRetrieve _),
     "rag_bm25" -> (TextOps.ragBm25 _),
+    "rag_hybrid" -> (TextOps.ragHybrid _),
     "text_normalize" -> (TextOps.textNormalize _),
     "text_pii" -> (TextOps.textPii _),
     "text_ngrams" -> (TextOps.textNgrams _),
@@ -364,6 +365,56 @@ object SparkEntry {
     */
   private def saltedBucketSql(salt: String): String =
     s"CAST((CAST(('0x' || substr(md5('$salt:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100) AS INT)"
+
+  /** Shared RAG chunk-corpus CTEs (mirror of TextOps.chunkFrame) —
+    * single-sourced across the `rag_retrieve` / `rag_bm25` / `rag_hybrid`
+    * oracles exactly as `chunkFrame` is on the Spark side.
+    */
+  private def ragChunkCtes: String =
+    s"d AS (SELECT doc_id, text, length(text) AS len FROM documents), " +
+    s"s AS (SELECT doc_id, text, unnest(generate_series(0, greatest(len - 1, 0), ${TextOps.ChunkStride})) AS off FROM d), " +
+    s"ch AS (SELECT doc_id, CAST(off // ${TextOps.ChunkStride} AS INT) AS chunk_id, text[off+1:off+${TextOps.ChunkLen}] AS chunk FROM s)"
+
+  /** Dense ranked-list CTEs (mirror of TextOps.ragDenseRanked): hashed-BoW
+    * integer vectors, brute-force dot scores, total-order rank in `dr` —
+    * depth chosen by the consumer's `WHERE rnk <= k`.
+    */
+  private def ragDenseCtes: String = {
+    def bow(src: String) =
+      s"list_transform(generate_series(0, ${TextOps.RagDims - 1}), d -> CAST(len(list_filter(" +
+      s"list_transform(string_split($src, ' '), t -> CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) % ${TextOps.RagDims}), " +
+      "h -> h = d)) AS BIGINT))"
+    s"cv AS (SELECT doc_id, chunk_id, ${bow("chunk")} AS vec FROM ch), " +
+    s"qv AS (SELECT doc_id AS query_doc, ${bow("text")} AS qvec FROM documents " +
+    s"WHERE doc_id % ${TextOps.RagQueryMod} = 0 AND doc_id < ${TextOps.RagMaxQueryDoc}), " +
+    s"dsc AS (SELECT q.query_doc, c.doc_id, c.chunk_id, " +
+    s"list_sum(list_transform(generate_series(1, ${TextOps.RagDims}), i -> q.qvec[i] * c.vec[i])) AS score " +
+    "FROM qv q CROSS JOIN cv c), " +
+    "dr AS (SELECT query_doc, doc_id, chunk_id, score, " +
+    "row_number() OVER (PARTITION BY query_doc ORDER BY score DESC, doc_id, chunk_id) AS rnk FROM dsc)"
+  }
+
+  /** Sparse (BM25) ranked-list CTEs (mirror of TextOps.ragSparseRanked):
+    * per-term float64 contributions mirrored operation-for-operation,
+    * cross-term sum through DECIMAL(28,18), total-order rank in `sr`.
+    */
+  private def ragSparseCtes: String = {
+    val toks = (src: String) => s"list_filter(string_split($src, ' '), t -> t <> '')"
+    val avgdl = "(CAST(tot_dl AS DOUBLE) / CAST(n_chunks AS DOUBLE))"
+    val idf = "ln(1.0 + (CAST(n_chunks AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))"
+    val norm = "((CAST(tf AS DOUBLE) * 2.2) / " +
+      s"(CAST(tf AS DOUBLE) + 1.2 * (0.25 + (0.75 * CAST(dl AS DOUBLE)) / $avgdl)))"
+    s"ct AS (SELECT doc_id, chunk_id, CAST(len(${toks("chunk")}) AS BIGINT) AS dl, unnest(${toks("chunk")}) AS term FROM ch), " +
+    "tf AS (SELECT doc_id, chunk_id, dl, term, count(1) AS tf FROM ct GROUP BY 1, 2, 3, 4), " +
+    "df AS (SELECT term, count(1) AS df FROM tf GROUP BY 1), " +
+    s"st AS (SELECT count(1) AS n_chunks, sum(dl) AS tot_dl FROM (SELECT CAST(len(${toks("chunk")}) AS BIGINT) AS dl FROM ch) WHERE dl > 0), " +
+    s"qt AS (SELECT doc_id AS query_doc, unnest(list_distinct(${toks("text")})) AS term FROM documents " +
+    s"WHERE doc_id % ${TextOps.RagQueryMod} = 0 AND doc_id < ${TextOps.RagMaxQueryDoc}), " +
+    s"ssc AS (SELECT query_doc, doc_id, chunk_id, sum(CAST($idf * $norm AS DECIMAL(28,18))) AS score_d " +
+    "FROM tf JOIN qt USING (term) JOIN df USING (term) CROSS JOIN st GROUP BY 1, 2, 3), " +
+    "sr AS (SELECT query_doc, doc_id, chunk_id, score_d, " +
+    "row_number() OVER (PARTITION BY query_doc ORDER BY score_d DESC, doc_id, chunk_id) AS rnk FROM ssc)"
+  }
 
   /** Per-language keep-rate CASE (mirror of Relational.MixPct fold). */
   private def mixCaseSql: String =
@@ -1259,50 +1310,32 @@ object SparkEntry {
       "FROM s ORDER BY doc_id, chunk_id"),
     // rag_retrieve: hashed-BoW vectors are integer counts, so scores and the
     // full top-k ranking hash-gate; the hash is the house md5-prefix idiom
-    "rag_retrieve" -> {
-      def bow(src: String) =
-        s"list_transform(generate_series(0, ${TextOps.RagDims - 1}), d -> CAST(len(list_filter(" +
-        s"list_transform(string_split($src, ' '), t -> CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) % ${TextOps.RagDims}), " +
-        "h -> h = d)) AS BIGINT))"
-      (s"WITH d AS (SELECT doc_id, text, length(text) AS len FROM documents), " +
-      s"s AS (SELECT doc_id, text, unnest(generate_series(0, greatest(len - 1, 0), ${TextOps.ChunkStride})) AS off FROM d), " +
-      s"ch AS (SELECT doc_id, CAST(off // ${TextOps.ChunkStride} AS INT) AS chunk_id, text[off+1:off+${TextOps.ChunkLen}] AS chunk FROM s), " +
-      s"cv AS (SELECT doc_id, chunk_id, ${bow("chunk")} AS vec FROM ch), " +
-      s"qv AS (SELECT doc_id AS query_doc, ${bow("text")} AS qvec FROM documents " +
-      s"WHERE doc_id % ${TextOps.RagQueryMod} = 0 AND doc_id < ${TextOps.RagMaxQueryDoc}), " +
-      s"sc AS (SELECT q.query_doc, c.doc_id, c.chunk_id, " +
-      s"list_sum(list_transform(generate_series(1, ${TextOps.RagDims}), i -> q.qvec[i] * c.vec[i])) AS score " +
-      "FROM qv q CROSS JOIN cv c), " +
-      "r AS (SELECT query_doc, doc_id, chunk_id, score, " +
-      "row_number() OVER (PARTITION BY query_doc ORDER BY score DESC, doc_id, chunk_id) AS rnk FROM sc) " +
+    "rag_retrieve" ->
+      (s"WITH $ragChunkCtes, $ragDenseCtes " +
       s"SELECT query_doc, CAST(rnk AS INT) AS rnk, doc_id, chunk_id, CAST(score AS BIGINT) AS score " +
-      s"FROM r WHERE rnk <= ${TextOps.RagTopK} ORDER BY query_doc, rnk")
-    },
+      s"FROM dr WHERE rnk <= ${TextOps.RagTopK} ORDER BY query_doc, rnk"),
     // rag_bm25: per-term float64 contributions mirrored operation-for-operation
     // (ln of identical doubles matches), cross-term sum through DECIMAL(28,18)
     // (the text_logprob discipline); ranking key = the exact decimal sum
-    "rag_bm25" -> {
-      val toks = (src: String) => s"list_filter(string_split($src, ' '), t -> t <> '')"
-      val avgdl = "(CAST(tot_dl AS DOUBLE) / CAST(n_chunks AS DOUBLE))"
-      val idf = "ln(1.0 + (CAST(n_chunks AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))"
-      val norm = "((CAST(tf AS DOUBLE) * 2.2) / " +
-        s"(CAST(tf AS DOUBLE) + 1.2 * (0.25 + (0.75 * CAST(dl AS DOUBLE)) / $avgdl)))"
-      (s"WITH d AS (SELECT doc_id, text, length(text) AS len FROM documents), " +
-      s"s AS (SELECT doc_id, text, unnest(generate_series(0, greatest(len - 1, 0), ${TextOps.ChunkStride})) AS off FROM d), " +
-      s"ch AS (SELECT doc_id, CAST(off // ${TextOps.ChunkStride} AS INT) AS chunk_id, text[off+1:off+${TextOps.ChunkLen}] AS chunk FROM s), " +
-      s"ct AS (SELECT doc_id, chunk_id, CAST(len(${toks("chunk")}) AS BIGINT) AS dl, unnest(${toks("chunk")}) AS term FROM ch), " +
-      "tf AS (SELECT doc_id, chunk_id, dl, term, count(1) AS tf FROM ct GROUP BY 1, 2, 3, 4), " +
-      "df AS (SELECT term, count(1) AS df FROM tf GROUP BY 1), " +
-      s"st AS (SELECT count(1) AS n_chunks, sum(dl) AS tot_dl FROM (SELECT CAST(len(${toks("chunk")}) AS BIGINT) AS dl FROM ch) WHERE dl > 0), " +
-      s"qt AS (SELECT doc_id AS query_doc, unnest(list_distinct(${toks("text")})) AS term FROM documents " +
-      s"WHERE doc_id % ${TextOps.RagQueryMod} = 0 AND doc_id < ${TextOps.RagMaxQueryDoc}), " +
-      s"sc AS (SELECT query_doc, doc_id, chunk_id, sum(CAST($idf * $norm AS DECIMAL(28,18))) AS score_d " +
-      "FROM tf JOIN qt USING (term) JOIN df USING (term) CROSS JOIN st GROUP BY 1, 2, 3), " +
-      "r AS (SELECT query_doc, doc_id, chunk_id, score_d, " +
-      "row_number() OVER (PARTITION BY query_doc ORDER BY score_d DESC, doc_id, chunk_id) AS rnk FROM sc) " +
+    "rag_bm25" ->
+      (s"WITH $ragChunkCtes, $ragSparseCtes " +
       s"SELECT query_doc, CAST(rnk AS INT) AS rnk, doc_id, chunk_id, round(CAST(score_d AS DOUBLE), 6) AS score " +
-      s"FROM r WHERE rnk <= ${TextOps.Bm25TopK} ORDER BY query_doc, rnk")
-    },
+      s"FROM sr WHERE rnk <= ${TextOps.Bm25TopK} ORDER BY query_doc, rnk"),
+    // rag_hybrid: RRF over the SAME dense/sparse CTE chains the two
+    // standalone oracles use; the lcm-scaled reciprocal ranks are exact
+    // integers on both engines (`div` / `//` integral division)
+    "rag_hybrid" ->
+      (s"WITH $ragChunkCtes, $ragDenseCtes, $ragSparseCtes, " +
+      s"f AS (SELECT query_doc, doc_id, chunk_id, a.rnk AS dense_rnk, b.rnk AS sparse_rnk " +
+      s"FROM (SELECT * FROM dr WHERE rnk <= ${TextOps.HybridN}) a " +
+      s"FULL JOIN (SELECT * FROM sr WHERE rnk <= ${TextOps.HybridN}) b USING (query_doc, doc_id, chunk_id)), " +
+      s"h AS (SELECT query_doc, doc_id, chunk_id, dense_rnk, sparse_rnk, " +
+      s"coalesce(${TextOps.RrfL} // (${TextOps.RrfK} + dense_rnk), 0) + " +
+      s"coalesce(${TextOps.RrfL} // (${TextOps.RrfK} + sparse_rnk), 0) AS rrf_score FROM f), " +
+      "r2 AS (SELECT h.*, row_number() OVER (PARTITION BY query_doc ORDER BY rrf_score DESC, doc_id, chunk_id) AS rnk FROM h) " +
+      s"SELECT query_doc, CAST(rnk AS INT) AS rnk, doc_id, chunk_id, CAST(rrf_score AS BIGINT) AS rrf_score, " +
+      s"CAST(dense_rnk AS INT) AS dense_rnk, CAST(sparse_rnk AS INT) AS sparse_rnk " +
+      s"FROM r2 WHERE rnk <= ${TextOps.RagTopK} ORDER BY query_doc, rnk"),
     "text_ngrams" ->
       "WITH g AS (SELECT unnest(list_transform(generate_series(1, greatest(len(string_split(text, ' ')) - 1, 1)), i -> array_to_string((string_split(text, ' '))[i:i+1], ' '))) AS bigram FROM documents) SELECT bigram, count(1) AS n FROM g GROUP BY 1 HAVING count(1) >= 2 ORDER BY n DESC, bigram",
     "text_repetition" ->

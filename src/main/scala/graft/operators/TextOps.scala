@@ -298,7 +298,14 @@ object TextOps {
       s"cast(size(filter($th, h -> h = cast(d as bigint))) as float))")
   }
 
-  def ragRetrieve(s: SparkSession, dir: String): DataFrame = {
+  def ragRetrieve(s: SparkSession, dir: String): DataFrame =
+    ragDenseRanked(s, dir, RagTopK).oracleSorted("query_doc", "rnk")
+
+  /** The dense ranked list at depth `k` — `rag_retrieve` IS this at
+    * k = `RagTopK`; `rag_hybrid` fuses it at k = `HybridN` (one body, so
+    * the registered query and the fusion input cannot drift).
+    */
+  private[graft] def ragDenseRanked(s: SparkSession, dir: String, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // The repartition is a deliberate pipeline barrier, not a distribution
     // need: whole-stage codegen DEFERS a deterministic projection into the
@@ -324,9 +331,8 @@ object TextOps {
       .withColumn("score",
         graft.functions.Vec.dotF(col("qvec"), col("vec")).cast("long"))
       .withColumn("rnk", row_number().over(w))
-      .where(col("rnk") <= RagTopK)
+      .where(col("rnk") <= k)
       .select("query_doc", "rnk", "doc_id", "chunk_id", "score")
-      .oracleSorted("query_doc", "rnk")
   }
 
   /** K31 `rag_bm25` constants: the standard Okapi parameters. The derived
@@ -364,7 +370,18 @@ object TextOps {
     * Σdl) pair is a 1-row `attachScalarRow`. The top-k window is the
     * `rag_retrieve` tail: bounded query count ⇒ bounded partitions.
     */
-  def ragBm25(s: SparkSession, dir: String): DataFrame = {
+  def ragBm25(s: SparkSession, dir: String): DataFrame =
+    ragSparseRanked(s, dir, Bm25TopK)
+      .select(col("query_doc"), col("rnk"), col("doc_id"), col("chunk_id"),
+        round(col("score_d").cast("double"), 6).as("score"))
+      .oracleSorted("query_doc", "rnk")
+
+  /** The sparse (BM25) ranked list at depth `k` — `rag_bm25` IS this at
+    * k = `Bm25TopK` plus the rounded display projection; `rag_hybrid`
+    * fuses it at k = `HybridN`. The ranking key stays the exact decimal
+    * sum throughout.
+    */
+  private[graft] def ragSparseRanked(s: SparkSession, dir: String, k: Int): DataFrame = {
     import graft.functions.ScalarAttach._
     import org.apache.spark.sql.types.DecimalType
     val realToks = (c: Column) => filter(split(c, " "), t => t =!= "")
@@ -406,9 +423,57 @@ object TextOps {
       .groupBy("query_doc", "doc_id", "chunk_id")
       .agg(sum("contrib").as("score_d"))
       .withColumn("rnk", row_number().over(w))
-      .where(col("rnk") <= Bm25TopK)
+      .where(col("rnk") <= k)
+      .select("query_doc", "rnk", "doc_id", "chunk_id", "score_d")
+  }
+
+  /** K32 `rag_hybrid` constants. `HybridN` is the per-retriever list
+    * depth the fusion consumes; `RrfK` the standard reciprocal-rank-fusion
+    * damping (Cormack 2009 uses 60); `RrfL` = lcm(61..70) so that every
+    * fused contribution `RrfL div (RrfK + rank)` is an EXACT integer —
+    * RRF over ranks 1..10 needs only the denominators 61..70, and scaling
+    * by their lcm turns the float 1/(K+r) sums into engine-exact longs
+    * (max possible score 2·RrfL/61 ≈ 4.7e12 ≪ 2^63).
+    */
+  val HybridN = 10
+  val RrfK = 60
+  val RrfL = 142813628717760L
+
+  /** K32 `rag_hybrid` (round 10): hybrid retrieval — reciprocal-rank
+    * fusion (RRF, Cormack 2009) of the dense (`rag_retrieve`) and sparse
+    * (`rag_bm25`) lists, the default production RAG retrieval shape
+    * (lexical recall + semantic recall, fused rank-side so the two
+    * scoring scales never need calibrating). Per query: take each
+    * retriever's top-`HybridN`, full-outer-join on the chunk key, score
+    * Σ_lists 1/(RrfK + rank) — computed as the exact integer
+    * `RrfL div (RrfK + rank)` (see `RrfL`) so the fusion ranking
+    * hash-gates — and keep the top `RagTopK`.
+    *
+    * Scale shape: the two retrieval pipelines are the proven ones
+    * (`ragDenseRanked` / `ragSparseRanked`, single-sourced bodies); the
+    * fusion itself touches only their top-k outputs — ≤ 2·|queries|·N
+    * rows at ANY corpus scale — so the full-outer join and the final
+    * window are query-bounded, not corpus-bounded. At 100 TB the corpus
+    * pays one scan per retriever (exactly what running the two registered
+    * queries would pay); fusion adds zero corpus-sized work.
+    */
+  def ragHybrid(s: SparkSession, dir: String): DataFrame = {
+    val rrf = (rank: String) =>
+      coalesce(expr(s"CAST($RrfL AS BIGINT) div ($RrfK + $rank)"), lit(0L))
+    val d = ragDenseRanked(s, dir, HybridN)
+      .select(col("query_doc"), col("doc_id"), col("chunk_id"),
+        col("rnk").as("dense_rnk"))
+    val sp = ragSparseRanked(s, dir, HybridN)
+      .select(col("query_doc"), col("doc_id"), col("chunk_id"),
+        col("rnk").as("sparse_rnk"))
+    val w = Window.partitionBy("query_doc")
+      .orderBy(desc("rrf_score"), asc("doc_id"), asc("chunk_id"))
+    d.join(sp, Seq("query_doc", "doc_id", "chunk_id"), "full_outer")
+      .withColumn("rrf_score", rrf("dense_rnk") + rrf("sparse_rnk"))
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= RagTopK)
       .select(col("query_doc"), col("rnk"), col("doc_id"), col("chunk_id"),
-        round(col("score_d").cast("double"), 6).as("score"))
+        col("rrf_score"), col("dense_rnk"), col("sparse_rnk"))
       .oracleSorted("query_doc", "rnk")
   }
 

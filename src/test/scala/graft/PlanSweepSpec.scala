@@ -22,12 +22,14 @@ import org.scalatest.funsuite.AnyFunSuite
   * grant for the same reason: its brute-force scoring stage is a broadcast
   * cross join against a query set bounded by construction (every
   * RagQueryMod-th document), fan-out only on the broadcast side — the
-  * allowlist below is the single place these are granted.
+  * allowlist below is the single place these are granted. `rag_hybrid`
+  * embeds `ragDenseRanked` (the same single-sourced body as
+  * `rag_retrieve`) as its dense arm, so it inherits the grant.
   */
 class PlanSweepSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
   import SparkTestSession.{spark, sfDir}
 
-  private val bnljAllowed = Set("sim_topk", "rag_retrieve")
+  private val bnljAllowed = Set("sim_topk", "rag_retrieve", "rag_hybrid")
 
   /** Unwrap the execution-detail nodes that can sit between an exchange and
     * its semantic child (round-3 ADVICE #3: the previous adjacent-plan-LINE

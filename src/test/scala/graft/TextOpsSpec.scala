@@ -932,4 +932,59 @@ class TextOpsSpec extends AnyFunSuite {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("Broadcast"), "rag_bm25 must broadcast query terms and df")
   }
+
+  test("rag_hybrid: RRF fusion is exact — plain-Scala recompute over the two depth-N lists, lcm arithmetic laws, standalone-query prefix consistency (K32)") {
+    val df = TextOps.ragHybrid(spark, sfDir)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // lcm law: RrfL really is divisible by every denominator RRF can see
+    (1 to TextOps.HybridN).foreach { r =>
+      assert(TextOps.RrfL % (TextOps.RrfK + r) == 0L,
+        s"RrfL not divisible by ${TextOps.RrfK + r}")
+    }
+    // independent fusion truth: collect both depth-N lists and fuse in
+    // plain Scala (Map-based, no Spark) — ranks, scores, and the top-3
+    // per query must match the operator exactly
+    def keyed(d: org.apache.spark.sql.DataFrame): Map[(Long, Long, Int), Int] =
+      d.collect().map(r => (r.getLong(0), r.getLong(2), r.getInt(3)) -> r.getInt(1)).toMap
+    val dense = keyed(TextOps.ragDenseRanked(spark, sfDir, TextOps.HybridN))
+    val sparse = keyed(TextOps.ragSparseRanked(spark, sfDir, TextOps.HybridN)
+      .select(col("query_doc"), col("rnk"), col("doc_id"), col("chunk_id")))
+    val fusedWant: Map[Long, Seq[((Long, Int), Long)]] =
+      (dense.keySet ++ sparse.keySet).toSeq
+        .map { k =>
+          val rrf = dense.get(k).map(r => TextOps.RrfL / (TextOps.RrfK + r)).getOrElse(0L) +
+            sparse.get(k).map(r => TextOps.RrfL / (TextOps.RrfK + r)).getOrElse(0L)
+          (k._1, (k._2, k._3), rrf)
+        }
+        .groupBy(_._1)
+        .map { case (q, xs) =>
+          q -> xs.map(x => (x._2, x._3))
+            .sortBy { case ((d, c), s) => (-s, d, c) }.take(TextOps.RagTopK)
+        }
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.keySet == fusedWant.keySet, "query set mismatch")
+    byQ.foreach { case (q, rs) =>
+      assert(rs.map(_.getInt(1)).sorted.toSeq == (1 to TextOps.RagTopK), s"rank set broken for $q")
+      val got = rs.sortBy(_.getInt(1)).map(r => ((r.getLong(2), r.getInt(3)), r.getLong(4))).toSeq
+      assert(got == fusedWant(q), s"fusion mismatch for query $q: $got != ${fusedWant(q)}")
+    }
+    // published per-list ranks must agree with the lists themselves (null ↔ absent)
+    rows.foreach { r =>
+      val k = (r.getLong(0), r.getLong(2), r.getInt(3))
+      assert((if (r.isNullAt(5)) None else Some(r.getInt(5))) == dense.get(k), s"dense_rnk wrong at $k")
+      assert((if (r.isNullAt(6)) None else Some(r.getInt(6))) == sparse.get(k), s"sparse_rnk wrong at $k")
+      assert(!r.isNullAt(5) || !r.isNullAt(6), s"fused row $k in neither list")
+    }
+    // consistency with the REGISTERED standalone queries: their top-3 are
+    // rank-for-rank prefixes of the depth-N lists the fusion consumed
+    TextOps.ragRetrieve(spark, sfDir).collect().foreach { r =>
+      assert(dense((r.getLong(0), r.getLong(2), r.getInt(3))) == r.getInt(1),
+        "rag_retrieve top-3 not a prefix of the dense depth-N list")
+    }
+    TextOps.ragBm25(spark, sfDir).collect().foreach { r =>
+      assert(sparse((r.getLong(0), r.getLong(2), r.getInt(3))) == r.getInt(1),
+        "rag_bm25 top-3 not a prefix of the sparse depth-N list")
+    }
+  }
 }
