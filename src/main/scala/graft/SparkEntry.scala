@@ -202,6 +202,7 @@ object SparkEntry {
     "sim_ann" -> (VectorOps.simAnn _),
     "sim_ivf" -> (VectorOps.simIvf _),
     "vec_pq" -> (VectorOps.vecPq _),
+    "vec_pq_adc" -> (VectorOps.vecPqAdc _),
     // §2.I iterative k-means (+ the oracle-checkable single assignment step)
     "kmeans_clusters" -> (VectorOps.kmeansClusters _),
     "kmeans_assign" -> (VectorOps.kmeansAssign _),
@@ -415,6 +416,18 @@ object SparkEntry {
     "sr AS (SELECT query_doc, doc_id, chunk_id, score_d, " +
     "row_number() OVER (PARTITION BY query_doc ORDER BY score_d DESC, doc_id, chunk_id) AS rnk FROM ssc)"
   }
+
+  /** The PQ codebook CTEs (mirror of VectorOps.pqCentSubs): sim_ivf's
+    * exact-decimal label-mean centroids sliced into `PqSubspaces`
+    * sub-codebooks — single-sourced between the `vec_pq` encode oracle and
+    * the `vec_pq_adc` search oracle, as `pqCentSubs` is on the Spark side.
+    */
+  private def pqCodebookCtes: String =
+    s"cell AS (SELECT label AS c_label, g.i AS pos, CAST(CAST(embedding[g.i] AS DOUBLE) AS DECIMAL(28,20)) AS v FROM embeddings, (SELECT unnest(generate_series(1, ${VectorOps.Dim})) AS i) g), " +
+    "comp AS (SELECT c_label, pos, CAST(sum(v) AS DOUBLE) / count(1) AS comp FROM cell GROUP BY 1, 2), " +
+    "cent AS (SELECT c_label, list(comp ORDER BY pos) AS cvec FROM comp GROUP BY 1), " +
+    s"sg AS (SELECT unnest(generate_series(0, ${VectorOps.PqSubspaces - 1})) AS s), " +
+    s"cs AS (SELECT c_label, s, cvec[s * ${VectorOps.PqSubDim} + 1 : s * ${VectorOps.PqSubDim} + ${VectorOps.PqSubDim}] AS csub FROM cent, sg)"
 
   /** Per-language keep-rate CASE (mirror of Relational.MixPct fold). */
   private def mixCaseSql: String =
@@ -1490,16 +1503,28 @@ object SparkEntry {
     // vec_pq: same exact-decimal centroid CTEs as sim_ivf, sliced into
     // subspaces; codes AND the ordered-fold reconstruction error hash-gate
     "vec_pq" ->
-      (s"WITH cell AS (SELECT label AS c_label, g.i AS pos, CAST(CAST(embedding[g.i] AS DOUBLE) AS DECIMAL(28,20)) AS v FROM embeddings, (SELECT unnest(generate_series(1, ${VectorOps.Dim})) AS i) g), " +
-      "comp AS (SELECT c_label, pos, CAST(sum(v) AS DOUBLE) / count(1) AS comp FROM cell GROUP BY 1, 2), " +
-      "cent AS (SELECT c_label, list(comp ORDER BY pos) AS cvec FROM comp GROUP BY 1), " +
-      s"sg AS (SELECT unnest(generate_series(0, ${VectorOps.PqSubspaces - 1})) AS s), " +
-      s"cs AS (SELECT c_label, s, cvec[s * ${VectorOps.PqSubDim} + 1 : s * ${VectorOps.PqSubDim} + ${VectorOps.PqSubDim}] AS csub FROM cent, sg), " +
+      (s"WITH $pqCodebookCtes, " +
       s"vs AS (SELECT vec_id, s, embedding[s * ${VectorOps.PqSubDim} + 1 : s * ${VectorOps.PqSubDim} + ${VectorOps.PqSubDim}] AS subv FROM embeddings, sg), " +
       s"dd AS (SELECT vec_id, vs.s AS s, c_label, ${sqDistSql("subv", "csub")} AS d2 FROM vs JOIN cs ON vs.s = cs.s), " +
       "b AS (SELECT vec_id, s, c_label, d2, row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, c_label) AS rn FROM dd), " +
       "f AS (SELECT vec_id, list(c_label ORDER BY s) AS codes, round(list_sum(list(d2 ORDER BY s)), 6) AS recon_err FROM b WHERE rn = 1 GROUP BY 1) " +
       s"SELECT vec_id, ${(0 until VectorOps.PqSubspaces).map(i => s"codes[${i + 1}] AS code_$i").mkString(", ")}, recon_err FROM f ORDER BY vec_id"),
+    // vec_pq_adc: the SAME codebook + argmin CTEs produce the corpus codes;
+    // the query-side LUT replays the encode's distance fold; the 4-term
+    // cross-subspace sum goes through DECIMAL(28,18) so the ranking key is
+    // exact (the rag_bm25 discipline)
+    "vec_pq_adc" ->
+      (s"WITH $pqCodebookCtes, " +
+      s"vs AS (SELECT vec_id, s, embedding[s * ${VectorOps.PqSubDim} + 1 : s * ${VectorOps.PqSubDim} + ${VectorOps.PqSubDim}] AS subv FROM embeddings, sg WHERE vec_id >= ${VectorOps.QuerySetSize}), " +
+      s"dd AS (SELECT vec_id, vs.s AS s, c_label, ${sqDistSql("subv", "csub")} AS d2 FROM vs JOIN cs ON vs.s = cs.s), " +
+      "b AS (SELECT vec_id, s, c_label, d2, row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, c_label) AS rn FROM dd), " +
+      "cod AS (SELECT vec_id, s, c_label AS code FROM b WHERE rn = 1), " +
+      s"qs AS (SELECT vec_id AS q_id, s, embedding[s * ${VectorOps.PqSubDim} + 1 : s * ${VectorOps.PqSubDim} + ${VectorOps.PqSubDim}] AS qsub FROM embeddings, sg WHERE vec_id < ${VectorOps.QuerySetSize}), " +
+      s"lut AS (SELECT q_id, s, c_label AS code, CAST(${sqDistSql("qsub", "csub")} AS DECIMAL(28,18)) AS d2c FROM qs JOIN cs USING (s)), " +
+      "sc AS (SELECT q_id, vec_id, sum(d2c) AS adc_d FROM cod JOIN lut USING (s, code) GROUP BY 1, 2), " +
+      "r AS (SELECT q_id, vec_id, adc_d, row_number() OVER (PARTITION BY q_id ORDER BY adc_d, vec_id) AS rn FROM sc) " +
+      s"SELECT q_id, CAST(rn AS INT) AS rn, vec_id, round(CAST(adc_d AS DOUBLE), 6) AS adc " +
+      s"FROM r WHERE rn <= ${VectorOps.AnnTopK} ORDER BY q_id, rn"),
     "sim_ann" ->
       (s"WITH e AS (SELECT vec_id, embedding, $bucket8 AS bucket FROM embeddings), " +
       s"q AS (SELECT vec_id AS q_id, embedding AS q_emb, xor(bucket, m.mask) AS bucket FROM e, (SELECT unnest(${VectorOps.AnnProbeMasks.mkString("[", ", ", "]")}) AS mask) m WHERE vec_id < ${VectorOps.QuerySetSize}), " +

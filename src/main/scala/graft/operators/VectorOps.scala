@@ -653,22 +653,9 @@ object VectorOps {
     * job that writes the PQ column.
     */
   def vecPq(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.functions.{posexplode, broadcast}
     val emb = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("label"), col("embedding"))
-    val subIdx = 0 until PqSubspaces
-    val subs = emb.select(col("vec_id"),
-      posexplode(array(subIdx.map(i =>
-        slice(col("embedding"), i * PqSubDim + 1, PqSubDim)): _*))
-        .as(Seq("s", "subv")))
-    val centSubs = labelMeanCentroids(emb).select(col("c_label"),
-      posexplode(array(subIdx.map(i =>
-        slice(col("cvec"), i * PqSubDim + 1, PqSubDim)): _*))
-        .as(Seq("s", "csub")))
-    subs.join(broadcast(centSubs), "s")
-      .withColumn("d2", graft.functions.Vec.sqDistF(col("subv"), col("csub")))
-      .groupBy("vec_id", "s")
-      .agg(min(struct(col("d2"), col("c_label"))).as("best"))
+    pqBest(emb, pqCentSubs(emb))
       .groupBy("vec_id")
       .agg(
         expr("transform(array_sort(collect_list(struct(s, best.c_label AS c))), x -> x.c)")
@@ -676,9 +663,94 @@ object VectorOps {
         round(expr("aggregate(transform(array_sort(collect_list(struct(s, best.d2 AS d))), x -> x.d), " +
           "0D, (acc, x) -> acc + x)"), 6).as("recon_err"))
       .select(Seq(col("vec_id")) ++
-        subIdx.map(i => element_at(col("codes"), i + 1).as(s"code_$i")) :+
+        (0 until PqSubspaces).map(i => element_at(col("codes"), i + 1).as(s"code_$i")) :+
         col("recon_err"): _*)
       .oracleSorted("vec_id")
+  }
+
+  /** The PQ codebook sliced into subspaces: (c_label, s, csub) — the
+    * label-mean centroids' `PqSubDim`-dim slices. k × `PqSubspaces` rows,
+    * always broadcast. Single-sourced between the `vec_pq` encode and the
+    * `vec_pq_adc` search so the two sides of the PQ contract (what wrote
+    * the codes, what the LUT is built against) cannot drift.
+    */
+  private[graft] def pqCentSubs(emb: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.posexplode
+    labelMeanCentroids(emb).select(col("c_label"),
+      posexplode(array((0 until PqSubspaces).map(i =>
+        slice(col("cvec"), i * PqSubDim + 1, PqSubDim)): _*))
+        .as(Seq("s", "csub")))
+  }
+
+  /** The PQ encode's argmin frame: per (vec_id, subspace), the nearest
+    * sub-centroid as `best = struct(d2, c_label)` — ONE partial
+    * aggregation (min(struct) — map-side combine), no window sort.
+    */
+  private[graft] def pqBest(emb: DataFrame, centSubs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{posexplode, broadcast}
+    val subs = emb.select(col("vec_id"),
+      posexplode(array((0 until PqSubspaces).map(i =>
+        slice(col("embedding"), i * PqSubDim + 1, PqSubDim)): _*))
+        .as(Seq("s", "subv")))
+    subs.join(broadcast(centSubs), "s")
+      .withColumn("d2", graft.functions.Vec.sqDistF(col("subv"), col("csub")))
+      .groupBy("vec_id", "s")
+      .agg(min(struct(col("d2"), col("c_label"))).as("best"))
+  }
+
+  /** K21″ `vec_pq_adc` (round 10): the SEARCH half of the PQ contract —
+    * asymmetric distance computation (Jégou 2011 §III): the corpus exists
+    * only as its `vec_pq` codes; each query builds a tiny lookup table
+    * (squared distance from its own subvector to EVERY sub-centroid:
+    * |queries| × k × `PqSubspaces` rows) and a vector's approximate
+    * distance is the LUT sum over its codes — the query side stays
+    * full-precision (asymmetric), the corpus side never decodes. Top-k
+    * nearest per query by that ADC distance.
+    *
+    * Oracle-exactness: LUT entries are the house sequential float64 fold
+    * over decimal-exact centroids (identical doubles on both engines);
+    * the 4-term cross-subspace sum goes through DECIMAL(28,18) (the
+    * `rag_bm25` contrib discipline) so the ranking key is exact and
+    * merge-order free. Ranking ties break on vec_id — total.
+    *
+    * Scale shape: the corpus pays the encode (`pqBest`, the frame the
+    * nightly `vec_pq` job materializes anyway) and ships 4 code rows per
+    * vector into an EQUI-join against the broadcast LUT (no BNLJ — the
+    * (s, code) key is exact); the per-(query, vector) sum partial-aggs
+    * map-side, so post-combine shuffle mass is |queries| rows per corpus
+    * vector. The top-k window is query-partitioned — bounded. At 100 TB
+    * this is the interactive ANN serving path over a PQ-compressed
+    * corpus: scan codes (64× smaller than the floats), never the vectors.
+    */
+  def vecPqAdc(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{posexplode, broadcast}
+    import org.apache.spark.sql.types.DecimalType
+    val emb = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label"), col("embedding"))
+    val centSubs = pqCentSubs(emb)
+    // corpus side: codes only — (vec_id, s, code), 4 small rows per vector
+    val codes = pqBest(emb.filter(col("vec_id") >= QuerySetSize), centSubs)
+      .select(col("vec_id"), col("s"), col("best").getField("c_label").as("code"))
+    // query side: the ADC lookup table — |q| × k × PqSubspaces rows
+    val lut = emb.filter(col("vec_id") < QuerySetSize)
+      .select(col("vec_id").as("q_id"),
+        posexplode(array((0 until PqSubspaces).map(i =>
+          slice(col("embedding"), i * PqSubDim + 1, PqSubDim)): _*))
+          .as(Seq("s", "qsub")))
+      .join(broadcast(centSubs), "s")
+      .select(col("q_id"), col("s"), col("c_label").as("code"),
+        graft.functions.Vec.sqDistF(col("qsub"), col("csub"))
+          .cast(DecimalType(28, 18)).as("d2c"))
+    val w = Window.partitionBy("q_id")
+      .orderBy(asc("adc_d"), asc("vec_id"))
+    codes.join(broadcast(lut), Seq("s", "code"))
+      .groupBy("q_id", "vec_id")
+      .agg(sum("d2c").as("adc_d"))
+      .withColumn("rn", row_number().over(w).cast("int"))
+      .filter(col("rn") <= AnnTopK)
+      .select(col("q_id"), col("rn"), col("vec_id"),
+        round(col("adc_d").cast("double"), 6).as("adc"))
+      .oracleSorted("q_id", "rn")
   }
 
   /** K3 `sim_topk`: brute-force cosine top-k of the corpus against a small

@@ -564,6 +564,64 @@ class VectorOpsSpec extends AnyFunSuite {
       s"${tuples.length} code tuples over ${out.length} vectors — no compression")
   }
 
+  test("vec_pq_adc: ADC distances recompute from codes+LUT (driver brute force), ranks total, ADC approximates the true distance (K21'')") {
+    val out = VectorOps.vecPqAdc(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    // independent truth: codebook, codes, LUT, and the ADC sum all
+    // re-derived driver-side from the raw parquet (double means — within
+    // tolerance of the decimal path)
+    val emb = Tables.embeddings(spark, sfDir)
+      .select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2).toArray))
+    val byLabel = emb.groupBy(_._2)
+    val cent: Map[Int, Array[Double]] = byLabel.map { case (l, vs) =>
+      val acc = Array.fill(VectorOps.Dim)(0.0)
+      vs.foreach(v => v._3.indices.foreach(i => acc(i) += v._3(i).toDouble))
+      l -> acc.map(_ / vs.length)
+    }
+    val labels = cent.keys.toSeq.sorted
+    val sd = VectorOps.PqSubDim
+    def subDist(v: Array[Float], l: Int, sIdx: Int): Double =
+      (0 until sd).map { i =>
+        val d = v(sIdx * sd + i).toDouble - cent(l)(sIdx * sd + i); d * d
+      }.sum
+    def codesOf(v: Array[Float]): Seq[Int] =
+      (0 until VectorOps.PqSubspaces).map { sIdx =>
+        labels.minBy(l => (subDist(v, l, sIdx), l))
+      }
+    val corpus = emb.filter(_._1 >= VectorOps.QuerySetSize)
+    val queries = emb.filter(_._1 < VectorOps.QuerySetSize)
+    val corpusCodes = corpus.map(v => v._1 -> codesOf(v._3)).toMap
+    def adc(q: Array[Float], codes: Seq[Int]): Double =
+      codes.zipWithIndex.map { case (c, sIdx) => subDist(q, c, sIdx) }.sum
+    val wantTop: Map[Long, Seq[(Long, Double)]] = queries.map { q =>
+      q._1 -> corpus.map(v => v._1 -> adc(q._3, corpusCodes(v._1)))
+        .sortBy { case (id, d) => (d, id) }.take(VectorOps.AnnTopK).toSeq
+    }.toMap
+    val byQ = out.groupBy(_.getLong(0))
+    assert(byQ.keySet == wantTop.keySet, "query set mismatch")
+    byQ.foreach { case (q, rs) =>
+      assert(rs.map(_.getInt(1)).sorted.toSeq == (1 to VectorOps.AnnTopK), s"rank set broken for $q")
+      val got = rs.sortBy(_.getInt(1)).map(r => (r.getLong(2), r.getDouble(3))).toSeq
+      got.zip(wantTop(q)).foreach { case ((gi, gd), (wi, wd)) =>
+        assert(gi == wi, s"query $q: ADC neighbour $gi != $wi")
+        assert(math.abs(gd - wd) < 1e-6, s"query $q vec $gi: adc $gd != $wd")
+      }
+    }
+    // the asymmetric approximation is sane: for every reported neighbour,
+    // |ADC - true squared distance| ≤ the vector's own worst-case PQ cell
+    // radius — here just assert ADC is within 2x of the true distance and
+    // strictly positive (random vectors are never coincident)
+    val vecs = emb.map(v => v._1 -> v._3).toMap
+    out.foreach { r =>
+      val q = vecs(r.getLong(0)); val v = vecs(r.getLong(2))
+      val truth = q.indices.map { i => val d = q(i).toDouble - v(i).toDouble; d * d }.sum
+      val a = r.getDouble(3)
+      assert(a > 0.0 && a < 2.0 * truth && a > 0.3 * truth,
+        s"ADC $a wildly off true $truth for (${r.getLong(0)},${r.getLong(2)})")
+    }
+  }
+
   test("multimodal_join carries binary payload features consistent with text") {
     val r = VectorOps.multimodalJoin(spark, sfDir)
       .select("n_chars", "n_bytes").limit(20).collect()
