@@ -203,6 +203,7 @@ object SparkEntry {
     "sim_ivf" -> (VectorOps.simIvf _),
     "vec_pq" -> (VectorOps.vecPq _),
     "vec_pq_adc" -> (VectorOps.vecPqAdc _),
+    "sim_ivfpq" -> (VectorOps.simIvfPq _),
     // §2.I iterative k-means (+ the oracle-checkable single assignment step)
     "kmeans_clusters" -> (VectorOps.kmeansClusters _),
     "kmeans_assign" -> (VectorOps.kmeansAssign _),
@@ -1522,6 +1523,24 @@ object SparkEntry {
       s"qs AS (SELECT vec_id AS q_id, s, embedding[s * ${VectorOps.PqSubDim} + 1 : s * ${VectorOps.PqSubDim} + ${VectorOps.PqSubDim}] AS qsub FROM embeddings, sg WHERE vec_id < ${VectorOps.QuerySetSize}), " +
       s"lut AS (SELECT q_id, s, c_label AS code, CAST(${sqDistSql("qsub", "csub")} AS DECIMAL(28,18)) AS d2c FROM qs JOIN cs USING (s)), " +
       "sc AS (SELECT q_id, vec_id, sum(d2c) AS adc_d FROM cod JOIN lut USING (s, code) GROUP BY 1, 2), " +
+      "r AS (SELECT q_id, vec_id, adc_d, row_number() OVER (PARTITION BY q_id ORDER BY adc_d, vec_id) AS rn FROM sc) " +
+      s"SELECT q_id, CAST(rn AS INT) AS rn, vec_id, round(CAST(adc_d AS DOUBLE), 6) AS adc " +
+      s"FROM r WHERE rn <= ${VectorOps.AnnTopK} ORDER BY q_id, rn"),
+    // sim_ivfpq: the composed IVF+PQ stack from the SAME codebook CTEs —
+    // codes rank on the raw double d2 (law-identical to vec_pq), the coarse
+    // assignment and probes on the exact-decimal subspace-sum full distance
+    "sim_ivfpq" ->
+      (s"WITH $pqCodebookCtes, " +
+      s"vs AS (SELECT vec_id, s, embedding[s * ${VectorOps.PqSubDim} + 1 : s * ${VectorOps.PqSubDim} + ${VectorOps.PqSubDim}] AS subv FROM embeddings, sg), " +
+      s"dd AS (SELECT vec_id, vs.s AS s, c_label, ${sqDistSql("subv", "csub")} AS d2, CAST(${sqDistSql("subv", "csub")} AS DECIMAL(28,18)) AS d2c FROM vs JOIN cs USING (s)), " +
+      s"b AS (SELECT vec_id, s, c_label, row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, c_label) AS rn FROM dd WHERE vec_id >= ${VectorOps.QuerySetSize}), " +
+      "cod AS (SELECT vec_id, s, c_label AS code FROM b WHERE rn = 1), " +
+      "fl AS (SELECT vec_id, c_label, sum(d2c) AS fd FROM dd GROUP BY 1, 2), " +
+      s"il AS (SELECT vec_id, c_label AS ilist FROM (SELECT vec_id, c_label, row_number() OVER (PARTITION BY vec_id ORDER BY fd, c_label) AS rn FROM fl WHERE vec_id >= ${VectorOps.QuerySetSize}) WHERE rn = 1), " +
+      s"pr AS (SELECT vec_id AS q_id, c_label AS ilist FROM (SELECT vec_id, c_label, row_number() OVER (PARTITION BY vec_id ORDER BY fd, c_label) AS rn FROM fl WHERE vec_id < ${VectorOps.QuerySetSize}) WHERE rn <= ${VectorOps.IvfProbes}), " +
+      s"lut AS (SELECT vec_id AS q_id, s, c_label AS code, d2c FROM dd WHERE vec_id < ${VectorOps.QuerySetSize}), " +
+      "sc AS (SELECT pr.q_id, cod.vec_id, sum(lut.d2c) AS adc_d FROM cod JOIN il USING (vec_id) JOIN pr USING (ilist) " +
+      "JOIN lut ON lut.q_id = pr.q_id AND lut.s = cod.s AND lut.code = cod.code GROUP BY 1, 2), " +
       "r AS (SELECT q_id, vec_id, adc_d, row_number() OVER (PARTITION BY q_id ORDER BY adc_d, vec_id) AS rn FROM sc) " +
       s"SELECT q_id, CAST(rn AS INT) AS rn, vec_id, round(CAST(adc_d AS DOUBLE), 6) AS adc " +
       s"FROM r WHERE rn <= ${VectorOps.AnnTopK} ORDER BY q_id, rn"),

@@ -676,10 +676,15 @@ object VectorOps {
     */
   private[graft] def pqCentSubs(emb: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions.posexplode
+    // lineage cut (lazy): the consumers reference this frame from two or
+    // three join branches (encode + LUT + coarse assign); without the cut
+    // each branch would recompute the corpus-wide centroid aggregation —
+    // the ivfCandidates precedent
     labelMeanCentroids(emb).select(col("c_label"),
       posexplode(array((0 until PqSubspaces).map(i =>
         slice(col("cvec"), i * PqSubDim + 1, PqSubDim)): _*))
         .as(Seq("s", "csub")))
+      .lineageCut(eager = false)
   }
 
   /** The PQ encode's argmin frame: per (vec_id, subspace), the nearest
@@ -744,6 +749,76 @@ object VectorOps {
     val w = Window.partitionBy("q_id")
       .orderBy(asc("adc_d"), asc("vec_id"))
     codes.join(broadcast(lut), Seq("s", "code"))
+      .groupBy("q_id", "vec_id")
+      .agg(sum("d2c").as("adc_d"))
+      .withColumn("rn", row_number().over(w).cast("int"))
+      .filter(col("rn") <= AnnTopK)
+      .select(col("q_id"), col("rn"), col("vec_id"),
+        round(col("adc_d").cast("double"), 6).as("adc"))
+      .oracleSorted("q_id", "rn")
+  }
+
+  /** K3d `sim_ivfpq` (round 10): the composed billion-scale ANN stack —
+    * IVF coarse pruning (each query probes its `IvfProbes` nearest
+    * inverted lists, scoring |probes|/k of the corpus) with PQ ADC
+    * scoring inside the probed lists (candidates are scored from their
+    * 4 codes against the query's broadcast LUT, never from the raw
+    * floats). This is Jégou 2011's IVFADC layout, the structure behind
+    * every production vector index (FAISS IVF-PQ); the one simplification
+    * is that PQ encodes the raw vector rather than the residual
+    * (vector − coarse centroid) — the plumbing is identical, the residual
+    * variant swaps one projection in.
+    *
+    * One corpus scan feeds BOTH index sides: the (vec, subspace, label,
+    * d2) distance frame aggregates once per (vec, s) for the PQ codes
+    * (struct-min argmin — same construction as `vec_pq`, so codes are
+    * law-identical to the encode job's) and once per (vec, label) for the
+    * coarse assignment — disjoint subspaces make the full squared
+    * distance EXACTLY the sum of the 4 sub-distances (Σ_s ‖v_s−c_s‖² =
+    * ‖v−c‖²), summed as DECIMAL(28,18) so the argmin is merge-order free.
+    * The scan is repartitioned by vec_id up front, so both aggregations
+    * and their re-join reuse ONE exchange. Query-side LUT and probed
+    * lists are query-bounded broadcasts; the ADC sum and top-k window are
+    * the `vec_pq_adc` tail.
+    */
+  def simIvfPq(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{posexplode, broadcast}
+    import org.apache.spark.sql.types.DecimalType
+    val emb = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label"), col("embedding"))
+    val centSubs = pqCentSubs(emb)
+    def sliced(df: DataFrame, idAs: String) = df.select(col("vec_id").as(idAs),
+      posexplode(array((0 until PqSubspaces).map(i =>
+        slice(col("embedding"), i * PqSubDim + 1, PqSubDim)): _*))
+        .as(Seq("s", "subv")))
+    val cdd = sliced(emb.filter(col("vec_id") >= QuerySetSize), "vec_id")
+      .repartition(col("vec_id"))
+      .join(broadcast(centSubs), "s")
+      .withColumn("d2", graft.functions.Vec.sqDistF(col("subv"), col("csub")))
+      .withColumn("d2c", col("d2").cast(DecimalType(28, 18)))
+    // PQ codes: per-(vec, s) argmin on the raw double (identical to vec_pq)
+    val codes = cdd.groupBy("vec_id", "s")
+      .agg(min(struct(col("d2"), col("c_label"))).as("best"))
+      .select(col("vec_id"), col("s"), col("best").getField("c_label").as("code"))
+    // coarse assignment: per-vec argmin of the exact-decimal full distance
+    val ilist = cdd.groupBy("vec_id", "c_label").agg(sum("d2c").as("fd"))
+      .groupBy("vec_id").agg(min(struct(col("fd"), col("c_label"))).as("bl"))
+      .select(col("vec_id"), col("bl").getField("c_label").as("ilist"))
+    // query side (bounded): LUT + the IvfProbes nearest lists per query
+    val qdd = sliced(emb.filter(col("vec_id") < QuerySetSize), "q_id")
+      .join(broadcast(centSubs), "s")
+      .withColumn("d2c",
+        graft.functions.Vec.sqDistF(col("subv"), col("csub")).cast(DecimalType(28, 18)))
+    val lut = qdd.select(col("q_id"), col("s"), col("c_label").as("code"), col("d2c"))
+    val probes = qdd.groupBy("q_id", "c_label").agg(sum("d2c").as("fd"))
+      .withColumn("pr", row_number()
+        .over(Window.partitionBy("q_id").orderBy(asc("fd"), asc("c_label"))))
+      .filter(col("pr") <= IvfProbes)
+      .select(col("q_id"), col("c_label").as("ilist"))
+    val w = Window.partitionBy("q_id").orderBy(asc("adc_d"), asc("vec_id"))
+    codes.join(ilist, "vec_id")
+      .join(broadcast(probes), "ilist")
+      .join(broadcast(lut), Seq("q_id", "s", "code"))
       .groupBy("q_id", "vec_id")
       .agg(sum("d2c").as("adc_d"))
       .withColumn("rn", row_number().over(w).cast("int"))

@@ -51,6 +51,7 @@ class SqlSurfaceSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     // no token-level rewrite to slice() without type inference
     "vec_pq" -> "DATATYPE_MISMATCH",
     "vec_pq_adc" -> "DATATYPE_MISMATCH",
+    "sim_ivfpq" -> "DATATYPE_MISMATCH",
     "graph_bfs" -> "UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE",
     // ... and reject aggregation over the recursive reference
     "graph_pagerank" -> "INVALID_RECURSIVE_REFERENCE",

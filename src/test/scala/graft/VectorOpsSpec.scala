@@ -622,6 +622,71 @@ class VectorOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("sim_ivfpq: driver recompute of the full IVF+PQ stack, probed-list containment, ADC scores match vec_pq_adc on shared candidates (K3d)") {
+    val out = VectorOps.simIvfPq(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    val emb = Tables.embeddings(spark, sfDir)
+      .select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2).toArray))
+    val byLabel = emb.groupBy(_._2)
+    val cent: Map[Int, Array[Double]] = byLabel.map { case (l, vs) =>
+      val acc = Array.fill(VectorOps.Dim)(0.0)
+      vs.foreach(v => v._3.indices.foreach(i => acc(i) += v._3(i).toDouble))
+      l -> acc.map(_ / vs.length)
+    }
+    val labels = cent.keys.toSeq.sorted
+    val sd = VectorOps.PqSubDim
+    def subDist(v: Array[Float], l: Int, sIdx: Int): Double =
+      (0 until sd).map { i =>
+        val d = v(sIdx * sd + i).toDouble - cent(l)(sIdx * sd + i); d * d
+      }.sum
+    def fullDist(v: Array[Float], l: Int): Double =
+      (0 until VectorOps.PqSubspaces).map(subDist(v, l, _)).sum
+    def codesOf(v: Array[Float]): Seq[Int] =
+      (0 until VectorOps.PqSubspaces).map(sIdx => labels.minBy(l => (subDist(v, l, sIdx), l)))
+    def ilistOf(v: Array[Float]): Int = labels.minBy(l => (fullDist(v, l), l))
+    val corpus = emb.filter(_._1 >= VectorOps.QuerySetSize)
+    val queries = emb.filter(_._1 < VectorOps.QuerySetSize)
+    val probesOf: Map[Long, Set[Int]] = queries.map { q =>
+      q._1 -> labels.sortBy(l => (fullDist(q._3, l), l)).take(VectorOps.IvfProbes).toSet
+    }.toMap
+    // full driver recompute: candidates = probed lists only, scored by ADC
+    val wantTop: Map[Long, Seq[(Long, Double)]] = queries.map { q =>
+      val cands = corpus.filter(v => probesOf(q._1).contains(ilistOf(v._3)))
+        .map { v =>
+          val adc = codesOf(v._3).zipWithIndex
+            .map { case (c, sIdx) => subDist(q._3, c, sIdx) }.sum
+          v._1 -> adc
+        }
+      q._1 -> cands.sortBy { case (id, d) => (d, id) }.take(VectorOps.AnnTopK).toSeq
+    }.toMap
+    val byQ = out.groupBy(_.getLong(0))
+    assert(byQ.keySet == wantTop.keySet)
+    byQ.foreach { case (q, rs) =>
+      assert(rs.map(_.getInt(1)).sorted.toSeq == (1 to VectorOps.AnnTopK), s"rank set broken for $q")
+      val got = rs.sortBy(_.getInt(1)).map(r => (r.getLong(2), r.getDouble(3))).toSeq
+      got.zip(wantTop(q)).foreach { case ((gi, gd), (wi, wd)) =>
+        assert(gi == wi, s"query $q: IVF-PQ neighbour $gi != $wi")
+        assert(math.abs(gd - wd) < 1e-6, s"query $q vec $gi: adc $gd != $wd")
+      }
+      // containment: every reported neighbour lives in a probed list
+      got.foreach { case (gi, _) =>
+        val v = corpus.find(_._1 == gi).get._3
+        assert(probesOf(q).contains(ilistOf(v)), s"query $q neighbour $gi outside probed lists")
+      }
+    }
+    // cross-operator law: where a (q, vec) pair also appears in the
+    // unpruned vec_pq_adc top-k, the ADC scores are identical — same
+    // codes, same LUT, same decimal sum
+    val adcScores = VectorOps.vecPqAdc(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    out.foreach { r =>
+      adcScores.get((r.getLong(0), r.getLong(2))).foreach { a =>
+        assert(a == r.getDouble(3), s"ADC score drift between sim_ivfpq and vec_pq_adc at (${r.getLong(0)},${r.getLong(2)})")
+      }
+    }
+  }
+
   test("multimodal_join carries binary payload features consistent with text") {
     val r = VectorOps.multimodalJoin(spark, sfDir)
       .select("n_chars", "n_bytes").limit(20).collect()
