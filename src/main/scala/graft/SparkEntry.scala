@@ -198,6 +198,8 @@ object SparkEntry {
     "multimodal_resize" -> (VectorOps.multimodalResize _),
     "multimodal_framesample" -> (VectorOps.multimodalFramesample _),
     "multimodal_audio" -> (VectorOps.multimodalAudio _),
+    "multimodal_phash" -> (VectorOps.multimodalPhash _),
+    "multimodal_phash_pairs" -> (VectorOps.multimodalPhashPairs _),
     "sim_topk" -> (VectorOps.simTopk _),
     "sim_ann" -> (VectorOps.simAnn _),
     "sim_ivf" -> (VectorOps.simIvf _),
@@ -429,6 +431,32 @@ object SparkEntry {
     "cent AS (SELECT c_label, list(comp ORDER BY pos) AS cvec FROM comp GROUP BY 1), " +
     s"sg AS (SELECT unnest(generate_series(0, ${VectorOps.PqSubspaces - 1})) AS s), " +
     s"cs AS (SELECT c_label, s, cvec[s * ${VectorOps.PqSubDim} + 1 : s * ${VectorOps.PqSubDim} + ${VectorOps.PqSubDim}] AS csub FROM cent, sg)"
+
+  /** The perceptual-hash CTEs (mirror of VectorOps.phashBmp): BMP
+    * geometry, 8×8 grid gray sums hex-decoded from the pixel array, bit =
+    * gray·64 ≥ total, MSB-first 16-bit bands — ends in `px(doc_id, width,
+    * height, band0..band3)`. Single-sourced between the `multimodal_phash`
+    * and `multimodal_phash_pairs` oracles as `phashFrame` is in Spark.
+    */
+  private def phashPxCtes: String = {
+    val n2 = VectorOps.PhashGrid * VectorOps.PhashGrid
+    def off(plus: Int) =
+      s"((i // ${VectorOps.PhashGrid}) * h // ${VectorOps.PhashGrid} * stride + (i % ${VectorOps.PhashGrid}) * w // ${VectorOps.PhashGrid} * 3 + $plus) * 2 + 1"
+    def byteAt(plus: Int) = s"CAST(('0x' || substr(hx, ${off(plus)}, 2)) AS BIGINT)"
+    "mb AS (SELECT doc_id, text, octet_length(encode(text)) AS n, octet_length(encode(text)) % 60 + 4 AS w FROM documents), " +
+    "ms AS (SELECT doc_id, text, n, w, (w * 3 + 3) // 4 * 4 AS stride FROM mb), " +
+    "mh AS (SELECT doc_id, text, n, w, stride, (n + stride - 1) // stride AS h FROM ms), " +
+    "hxx AS (SELECT doc_id, w, h, stride, lower(hex(encode(text) || encode(repeat(' ', stride * h - n)))) AS hx FROM mh), " +
+    s"gs AS (SELECT doc_id, w, h, stride, hx, unnest(generate_series(0, ${n2 - 1})) AS i FROM hxx WHERE h > 0), " +
+    s"pv AS (SELECT doc_id, i, ${byteAt(0)} + ${byteAt(1)} + ${byteAt(2)} AS g FROM gs), " +
+    "tt AS (SELECT doc_id, sum(g) AS tot FROM pv GROUP BY 1), " +
+    s"bd AS (SELECT pv.doc_id, i // 16 AS b, sum(CASE WHEN g * $n2 >= tot THEN 1 << (15 - i % 16) ELSE 0 END) AS v FROM pv JOIN tt USING (doc_id) GROUP BY 1, 2), " +
+    (0 to 3).map(b => s"CAST(sum(CASE WHEN b = $b THEN v ELSE 0 END) AS INT) AS band$b").mkString(
+      "bb AS (SELECT doc_id, ", ", ", " FROM bd GROUP BY 1), ") +
+    "px AS (SELECT mh.doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height, " +
+    (0 to 3).map(b => s"coalesce(band$b, 0) AS band$b").mkString(", ") +
+    " FROM mh LEFT JOIN bb USING (doc_id))"
+  }
 
   /** Per-language keep-rate CASE (mirror of Relational.MixPct fold). */
   private def mixCaseSql: String =
@@ -1467,6 +1495,27 @@ object SparkEntry {
       "o AS (SELECT doc_id, string_agg(seg, '' ORDER BY f) AS ohex, CAST(sum(len) AS INT) AS n_bytes FROM sl GROUP BY doc_id) " +
       s"SELECT d.doc_id, CAST(d.nf AS INT) AS n_frames, CAST((d.nf + ${VectorOps.FrameStride} - 1) // ${VectorOps.FrameStride} AS INT) AS n_sampled, coalesce(o.n_bytes, 0) AS n_bytes_sampled, md5(coalesce(o.ohex, '')) AS checksum " +
       "FROM fd d LEFT JOIN o ON d.doc_id = o.doc_id ORDER BY d.doc_id"),
+    // mirrors VectorOps.phashBmp: 8x8 nearest-neighbor grid over the BMP
+    // pixel array (hex-decoded 3-byte gray sums), bit = gray*64 >= total,
+    // MSB-first 16-bit bands — all integers, hash-gated to the hex char
+    "multimodal_phash" ->
+      (s"WITH $phashPxCtes " +
+      "SELECT doc_id, width, height, band0, band1, band2, band3, " +
+      "printf('%04x%04x%04x%04x', band0, band1, band2, band3) AS phash " +
+      "FROM px ORDER BY doc_id"),
+    // the pairing stage over the SAME phash CTEs: per-band equi-self-join
+    // candidates, exact hamming from the four band XORs, keep <= PhashTau
+    "multimodal_phash_pairs" ->
+      (s"WITH $phashPxCtes, " +
+      "ex AS (SELECT doc_id, band0, band1, band2, band3, gb.b, " +
+      "CASE gb.b WHEN 0 THEN band0 WHEN 1 THEN band1 WHEN 2 THEN band2 ELSE band3 END AS v " +
+      "FROM px, (SELECT unnest(generate_series(0, 3)) AS b) gb), " +
+      "cd AS (SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b, " +
+      "a.band0 AS a0, a.band1 AS a1, a.band2 AS a2, a.band3 AS a3, " +
+      "c.band0 AS c0, c.band1 AS c1, c.band2 AS c2, c.band3 AS c3 " +
+      "FROM ex a JOIN ex c ON a.b = c.b AND a.v = c.v AND a.doc_id < c.doc_id), " +
+      "hm AS (SELECT doc_a, doc_b, CAST(bit_count(xor(a0, c0)) + bit_count(xor(a1, c1)) + bit_count(xor(a2, c2)) + bit_count(xor(a3, c3)) AS INT) AS hamming FROM cd) " +
+      s"SELECT doc_a, doc_b, hamming FROM hm WHERE hamming <= ${VectorOps.PhashTau} ORDER BY doc_a, doc_b"),
     // mirrors VectorOps.encodeWav/decodeWav: rate = 8000 + n%4000, data =
     // text padded to even bytes; signed int16 decode from hex pairs (UTF-8
     // high bytes make samples negative — the CASE is load-bearing)
