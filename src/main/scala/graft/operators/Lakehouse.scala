@@ -44,20 +44,32 @@ object Lakehouse {
       .where(col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
       .select(col("o_orderkey").as("key"), col("o_custkey"), col("o_totalprice").as("val"))
 
+  /** The CDC batch with before/after images — op ∈ {U, D, I}, one source
+    * for `merge_upsert`'s apply, `cdc_changefeed`'s states, and
+    * `matview_delta`'s group deltas (a fixture edit breaks all gates or
+    * none). +100.0 stays engine-exact because both engines do the same
+    * IEEE double add (no decimal re-rounding involved).
+    */
+  private[graft] def cdcBatch(base: DataFrame): DataFrame = {
+    val updates = base.where(col("key") % 7 === 3 && col("key") % 13 =!= 5)
+      .select(col("key"), col("o_custkey"), col("val").as("before_val"),
+        (col("val") + 100.0).as("after_val"), lit("U").as("op"))
+    val deletes = base.where(col("key") % 13 === 5)
+      .select(col("key"), col("o_custkey"), col("val").as("before_val"),
+        lit(null).cast("double").as("after_val"), lit("D").as("op"))
+    val inserts = base.where(col("key") % 11 === 4)
+      .select((-col("key")).as("key"), col("o_custkey"),
+        lit(null).cast("double").as("before_val"), col("val").as("after_val"),
+        lit("I").as("op"))
+    updates.unionByName(deletes).unionByName(inserts)
+  }
+
   /** The merged (post-CDC-apply) snapshot with its verdict column. */
   private[graft] def mergedSnapshot(s: SparkSession, dir: String): DataFrame = {
     val base = ordersBase(s, dir)
-
-    // CDC batch: op ∈ {U, D, I}; +100.0 stays engine-exact because both
-    // engines do the same IEEE double add (no decimal re-rounding involved)
-    val updates = base.where(col("key") % 7 === 3 && col("key") % 13 =!= 5)
-      .select(col("key"), col("o_custkey"), (col("val") + 100.0).as("val"), lit("U").as("op"))
-    val deletes = base.where(col("key") % 13 === 5)
-      .select(col("key"), col("o_custkey"), col("val"), lit("D").as("op"))
-    val inserts = base.where(col("key") % 11 === 4)
-      .select((-col("key")).as("key"), col("o_custkey"), col("val"), lit("I").as("op"))
-    val changes = updates.unionByName(deletes).unionByName(inserts)
-      .withColumnsRenamed(Map("key" -> "c_key", "o_custkey" -> "c_custkey", "val" -> "c_val"))
+    val changes = cdcBatch(base)
+      .select(col("key").as("c_key"), col("o_custkey").as("c_custkey"),
+        coalesce(col("after_val"), col("before_val")).as("c_val"), col("op"))
 
     base.join(changes, col("key") === col("c_key"), "full_outer")
       .where(coalesce(col("op"), lit("")) =!= "D")
