@@ -766,7 +766,17 @@ object VectorOps {
   def vecPq(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("label"), col("embedding"))
-    pqBest(emb, pqCentSubs(emb))
+    pqEncodeWith(emb, pqCentSubs(emb))
+      .oracleSorted("vec_id")
+  }
+
+  /** PQ encode over ANY (c_label, s, csub) codebook frame — codes +
+    * reconstruction error, shared by the oracle-checked `vec_pq`
+    * (label-mean codebook) and the k-means-learned deployment twin
+    * [[vecPqKmeans]] (the `simIvfWith` pattern).
+    */
+  private[graft] def pqEncodeWith(emb: DataFrame, centSubs: DataFrame): DataFrame =
+    pqBest(emb, centSubs)
       .groupBy("vec_id")
       .agg(
         expr("transform(array_sort(collect_list(struct(s, best.c_label AS c))), x -> x.c)")
@@ -776,8 +786,6 @@ object VectorOps {
       .select(Seq(col("vec_id")) ++
         (0 until PqSubspaces).map(i => element_at(col("codes"), i + 1).as(s"code_$i")) :+
         col("recon_err"): _*)
-      .oracleSorted("vec_id")
-  }
 
   /** The PQ codebook sliced into subspaces: (c_label, s, csub) — the
     * label-mean centroids' `PqSubDim`-dim slices. k × `PqSubspaces` rows,
@@ -839,11 +847,20 @@ object VectorOps {
     * corpus: scan codes (64× smaller than the floats), never the vectors.
     */
   def vecPqAdc(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.functions.{posexplode, broadcast}
-    import org.apache.spark.sql.types.DecimalType
     val emb = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("label"), col("embedding"))
-    val centSubs = pqCentSubs(emb)
+    pqAdcWith(emb, pqCentSubs(emb))
+      .oracleSorted("q_id", "rn")
+  }
+
+  /** ADC search over ANY (c_label, s, csub) codebook frame — encode the
+    * corpus as codes, broadcast per-query LUTs, rank by the exact-decimal
+    * ADC sum; shared by the oracle-checked `vec_pq_adc` (label-mean
+    * codebook) and the k-means-learned deployment twin [[vecPqAdcKmeans]].
+    */
+  private[graft] def pqAdcWith(emb: DataFrame, centSubs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{posexplode, broadcast}
+    import org.apache.spark.sql.types.DecimalType
     // corpus side: codes only — (vec_id, s, code), 4 small rows per vector
     val codes = pqBest(emb.filter(col("vec_id") >= QuerySetSize), centSubs)
       .select(col("vec_id"), col("s"), col("best").getField("c_label").as("code"))
@@ -866,7 +883,114 @@ object VectorOps {
       .filter(col("rn") <= AnnTopK)
       .select(col("q_id"), col("rn"), col("vec_id"),
         round(col("adc_d").cast("double"), 6).as("adc"))
-      .oracleSorted("q_id", "rn")
+  }
+
+  /** Per-subspace K-MEANS-LEARNED PQ codebooks — the DEPLOYMENT form of
+    * [[pqCentSubs]] (the executed `simIvfKmeans`/`dedupSemanticKmeans`
+    * pattern, round-10 VERDICT next-round #3): same (c_label, s, csub)
+    * schema, so [[pqEncodeWith]] / [[pqAdcWith]] consume it unchanged and
+    * the PQ contract (what wrote the codes = what the LUT is built
+    * against) holds by construction.
+    *
+    * One JOINT Lloyd loop trains all `PqSubspaces` codebooks: the corpus
+    * is sliced once into (vec_id, s, subv) rows (cached across
+    * iterations, the `simIvfKmeans` discipline), every iteration assigns
+    * each slice SHUFFLE-FREE via a literal-centers HOF argmin indexed by
+    * `s`, recomputes means with the house exact-decimal cross-row sums
+    * (associative-exact ⇒ the movement sequence and exit iteration are
+    * run-independent — the `kmeansCentersTraced` rationale), and collects
+    * only `PqSubspaces`×k×`PqSubDim` (sum, count) cells to the driver. So
+    * training costs ONE corpus pass per iteration — not one per subspace.
+    *
+    * Seeding: the label-mean sub-centroids ([[pqCentSubs]]' values).
+    * Lloyd's distortion is monotone non-increasing from any seed, so the
+    * learned codebook's total reconstruction error is ≤ the label-mean
+    * codebook's BY CONSTRUCTION (VectorOpsSpec pins it measured); on an
+    * unlabeled corpus any deterministic seed (first-k scan) drops in —
+    * everything downstream is seed-agnostic.
+    */
+  private[graft] def pqKmeansSubCodebooks(emb: DataFrame,
+                                          maxIters: Int = KmeansMaxIters,
+                                          tol: Double = KmeansTol): DataFrame = {
+    import org.apache.spark.sql.functions.posexplode
+    import org.apache.spark.sql.types.DecimalType
+    val s = emb.sparkSession
+    import s.implicits._
+    // seed: label-mean sub-centroids, collected k×PqSubspaces rows (the
+    // codebook is driver-sized by definition — it is the loop's state)
+    val seed = pqCentSubs(emb).select(col("s"), col("csub")).collect()
+      .groupBy(_.getInt(0))
+    var centers: Array[Array[Seq[Double]]] = Array.tabulate(PqSubspaces)(si =>
+      seed(si).map(_.getSeq[Double](1)).sortBy(_.toString).toArray.map(identity))
+    // deterministic seed order: sort each subspace's centroids by value so
+    // cid assignment doesn't depend on collect order
+    val subs = emb.select(col("vec_id"),
+      posexplode(array((0 until PqSubspaces).map(i =>
+        slice(col("embedding"), i * PqSubDim + 1, PqSubDim)): _*))
+        .as(Seq("s", "subv"))).cache()
+    try {
+      def centersLitBySub(): Column = array(centers.map(sub =>
+        array(sub.zipWithIndex.map { case (c, j) =>
+          struct(lit(j).as("cid"), array(c.map(lit(_)): _*).as("center"))
+        }: _*)): _*)
+      var moved = Double.MaxValue
+      var it = 0
+      while (it < maxIters && moved > tol) {
+        it += 1
+        val near = array_min(transform(
+          element_at(centersLitBySub(), col("s") + 1),
+          c => struct(Vec.sqDistF(col("subv"), c.getField("center")).as("dist"),
+            c.getField("cid").as("cid"))))
+        val sums = subs
+          .select(col("s"), near.getField("cid").as("cid"), posexplode(col("subv")))
+          .groupBy("s", "cid", "pos")
+          .agg(sum(col("col").cast("double").cast(DecimalType(28, 20)))
+            .cast("double").as("sv"), count(lit(1)).as("n"))
+          .collect()
+        val byKey = sums.groupBy(r => (r.getInt(0), r.getInt(1)))
+        val next = centers.zipWithIndex.map { case (sub, si) =>
+          sub.zipWithIndex.map { case (old, j) =>
+            byKey.get((si, j)) match {
+              case Some(rows) =>
+                rows.sortBy(_.getInt(2)).map(r => r.getDouble(3) / r.getLong(4)).toSeq
+              case None => old // empty cluster keeps its center
+            }
+          }
+        }
+        moved = centers.zip(next).map { case (os, ns) =>
+          os.zip(ns).map { case (o, n) =>
+            o.zip(n).map { case (a, b) => (a - b) * (a - b) }.sum }.max }.max
+        centers = next
+      }
+      if (moved > tol)
+        System.err.println(s"[graft] pq sub-kmeans stopped at the $maxIters-iteration " +
+          s"cap with max center movement $moved > $tol")
+      centers.zipWithIndex.flatMap { case (sub, si) =>
+        sub.zipWithIndex.map { case (c, j) => (j, si, c) }
+      }.toSeq.toDF("c_label", "s", "csub")
+    } finally { subs.unpersist(); () }
+  }
+
+  /** Deployment twin of `vec_pq`: encode against the k-means-learned
+    * codebooks. Spec-covered (VectorOpsSpec: search parity on separable
+    * data; reconstruction error ≤ the label-mean form on the real
+    * corpus); not oracle-checkable (iterative driver loop, the
+    * `simIvfKmeans` contract).
+    */
+  private[graft] def vecPqKmeans(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label"), col("embedding"))
+    pqEncodeWith(emb, pqKmeansSubCodebooks(emb).lineageCut(eager = false))
+  }
+
+  /** Deployment twin of `vec_pq_adc`: ADC search against the
+    * k-means-learned codebooks — same encode, same LUT build, same
+    * exact-decimal ranking tail via [[pqAdcWith]].
+    */
+  private[graft] def vecPqAdcKmeans(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label"), col("embedding"))
+    pqAdcWith(emb, pqKmeansSubCodebooks(emb).lineageCut(eager = false))
   }
 
   /** K3d `sim_ivfpq` (round 10): the composed billion-scale ANN stack —

@@ -754,4 +754,57 @@ class VectorOpsSpec extends AnyFunSuite {
     // corpus is ASCII: byte length == char count
     r.foreach(row => assert(row.getLong(0) == row.getInt(1).toLong, row.toString))
   }
+
+  test("PQ k-means deployment twin: codebook shape, ADC search parity with the label-mean form and true-blob recall on separable data (K21'/K21'' deployment shape)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    // 3 well-separated blobs along the all-ones diagonal: the label offset
+    // (10*l on every component) is visible in EVERY PqSubDim-slice, so each
+    // of the 4 subspaces independently learns / carries the blob structure.
+    val data = (0 until 90).map { i =>
+      val label = i % 3
+      val v = Array.fill(VectorOps.Dim)(label * 10.0f + (rnd.nextFloat() - 0.5f))
+      (i.toLong, v.toSeq, label)
+    }
+    val dir = "/tmp/graft_test_pq_km"
+    data.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), col("embedding"))
+    // codebook shape: PqSubspaces x k rows, PqSubDim-dim sub-centroids
+    val book = VectorOps.pqKmeansSubCodebooks(emb).collect()
+    assert(book.length == VectorOps.PqSubspaces * 3, s"codebook rows ${book.length}")
+    book.foreach(r => assert(r.getSeq[Double](2).length == VectorOps.PqSubDim))
+    // end-to-end search parity: the kmeans-learned codebook and the
+    // label-mean codebook converge to the same sub-centroids on separable
+    // data, so the full ADC ranking (encode + LUT + exact-decimal sum +
+    // vec_id tiebreak) must return identical (q, rn, vec) triples
+    val km = VectorOps.vecPqAdcKmeans(spark, dir)
+      .select("q_id", "rn", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val lm = VectorOps.vecPqAdc(spark, dir)
+      .select("q_id", "rn", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(km == lm, s"ADC search parity broken: ${(km diff lm) ++ (lm diff km)}")
+    // true-retrieval law, not just parity: every hit is from the query's blob
+    val labelOf = data.map(d => d._1 -> d._3).toMap
+    km.foreach { case (q, _, v) =>
+      assert(labelOf(v) == labelOf(q), s"query $q (blob ${labelOf(q)}) retrieved $v (blob ${labelOf(v)})")
+    }
+  }
+
+  test("PQ k-means deployment twin: reconstruction error <= the label-mean codebook's on the real corpus (Lloyd monotonicity, measured)") {
+    // the learned codebook is SEEDED with the label-mean sub-centroids and
+    // Lloyd's distortion is monotone non-increasing, so the total encode
+    // reconstruction error can only improve — pinned measured, per row sums
+    val lm = VectorOps.vecPq(spark, sfDir).collect()
+      .map(r => r.getDouble(r.fieldIndex("recon_err"))).sum
+    val km = VectorOps.vecPqKmeans(spark, sfDir).collect()
+      .map(r => r.getDouble(r.fieldIndex("recon_err"))).sum
+    assert(km <= lm + 1e-6, s"kmeans codebook recon $km > label-mean $lm")
+    // on PURE-RANDOM embeddings (no label structure) the improvement is
+    // strict and large: label means collapse to ~the global mean while
+    // Lloyd actually partitions the space
+    assert(km < lm * 0.999, s"expected strict improvement on random embeddings: $km vs $lm")
+  }
 }
