@@ -70,6 +70,35 @@ object AnnRecall {
     }
     spark.conf.unset(VectorOps.IvfProbesConf)
 
+    // sim_ivfpq sweep (round-10 VERDICT next-round #4): nProbe × {ADC,
+    // exact-rerank}. Ground truth here is exact squared-L2 top-k (the
+    // metric IVF-PQ ranks in — cosine ground truth would conflate metric
+    // mismatch with index loss); the label-mean coarse book has 10 lists,
+    // so nProbe=10 is exhaustive — at that point the rerank row must hit
+    // recall 1.0 and the ADC row isolates pure PQ-resolution loss.
+    import graft.functions.Vec
+    val l2q = emb.filter(col("vec_id") < VectorOps.QuerySetSize)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val l2want = pairs(emb.filter(col("vec_id") >= VectorOps.QuerySetSize)
+      .crossJoin(broadcast(l2q))
+      .withColumn("d2", Vec.sqDistF(col("q_emb"), col("embedding")))
+      .withColumn("rn", row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy("q_id").orderBy(asc("d2"), asc("vec_id"))))
+      .filter(col("rn") <= VectorOps.AnnTopK))
+    def rowVs(op: String, conf: Int, got: Set[(Long, Long)], sec: Double, scored: Long): Unit =
+      rows += (s"""{"op":"$op","conf":$conf,""" +
+        s""""recall":${fmt((got & l2want).size.toDouble / l2want.size)},""" +
+        s""""secs":${fmt(sec)},"scored_pairs":$scored}""")
+    for (p <- Seq(1, 2, 4, 10)) {
+      spark.conf.set(VectorOps.IvfProbesConf, p.toString)
+      val scored = VectorOps.ivfPqCandidates(spark, dir).count()
+      val (gotAdc, secAdc) = timed(pairs(VectorOps.simIvfPq(spark, dir)))
+      rowVs("sim_ivfpq", p, gotAdc, secAdc, scored)
+      val (gotRr, secRr) = timed(pairs(VectorOps.simIvfPqRerank(spark, dir)))
+      rowVs("sim_ivfpq_rerank", p, gotRr, secRr, scored)
+    }
+    spark.conf.unset(VectorOps.IvfProbesConf)
+
     println(s"""{"metric":"ann_recall","sf":"$dir","n_corpus":$nCorpus,""" +
       s""""ground_truth_pairs":${want.size},"brute_secs":${fmt(bruteSec)},""" +
       s""""sweeps":[${rows.mkString(",")}]}""")

@@ -1017,6 +1017,24 @@ object VectorOps {
     * the `vec_pq_adc` tail.
     */
   def simIvfPq(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("q_id").orderBy(asc("adc_d"), asc("vec_id"))
+    ivfPqCandidates(s, dir)
+      .withColumn("rn", row_number().over(w).cast("int"))
+      .filter(col("rn") <= AnnTopK)
+      .select(col("q_id"), col("rn"), col("vec_id"),
+        round(col("adc_d").cast("double"), 6).as("adc"))
+      .oracleSorted("q_id", "rn")
+  }
+
+  /** The scored-candidate frame of IVF-PQ search — every probed-list
+    * (query, vector) pair with its exact-decimal ADC distance, BEFORE
+    * ranking; split out for [[graft.AnnRecall]]'s recall-vs-cost sweep
+    * (the `ivfCandidates`/`annCandidates` pattern) and for the exact
+    * rerank variant [[simIvfPqRerank]]. Probed-list count honors the
+    * [[IvfProbesConf]] session conf (the sweep axis); the registered
+    * query never sets it, so the oracle contract is untouched.
+    */
+  private[graft] def ivfPqCandidates(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions.{posexplode, broadcast}
     import org.apache.spark.sql.types.DecimalType
     val emb = Tables.embeddings(s, dir)
@@ -1045,22 +1063,40 @@ object VectorOps {
       .withColumn("d2c",
         graft.functions.Vec.sqDistF(col("subv"), col("csub")).cast(DecimalType(28, 18)))
     val lut = qdd.select(col("q_id"), col("s"), col("c_label").as("code"), col("d2c"))
+    val nProbes = s.conf.get(IvfProbesConf, IvfProbes.toString).toInt
     val probes = qdd.groupBy("q_id", "c_label").agg(sum("d2c").as("fd"))
       .withColumn("pr", row_number()
         .over(Window.partitionBy("q_id").orderBy(asc("fd"), asc("c_label"))))
-      .filter(col("pr") <= IvfProbes)
+      .filter(col("pr") <= nProbes)
       .select(col("q_id"), col("c_label").as("ilist"))
-    val w = Window.partitionBy("q_id").orderBy(asc("adc_d"), asc("vec_id"))
     codes.join(ilist, "vec_id")
       .join(broadcast(probes), "ilist")
       .join(broadcast(lut), Seq("q_id", "s", "code"))
       .groupBy("q_id", "vec_id")
       .agg(sum("d2c").as("adc_d"))
+  }
+
+  /** IVF-PQ with EXACT rerank — the second axis of AnnRecall's ivfpq
+    * sweep: the probed candidate set is identical to `sim_ivfpq`'s, but
+    * the final ranking fetches the candidates' raw vectors and orders by
+    * exact squared L2 instead of the ADC approximation (FAISS's
+    * re-ranking stage). At scale this is the standard accuracy knob: the
+    * candidate fetch is |candidates| ≪ corpus rows through a hash join,
+    * and recall is then limited only by coarse pruning, not by PQ
+    * resolution.
+    */
+  private[graft] def simIvfPqRerank(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val qv = emb.filter(col("vec_id") < QuerySetSize)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val w = Window.partitionBy("q_id").orderBy(asc("d2"), asc("vec_id"))
+    ivfPqCandidates(s, dir).select("q_id", "vec_id")
+      .join(emb.select(col("vec_id"), col("embedding")), "vec_id")
+      .join(broadcast(qv), "q_id")
+      .withColumn("d2", Vec.sqDistF(col("q_emb"), col("embedding")))
       .withColumn("rn", row_number().over(w).cast("int"))
       .filter(col("rn") <= AnnTopK)
-      .select(col("q_id"), col("rn"), col("vec_id"),
-        round(col("adc_d").cast("double"), 6).as("adc"))
-      .oracleSorted("q_id", "rn")
+      .select(col("q_id"), col("rn"), col("vec_id"), col("d2"))
   }
 
   /** K3 `sim_topk`: brute-force cosine top-k of the corpus against a small
