@@ -91,6 +91,7 @@ object SparkEntry {
     // lakehouse table maintenance
     "merge_upsert" -> (Lakehouse.mergeUpsert _),
     "cdc_changefeed" -> (Lakehouse.cdcChangefeed _),
+    "matview_delta" -> (Lakehouse.matviewDelta _),
     "compact_files" -> (Lakehouse.compactFiles _),
     "layout_zorder" -> (Lakehouse.layoutZorder _),
     "layout_hilbert" -> (Lakehouse.layoutHilbert _),
@@ -236,10 +237,13 @@ object SparkEntry {
     * Lakehouse.ordersBase/mergedSnapshot).
     */
   private val cdcSnapshotCtes: String =
+    // before/after images mirror Lakehouse.cdcBatch; c_val (the merge's
+    // collapsed value) is their coalesce, so merge_upsert/cdc_changefeed
+    // and matview_delta all read ONE change-batch definition
     "base AS (SELECT o_orderkey AS key, o_custkey, o_totalprice AS val FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01'), " +
-      "changes AS (SELECT key, o_custkey AS c_custkey, val + 100.0 AS c_val, 'U' AS op FROM base WHERE key % 7 = 3 AND key % 13 <> 5 " +
-      "UNION ALL SELECT key, o_custkey, val, 'D' FROM base WHERE key % 13 = 5 " +
-      "UNION ALL SELECT -key, o_custkey, val, 'I' FROM base WHERE key % 11 = 4)"
+      "changes AS (SELECT key, o_custkey AS c_custkey, CAST(val AS DOUBLE) AS before_val, CAST(val + 100.0 AS DOUBLE) AS after_val, val + 100.0 AS c_val, 'U' AS op FROM base WHERE key % 7 = 3 AND key % 13 <> 5 " +
+      "UNION ALL SELECT key, o_custkey, val, NULL, val, 'D' FROM base WHERE key % 13 = 5 " +
+      "UNION ALL SELECT -key, o_custkey, NULL, val, val, 'I' FROM base WHERE key % 11 = 4)"
 
   /** Funnel oracle shared by `funnel_events` (join-chain form) and
     * `stream_funnel` (mapGroupsWithState form) — the two implementations
@@ -871,6 +875,19 @@ object SparkEntry {
       "a.val AS before_val, m.val AS after_val " +
       "FROM base a FULL OUTER JOIN merged m ON a.key = m.key) " +
       "SELECT o_orderkey, op, before_val, after_val FROM d WHERE op IS NOT NULL ORDER BY o_orderkey"),
+    // incremental view maintenance replayed from the SAME change-batch CTE
+    // (before/after images) — delta aggregation over changes only, old view
+    // recomputed as the stored-MV stand-in, refresh = old + delta
+    "matview_delta" ->
+      (s"WITH $cdcSnapshotCtes, " +
+      "mv AS (SELECT o_custkey, sum(CAST(val AS DECIMAL(18,2))) AS old_sum, count(1) AS old_n FROM base GROUP BY 1), " +
+      "d AS (SELECT c_custkey AS o_custkey, " +
+      "sum(coalesce(CAST(after_val AS DECIMAL(18,2)), CAST(0 AS DECIMAL(18,2))) - coalesce(CAST(before_val AS DECIMAL(18,2)), CAST(0 AS DECIMAL(18,2)))) AS delta_sum, " +
+      "CAST(sum(CASE op WHEN 'I' THEN 1 WHEN 'D' THEN -1 ELSE 0 END) AS BIGINT) AS delta_n FROM changes GROUP BY 1) " +
+      "SELECT d.o_custkey, CAST(coalesce(mv.old_sum, 0) AS DOUBLE) AS old_sum, coalesce(mv.old_n, 0) AS old_n, " +
+      "CAST(d.delta_sum AS DOUBLE) AS delta_sum, d.delta_n, " +
+      "CAST(coalesce(mv.old_sum, 0) + d.delta_sum AS DOUBLE) AS new_sum, CAST(coalesce(mv.old_n, 0) + d.delta_n AS BIGINT) AS new_n " +
+      "FROM d LEFT JOIN mv ON d.o_custkey = mv.o_custkey ORDER BY d.o_custkey"),
     // the interleave expression text is single-sourced from
     // Lakehouse.zInterleaveSql (both engines parse the same `>> & <<`
     // arithmetic); min/max of the RAW dims pins the region geometry

@@ -81,6 +81,52 @@ object Lakehouse {
           .otherwise("inserted").as("src"))
   }
 
+  /** M9 `matview_delta` (round 11): incremental materialized-view
+    * maintenance — the third leg of the CDC tripod (apply a feed:
+    * `merge_upsert`; derive a feed: `cdc_changefeed`; CONSUME a feed
+    * downstream: this). A materialized aggregate view over the base
+    * (per-customer sum(val) + row count) is refreshed from the change
+    * batch's before/after images ALONE — sum and count are
+    * self-maintainable aggregates (Δsum = Σ after−before, Δn =
+    * #inserts − #deletes), so the refresh never rescans the base table.
+    * Output: one row per AFFECTED group with (old, delta, new) — the
+    * view-maintenance journal a lakehouse writes per CDC commit.
+    *
+    * Float discipline: sums run as DECIMAL(18,2) (order-free; the
+    * `join_bloom` money precedent) and cast to double only at the edge.
+    *
+    * Scale shape: the delta aggregation is over the CHANGE BATCH (∝
+    * churn, partial-agged map-side), never the base; the old-view side
+    * here is recomputed for the gate but is the STORED view at
+    * deployment — joined on the group key, broadcastable whenever the
+    * churned-group set is small, bucketed-by-key co-located otherwise.
+    * LakehouseSpec pins the refresh law: old+delta == a full recompute
+    * over the merged snapshot, per group and in total.
+    */
+  def matviewDelta(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val d2 = (c: Column) => c.cast(DecimalType(18, 2))
+    val zero = lit(0).cast(DecimalType(18, 2))
+    val base = ordersBase(s, dir)
+    val mv = base.groupBy(col("o_custkey"))
+      .agg(sum(d2(col("val"))).as("old_sum"), count(lit(1)).as("old_n"))
+    val deltas = cdcBatch(base).groupBy(col("o_custkey"))
+      .agg(
+        sum(coalesce(d2(col("after_val")), zero) - coalesce(d2(col("before_val")), zero))
+          .as("delta_sum"),
+        sum(when(col("op") === "I", 1L).when(col("op") === "D", -1L).otherwise(0L))
+          .as("delta_n"))
+    deltas.join(mv, Seq("o_custkey"), "left")
+      .select(col("o_custkey"),
+        coalesce(col("old_sum"), zero).cast("double").as("old_sum"),
+        coalesce(col("old_n"), lit(0L)).as("old_n"),
+        col("delta_sum").cast("double").as("delta_sum"),
+        col("delta_n"),
+        (coalesce(col("old_sum"), zero) + col("delta_sum")).cast("double").as("new_sum"),
+        (coalesce(col("old_n"), lit(0L)) + col("delta_n")).as("new_n"))
+      .oracleSorted("o_custkey")
+  }
+
   /** M5 `cdc_changefeed` (round 7): snapshot-diff change feed — the
     * INVERSE of `merge_upsert`. Given two states of a table (here: the
     * base snapshot and its post-merge successor, both reconstructible by

@@ -192,4 +192,37 @@ class LakehouseSpec extends AnyFunSuite {
       assert(sorted.last._5.isEmpty && sorted.last._6 == 1)
     }
   }
+
+  test("matview_delta refresh law: old + delta == full recompute over the merged snapshot, per group and in total (M9)") {
+    val out = Lakehouse.matviewDelta(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    // full recompute of the view over the POST-merge snapshot — the state
+    // the incremental refresh claims to reach without rescanning the base
+    val full = Lakehouse.mergedSnapshot(spark, sfDir)
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+        .cast("double").as("s"), count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    out.foreach { r =>
+      val k = r.getLong(0)
+      val (ns, nn) = (r.getDouble(r.fieldIndex("new_sum")), r.getLong(r.fieldIndex("new_n")))
+      full.get(k) match {
+        case Some((fs, fn)) =>
+          assert(math.abs(ns - fs) < 1e-6, s"group $k: incremental sum $ns != recompute $fs")
+          assert(nn == fn, s"group $k: incremental count $nn != recompute $fn")
+        case None => // a group whose rows were all deleted: refresh must land on 0
+          assert(nn == 0L && math.abs(ns) < 1e-6, s"group $k vanished but refresh says ($ns, $nn)")
+      }
+    }
+    // all three change classes actually move some group (non-vacuity): some
+    // delta_n positive (insert-dominant), some negative (delete-dominant),
+    // and some zero-with-nonzero-sum (pure updates)
+    val dn = out.map(r => (r.getLong(r.fieldIndex("delta_n")), r.getDouble(r.fieldIndex("delta_sum"))))
+    assert(dn.exists(_._1 > 0) && dn.exists(_._1 < 0) &&
+      dn.exists(d => d._1 == 0 && math.abs(d._2) > 0), "fixture fails to exercise I/D/U delta classes")
+    // untouched groups emit NOTHING (the journal is churn-sized)
+    val affected = Lakehouse.cdcBatch(Lakehouse.ordersBase(spark, sfDir))
+      .select("o_custkey").distinct().count()
+    assert(out.length.toLong == affected, s"${out.length} journal rows != $affected churned groups")
+  }
 }
