@@ -131,6 +131,7 @@ object SparkEntry {
     "stream_sessionize" -> (graft.streaming.StatefulOps.streamSessionize _),
     "stream_topn_state" -> (graft.streaming.StatefulOps.streamTopnState _),
     "stream_upsert" -> (graft.streaming.StatefulOps.streamUpsert _),
+    "stream_matview" -> (graft.streaming.StatefulOps.streamMatview _),
     // §2.B6 column classification
     "project_classified" -> (Relational.projectClassified _),
     // §2.D2/D4/D5 + §2.K5 text analysis
@@ -174,6 +175,7 @@ object SparkEntry {
     "text_normalize" -> (TextOps.textNormalize _),
     "text_pii" -> (TextOps.textPii _),
     "text_ngrams" -> (TextOps.textNgrams _),
+    "text_collocations" -> (TextOps.textCollocations _),
     "text_repetition" -> (TextOps.textRepetition _),
     "decontaminate" -> (TextOps.decontaminate _),
     "pack_sequences" -> (TextOps.packSequences _),
@@ -202,6 +204,7 @@ object SparkEntry {
     "multimodal_phash" -> (VectorOps.multimodalPhash _),
     "multimodal_phash_pairs" -> (VectorOps.multimodalPhashPairs _),
     "sim_topk" -> (VectorOps.simTopk _),
+    "sim_mips" -> (VectorOps.simMips _),
     "sim_ann" -> (VectorOps.simAnn _),
     "sim_ivf" -> (VectorOps.simIvf _),
     "vec_pq" -> (VectorOps.vecPq _),
@@ -888,6 +891,14 @@ object SparkEntry {
       "CAST(d.delta_sum AS DOUBLE) AS delta_sum, d.delta_n, " +
       "CAST(coalesce(mv.old_sum, 0) + d.delta_sum AS DOUBLE) AS new_sum, CAST(coalesce(mv.old_n, 0) + d.delta_n AS BIGINT) AS new_n " +
       "FROM d LEFT JOIN mv ON d.o_custkey = mv.o_custkey ORDER BY d.o_custkey"),
+    // M9's streaming twin: the delta half of matview_delta's journal from
+    // the SAME shared change-batch CTE — one fixture, three CDC gates + twin
+    "stream_matview" ->
+      (s"WITH $cdcSnapshotCtes " +
+      "SELECT c_custkey AS o_custkey, " +
+      "CAST(sum(coalesce(CAST(after_val AS DECIMAL(18,2)), CAST(0 AS DECIMAL(18,2))) - coalesce(CAST(before_val AS DECIMAL(18,2)), CAST(0 AS DECIMAL(18,2)))) AS DOUBLE) AS delta_sum, " +
+      "CAST(sum(CASE op WHEN 'I' THEN 1 WHEN 'D' THEN -1 ELSE 0 END) AS BIGINT) AS delta_n " +
+      "FROM changes GROUP BY 1 ORDER BY 1"),
     // the interleave expression text is single-sourced from
     // Lakehouse.zInterleaveSql (both engines parse the same `>> & <<`
     // arithmetic); min/max of the RAW dims pins the region geometry
@@ -1397,6 +1408,19 @@ object SparkEntry {
       s"FROM r2 WHERE rnk <= ${TextOps.RagTopK} ORDER BY query_doc, rnk"),
     "text_ngrams" ->
       "WITH g AS (SELECT unnest(list_transform(generate_series(1, greatest(len(string_split(text, ' ')) - 1, 1)), i -> array_to_string((string_split(text, ' '))[i:i+1], ' '))) AS bigram FROM documents) SELECT bigram, count(1) AS n FROM g GROUP BY 1 HAVING count(1) >= 2 ORDER BY n DESC, bigram",
+    // PMI over the SAME shingle stream as text_ngrams (shared g CTE text);
+    // ln chain parenthesized identically to the Spark Column chain — the
+    // factored integer-product form overflows 2^53 at 10x
+    "text_collocations" ->
+      (s"WITH g AS (SELECT unnest(list_transform(generate_series(1, greatest(len(string_split(text, ' ')) - 1, 1)), i -> array_to_string((string_split(text, ' '))[i:i+1], ' '))) AS bigram FROM documents), " +
+      s"b AS (SELECT bigram, count(1) AS c_xy FROM g GROUP BY 1 HAVING count(1) >= ${TextOps.CollocMinSupport}), " +
+      // split_part is 1-based with identical semantics on BOTH engines —
+      // the [i] list index is 1-based only in DuckDB (SqlSurfaceSpec bridge)
+      "b2 AS (SELECT bigram, c_xy, split_part(bigram, ' ', 1) AS w1, split_part(bigram, ' ', 2) AS w2 FROM b WHERE len(string_split(bigram, ' ')) = 2), " +
+      "u AS (SELECT w, count(1) AS c_w FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) GROUP BY 1), " +
+      "t AS (SELECT CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS t_tok, CAST(sum(greatest(len(string_split(text, ' ')) - 1, 1)) AS BIGINT) AS n_bi FROM documents) " +
+      "SELECT bigram, c_xy, round(ln(CAST(c_xy AS DOUBLE)) + ln(CAST(t_tok AS DOUBLE)) + ln(CAST(t_tok AS DOUBLE)) - ln(CAST(n_bi AS DOUBLE)) - ln(CAST(x.c_w AS DOUBLE)) - ln(CAST(y.c_w AS DOUBLE)), 6) AS pmi " +
+      "FROM b2 JOIN u x ON b2.w1 = x.w JOIN u y ON b2.w2 = y.w, t ORDER BY pmi DESC, bigram"),
     "text_repetition" ->
       (s"WITH s2 AS (SELECT doc_id, ${rawShingles(2)} AS sh2, ${rawShingles(3)} AS sh3 FROM documents), " +
       s"r AS (SELECT doc_id, round(1.0 - CAST(len(list_distinct(list_transform(sh2, x -> ${hash60("x")}))) AS DOUBLE) / len(sh2), 4) AS rep2, round(1.0 - CAST(len(list_distinct(list_transform(sh3, x -> ${hash60("x")}))) AS DOUBLE) / len(sh3), 4) AS rep3 FROM s2), " +
@@ -1563,6 +1587,10 @@ object SparkEntry {
       "FROM dims d LEFT JOIN o ON d.doc_id = o.doc_id ORDER BY d.doc_id"),
     "sim_topk" ->
       s"WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < ${VectorOps.QuerySetSize}), c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= ${VectorOps.QuerySetSize}), s AS (SELECT q_id, vec_id, ${dotSql("q_emb", "embedding")} / (sqrt(${sqNorm("q_emb")}) * sqrt(${sqNorm("embedding")})) AS cos FROM c CROSS JOIN q), r AS (SELECT q_id, vec_id, cos, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn FROM s) SELECT q_id, vec_id, cos, CAST(rn AS INT) AS rn FROM r WHERE rn <= ${VectorOps.TopK} ORDER BY q_id, rn",
+    // MIPS: same brute scan as sim_topk ranked by the RAW dot product —
+    // the float fold mirrors FloatVecDot term for term (dotSql)
+    "sim_mips" ->
+      s"WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < ${VectorOps.QuerySetSize}), c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= ${VectorOps.QuerySetSize}), s AS (SELECT q_id, vec_id, ${dotSql("q_emb", "embedding")} AS dot FROM c CROSS JOIN q), r AS (SELECT q_id, vec_id, dot, row_number() OVER (PARTITION BY q_id ORDER BY dot DESC, vec_id) AS rn FROM s) SELECT q_id, vec_id, dot, CAST(rn AS INT) AS rn FROM r WHERE rn <= ${VectorOps.TopK} ORDER BY q_id, rn",
     "sim_ivf" ->
       (s"WITH cell AS (SELECT label AS c_label, g.i AS pos, CAST(CAST(embedding[g.i] AS DOUBLE) AS DECIMAL(28,20)) AS v FROM embeddings, (SELECT unnest(generate_series(1, ${VectorOps.Dim})) AS i) g), " +
       "comp AS (SELECT c_label, pos, CAST(sum(v) AS DOUBLE) / count(1) AS comp FROM cell GROUP BY 1, 2), " +

@@ -531,6 +531,55 @@ object TextOps {
       .filter(col("n") >= 2)
       .oracleSorted(desc("n"), asc("bigram"))
 
+  /** K33 `text_collocations` (round 11): PMI-ranked collocations (Church &
+    * Hanks 1990) — the phrase-mining corpus statistic behind tokenizer
+    * merge seeding and multi-word-expression extraction, one level above
+    * `text_ngrams`' raw counts: PMI(x,y) = ln p(x,y) − ln p(x) − ln p(y),
+    * with bigram probabilities from the shingle stream (N = Σ per-doc
+    * shingle count, the `text_ngrams` convention incl. its single-token
+    * degenerate rows — so the two operators' denominators share one
+    * definition) and unigram probabilities from token occurrences.
+    *
+    * Oracle-exactness: counts are exact longs; PMI is evaluated as an
+    * EXPLICITLY parenthesized ln chain — ((((ln c_xy + ln T) + ln T) −
+    * ln N_bi) − ln c_x) − ln c_y — identical doubles in, identical
+    * doubles out on both engines (the `text_logprob` discipline; the
+    * factored product form c_xy·T² overflows 2^53 at 10×, measured
+    * before writing it this way). Ranking = (rounded pmi, bigram) —
+    * total.
+    *
+    * Scale: two explode→groupBy partial-agg passes (shuffle ∝ distinct
+    * unigrams/bigrams — Heaps-bounded), unigram table broadcast twice
+    * (w1/w2 probes), corpus totals via one `attachScalarRow`; the ≥
+    * `CollocMinSupport` floor prunes the long tail before the joins.
+    */
+  val CollocMinSupport = 5
+
+  def textCollocations(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.ScalarAttach._
+    val docs = Tables.documents(s, dir)
+    val uni = docs.select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c_w"))
+    val tot = docs.select(
+        size(split(col("text"), " ")).cast("long").as("nt"),
+        greatest(size(split(col("text"), " ")) - 1, lit(1)).cast("long").as("nb"))
+      .agg(sum("nt").as("t_tok"), sum("nb").as("n_bi"))
+    val bi = docs.select(explode(shingles(col("text"), 2)).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("c_xy"))
+      .filter(col("c_xy") >= CollocMinSupport &&
+        size(split(col("bigram"), " ")) === 2)
+    val lnD = (c: Column) => log(c.cast("double"))
+    val pmi = lnD(col("c_xy")).plus(lnD(col("t_tok"))).plus(lnD(col("t_tok")))
+      .minus(lnD(col("n_bi"))).minus(lnD(col("c_x"))).minus(lnD(col("c_y")))
+    bi.withColumn("w1", split(col("bigram"), " ")(0))
+      .withColumn("w2", split(col("bigram"), " ")(1))
+      .join(broadcast(uni.select(col("w").as("w1"), col("c_w").as("c_x"))), "w1")
+      .join(broadcast(uni.select(col("w").as("w2"), col("c_w").as("c_y"))), "w2")
+      .attachScalarRow(tot)
+      .select(col("bigram"), col("c_xy"), round(pmi, 6).as("pmi"))
+      .oracleSorted(desc("pmi"), asc("bigram"))
+  }
+
   /** Quality scoring: token count, mean word length, stopword ratio,
     * type-token ratio, and a when/otherwise quality bucket — the standard
     * cheap pre-filters of a training-data pipeline.

@@ -1157,6 +1157,39 @@ object VectorOps {
         Vec.cosineF(col("q_emb"), col("embedding")).as("cos"))
   }
 
+  /** K3e `sim_mips` (round 11): maximum-inner-product top-k — the ranking
+    * semantic of recommender / two-tower-retrieval serving (user·item
+    * DOT product, not cosine: the item norm is signal — popularity /
+    * confidence — not noise to normalize away; a cosine index silently
+    * mis-ranks a MIPS workload). Same exact brute-force shape as
+    * `sim_topk` (broadcast query set, corpus streams past once, scored
+    * with the codegen'd `FloatVecDot` kernel whose sequential float64
+    * fold the oracle mirrors term for term), per-query top-k window.
+    *
+    * The scale path is the norm-augmentation reduction (Shrivastava &
+    * Li 2014): append sqrt(M² − ‖x‖²) to each corpus vector and 0 to
+    * each query (M = max corpus norm) — augmented squared-L2 distance
+    * = ‖q‖² + M² − 2·q·x, so argmin-L2 over the augmentation IS
+    * argmax-dot, and every L2 index in the engine (K3b LSH / K3c IVF /
+    * K3d IVF-PQ) serves MIPS unchanged. VectorOpsSpec executes that
+    * identity on the real corpus (rank-for-rank equality of the dot
+    * ranking and the augmented-distance ranking), so the reduction is
+    * a proven property, not prose.
+    */
+  def simMips(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val q = emb.filter(col("vec_id") < QuerySetSize)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val corpus = emb.filter(col("vec_id") >= QuerySetSize)
+    corpus.crossJoin(broadcast(q))
+      .select(col("q_id"), col("vec_id"),
+        Vec.dotF(col("q_emb"), col("embedding")).as("dot"))
+      .withColumn("rn", row_number()
+        .over(Window.partitionBy("q_id").orderBy(desc("dot"), asc("vec_id"))).cast("int"))
+      .filter(col("rn") <= TopK)
+      .oracleSorted("q_id", "rn")
+  }
+
   /** K3c `sim_ivf`: IVF (inverted-file) ANN — the second classic coarse
     * index besides LSH. Structure: (1) k centroids; (2) every corpus vector
     * joins the inverted list of its nearest centroid; (3) each query probes

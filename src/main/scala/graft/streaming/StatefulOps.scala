@@ -150,6 +150,83 @@ object StatefulOps {
       .start()
 
   // ------------------------------------------------------------------
+  // mapGroupsWithState incremental view maintenance (J16 — M9's twin)
+  // ------------------------------------------------------------------
+
+  /** One change-feed row reduced to its view delta: Δcents (after−before,
+    * exact integer cents — the `streamStateful` money discipline) and the
+    * row-count delta (+1 insert / −1 delete / 0 update). The change→delta
+    * mapping is stateless, so the stream carries deltas and the STATE is
+    * the running view itself.
+    */
+  case class MvDelta(group: Long, delta_cents: Long, dn: Long)
+
+  /** Per-group materialized-view state: the running (Σcents, row count). */
+  case class MvState(group: Long, sum_cents: Long, n: Long)
+
+  /** `stream_matview`: incremental materialized-view maintenance as a
+    * STATEFUL STREAM — the streaming twin of `matview_delta` (M9),
+    * exactly as `stream_upsert` twins `merge_upsert` (M1): the batch form
+    * refreshes the view from a finished CDC batch in one join; this form
+    * folds each arriving change into O(1) per-group state — (Σcents, n)
+    * — so the view is correct after EVERY trigger. Sum and count are
+    * self-maintainable (no rescan, no per-group history), which is
+    * precisely what makes the state O(1) and the operator streamable;
+    * integer-cents arithmetic keeps the fold exact and arrival-order
+    * free (a double fold would drift by merge order).
+    *
+    * Batch entry = same typed fold with fresh state ≡ the delta half of
+    * `matview_delta`'s journal, checked against the SAME shared
+    * change-batch CTE (`cdcSnapshotCtes`) — the batch M9, its oracle,
+    * and this twin read one fixture definition. StatefulOpsSpec proves
+    * cross-trigger accumulation (deltas split over two triggers land on
+    * the batch total) and batch/stream parity.
+    */
+  def updateMv(g: Long, rows: Iterator[MvDelta],
+               state: GroupState[MvState]): MvState = {
+    val init = state.getOption.getOrElse(MvState(g, 0L, 0L))
+    val up = rows.foldLeft(init) { (st, r) =>
+      MvState(g, st.sum_cents + r.delta_cents, st.n + r.dn)
+    }
+    state.update(up)
+    up
+  }
+
+  /** Typed maintenance pipeline, shared verbatim between batch and streaming. */
+  def mvMaintain(rows: Dataset[MvDelta]): Dataset[MvState] = {
+    import rows.sparkSession.implicits._
+    rows.groupByKey(_.group).mapGroupsWithState(GroupStateTimeout.NoTimeout())(updateMv)
+  }
+
+  /** Batch entry for the correctness gate: the change feed is M9's
+    * derived CDC batch (`Lakehouse.cdcBatch` — one fixture, all CDC
+    * gates), reduced to deltas and folded per group.
+    */
+  def streamMatview(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = graft.operators.Lakehouse.ordersBase(s, dir)
+    val ch = graft.operators.Lakehouse.cdcBatch(base)
+      .select(col("o_custkey").as("group"),
+        (coalesce(round(col("after_val") * 100, 0).cast("long"), lit(0L)) -
+          coalesce(round(col("before_val") * 100, 0).cast("long"), lit(0L))).as("delta_cents"),
+        when(col("op") === "I", 1L).when(col("op") === "D", -1L).otherwise(0L).as("dn"))
+      .as[MvDelta]
+    mvMaintain(ch).toDF()
+      .select(col("group").as("o_custkey"),
+        (col("sum_cents").cast("double") / 100).as("delta_sum"),
+        col("n").as("delta_n"))
+      .oracleSorted("o_custkey")
+  }
+
+  /** Streaming entry (same pipeline through `writeStream`) — parity test. */
+  def matviewStreamQuery(rows: Dataset[MvDelta], queryName: String) =
+    mvMaintain(rows).writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode(OutputMode.Update())
+      .start()
+
+  // ------------------------------------------------------------------
   // flatMapGroupsWithState TTL-bounded dedup (§2.J15 — dedup_ttl's twin)
   // ------------------------------------------------------------------
 

@@ -11,7 +11,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * equal the batch fold of the same events.
   */
 class StatefulOpsSpec extends AnyFunSuite {
-  import SparkTestSession.spark
+  import SparkTestSession.{spark, sfDir}
 
   private def ts(s: String): Timestamp = Timestamp.valueOf(s)
 
@@ -235,5 +235,44 @@ class StatefulOpsSpec extends AnyFunSuite {
     // non-vacuity: both verdict branches carry real mass
     val kepts = want.values.map(_._2).toSeq
     assert(kepts.contains(1) && kepts.contains(0), "a verdict branch is vacuous")
+  }
+
+  test("stream_matview: deltas split across triggers accumulate to the batch total; batch fold == streamed final state (J16)") {
+    import spark.implicits._
+    import StatefulOps.{MvDelta, MvState}
+    implicit val sqlCtx = spark.sqlContext
+
+    // group 1: +250 cents insert in trigger 1, then a -100-cent update and
+    // a delete (-150, dn -1) in trigger 2; group 2 changes only in trigger 2
+    val stream = MemoryStream[MvDelta]
+    val q = StatefulOps.matviewStreamQuery(stream.toDS(), "mv_t")
+    try {
+      stream.addData(MvDelta(1L, 250L, 1L))
+      q.processAllAvailable()
+      val mid = spark.table("mv_t").collect()
+        .filter(_.getLong(0) == 1L).map(r => (r.getLong(1), r.getLong(2))).last
+      assert(mid == ((250L, 1L)), s"trigger-1 state $mid")
+      stream.addData(MvDelta(1L, -100L, 0L), MvDelta(1L, -150L, -1L), MvDelta(2L, 500L, 1L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val fin = spark.table("mv_t").collect().groupBy(_.getLong(0))
+      .map { case (g, rows) => g -> { val r = rows.last; (r.getLong(1), r.getLong(2)) } }
+    assert(fin(1L) == ((0L, 0L)), s"group 1 cross-trigger state ${fin(1L)}")
+    assert(fin(2L) == ((500L, 1L)), s"group 2 state ${fin(2L)}")
+
+    // batch fold of the union equals the streamed final state
+    val batch = StatefulOps.mvMaintain(Seq(
+      MvDelta(1L, 250L, 1L), MvDelta(1L, -100L, 0L), MvDelta(1L, -150L, -1L),
+      MvDelta(2L, 500L, 1L)).toDS())
+      .collect().map(s => s.group -> ((s.sum_cents, s.n))).toMap
+    assert(batch == Map(1L -> ((0L, 0L)), 2L -> ((500L, 1L))))
+
+    // and the registered batch entry agrees with matview_delta's journal
+    // deltas on the real fixture (the M9 twin law)
+    val twin = StatefulOps.streamMatview(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    val m9 = graft.operators.Lakehouse.matviewDelta(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(r.fieldIndex("delta_sum")), r.getLong(r.fieldIndex("delta_n"))))).toMap
+    assert(twin == m9, "stream twin deltas drift from matview_delta's journal")
   }
 }

@@ -987,4 +987,32 @@ class TextOpsSpec extends AnyFunSuite {
         "rag_bm25 top-3 not a prefix of the sparse depth-N list")
     }
   }
+
+  test("text_collocations: PMI recomputes from raw counts (driver brute force), support floor holds, ranking total (K33)") {
+    val out = TextOps.textCollocations(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    val texts = Tables.documents(spark, sfDir)
+      .select("text").collect().map(_.getString(0))
+    val toks = texts.map(_.split(" ", -1).toSeq)
+    val uni = toks.flatten.groupBy(identity).map { case (w, o) => w -> o.size.toLong }
+    val tTok = toks.map(_.size.toLong).sum
+    val bis = toks.flatMap(ts => if (ts.size <= 1) ts.map(w => w)
+      else ts.sliding(2).map(_.mkString(" ")).toSeq)
+    val nBi = toks.map(ts => math.max(ts.size - 1, 1).toLong).sum
+    val biC = bis.groupBy(identity).map { case (b, o) => b -> o.size.toLong }
+    out.foreach { r =>
+      val (bg, cxy, pmi) = (r.getString(0), r.getLong(1), r.getDouble(2))
+      assert(cxy >= TextOps.CollocMinSupport, s"$bg below support floor")
+      val parts = bg.split(" ", -1)
+      assert(parts.length == 2, s"degenerate bigram $bg survived the 2-word filter")
+      assert(cxy == biC(bg), s"$bg count $cxy != ${biC(bg)}")
+      val want = math.log(cxy.toDouble) + math.log(tTok.toDouble) + math.log(tTok.toDouble) -
+        math.log(nBi.toDouble) - math.log(uni(parts(0)).toDouble) - math.log(uni(parts(1)).toDouble)
+      assert(math.abs(pmi - want) < 1e-6, s"$bg pmi $pmi != $want")
+    }
+    // a high-PMI pair co-occurs more than independence predicts; sanity:
+    // the list is PMI-descending
+    val ps = out.map(_.getDouble(2))
+    assert(ps.zip(ps.tail).forall { case (a, b) => a >= b }, "not PMI-descending")
+  }
 }

@@ -807,4 +807,37 @@ class VectorOpsSpec extends AnyFunSuite {
     // Lloyd actually partitions the space
     assert(km < lm * 0.999, s"expected strict improvement on random embeddings: $km vs $lm")
   }
+
+  test("sim_mips: dot ranking == argmin over the Shrivastava-Li norm-augmented L2 space on the real corpus (K3e reduction law)") {
+    import graft.functions.Vec
+    val out = VectorOps.simMips(spark, sfDir)
+      .select("q_id", "rn", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(out.nonEmpty)
+    // augment in-engine: corpus x -> [x, sqrt(M^2 - |x|^2)], query q -> [q, 0];
+    // then ||aug(q) - aug(x)||^2 = |q|^2 + M^2 - 2 q.x, so the ascending
+    // augmented-distance ranking must equal the descending-dot ranking
+    val emb = Tables.embeddings(spark, sfDir)
+    val m2 = emb.filter(col("vec_id") >= VectorOps.QuerySetSize)
+      .select(Vec.dotF(col("embedding"), col("embedding")).as("n2"))
+      .agg(max("n2")).collect()(0).getAs[Number](0).doubleValue()
+    val corpusAug = emb.filter(col("vec_id") >= VectorOps.QuerySetSize)
+      .select(col("vec_id"),
+        concat(col("embedding"), array(sqrt(lit(m2) -
+          Vec.dotF(col("embedding"), col("embedding")).cast("double")).cast("float"))).as("aug"))
+    val qAug = emb.filter(col("vec_id") < VectorOps.QuerySetSize)
+      .select(col("vec_id").as("q_id"),
+        concat(col("embedding"), array(lit(0.0f))).as("q_aug"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(asc("d2"), asc("vec_id"))
+    val viaL2 = corpusAug.crossJoin(broadcast(qAug))
+      .select(col("q_id"), col("vec_id"),
+        Vec.sqDistF(col("q_aug"), col("aug")).as("d2"))
+      .withColumn("rn", row_number().over(w).cast("int"))
+      .filter(col("rn") <= VectorOps.TopK)
+      .select("q_id", "rn", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(out == viaL2,
+      s"MIPS/augmented-L2 rank mismatch on ${(out.toSet diff viaL2.toSet).take(5)}")
+  }
 }

@@ -6,7 +6,7 @@ testdata parquet tables as DuckDB views, runs each oracle SQL, and compares
 row counts, column names/dtypes, and values (exact for non-floats, tolerant
 then-exact-hash report for floats). Usage:
 
-    python3 tools/selfcheck.py [--unordered] [--json OUT.json] [--timeout-sec N] <sfDir> <verifyOutDir>
+    python3 tools/selfcheck.py [--unordered] [--json OUT.json] [--timeout-sec N] [--only a,b,c] <sfDir> <verifyOutDir>
 
 --unordered: order-INSENSITIVE comparison — both sides are canonically
   row-sorted over ALL columns before the exact compare, certifying row
@@ -18,6 +18,10 @@ then-exact-hash report for floats). Usage:
 --timeout-sec N: interrupt any oracle running longer than N seconds and record
   it as `oracle_timeout` (a tractability exclusion for scale gates, not a
   verdict) — round 9, used by the 100x gate.
+--only a,b,c: restrict the check to the named queries (round 11) — lets the
+  100x wide gate run ONE ORACLE PER PROCESS (the round-9 lesson: a blown-up
+  oracle poisons a shared DuckDB buffer manager) via a shell loop, with the
+  per-query JSON artifacts merged afterwards.
 """
 import sys, os, json, glob
 import duckdb
@@ -46,7 +50,8 @@ def row_sorted(df):
     order = keys.sort_values(by=list(df.columns), kind="mergesort").index
     return df.loc[order].reset_index(drop=True)
 
-def main(sf_dir, out_dir, unordered=False, json_out=None, timeout_sec=None):
+def main(sf_dir, out_dir, unordered=False, json_out=None, timeout_sec=None,
+         only=None):
     # Fresh connection factory (round 9): each oracle runs on its OWN
     # connection with a bounded memory_limit (override via SELFCHECK_MEM).
     # Rationale: a hex-blowup oracle at 100x exhausts the buffer manager,
@@ -65,6 +70,8 @@ def main(sf_dir, out_dir, unordered=False, json_out=None, timeout_sec=None):
             c.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
         return c
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    if only:
+        oracle = {k: v for k, v in oracle.items() if k in only}
     n_pass = n_fail = 0
     report = {}
     def record(name, status, rows=None, detail=None):
@@ -208,4 +215,10 @@ if __name__ == "__main__":
         i = argv.index("--json")
         json_out = argv[i + 1]
         del argv[i:i + 2]
-    sys.exit(main(argv[0], argv[1], unordered=unordered, json_out=json_out, timeout_sec=timeout_sec))
+    only = None
+    if "--only" in argv:
+        i = argv.index("--only")
+        only = set(argv[i + 1].split(","))
+        del argv[i:i + 2]
+    sys.exit(main(argv[0], argv[1], unordered=unordered, json_out=json_out,
+                  timeout_sec=timeout_sec, only=only))
