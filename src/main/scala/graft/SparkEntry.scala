@@ -185,6 +185,7 @@ object SparkEntry {
     "sample_reservoir" -> (Relational.sampleReservoir _),
     "sample_weighted" -> (Relational.sampleWeighted _),
     "sample_mix" -> (Relational.sampleMix _),
+    "sample_temperature" -> (Relational.sampleTemperature _),
     "sample_split" -> (Relational.sampleSplit _),
     "stats_profile" -> (Relational.statsProfile _),
     "stats_moments" -> (Relational.statsMoments _),
@@ -1459,6 +1460,14 @@ object SparkEntry {
       (s"WITH h AS (SELECT doc_id, lang, source, ${saltedBucketSql("mix")} AS bucket, " +
       s"$mixCaseSql AS keep_pct FROM documents) " +
       "SELECT doc_id, lang, source, bucket, keep_pct FROM h WHERE bucket < keep_pct ORDER BY doc_id"),
+    // temperature rebalancing: data-derived keep rates (sqrt(n_min/n_l)
+    // = the alpha=0.5 downsample-only form), integer basis-point compare
+    "sample_temperature" ->
+      (s"WITH ln AS (SELECT lang, count(1) AS n_l FROM documents GROUP BY 1), " +
+      "mn AS (SELECT min(n_l) AS n_min FROM ln), " +
+      s"r AS (SELECT lang, n_l, CAST(floor(sqrt(CAST(n_min AS DOUBLE) / CAST(n_l AS DOUBLE)) * ${Relational.TempBasis}) AS INT) AS keep_bp FROM ln, mn), " +
+      s"h AS (SELECT doc_id, d.lang, CAST((CAST(('0x' || substr(md5('temp:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % ${Relational.TempBasis}) AS INT) AS bucket_bp, n_l, keep_bp FROM documents d JOIN r ON d.lang = r.lang) " +
+      "SELECT doc_id, lang, bucket_bp, n_l, keep_bp FROM h WHERE bucket_bp < keep_bp ORDER BY doc_id"),
     "corpus_pipeline" -> corpusPipelineSql,
     "corpus_report" -> corpusReportSql,
     "sample_split" ->

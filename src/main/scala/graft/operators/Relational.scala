@@ -821,6 +821,50 @@ object Relational {
       .filter(col("bucket") < col("keep_pct"))
   }
 
+  /** `sample_temperature` resolution: keep rates quantized to basis
+    * points so the hash-bucket compare is integer-vs-integer (never a
+    * float boundary).
+    */
+  val TempBasis = 10000
+
+  /** K23′ `sample_temperature` (round 11): temperature-based language
+    * rebalancing — the multilingual-corpus α-sampling of XLM-R/mT5
+    * (Conneau 2020 §3): head languages are downsampled toward
+    * p_l^α (α = 0.5 here), tail languages kept whole, so the trained
+    * model sees a flatter language mix WITHOUT replicating rare data.
+    * Where `sample_mix` (K23) applies FIXED per-language percentages,
+    * this derives them FROM THE DATA: with α = ½ the downsample-only
+    * keep rate is rate_l = p_l^(α−1) normalized to max 1, which
+    * simplifies to sqrt(n_min / n_l) — the rarest language keeps 100%,
+    * a 4×-more-common one keeps 50%.
+    *
+    * Oracle-exactness: n_min/n_l is a division of exact longs and sqrt
+    * of identical doubles matches DuckDB (house float rule), so the
+    * basis-point threshold floor(√·TempBasis) is engine-identical; the
+    * keep decision is then integer bucket < integer threshold (the
+    * `sample_hash` md5 discipline at 1/100th-percent resolution — no
+    * float compare at the boundary).
+    *
+    * Scale: one vocabulary-sized language-count aggregation (broadcast
+    * back), then a stateless per-row predicate — streaming-safe and
+    * shuffle-free over the corpus, like every sampler in the engine.
+    */
+  def sampleTemperature(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.ScalarAttach._
+    val docs = Tables.documents(s, dir)
+    val langN = docs.groupBy("lang").agg(count(lit(1)).as("n_l"))
+    val rates = langN.attachScalarRow(langN.agg(min(col("n_l")).as("n_min")))
+      .withColumn("keep_bp",
+        floor(sqrt(col("n_min").cast("double") / col("n_l").cast("double"))
+          * TempBasis).cast("int"))
+    docs
+      .withColumn("bucket_bp", (saltedHash("temp") % TempBasis).cast("int"))
+      .join(broadcast(rates.select("lang", "n_l", "keep_bp")), "lang")
+      .filter(col("bucket_bp") < col("keep_bp"))
+      .select(col("doc_id"), col("lang"), col("bucket_bp"), col("n_l"), col("keep_bp"))
+      .oracleSorted("doc_id")
+  }
+
   /** `stats_histogram` bin width (dollars) and cap (last bin collects the
     * tail). Interpolated into the oracle SQL so the two engines share one
     * definition.

@@ -104,6 +104,38 @@ class RelationalSpec extends AnyFunSuite {
     assert(Relational.sampleMix(spark, "/tmp/graft_test_mix").count() == 1)
   }
 
+  test("sample_temperature: data-derived sqrt(n_min/n_l) rates, rarest language kept whole, measured rates track alpha=0.5 (K23')") {
+    val out = Relational.sampleTemperature(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    val totals = Tables.documents(spark, sfDir).groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nMin = totals.values.min
+    // every row's threshold is exactly the floor'd sqrt law of its counts
+    out.foreach { r =>
+      val (lang, bp, nl, kbp) = (r.getString(1), r.getInt(2), r.getLong(3), r.getInt(4))
+      assert(nl == totals(lang))
+      val want = math.floor(math.sqrt(nMin.toDouble / nl.toDouble) * Relational.TempBasis).toInt
+      assert(kbp == want, s"$lang keep_bp $kbp != $want")
+      assert(bp < kbp)
+    }
+    val kept = out.groupBy(_.getString(1)).view.mapValues(_.length.toLong).toMap
+    // rarest language(s) keep 100% (rate exactly 1.0 -> threshold = basis)
+    totals.filter(_._2 == nMin).keys.foreach { l =>
+      assert(kept(l) == totals(l), s"rarest lang $l must be kept whole")
+    }
+    // head language is genuinely downsampled (non-vacuity: en is ~3x fr in
+    // the fixture) and measured rates track sqrt(n_min/n_l) (+-15pp)
+    val (headLang, headN) = totals.maxBy(_._2)
+    assert(kept(headLang) < headN, "head language must lose rows")
+    for ((l, n) <- totals) {
+      val rate = kept.getOrElse(l, 0L).toDouble / n
+      val want = math.sqrt(nMin.toDouble / n.toDouble)
+      assert(math.abs(rate - want) < 0.15, f"$l rate $rate%.2f vs $want%.2f")
+    }
+    // determinism
+    assert(Relational.sampleTemperature(spark, sfDir).collect().toSeq == out.toSeq)
+  }
+
   test("stats_profile matches hand-computed stats on inline data") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
