@@ -126,10 +126,35 @@ class NativeVecSpec extends AnyFunSuite {
     val minMd5 = df.select(
         graft.plans.MinGramMd5.minWordGramMd5(col("text"), 3).as("native"),
         org.apache.spark.sql.functions.array_min(transform(
-          array_distinct(TextOps.shingles(col("text"), 3)),
+          array_distinct(TextOps.shinglesHof(col("text"), 3)),
           x => org.apache.spark.sql.functions.md5(x.cast("binary")))).as("hof"))
       .collect()
     minMd5.foreach(r => assert(r.getString(0) == r.getString(1), r.toString))
+  }
+
+  test("WordShingles kernel == HOF shingle chain bitwise (edge cases, UTF-8, real corpus)") {
+    import spark.implicits._
+    import graft.operators.TextOps
+    val rnd = new scala.util.Random(31)
+    // byte-slicing correctness depends on 0x20 never splitting a multi-byte
+    // sequence — exercise 2-, 3-, and 4-byte UTF-8 plus empty-word runs
+    val texts = Seq("", "one", "a b", "a  b c", " lead", "trail ", "  ",
+      "héllo wörld ünïcode", "文字 テスト 漢字", "a 𝄞 b 𝄞𝄞 c") ++
+      Seq.fill(120)(Seq.fill(rnd.nextInt(25) + 1)("tok" + rnd.nextInt(40)).mkString(" "))
+    for (n <- Seq(2, 3, 8)) {
+      val rows = texts.toDF("text").select(
+          TextOps.shingles(col("text"), n).as("native"),
+          TextOps.shinglesHof(col("text"), n).as("hof"))
+        .collect()
+      rows.foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1), s"n=$n: $r"))
+    }
+    // the real corpus, full table (the consumers' actual input distribution)
+    val corpus = Tables.documents(spark, sfDir).select(
+        TextOps.shingles(col("text"), 2).as("native"),
+        TextOps.shinglesHof(col("text"), 2).as("hof"))
+      .collect()
+    assert(corpus.nonEmpty)
+    corpus.foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1), r.toString))
   }
 
   test("HilbertKey kernel == the per-level fragment chain bitwise over the full orders table") {
@@ -211,7 +236,7 @@ class NativeVecSpec extends AnyFunSuite {
         graft.plans.TopGramCount.of(col("text"), 2).as("top"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val composed = df
-      .select(col("doc_id"), explode(TextOps.shingles(col("text"), 2)).as("g"))
+      .select(col("doc_id"), explode(TextOps.shinglesHof(col("text"), 2)).as("g"))
       .groupBy("doc_id", "g").count()
       .groupBy("doc_id").agg(max("count").as("top"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -53,10 +53,18 @@ class PlanSweepSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     test(s"$name plans without CartesianProduct" +
          (if (bnljAllowed.contains(name)) " and within its BNLJ allowance"
           else " or BroadcastNestedLoopJoin")) {
-      val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
-      assert(!plan.contains("CartesianProduct"),
-        s"$name plan contains CartesianProduct:\n$plan")
-      val bnljCount = "BroadcastNestedLoopJoin".r.findAllIn(plan).size
+      // count NODES structurally (round-11 ADVICE #3): regex-counting the
+      // plan STRING double-counts when Spark prints Initial+Final AQE
+      // sections or a reused subtree — collect() walks each physical node
+      // once, through AQE wrappers
+      val plan = fn(spark, sfDir).queryExecution.executedPlan
+      val cartesian = collect(plan) {
+        case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+      }
+      assert(cartesian.isEmpty, s"$name plan contains CartesianProduct:\n$plan")
+      val bnljCount = collect(plan) {
+        case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => b
+      }.size
       assert(bnljCount <= bnljAllowed.getOrElse(name, 0),
         s"$name plan contains $bnljCount BroadcastNestedLoopJoin(s), " +
           s"allowance ${bnljAllowed.getOrElse(name, 0)}:\n$plan")

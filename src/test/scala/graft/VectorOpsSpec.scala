@@ -801,11 +801,17 @@ class VectorOpsSpec extends AnyFunSuite {
       .map(r => r.getDouble(r.fieldIndex("recon_err"))).sum
     val km = VectorOps.vecPqKmeans(spark, sfDir).collect()
       .map(r => r.getDouble(r.fieldIndex("recon_err"))).sum
+    // the HARD law is monotone non-increase (Lloyd from the label-mean seed)
     assert(km <= lm + 1e-6, s"kmeans codebook recon $km > label-mean $lm")
-    // on PURE-RANDOM embeddings (no label structure) the improvement is
-    // strict and large: label means collapse to ~the global mean while
-    // Lloyd actually partitions the space
-    assert(km < lm * 0.999, s"expected strict improvement on random embeddings: $km vs $lm")
+    // FIXTURE-SPECIFIC check (round-11 ADVICE #4): on the sf* embeddings —
+    // PURE-RANDOM vectors, no label structure — label means collapse to
+    // ~the global mean while Lloyd actually partitions the space, so the
+    // improvement is strict. A regenerated fixture with label-correlated
+    // embeddings (label means near Lloyd's fixed point) would void THIS
+    // check without any product bug; drop it with the fixture, keep the
+    // monotone law above.
+    assert(km < lm * 0.999,
+      s"strict improvement expected on the pure-random sf fixture: $km vs $lm")
   }
 
   test("sim_mips: dot ranking == argmin over the Shrivastava-Li norm-augmented L2 space on the real corpus (K3e reduction law)") {

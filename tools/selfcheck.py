@@ -71,6 +71,12 @@ def main(sf_dir, out_dir, unordered=False, json_out=None, timeout_sec=None,
         return c
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     if only:
+        # fail fast on misspelled/renamed names (round-11 ADVICE): a silent
+        # intersection would let a per-query 100x gate loop "pass" vacuously
+        unknown = sorted(set(only) - set(oracle))
+        if unknown:
+            raise SystemExit(
+                f"--only names absent from oracle_sql.json: {', '.join(unknown)}")
         oracle = {k: v for k, v in oracle.items() if k in only}
     n_pass = n_fail = 0
     report = {}
