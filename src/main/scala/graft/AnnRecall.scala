@@ -99,6 +99,25 @@ object AnnRecall {
     }
     spark.conf.unset(VectorOps.IvfProbesConf)
 
+    // sim_mips_ivf sweep (round-12 VERDICT #2): MIPS ground truth is the
+    // brute-force DOT ranking (sim_mips capped at AnnTopK) — cosine truth
+    // would conflate the metric change with index loss. Probes sweep the
+    // same axis as sim_ivf; nProbes = 10 (the label-mean book's list
+    // count) is exhaustive, where the norm-augmentation identity makes
+    // recall exactly 1.0 (asserted as a law in VectorOpsSpec).
+    val mipsWant = pairs(
+      VectorOps.simMips(spark, dir).filter(col("rn") <= VectorOps.AnnTopK))
+    def rowMips(conf: Int, got: Set[(Long, Long)], sec: Double, scored: Long): Unit =
+      rows += (s"""{"op":"sim_mips_ivf","conf":$conf,""" +
+        s""""recall":${fmt((got & mipsWant).size.toDouble / mipsWant.size)},""" +
+        s""""secs":${fmt(sec)},"scored_pairs":$scored}""")
+    for (p <- Seq(1, 2, 4, 10)) {
+      spark.conf.set(VectorOps.IvfProbesConf, p.toString)
+      val (got, sec) = timed(pairs(VectorOps.simMipsIvf(spark, dir)))
+      rowMips(p, got, sec, VectorOps.mipsIvfCandidates(emb).count())
+    }
+    spark.conf.unset(VectorOps.IvfProbesConf)
+
     println(s"""{"metric":"ann_recall","sf":"$dir","n_corpus":$nCorpus,""" +
       s""""ground_truth_pairs":${want.size},"brute_secs":${fmt(bruteSec)},""" +
       s""""sweeps":[${rows.mkString(",")}]}""")

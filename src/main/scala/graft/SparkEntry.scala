@@ -206,6 +206,7 @@ object SparkEntry {
     "multimodal_phash_pairs" -> (VectorOps.multimodalPhashPairs _),
     "sim_topk" -> (VectorOps.simTopk _),
     "sim_mips" -> (VectorOps.simMips _),
+    "sim_mips_ivf" -> (VectorOps.simMipsIvf _),
     "sim_ann" -> (VectorOps.simAnn _),
     "sim_ivf" -> (VectorOps.simIvf _),
     "vec_pq" -> (VectorOps.vecPq _),
@@ -1600,6 +1601,25 @@ object SparkEntry {
     // the float fold mirrors FloatVecDot term for term (dotSql)
     "sim_mips" ->
       s"WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < ${VectorOps.QuerySetSize}), c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= ${VectorOps.QuerySetSize}), s AS (SELECT q_id, vec_id, ${dotSql("q_emb", "embedding")} AS dot FROM c CROSS JOIN q), r AS (SELECT q_id, vec_id, dot, row_number() OVER (PARTITION BY q_id ORDER BY dot DESC, vec_id) AS rn FROM s) SELECT q_id, vec_id, dot, CAST(rn AS INT) AS rn FROM r WHERE rn <= ${VectorOps.TopK} ORDER BY q_id, rn",
+    // sim_mips_ivf: the sim_ivf CTE chain rebuilt in the norm-AUGMENTED
+    // (Dim+1)-dim space — m2 = max corpus squared norm, a = every vector
+    // extended with CAST(sqrt(m2 − ‖x‖²) AS REAL) (queries with 0, the
+    // same float rounding as the engine's .cast("float")); centroids /
+    // assignment / probes run on the augmented `ix`, candidate scoring on
+    // the ORIGINAL embeddings' raw dot (the Shrivastava-Li identity makes
+    // the rankings equal)
+    "sim_mips_ivf" ->
+      (s"WITH m AS (SELECT max(${sqNorm("embedding")}) AS m2 FROM embeddings WHERE vec_id >= ${VectorOps.QuerySetSize}), " +
+      s"a AS (SELECT vec_id, label, embedding, embedding || [CAST(CASE WHEN vec_id < ${VectorOps.QuerySetSize} THEN 0 ELSE sqrt(m.m2 - ${sqNorm("embedding")}) END AS REAL)] AS ix FROM embeddings, m), " +
+      s"cell AS (SELECT label AS c_label, g.i AS pos, CAST(CAST(ix[g.i] AS DOUBLE) AS DECIMAL(28,20)) AS v FROM a, (SELECT unnest(generate_series(1, ${VectorOps.Dim + 1})) AS i) g), " +
+      "comp AS (SELECT c_label, pos, CAST(sum(v) AS DOUBLE) / count(1) AS comp FROM cell GROUP BY 1, 2), " +
+      "cent AS (SELECT c_label, list(comp ORDER BY pos) AS cvec FROM comp GROUP BY 1), " +
+      s"asg AS (SELECT vec_id, embedding, c_label, row_number() OVER (PARTITION BY vec_id ORDER BY ${sqDistSql("ix", "cvec")}, c_label) AS rn FROM a, cent), " +
+      s"inv AS (SELECT vec_id, embedding, c_label AS ilist FROM asg WHERE rn = 1 AND vec_id >= ${VectorOps.QuerySetSize}), " +
+      s"probes AS (SELECT vec_id AS q_id, embedding AS q_emb, c_label AS ilist FROM asg WHERE rn <= ${VectorOps.IvfProbes} AND vec_id < ${VectorOps.QuerySetSize}), " +
+      s"sc AS (SELECT q_id, inv.vec_id, ${dotSql("q_emb", "inv.embedding")} AS dot FROM inv JOIN probes USING (ilist)), " +
+      "r AS (SELECT q_id, vec_id, dot, row_number() OVER (PARTITION BY q_id ORDER BY dot DESC, vec_id) AS rn FROM sc) " +
+      s"SELECT q_id, vec_id, dot, CAST(rn AS INT) AS rn FROM r WHERE rn <= ${VectorOps.AnnTopK} ORDER BY q_id, rn"),
     "sim_ivf" ->
       (s"WITH cell AS (SELECT label AS c_label, g.i AS pos, CAST(CAST(embedding[g.i] AS DOUBLE) AS DECIMAL(28,20)) AS v FROM embeddings, (SELECT unnest(generate_series(1, ${VectorOps.Dim})) AS i) g), " +
       "comp AS (SELECT c_label, pos, CAST(sum(v) AS DOUBLE) / count(1) AS comp FROM cell GROUP BY 1, 2), " +

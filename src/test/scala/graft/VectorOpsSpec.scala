@@ -846,4 +846,39 @@ class VectorOpsSpec extends AnyFunSuite {
     assert(out == viaL2,
       s"MIPS/augmented-L2 rank mismatch on ${(out.toSet diff viaL2.toSet).take(5)}")
   }
+
+  test("sim_mips_ivf: exhaustive probing recovers the exact brute-force dot ranking rank-for-rank; default probes stay a subset of the index's candidates (K3e' serving law)") {
+    // ground truth: brute-force MIPS capped at the index's AnnTopK
+    val want = VectorOps.simMips(spark, sfDir)
+      .filter(col("rn") <= VectorOps.AnnTopK)
+      .select("q_id", "rn", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(want.nonEmpty)
+    // nProbes = 10 (every label-mean list) makes the coarse filter a
+    // no-op, so the norm-augmentation identity must give EXACT recall —
+    // rank-for-rank, not just set recall
+    spark.conf.set(VectorOps.IvfProbesConf, "10")
+    try {
+      val exhaustive = VectorOps.simMipsIvf(spark, sfDir)
+        .select("q_id", "rn", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+      assert(exhaustive == want,
+        s"exhaustive-probe MIPS-IVF drifted from brute force: ${
+          (exhaustive.toSet diff want.toSet).take(5)}")
+    } finally spark.conf.unset(VectorOps.IvfProbesConf)
+    // at the default probe count the result is the dot-ranked top of the
+    // PROBED candidate set: every hit must be a candidate, every query
+    // must still return AnnTopK rows (the index never starves a query)
+    val got = VectorOps.simMipsIvf(spark, sfDir)
+      .select("q_id", "rn", "vec_id").collect()
+    val byQ = got.groupBy(_.getLong(0))
+    assert(byQ.size == VectorOps.QuerySetSize.toInt &&
+      byQ.values.forall(_.length == VectorOps.AnnTopK),
+      s"probe starvation: ${byQ.view.mapValues(_.length).toMap}")
+    val cands = VectorOps.mipsIvfCandidates(Tables.embeddings(spark, sfDir))
+      .select("q_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    got.foreach(r => assert(cands((r.getLong(0), r.getLong(2))),
+      s"hit (${r.getLong(0)}, ${r.getLong(2)}) not in the candidate set"))
+  }
 }
