@@ -689,6 +689,15 @@ object SparkEntry {
       "SELECT l_orderkey, round(max(l_extendedprice), 2) AS max_price, count(1) AS n_lines FROM lineitem GROUP BY 1 ORDER BY 1",
     "agg_distinct" ->
       "SELECT event_type, count(DISTINCT user_id) AS n_users, count(1) AS n_events FROM events GROUP BY 1 ORDER BY 1",
+    // laws-as-columns gates (agg_countmin discipline): the oracle emits the
+    // exact distinct counts plus literal-true flags; the Spark side computes
+    // the flags from the sketches, so estimator drift past the published-rsd
+    // bound (or a broken sketch union) breaks the hash
+    "agg_approx_distinct" ->
+      "SELECT event_type, count(DISTINCT user_id) AS n_users_exact, 1 AS bound_ok FROM events GROUP BY 1 ORDER BY 1",
+    "agg_sketch_merge" ->
+      ("SELECT event_type, count(DISTINCT user_id) AS n_users_exact, 1 AS merge_ok, 1 AS bound_ok FROM events GROUP BY 1 " +
+      "UNION ALL SELECT 'ALL', count(DISTINCT user_id), 1, 1 FROM events ORDER BY 1"),
     "agg_median" ->
       "SELECT o_orderpriority, median(CAST(round(o_totalprice * 100, 0) AS BIGINT)) / 100 AS median_total, count(1) AS n FROM orders GROUP BY 1 ORDER BY 1",
     "agg_weighted" ->

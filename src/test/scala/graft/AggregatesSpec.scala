@@ -53,28 +53,35 @@ class AggregatesSpec extends AnyFunSuite {
   }
 
   test("agg_sketch_merge: shard-union == direct sketch per row; within HLL ε (D17)") {
+    // merge correctness + accuracy now ride IN the gated output as computed
+    // flags (laws-as-columns, round 13): the estimate served by unioning
+    // stored (type, day) shard sketches AND the one-pass direct estimate
+    // must each sit within 5σ of the published rsd of the exact distinct
+    // count (estimate EQUALITY between the paths is not a law —
+    // DataSketches switches HIP → composite estimators on union; see the
+    // operator scaladoc). A cleared flag breaks both this spec AND the
+    // DuckDB hash gate (the oracle emits literal 1s).
     val out = Aggregates.aggSketchMerge(spark, sfDir).collect()
-      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
-    // merge correctness, now row-by-row: unioning stored (type, day) shard
-    // sketches must reproduce the direct one-pass sketch exactly — the
-    // property that makes stored sketches re-aggregatable at 100 TB. A
-    // violation would also surface as an extra VIOLATION: row (the
-    // rows-only gate hook), so assert both forms.
-    out.foreach { case (t, u, d, diff) =>
-      assert(diff == 0 && u == d, s"$t: union_est $u != direct_est $d")
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getInt(3)))
+    out.foreach { case (t, _, mergeOk, boundOk) =>
+      assert(mergeOk == 1, s"$t: shard-union estimate outside the 5σ HLL bound")
+      assert(boundOk == 1, s"$t: direct estimate outside the 5σ HLL bound")
     }
-    assert(!out.exists(_._1.startsWith("VIOLATION:")), "violation rows present")
     assert(out.length == 6, s"expected 5 types + ALL, got ${out.length}")
-    // accuracy: default lgConfigK=12 HLL is well within 5% at these
-    // cardinalities
+    // exact counts are monotone under union: each per-type exact ≤ ALL
     val rows = out.map(r => r._1 -> r._2).toMap
-    val exact = graft.Tables.events(spark, sfDir)
-      .select(countDistinct(col("user_id"))).collect()(0).getLong(0)
-    assert(math.abs(rows("ALL") - exact) <= math.max(2L, (0.05 * exact).toLong),
-      s"ALL est ${rows("ALL")} vs exact $exact out of 5% bound")
-    // per-type estimates are each ≤ the union estimate (monotone)
     rows.filter(_._1 != "ALL").foreach { case (k, v) =>
-      assert(v <= rows("ALL") + math.max(2L, (0.05 * exact).toLong), s"$k=$v > ALL=${rows("ALL")}")
+      assert(v <= rows("ALL"), s"$k=$v > ALL=${rows("ALL")}")
+    }
+  }
+
+  test("agg_approx_distinct: estimate within the 5σ rsd bound per group (D13b)") {
+    val out = Aggregates.aggApproxDistinct(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    assert(out.nonEmpty)
+    out.foreach { case (t, exact, boundOk) =>
+      assert(exact > 0, s"$t: vacuous group")
+      assert(boundOk == 1, s"$t: HLL++ estimate outside 5σ of rsd=${Aggregates.ApproxDistinctRsd}")
     }
   }
 

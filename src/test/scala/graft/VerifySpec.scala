@@ -34,7 +34,7 @@ class VerifySpec extends AnyFunSuite {
   }
 
   test("every registered query either has an oracle or is a documented rows-only entry") {
-    val rowsOnly = Set("kmeans_clusters", "agg_approx_distinct", "agg_sketch_merge")
+    val rowsOnly = Set("kmeans_clusters")
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(missing == rowsOnly,
       s"queries without oracle SQL must be the documented rows-only set; got $missing")
