@@ -4,15 +4,26 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.operators.VectorOps
 
-/** ANN recall-vs-cost measurement (round-8 VERDICT next-round #4): runs
-  * `sim_topk` (brute-force cosine, the exact baseline) as ground truth,
-  * then sweeps `sim_ann`'s multi-probe radius (0/1/2 bit flips) and
-  * `sim_ivf`'s probed-list count (1/2/4/8 of the k lists), reporting for
-  * each configuration recall@k, wall seconds, and SCORED CANDIDATE PAIRS —
+/** ANN recall-vs-cost measurement (round-8 VERDICT next-round #4): four
+  * sweeps, each against the ground truth of its own metric —
+  *
+  *  - `sim_ann` multi-probe radius 0/1/2 bit flips, vs brute-force COSINE
+  *    top-k (`sim_topk`);
+  *  - `sim_ivf` probed-list count 1/2/4/8 of the k lists, same cosine
+  *    truth;
+  *  - `sim_ivfpq` probes 1/2/4/10 × {ADC, exact rerank}, vs exact
+  *    squared-L2 top-k (the metric IVF-PQ ranks in — cosine truth would
+  *    conflate metric mismatch with index loss);
+  *  - `sim_mips_ivf` probes 1/2/4/10, vs brute-force DOT top-k
+  *    (`sim_mips`) — nProbes=10 is exhaustive for the 10-list label-mean
+  *    book, where the norm-augmentation identity forces recall 1.0.
+  *
+  * Each row reports recall@k, wall seconds, and SCORED CANDIDATE PAIRS —
   * the cost axis that survives scale-up (wall time on a 200k-vector
   * staging is noise; candidates-per-query is the number a 1000-executor
   * deployment bills for). Candidate counts come from the operators' own
-  * pre-rank frames ([[VectorOps.annCandidates]] / [[VectorOps.ivfCandidates]]),
+  * pre-rank frames ([[VectorOps.annCandidates]] / [[VectorOps.ivfCandidates]]
+  * / [[VectorOps.ivfPqCandidates]] / [[VectorOps.mipsIvfCandidates]]),
   * so the measurement cannot drift from the shipped plans.
   *
   * Usage: `sbt "runMain graft.AnnRecall <sfDir>"` — one JSON line to
@@ -48,15 +59,19 @@ object AnnRecall {
     val (want, bruteSec) =
       timed(pairs(VectorOps.simTopk(spark, dir).filter(col("rn") <= VectorOps.AnnTopK)))
     val rows = scala.collection.mutable.ArrayBuffer.empty[String]
-    def row(op: String, conf: Int, got: Set[(Long, Long)], sec: Double, scored: Long): Unit =
+    // one row formatter for every sweep; `truth` is the ground-truth pair
+    // set of the sweep's own metric (round-12 ADVICE: row/rowVs/rowMips
+    // differed only in the recall denominator)
+    def row(op: String, conf: Int, truth: Set[(Long, Long)],
+            got: Set[(Long, Long)], sec: Double, scored: Long): Unit =
       rows += (s"""{"op":"$op","conf":$conf,""" +
-        s""""recall":${fmt((got & want).size.toDouble / want.size)},""" +
+        s""""recall":${fmt((got & truth).size.toDouble / truth.size)},""" +
         s""""secs":${fmt(sec)},"scored_pairs":$scored}""")
 
     for (flips <- 0 to 2) {
       spark.conf.set(VectorOps.AnnProbeFlipsConf, flips.toString)
       val (got, sec) = timed(pairs(VectorOps.simAnn(spark, dir)))
-      row("sim_ann", flips, got, sec, VectorOps.annCandidates(spark, dir).count())
+      row("sim_ann", flips, want, got, sec, VectorOps.annCandidates(spark, dir).count())
     }
     spark.conf.unset(VectorOps.AnnProbeFlipsConf)
     // round-9 ADVICE: the centroid frame is probe-count independent — hoist
@@ -66,7 +81,7 @@ object AnnRecall {
     for (p <- Seq(1, 2, 4, 8)) {
       spark.conf.set(VectorOps.IvfProbesConf, p.toString)
       val (got, sec) = timed(pairs(VectorOps.simIvf(spark, dir)))
-      row("sim_ivf", p, got, sec, VectorOps.ivfCandidates(emb, cent).count())
+      row("sim_ivf", p, want, got, sec, VectorOps.ivfCandidates(emb, cent).count())
     }
     spark.conf.unset(VectorOps.IvfProbesConf)
 
@@ -85,17 +100,13 @@ object AnnRecall {
       .withColumn("rn", row_number().over(org.apache.spark.sql.expressions.Window
         .partitionBy("q_id").orderBy(asc("d2"), asc("vec_id"))))
       .filter(col("rn") <= VectorOps.AnnTopK))
-    def rowVs(op: String, conf: Int, got: Set[(Long, Long)], sec: Double, scored: Long): Unit =
-      rows += (s"""{"op":"$op","conf":$conf,""" +
-        s""""recall":${fmt((got & l2want).size.toDouble / l2want.size)},""" +
-        s""""secs":${fmt(sec)},"scored_pairs":$scored}""")
     for (p <- Seq(1, 2, 4, 10)) {
       spark.conf.set(VectorOps.IvfProbesConf, p.toString)
       val scored = VectorOps.ivfPqCandidates(spark, dir).count()
       val (gotAdc, secAdc) = timed(pairs(VectorOps.simIvfPq(spark, dir)))
-      rowVs("sim_ivfpq", p, gotAdc, secAdc, scored)
+      row("sim_ivfpq", p, l2want, gotAdc, secAdc, scored)
       val (gotRr, secRr) = timed(pairs(VectorOps.simIvfPqRerank(spark, dir)))
-      rowVs("sim_ivfpq_rerank", p, gotRr, secRr, scored)
+      row("sim_ivfpq_rerank", p, l2want, gotRr, secRr, scored)
     }
     spark.conf.unset(VectorOps.IvfProbesConf)
 
@@ -104,17 +115,17 @@ object AnnRecall {
     // would conflate the metric change with index loss. Probes sweep the
     // same axis as sim_ivf; nProbes = 10 (the label-mean book's list
     // count) is exhaustive, where the norm-augmentation identity makes
-    // recall exactly 1.0 (asserted as a law in VectorOpsSpec).
+    // recall exactly 1.0 (asserted as a law in VectorOpsSpec). The
+    // augmented frame + centroids are probe-independent — hoisted out of
+    // the loop like the sim_ivf sweep (round-12 ADVICE).
     val mipsWant = pairs(
       VectorOps.simMips(spark, dir).filter(col("rn") <= VectorOps.AnnTopK))
-    def rowMips(conf: Int, got: Set[(Long, Long)], sec: Double, scored: Long): Unit =
-      rows += (s"""{"op":"sim_mips_ivf","conf":$conf,""" +
-        s""""recall":${fmt((got & mipsWant).size.toDouble / mipsWant.size)},""" +
-        s""""secs":${fmt(sec)},"scored_pairs":$scored}""")
+    val (mipsAug, mipsCent) = VectorOps.mipsIvfParts(emb)
     for (p <- Seq(1, 2, 4, 10)) {
       spark.conf.set(VectorOps.IvfProbesConf, p.toString)
       val (got, sec) = timed(pairs(VectorOps.simMipsIvf(spark, dir)))
-      rowMips(p, got, sec, VectorOps.mipsIvfCandidates(emb).count())
+      row("sim_mips_ivf", p, mipsWant, got, sec,
+        VectorOps.mipsIvfCandidates(mipsAug, mipsCent).count())
     }
     spark.conf.unset(VectorOps.IvfProbesConf)
 

@@ -29,6 +29,8 @@ object Verify {
     // does (round-7 VERDICT next-round #1).
     sys.env.get("SPARK_GRAFT_TERMINAL_SORT")
       .foreach(v => spark.conf.set("graft.terminalSort", v))
+    sys.env.get("SPARK_GRAFT_RAG_SHARED_CHUNKS")
+      .foreach(v => spark.conf.set(graft.operators.TextOps.RagSharedChunkScanConf, v))
     run(spark, sfDir, outDir, sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet))
     spark.stop()
   }

@@ -287,6 +287,14 @@ object TextOps {
     */
   val RagMaxQueryDoc = 5000L
 
+  /** `rag_hybrid` chunk-scan mode: `true` materializes the shared chunk
+    * frame once (lineage cut) for both retriever arms; `false` lets each
+    * arm derive it from the documents scan independently (Catalyst still
+    * reuses the file scan; the chunking compute runs twice). See the A/B
+    * note in [[ragHybrid]].
+    */
+  val RagSharedChunkScanConf = "graft.rag.sharedChunkScan"
+
   /** Hashed-BoW embedding of a text column: md5-prefix hash per token
     * (house portable-hash idiom), then per-dimension counts — emitted as
     * `array<float>` so the scoring stage can run the codegen'd
@@ -313,7 +321,11 @@ object TextOps {
     * k = `RagTopK`; `rag_hybrid` fuses it at k = `HybridN` (one body, so
     * the registered query and the fusion input cannot drift).
     */
-  private[graft] def ragDenseRanked(s: SparkSession, dir: String, k: Int): DataFrame = {
+  private[graft] def ragDenseRanked(s: SparkSession, dir: String, k: Int): DataFrame =
+    ragDenseRankedFrom(chunkFrame(s, dir), s, dir, k)
+
+  private[graft] def ragDenseRankedFrom(
+      chunks0: DataFrame, s: SparkSession, dir: String, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // The repartition is a deliberate pipeline barrier, not a distribution
     // need: whole-stage codegen DEFERS a deterministic projection into the
@@ -322,7 +334,7 @@ object TextOps {
     // materializes the embedding exactly once per chunk (the "build the
     // embedding table" stage every vector pipeline has anyway); it ships
     // ids + 16 floats, far smaller than the chunk text it replaces.
-    val chunks = chunkFrame(s, dir)
+    val chunks = chunks0
       .select(col("doc_id"), col("chunk_id"),
         graft.plans.HashedBow.of(col("chunk"), RagDims).as("vec"))
       .repartition(col("doc_id"))
@@ -411,7 +423,11 @@ object TextOps {
     * fuses it at k = `HybridN`. The ranking key stays the exact decimal
     * sum throughout.
     */
-  private[graft] def ragSparseRanked(s: SparkSession, dir: String, k: Int): DataFrame = {
+  private[graft] def ragSparseRanked(s: SparkSession, dir: String, k: Int): DataFrame =
+    ragSparseRankedFrom(chunkFrame(s, dir), s, dir, k)
+
+  private[graft] def ragSparseRankedFrom(
+      chunks0: DataFrame, s: SparkSession, dir: String, k: Int): DataFrame = {
     import graft.functions.ScalarAttach._
     import org.apache.spark.sql.types.DecimalType
     val realToks = (c: Column) => filter(split(c, " "), t => t =!= "")
@@ -419,7 +435,7 @@ object TextOps {
     // the chunk text, computed before the explode — no window, no rejoin
     // (the token-array HOF evaluates twice per CHUNK row — |chunks| lambda
     // evaluations, noise next to the |occurrences|-sized explode output)
-    val tok = chunkFrame(s, dir)
+    val tok = chunks0
       .select(col("doc_id"), col("chunk_id"),
         size(realToks(col("chunk"))).cast("long").as("dl"),
         explode(realToks(col("chunk"))).as("term"))
@@ -510,10 +526,28 @@ object TextOps {
   def ragHybrid(s: SparkSession, dir: String): DataFrame = {
     val rrf = (rank: String) =>
       coalesce(expr(s"CAST($RrfL AS BIGINT) div ($RrfK + $rank)"), lit(0L))
-    val d = ragDenseRanked(s, dir, HybridN)
+    // A/B (round-13, carried VERDICT item): `graft.rag.sharedChunkScan`
+    // materializes chunkFrame ONCE behind a lineage cut feeding both the
+    // dense embedding and the sparse tf index, instead of each arm
+    // re-deriving it from the documents scan. Measured at 100× (isolated
+    // 5-pass runs, BASELINE.md): shared 28.9 s vs independent 27.7 s
+    // median — a wash (clean-pass ranges overlap entirely; the chunking
+    // compute is noise next to each arm's own join/agg work, and Catalyst
+    // reuses the underlying file scan anyway). Default stays INDEPENDENT:
+    // same speed, no materialization footprint, simpler plan.
+    import graft.functions.LineageCut._
+    val shared = s.conf.get(RagSharedChunkScanConf, "false").toBoolean
+    val (d0, sp0) =
+      if (shared) {
+        val ch = chunkFrame(s, dir).lineageCut(eager = false)
+        (ragDenseRankedFrom(ch, s, dir, HybridN),
+         ragSparseRankedFrom(ch, s, dir, HybridN))
+      } else
+        (ragDenseRanked(s, dir, HybridN), ragSparseRanked(s, dir, HybridN))
+    val d = d0
       .select(col("query_doc"), col("doc_id"), col("chunk_id"),
         col("rnk").as("dense_rnk"))
-    val sp = ragSparseRanked(s, dir, HybridN)
+    val sp = sp0
       .select(col("query_doc"), col("doc_id"), col("chunk_id"),
         col("rnk").as("sparse_rnk"))
     val w = Window.partitionBy("query_doc")

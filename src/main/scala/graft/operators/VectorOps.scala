@@ -1241,10 +1241,23 @@ object VectorOps {
     * mirrors the (Dim+1)-dim cell/comp/cent CTEs).
     */
   private[graft] def mipsIvfCandidates(emb: DataFrame): DataFrame = {
-    val aug = mipsAugmented(emb)
-    val cent = labelMeanCentroids(aug.select(col("label"), col("ix_emb").as("embedding")))
-    ivfCandidatesBy(aug, cent, (q, x) => Vec.dotF(q, x), "dot")
+    val (aug, cent) = mipsIvfParts(emb)
+    mipsIvfCandidates(aug, cent)
   }
+
+  /** Probe-count-independent halves of the `sim_mips_ivf` structure — the
+    * augmented frame and its label-mean centroids. AnnRecall hoists these
+    * out of its probe sweep (round-12 ADVICE: only the probed equi-join
+    * depends on `IvfProbesConf`; rebuilding the augmentation per iteration
+    * re-paid the centroid aggregation 4×).
+    */
+  private[graft] def mipsIvfParts(emb: DataFrame): (DataFrame, DataFrame) = {
+    val aug = mipsAugmented(emb)
+    (aug, labelMeanCentroids(aug.select(col("label"), col("ix_emb").as("embedding"))))
+  }
+
+  private[graft] def mipsIvfCandidates(aug: DataFrame, cent: DataFrame): DataFrame =
+    ivfCandidatesBy(aug, cent, (q, x) => Vec.dotF(q, x), "dot")
 
   /** K3c `sim_ivf`: IVF (inverted-file) ANN — the second classic coarse
     * index besides LSH. Structure: (1) k centroids; (2) every corpus vector

@@ -22,6 +22,15 @@ then-exact-hash report for floats). Usage:
   100x wide gate run ONE ORACLE PER PROCESS (the round-9 lesson: a blown-up
   oracle poisons a shared DuckDB buffer manager) via a shell loop, with the
   per-query JSON artifacts merged afterwards.
+--agg: AGGREGATE gate (round 13, for the 100x tail whose outputs exceed the
+  full-compare row budget): instead of row-by-row compare, both sides are
+  reduced to count(*) plus one order-independent aggregate per column —
+  sum(CAST(x AS DECIMAL(38,6))) for numerics (exact, order-free),
+  sum(length(x)) for strings, count(x) for temporal/nested — computed by
+  DuckDB over the Spark parquet output AND over the oracle SQL, compared as
+  strings (decimal-exact). A pass is recorded as `agg_pass`: weaker than the
+  hash gate (row identity not certified) but sensitive to any dropped /
+  duplicated / value-drifted row that changes a column sum.
 """
 import sys, os, json, glob
 import duckdb
@@ -50,8 +59,28 @@ def row_sorted(df):
     order = keys.sort_values(by=list(df.columns), kind="mergesort").index
     return df.loc[order].reset_index(drop=True)
 
+def agg_exprs(con, rel_sql):
+    """Per-column order-independent aggregates over `rel_sql` (see --agg)."""
+    cols = con.execute(f"DESCRIBE SELECT * FROM {rel_sql}").fetchall()
+    exprs = []
+    for name, ctype, *_ in cols:
+        q = '"' + name.replace('"', '""') + '"'
+        t = ctype.upper()
+        if any(t.startswith(p) for p in
+               ("TINYINT", "SMALLINT", "INTEGER", "BIGINT", "HUGEINT",
+                "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT",
+                "FLOAT", "DOUBLE", "DECIMAL", "REAL")):
+            exprs.append(f"CAST(sum(CAST({q} AS DECIMAL(38,6))) AS VARCHAR) AS {q}")
+        elif t.startswith("VARCHAR"):
+            exprs.append(f"CAST(sum(length({q})) AS VARCHAR) AS {q}")
+        elif t.startswith("BOOLEAN"):
+            exprs.append(f"CAST(sum(CAST({q} AS INT)) AS VARCHAR) AS {q}")
+        else:  # temporal / nested: presence only
+            exprs.append(f"CAST(count({q}) AS VARCHAR) AS {q}")
+    return "count(*) AS __n_rows, " + ", ".join(exprs)
+
 def main(sf_dir, out_dir, unordered=False, json_out=None, timeout_sec=None,
-         only=None):
+         only=None, agg=False):
     # Fresh connection factory (round 9): each oracle runs on its OWN
     # connection with a bounded memory_limit (override via SELFCHECK_MEM).
     # Rationale: a hex-blowup oracle at 100x exhausts the buffer manager,
@@ -93,8 +122,18 @@ def main(sf_dir, out_dir, unordered=False, json_out=None, timeout_sec=None,
             record(name, "fail", detail="no spark output"); n_fail += 1; continue
         con = None
         try:
-            got = canon(pd.read_parquet(pdir))
             con = fresh_con()
+            if agg:
+                # aggregate gate (see --agg): reduce BOTH sides to count(*)
+                # + per-column order-free aggregates derived from the Spark
+                # output's schema; the oracle runs inside the same
+                # timeout/OOM exclusion machinery as the full gate
+                spark_rel = f"read_parquet('{pdir}/*.parquet')"
+                aggs = agg_exprs(con, spark_rel)
+                got = canon(con.execute(f"SELECT {aggs} FROM {spark_rel}").fetchdf())
+                sql = f"SELECT {aggs} FROM ({sql}) __oracle"
+            else:
+                got = canon(pd.read_parquet(pdir))
             if timeout_sec:
                 # scale-gate guard (round 9): a quadratic-at-scale oracle is
                 # interrupted and recorded as oracle_timeout — an EXCLUSION
@@ -108,7 +147,7 @@ def main(sf_dir, out_dir, unordered=False, json_out=None, timeout_sec=None,
                     t.cancel()
             else:
                 exp = canon(con.execute(sql).fetchdf())
-            if unordered:
+            if unordered and not agg:
                 got, exp = row_sorted(got), row_sorted(exp)
         except duckdb.InterruptException:
             print(f"TIMEOUT {name}: oracle exceeded {timeout_sec}s (excluded)")
@@ -177,6 +216,10 @@ def main(sf_dir, out_dir, unordered=False, json_out=None, timeout_sec=None,
                 bad = f"col {c}: compare error {ex}"; break
         if bad:
             print(f"FAIL {name}: {bad}"); record(name, "fail", len(got), bad); n_fail += 1
+        elif agg:
+            n_rows = int(got["__n_rows"].iloc[0])
+            print(f"AGG_PASS {name} ({n_rows} rows, {len(got.columns) - 1} column sums)")
+            record(name, "agg_pass", n_rows); n_pass += 1
         else:
             print(f"PASS {name} ({len(got)} rows)"); record(name, "pass", len(got)); n_pass += 1
     # queries without oracle: just report row counts
@@ -226,5 +269,7 @@ if __name__ == "__main__":
         i = argv.index("--only")
         only = set(argv[i + 1].split(","))
         del argv[i:i + 2]
+    agg = "--agg" in argv
+    argv = [a for a in argv if a != "--agg"]
     sys.exit(main(argv[0], argv[1], unordered=unordered, json_out=json_out,
-                  timeout_sec=timeout_sec, only=only))
+                  timeout_sec=timeout_sec, only=only, agg=agg))
