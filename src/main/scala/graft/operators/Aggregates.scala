@@ -99,16 +99,25 @@ object Aggregates {
     * hash. The exact twin exists ONLY to gate the sketch — at 100 TB a
     * user runs the estimate alone.
     */
-  def aggApproxDistinct(s: SparkSession, dir: String): DataFrame =
-    Tables.events(s, dir)
-      .groupBy("event_type")
-      .agg(approx_count_distinct(col("user_id"), ApproxDistinctRsd).as("est"),
-           countDistinct(col("user_id")).as("n_users_exact"))
+  def aggApproxDistinct(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    // the sketch and the exact twin aggregate SEPARATELY and join on the
+    // 6-row result: a combined agg plans through Expand, which carries the
+    // ~16 KB rsd=0.01 HLL++ buffer per (type, user) PARTIAL-AGG KEY — at
+    // 100× that spilled 113 GB / 43 s; split, the sketch buffer exists per
+    // TYPE only and the exact arm is a plain (type, user) dedup-count
+    // (measured 43.4 → 1.7 s, zero spill)
+    val approx = ev.groupBy("event_type")
+      .agg(approx_count_distinct(col("user_id"), ApproxDistinctRsd).as("est"))
+    val exact = ev.groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n_users_exact"))
+    approx.join(exact, "event_type")
       .select(col("event_type"), col("n_users_exact"),
         when(abs(col("est") - col("n_users_exact")) <=
           greatest(lit(2L), (col("n_users_exact") * ApproxDistinctBound).cast("long")),
           lit(1)).otherwise(lit(0)).as("bound_ok"))
       .oracleSorted("event_type")
+  }
 
   /** HLL++ relative standard deviation requested from
     * `approx_count_distinct`, and the gate bound: 5σ of the published rsd
