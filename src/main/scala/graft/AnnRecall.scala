@@ -16,7 +16,10 @@ import graft.operators.VectorOps
   *    conflate metric mismatch with index loss);
   *  - `sim_mips_ivf` probes 1/2/4/10, vs brute-force DOT top-k
   *    (`sim_mips`) — nProbes=10 is exhaustive for the 10-list label-mean
-  *    book, where the norm-augmentation identity forces recall 1.0.
+  *    book, where the norm-augmentation identity forces recall 1.0;
+  *  - `sim_mrl` rerank-pool size C (1×/4×/16× the default, then
+  *    |corpus| = exhaustive, where stage 2 IS the brute force and recall
+  *    is exactly 1.0), same cosine truth as sim_ann/sim_ivf.
   *
   * Each row reports recall@k, wall seconds, and SCORED CANDIDATE PAIRS —
   * the cost axis that survives scale-up (wall time on a 200k-vector
@@ -128,6 +131,24 @@ object AnnRecall {
         VectorOps.mipsIvfCandidates(mipsAug, mipsCent).count())
     }
     spark.conf.unset(VectorOps.IvfProbesConf)
+
+    // sim_mrl sweep (round 13): rerank-pool size C against the cosine
+    // ground truth (the metric MRL ranks in). scored_pairs is the STAGE-2
+    // exact-rerank pool (C × queries, from the operator's own candidate
+    // frame); stage 1 additionally scores |corpus| × queries pairs at
+    // MrlPrefixDims/Dim of the per-pair cost — a fixed prefix-fraction
+    // overhead every C shares, noted in the BASELINE table. C = |corpus|
+    // is exhaustive: stage 2 IS the brute force, recall exactly 1.0
+    // (VectorOpsSpec law).
+    for (c <- Seq(VectorOps.MrlCandidates.toLong, 4L * VectorOps.MrlCandidates,
+                  16L * VectorOps.MrlCandidates, nCorpus)) {
+      spark.conf.set(VectorOps.MrlCandidatesConf, c.toString)
+      val (got, sec) = timed(pairs(
+        VectorOps.simMrl(spark, dir).filter(col("rn") <= VectorOps.AnnTopK)))
+      row("sim_mrl", c.toInt, want, got, sec,
+        VectorOps.mrlCandidates(spark, emb).count())
+    }
+    spark.conf.unset(VectorOps.MrlCandidatesConf)
 
     println(s"""{"metric":"ann_recall","sf":"$dir","n_corpus":$nCorpus,""" +
       s""""ground_truth_pairs":${want.size},"brute_secs":${fmt(bruteSec)},""" +

@@ -206,6 +206,7 @@ object SparkEntry {
     "multimodal_phash_pairs" -> (VectorOps.multimodalPhashPairs _),
     "sim_topk" -> (VectorOps.simTopk _),
     "sim_mips" -> (VectorOps.simMips _),
+    "sim_mrl" -> (VectorOps.simMrl _),
     "sim_mips_ivf" -> (VectorOps.simMipsIvf _),
     "sim_ann" -> (VectorOps.simAnn _),
     "sim_ivf" -> (VectorOps.simIvf _),
@@ -1606,6 +1607,20 @@ object SparkEntry {
       "FROM dims d LEFT JOIN o ON d.doc_id = o.doc_id ORDER BY d.doc_id"),
     "sim_topk" ->
       s"WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < ${VectorOps.QuerySetSize}), c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= ${VectorOps.QuerySetSize}), s AS (SELECT q_id, vec_id, ${dotSql("q_emb", "embedding")} / (sqrt(${sqNorm("q_emb")}) * sqrt(${sqNorm("embedding")})) AS cos FROM c CROSS JOIN q), r AS (SELECT q_id, vec_id, cos, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn FROM s) SELECT q_id, vec_id, cos, CAST(rn AS INT) AS rn FROM r WHERE rn <= ${VectorOps.TopK} ORDER BY q_id, rn",
+    // Matryoshka two-stage: stage 1 prefix-dim cosine over embedding[1:16]
+    // (DuckDB slices are 1-based inclusive), top-MrlCandidates per query,
+    // stage 2 exact full-dim cosine over just those candidates — every
+    // float fold mirrors the engine's sequential fold (dotSql/sqNorm), so
+    // both stages' rankings are bitwise and the result hash-gates
+    "sim_mrl" ->
+      (s"WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb, embedding[1:${VectorOps.MrlPrefixDims}] AS q_pre FROM embeddings WHERE vec_id < ${VectorOps.QuerySetSize}), " +
+      s"c AS (SELECT vec_id, embedding, embedding[1:${VectorOps.MrlPrefixDims}] AS pre FROM embeddings WHERE vec_id >= ${VectorOps.QuerySetSize}), " +
+      s"s1 AS (SELECT q_id, vec_id, ${dotSql("q_pre", "pre")} / (sqrt(${sqNorm("q_pre")}) * sqrt(${sqNorm("pre")})) AS pcos FROM c CROSS JOIN q), " +
+      "r1 AS (SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id ORDER BY pcos DESC, vec_id) AS prn FROM s1), " +
+      s"cand AS (SELECT q_id, vec_id FROM r1 WHERE prn <= ${VectorOps.MrlCandidates}), " +
+      s"s2 AS (SELECT cand.q_id, cand.vec_id, ${dotSql("q_emb", "embedding")} / (sqrt(${sqNorm("q_emb")}) * sqrt(${sqNorm("embedding")})) AS cos FROM cand JOIN c ON cand.vec_id = c.vec_id JOIN q ON cand.q_id = q.q_id), " +
+      "r2 AS (SELECT q_id, vec_id, cos, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn FROM s2) " +
+      s"SELECT q_id, vec_id, cos, CAST(rn AS INT) AS rn FROM r2 WHERE rn <= ${VectorOps.TopK} ORDER BY q_id, rn"),
     // MIPS: same brute scan as sim_topk ranked by the RAW dot product —
     // the float fold mirrors FloatVecDot term for term (dotSql)
     "sim_mips" ->

@@ -1118,6 +1118,78 @@ object VectorOps {
       .oracleSorted("q_id", "rn")
   }
 
+  /** `sim_mrl` prefix width: stage 1 ranks by the cosine of the FIRST
+    * `MrlPrefixDims` of `Dim` components — the Matryoshka contract that a
+    * nested prefix of the embedding is itself a usable representation
+    * (Kusupati 2022). 16 of 64 = a 4× cut in stage-1 FLOPs and scan bytes
+    * when the prefix is stored as its own column family.
+    */
+  val MrlPrefixDims = 16
+
+  /** `sim_mrl` stage-2 depth: exact-rerank candidates kept per query.
+    * Session-overridable (`MrlCandidatesConf`) for the AnnRecall sweep —
+    * at C = |corpus| the rerank IS the brute force and recall is exactly
+    * 1.0 (the VectorOpsSpec law).
+    */
+  val MrlCandidates = 50
+  val MrlCandidatesConf = "graft.sim.mrlCandidates"
+
+  /** K3g `sim_mrl` (round 13): Matryoshka / truncation two-stage retrieval
+    * — the modern production pattern between brute force and a trained
+    * index: stage 1 scores EVERY corpus vector by prefix-dim cosine
+    * (cheap: `MrlPrefixDims`/`Dim` of the FLOPs, and at 100 TB the prefix
+    * is the only column family the scan reads), keeps the top
+    * `MrlCandidates` per query, stage 2 reranks just those by full-dim
+    * exact cosine. No training, no index build — the accuracy knob is C
+    * alone, and recall→1.0 monotonically as C→|corpus| (measured in the
+    * AnnRecall sweep; exhaustive-C rank-identity law in VectorOpsSpec).
+    *
+    * Scale shape: stage 1 is the `sim_topk` broadcast scan with 4× fewer
+    * bytes/FLOPs per row (the prefix projection sits behind a repartition
+    * barrier — the `ragDenseRanked` discipline, since whole-stage codegen
+    * would otherwise defer the slice into the nested-loop build loop and
+    * re-evaluate per PAIR); its BNLJ carries the same counted allowance as
+    * `sim_topk` (≤`QuerySetSize` broadcast rows). Stage 2 never rescans:
+    * the C×|queries| candidate ids BROADCAST back onto one corpus hash
+    * join — bounded work at any corpus size.
+    */
+  def simMrl(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val q = emb.filter(col("vec_id") < QuerySetSize)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    emb.filter(col("vec_id") >= QuerySetSize)
+      .join(broadcast(mrlCandidates(s, emb)), "vec_id")
+      .join(broadcast(q), "q_id")
+      .select(col("q_id"), col("vec_id"),
+        Vec.cosineF(col("q_emb"), col("embedding")).as("cos"))
+      .withColumn("rn", row_number()
+        .over(Window.partitionBy("q_id").orderBy(desc("cos"), asc("vec_id"))).cast("int"))
+      .filter(col("rn") <= TopK)
+      .oracleSorted("q_id", "rn")
+  }
+
+  /** Stage-2 candidate frame of `sim_mrl` (the top-C-by-prefix-cosine
+    * (q_id, vec_id) pairs) — split out so the query and the AnnRecall
+    * cost axis share one body.
+    */
+  private[graft] def mrlCandidates(s: SparkSession, emb: DataFrame): DataFrame = {
+    val c = s.conf.get(MrlCandidatesConf, MrlCandidates.toString).toInt
+    val qpre = emb.filter(col("vec_id") < QuerySetSize)
+      .select(col("vec_id").as("q_id"),
+        slice(col("embedding"), 1, MrlPrefixDims).as("q_pre"))
+    // pipeline barrier: materialize the 16-float prefix once per corpus row
+    val cpre = emb.filter(col("vec_id") >= QuerySetSize)
+      .select(col("vec_id"), slice(col("embedding"), 1, MrlPrefixDims).as("pre"))
+      .repartition(col("vec_id"))
+    cpre.crossJoin(broadcast(qpre))
+      .select(col("q_id"), col("vec_id"),
+        Vec.cosineF(col("q_pre"), col("pre")).as("pcos"))
+      .withColumn("prn", row_number()
+        .over(Window.partitionBy("q_id").orderBy(desc("pcos"), asc("vec_id"))))
+      .filter(col("prn") <= c)
+      .select("q_id", "vec_id")
+  }
+
   /** K3b `sim_ann`: LSH-bucketed approximate nearest neighbours — queries
     * join the corpus only within their probed sign-bit buckets, so each
     * query scores ~|probes|·|corpus| / 2^bits candidates instead of

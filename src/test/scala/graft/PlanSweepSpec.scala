@@ -34,7 +34,7 @@ class PlanSweepSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
 
   // name -> max sanctioned BroadcastNestedLoopJoin count in the plan
   private val bnljAllowed = Map("sim_topk" -> 1, "sim_mips" -> 1,
-    "rag_retrieve" -> 1, "rag_hybrid" -> 1)
+    "sim_mrl" -> 1, "rag_retrieve" -> 1, "rag_hybrid" -> 1)
 
   /** Unwrap the execution-detail nodes that can sit between an exchange and
     * its semantic child (round-3 ADVICE #3: the previous adjacent-plan-LINE

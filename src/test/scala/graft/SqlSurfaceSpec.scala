@@ -52,6 +52,7 @@ class SqlSurfaceSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     "vec_pq" -> "DATATYPE_MISMATCH",
     "vec_pq_adc" -> "DATATYPE_MISMATCH",
     "sim_ivfpq" -> "DATATYPE_MISMATCH",
+    "sim_mrl" -> "DATATYPE_MISMATCH",
     "graph_bfs" -> "UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE",
     // ... and reject aggregation over the recursive reference
     "graph_pagerank" -> "INVALID_RECURSIVE_REFERENCE",

@@ -881,4 +881,44 @@ class VectorOpsSpec extends AnyFunSuite {
     got.foreach(r => assert(cands((r.getLong(0), r.getLong(2))),
       s"hit (${r.getLong(0)}, ${r.getLong(2)}) not in the candidate set"))
   }
+
+  test("sim_mrl: exhaustive candidates reproduce sim_topk rank-for-rank; recall is monotone in C and never starves a query (K3g truncation-rerank laws)") {
+    val want = VectorOps.simTopk(spark, sfDir)
+      .select("q_id", "rn", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(want.nonEmpty)
+    val corpus = Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") >= VectorOps.QuerySetSize).count()
+    def runAt(c: Long): Map[(Long, Int), Long] = {
+      spark.conf.set(VectorOps.MrlCandidatesConf, c.toString)
+      try VectorOps.simMrl(spark, sfDir)
+        .select("q_id", "rn", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+      finally spark.conf.unset(VectorOps.MrlCandidatesConf)
+    }
+    // C = |corpus|: stage 2 IS the brute force — exact rank identity, not
+    // just set recall (the law that pins both stages' plumbing)
+    val exhaustive = runAt(corpus)
+    assert(exhaustive == want,
+      s"exhaustive-C MRL drifted from sim_topk: ${(exhaustive.toSet diff want.toSet).take(5)}")
+    // recall@TopK is monotone non-decreasing in C (a bigger rerank pool
+    // can only add true hits), and every query returns TopK rows at any C
+    // >= TopK — the truncation stage never starves a query
+    def recall(m: Map[(Long, Int), Long]): Double = {
+      val hits = m.toSet intersect want.toSet
+      hits.size.toDouble / want.size
+    }
+    val rs = Seq(VectorOps.TopK.toLong, VectorOps.MrlCandidates.toLong,
+      4L * VectorOps.MrlCandidates, corpus).map { c =>
+      val m = runAt(c)
+      val byQ = m.keys.groupBy(_._1)
+      assert(byQ.size == VectorOps.QuerySetSize.toInt &&
+        byQ.values.forall(_.size == VectorOps.TopK),
+        s"starved query at C=$c: ${byQ.view.mapValues(_.size).toMap}")
+      recall(m)
+    }
+    assert(rs.zip(rs.tail).forall { case (a, b) => a <= b },
+      s"recall not monotone in C: $rs")
+    assert(rs.last == 1.0, s"exhaustive recall != 1.0: $rs")
+  }
 }
