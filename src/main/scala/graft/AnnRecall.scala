@@ -65,7 +65,7 @@ object AnnRecall {
     // one row formatter for every sweep; `truth` is the ground-truth pair
     // set of the sweep's own metric (round-12 ADVICE: row/rowVs/rowMips
     // differed only in the recall denominator)
-    def row(op: String, conf: Int, truth: Set[(Long, Long)],
+    def row(op: String, conf: Long, truth: Set[(Long, Long)],
             got: Set[(Long, Long)], sec: Double, scored: Long): Unit =
       rows += (s"""{"op":"$op","conf":$conf,""" +
         s""""recall":${fmt((got & truth).size.toDouble / truth.size)},""" +
@@ -145,8 +145,8 @@ object AnnRecall {
       spark.conf.set(VectorOps.MrlCandidatesConf, c.toString)
       val (got, sec) = timed(pairs(
         VectorOps.simMrl(spark, dir).filter(col("rn") <= VectorOps.AnnTopK)))
-      row("sim_mrl", c.toInt, want, got, sec,
-        VectorOps.mrlCandidates(spark, emb).count())
+      row("sim_mrl", c, want, got, sec,
+        VectorOps.mrlCandidates(spark, VectorOps.mrlStaged(spark, dir)).count())
     }
     spark.conf.unset(VectorOps.MrlCandidatesConf)
 

@@ -102,7 +102,7 @@ object Relational {
     * `synchronized` because `FileChannel.lock` throws on overlapping locks
     * from the SAME JVM.
     */
-  private def withStageLock[T](stageDir: String)(body: => T): T = {
+  private[graft] def withStageLock[T](stageDir: String)(body: => T): T = {
     import java.nio.file.{Files, Paths, StandardOpenOption}
     Files.createDirectories(Paths.get(stageDir))
     val ch = java.nio.channels.FileChannel.open(Paths.get(stageDir, ".lock"),

@@ -1134,31 +1134,88 @@ object VectorOps {
   val MrlCandidates = 50
   val MrlCandidatesConf = "graft.sim.mrlCandidates"
 
+  /** Fixed staging root of the prefix-column-family mirror `sim_mrl` reads
+    * (same `by/<digest>` + `current` indirection as the Relational stage
+    * dirs). The mirror is the embeddings table with the `MrlPrefixDims`-
+    * float prefix materialized as its OWN parquet column next to the full
+    * embedding — parquet stores each column as separate chunks, so stage 1
+    * reads the 16-float family and never touches the 64-float one (the
+    * scan-schema assertion in SourcesSpec; measured bytes cut in
+    * BASELINE.md via [[graft.MrlBytes]]).
+    */
+  val MrlStageDir = "/tmp/graft_mrl_prefix"
+
+  private def stageMrlPrefix(s: SparkSession, dir: String): Unit = synchronized {
+    Relational.withStageLock(MrlStageDir) {
+      Relational.stageInto(MrlStageDir,
+        s"$dir|mrl1|${Relational.sourceFingerprint(s"$dir/embeddings.parquet")}") {
+        target =>
+          Tables.embeddings(s, dir)
+            .select(col("vec_id"), col("label"),
+              slice(col("embedding"), 1, MrlPrefixDims).as("prefix"),
+              col("embedding"))
+            .write.mode("overwrite").parquet(s"$target/embeddings")
+      }
+    }
+  }
+
+  /** The staged embeddings mirror with the prefix column family (staging
+    * is once per source content; readers get the digest-pinned immutable
+    * path). Float arrays round-trip parquet bit-exactly, so every query
+    * over the mirror still hash-gates against an oracle that reads the
+    * ORIGINAL table — the match also pins the mirror round trip.
+    */
+  private[graft] def mrlStaged(s: SparkSession, dir: String): DataFrame = {
+    stageMrlPrefix(s, dir)
+    s.read.parquet(s"${Relational.stagedRoot(MrlStageDir)}/embeddings")
+  }
+
+  /** Ceiling on stage-1 output rows (C × |queries|) that stage 2 may
+    * BROADCAST back onto the corpus: 2M (long, long) pairs ≈ 32 MB — far
+    * under Spark's 8 GB broadcast ceiling with headroom for driver memory.
+    * Above it (the AnnRecall exhaustive-C sweep on a big corpus, where
+    * C = |corpus| makes the candidate list ~|queries|× the corpus) stage 2
+    * falls back to a shuffle hash join on vec_id (round-13 ADVICE).
+    */
+  val MrlBroadcastMaxRows = 2000000L
+
+  private[graft] def mrlCandidateCount(s: SparkSession): Long =
+    s.conf.get(MrlCandidatesConf, MrlCandidates.toString).toLong
+
   /** K3g `sim_mrl` (round 13): Matryoshka / truncation two-stage retrieval
     * — the modern production pattern between brute force and a trained
     * index: stage 1 scores EVERY corpus vector by prefix-dim cosine
-    * (cheap: `MrlPrefixDims`/`Dim` of the FLOPs, and at 100 TB the prefix
-    * is the only column family the scan reads), keeps the top
-    * `MrlCandidates` per query, stage 2 reranks just those by full-dim
-    * exact cosine. No training, no index build — the accuracy knob is C
-    * alone, and recall→1.0 monotonically as C→|corpus| (measured in the
-    * AnnRecall sweep; exhaustive-C rank-identity law in VectorOpsSpec).
+    * (cheap: `MrlPrefixDims`/`Dim` of the FLOPs — and, since round 14, of
+    * the SCAN BYTES: the prefix is staged as its own parquet column family
+    * and stage 1's scan schema carries ONLY `(vec_id, prefix)`, asserted
+    * in SourcesSpec), keeps the top `MrlCandidates` per query, stage 2
+    * reranks just those by full-dim exact cosine. No training, no index
+    * build — the accuracy knob is C alone, and recall→1.0 monotonically as
+    * C→|corpus| (measured in the AnnRecall sweep; exhaustive-C
+    * rank-identity law in VectorOpsSpec).
     *
-    * Scale shape: stage 1 is the `sim_topk` broadcast scan with 4× fewer
-    * bytes/FLOPs per row (the prefix projection sits behind a repartition
-    * barrier — the `ragDenseRanked` discipline, since whole-stage codegen
-    * would otherwise defer the slice into the nested-loop build loop and
-    * re-evaluate per PAIR); its BNLJ carries the same counted allowance as
-    * `sim_topk` (≤`QuerySetSize` broadcast rows). Stage 2 never rescans:
-    * the C×|queries| candidate ids BROADCAST back onto one corpus hash
-    * join — bounded work at any corpus size.
+    * Scale shape: stage 1 is the `sim_topk` broadcast scan reading 16 of
+    * 64 floats per row straight off the column family (no slice, no
+    * repartition barrier — the round-13 barrier existed only because
+    * whole-stage codegen deferred the slice into the nested-loop build
+    * loop; a scanned column cannot be re-evaluated); its BNLJ carries the
+    * same counted allowance as `sim_topk` (≤`QuerySetSize` broadcast
+    * rows). Stage 2 never rescans: the C×|queries| candidate ids come back
+    * onto ONE corpus hash join — broadcast while C×|queries| ≤
+    * `MrlBroadcastMaxRows`, shuffle hash join beyond (the id list grows
+    * with the sweep's C, not the corpus scan).
     */
   def simMrl(s: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.embeddings(s, dir)
+    val emb = mrlStaged(s, dir)
     val q = emb.filter(col("vec_id") < QuerySetSize)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val cand = mrlCandidates(s, emb)
+    val candSide =
+      if (mrlCandidateCount(s) * QuerySetSize <= MrlBroadcastMaxRows) broadcast(cand)
+      else cand
     emb.filter(col("vec_id") >= QuerySetSize)
-      .join(broadcast(mrlCandidates(s, emb)), "vec_id")
+      .select("vec_id", "embedding")
+      .join(candSide, "vec_id")
       .join(broadcast(q), "q_id")
       .select(col("q_id"), col("vec_id"),
         Vec.cosineF(col("q_emb"), col("embedding")).as("cos"))
@@ -1169,26 +1226,38 @@ object VectorOps {
   }
 
   /** Stage-2 candidate frame of `sim_mrl` (the top-C-by-prefix-cosine
-    * (q_id, vec_id) pairs) — split out so the query and the AnnRecall
-    * cost axis share one body.
+    * (q_id, vec_id) pairs) — split out so the query, the AnnRecall cost
+    * axis, and the [[graft.MrlBytes]] scan-bytes A/B share one body. The
+    * input frame must carry a `prefix` column: the staged mirror for the
+    * operator (column-family read), or an inline
+    * `slice(embedding, 1, MrlPrefixDims)` projection for the legacy arm
+    * of the bytes A/B ([[mrlPrefixInline]]).
     */
   private[graft] def mrlCandidates(s: SparkSession, emb: DataFrame): DataFrame = {
-    val c = s.conf.get(MrlCandidatesConf, MrlCandidates.toString).toInt
+    val c = mrlCandidateCount(s)
     val qpre = emb.filter(col("vec_id") < QuerySetSize)
-      .select(col("vec_id").as("q_id"),
-        slice(col("embedding"), 1, MrlPrefixDims).as("q_pre"))
-    // pipeline barrier: materialize the 16-float prefix once per corpus row
+      .select(col("vec_id").as("q_id"), col("prefix").as("q_pre"))
     val cpre = emb.filter(col("vec_id") >= QuerySetSize)
-      .select(col("vec_id"), slice(col("embedding"), 1, MrlPrefixDims).as("pre"))
-      .repartition(col("vec_id"))
+      .select(col("vec_id"), col("prefix"))
     cpre.crossJoin(broadcast(qpre))
       .select(col("q_id"), col("vec_id"),
-        Vec.cosineF(col("q_pre"), col("pre")).as("pcos"))
+        Vec.cosineF(col("q_pre"), col("prefix")).as("pcos"))
       .withColumn("prn", row_number()
         .over(Window.partitionBy("q_id").orderBy(desc("pcos"), asc("vec_id"))))
       .filter(col("prn") <= c)
       .select("q_id", "vec_id")
   }
+
+  /** The round-13 stage-1 input shape, kept as the A/B arm of the
+    * scan-bytes measurement: prefix computed inline by slicing the full
+    * embedding column (the scan must read all `Dim` floats), materialized
+    * behind a repartition barrier so codegen cannot defer the slice into
+    * the BNLJ build loop (the `ragDenseRanked` discipline).
+    */
+  private[graft] def mrlPrefixInline(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"), slice(col("embedding"), 1, MrlPrefixDims).as("prefix"))
+      .repartition(col("vec_id"))
 
   /** K3b `sim_ann`: LSH-bucketed approximate nearest neighbours — queries
     * join the corpus only within their probed sign-bit buckets, so each

@@ -190,6 +190,33 @@ class SourcesSpec extends AnyFunSuite {
       s"nested pruning failed — struct read whole: $schemaTxt")
   }
 
+  test("sim_mrl: stage 1 reads ONLY the prefix column family off the staged mirror (K3g)") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+    val helper = new AdaptiveSparkPlanHelper {}
+    val df = graft.operators.VectorOps.simMrl(spark, sfDir)
+    assert(df.collect().nonEmpty)
+    val scans = helper.collect(df.queryExecution.executedPlan) {
+      case f: FileSourceScanExec if f.relation.location.rootPaths
+        .exists(_.toString.contains("graft_mrl_prefix")) => f
+    }
+    assert(scans.nonEmpty, df.queryExecution.executedPlan.toString)
+    val fields = scans.map(_.requiredSchema.fieldNames.toSet)
+    // stage 1 (corpus + query prefix sides): the scan schema is EXACTLY
+    // id + prefix — the 64-float embedding family is never decoded, which
+    // is the 4× scan-bytes claim (measured in graft.MrlBytes)
+    val stage1 = fields.filter(_.contains("prefix"))
+    assert(stage1.nonEmpty, s"no prefix-family scan: $fields")
+    stage1.foreach(fs => assert(fs == Set("vec_id", "prefix"),
+      s"stage-1 scan reads beyond the prefix family: $fs"))
+    // stage 2 (full-dim rerank + query embeddings): id + embedding, never
+    // the prefix — the two column families never fuse into one fat scan
+    val stage2 = fields.filter(_.contains("embedding"))
+    assert(stage2.nonEmpty, s"no full-dim scan: $fields")
+    stage2.foreach(fs => assert(fs == Set("vec_id", "embedding"),
+      s"stage-2 scan reads beyond the full-dim family: $fs"))
+  }
+
   test("parquet sink round-trips every type the engine emits (A4)") {
     import org.apache.spark.sql.functions._
     val out = "/tmp/graft_test_sink"
