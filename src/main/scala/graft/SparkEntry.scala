@@ -145,6 +145,7 @@ object SparkEntry {
     "text_fingerprint" -> (TextOps.textFingerprint _),
     "vocab_oov" -> (TextOps.vocabOov _),
     "vocab_bpe" -> (TextOps.vocabBpe _),
+    "vocab_unigram" -> (TextOps.vocabUnigram _),
     "tokenize_bpe" -> (TextOps.tokenizeBpe _),
     "tokenize_bpe_encode" -> (TextOps.tokenizeBpeEncode _),
     // §2.K1/K2 deduplication
@@ -184,6 +185,7 @@ object SparkEntry {
     "sample_hash" -> (Relational.sampleHash _),
     "sample_reservoir" -> (Relational.sampleReservoir _),
     "sample_weighted" -> (Relational.sampleWeighted _),
+    "sample_dsir" -> (TextOps.sampleDsir _),
     "sample_mix" -> (Relational.sampleMix _),
     "sample_temperature" -> (Relational.sampleTemperature _),
     "sample_split" -> (Relational.sampleSplit _),
@@ -207,6 +209,7 @@ object SparkEntry {
     "sim_topk" -> (VectorOps.simTopk _),
     "sim_mips" -> (VectorOps.simMips _),
     "sim_mrl" -> (VectorOps.simMrl _),
+    "sim_ivf_incremental" -> (VectorOps.simIvfIncremental _),
     "sim_mips_ivf" -> (VectorOps.simMipsIvf _),
     "sim_ann" -> (VectorOps.simAnn _),
     "sim_ivf" -> (VectorOps.simIvf _),
@@ -547,6 +550,70 @@ object SparkEntry {
     (1 to TextOps.BpeMerges).map(mergeSql).mkString(", ")
   }
 
+  /** Unigram-LM train CTEs (`vocab_unigram`): ty = word types, sub =
+    * substring occurrence counts, p0 = seeded vocabulary, then per round
+    * r: tv/sc (add-one-smoothed piece log-scores, the `text_logprob`
+    * ln→DECIMAL(28,18) discipline), a fixed-depth chained-CTE Viterbi DP
+    * (v{r}_0..v{r}_{UniMaxWordLen} — position k's best is picked from the
+    * up-to-`UniMaxPieceLen` predecessor CTEs by `ORDER BY s DESC, np,
+    * cuts`, the engine's exact tiebreak; the decimal sum is CAST back to
+    * (28,18) per step so the type never outgrows DuckDB's 38-digit cap —
+    * exact, since addition at scale 18 never rounds), cut-string decode
+    * (occ), integer Viterbi counts (vc), and the rank·5 ≤ m·4 prune (k).
+    * Every CTE is MATERIALIZED (the `bpeLearnCtes` lesson — inlining
+    * re-opens the parquet per chain step).
+    */
+  private val uniLearnCtes: String = {
+    val P = TextOps.UniMaxPieceLen
+    val W = TextOps.UniMaxWordLen
+    def dp(r: Int): String =
+      (s"v${r}_0 AS (SELECT word, n, 0 AS pos, CAST(0 AS DECIMAL(28,18)) AS s, 0 AS np, '' AS cuts FROM ty)" +:
+        (1 to W).map { k =>
+          val branches = (math.max(0, k - P) until k).map { j =>
+            f"SELECT d.word, d.n, $k AS pos, CAST(d.s + sc.s AS DECIMAL(28,18)) AS s, d.np + 1 AS np, d.cuts || '$j%02d' AS cuts " +
+            s"FROM v${r}_$j d JOIN sc$r sc ON sc.piece = substring(d.word, ${j + 1}, ${k - j}) " +
+            s"WHERE length(d.word) >= $k"
+          }.mkString(" UNION ALL ")
+          s"v${r}_$k AS MATERIALIZED (SELECT word, n, pos, s, np, cuts FROM " +
+          s"(SELECT *, row_number() OVER (PARTITION BY word ORDER BY s DESC, np, cuts) AS rk FROM ($branches) c$r$k) r$r$k WHERE rk = 1)"
+        }).mkString(", ")
+    def round(r: Int): String =
+      s"tv$r AS (SELECT CAST(sum(cnt) + count(1) AS BIGINT) AS tv FROM p${r - 1}), " +
+      s"sc$r AS MATERIALIZED (SELECT piece, CAST(ln((cnt + 1.0) / CAST(tv AS DOUBLE)) AS DECIMAL(28,18)) AS s FROM p${r - 1} CROSS JOIN tv$r), " +
+      dp(r) + ", " +
+      s"b$r AS MATERIALIZED (SELECT word, n, np, cuts FROM (${(1 to W).map(k => s"SELECT * FROM v${r}_$k").mkString(" UNION ALL ")}) u$r WHERE pos = length(word)), " +
+      s"occ$r AS MATERIALIZED (SELECT substring(word, start + 1, stop - start) AS piece, n FROM " +
+      s"(SELECT word, n, CAST(substring(cuts, 2 * gi - 1, 2) AS INT) AS start, " +
+      s"CASE WHEN gi < np THEN CAST(substring(cuts, 2 * gi + 1, 2) AS INT) ELSE length(word) END AS stop " +
+      s"FROM b$r, (SELECT unnest(generate_series(1, $W)) AS gi) g$r WHERE gi <= np) d$r), " +
+      s"vc$r AS MATERIALIZED (SELECT p.piece, CAST(COALESCE(o.c, 0) AS BIGINT) AS cnt FROM p${r - 1} p " +
+      s"LEFT JOIN (SELECT piece, sum(n) AS c FROM occ$r GROUP BY 1) o USING (piece)), " +
+      s"k$r AS MATERIALIZED (SELECT piece, cnt, (length(piece) = 1 OR rk * 5 <= m * 4) AS kept FROM " +
+      s"(SELECT piece, cnt, row_number() OVER (PARTITION BY (length(piece) > 1) ORDER BY cnt DESC, piece) AS rk, " +
+      s"count(1) OVER (PARTITION BY (length(piece) > 1)) AS m FROM vc$r) w$r), " +
+      s"p$r AS MATERIALIZED (SELECT piece, cnt FROM k$r WHERE kept)"
+    "ty AS MATERIALIZED (SELECT w AS word, CAST(count(1) AS BIGINT) AS n FROM " +
+    "(SELECT unnest(string_split(text, ' ')) AS w FROM documents) t0 WHERE length(w) > 0 GROUP BY 1), " +
+    s"sub AS MATERIALIZED (SELECT substring(word, i, l) AS piece, CAST(sum(n) AS BIGINT) AS cnt FROM ty, " +
+    s"(SELECT unnest(generate_series(1, $W)) AS i) gi, (SELECT unnest(generate_series(1, $P)) AS l) gl " +
+    "WHERE i + l - 1 <= length(word) GROUP BY 1), " +
+    "p0 AS MATERIALIZED (SELECT piece, cnt FROM sub WHERE length(piece) = 1 UNION ALL " +
+    "SELECT piece, cnt FROM (SELECT piece, cnt, row_number() OVER (ORDER BY cnt DESC, piece) AS rk " +
+    s"FROM sub WHERE length(piece) > 1) m0 WHERE rk <= ${TextOps.UniSeedMulti}), " +
+    (1 to TextOps.UniRounds).map(round).mkString(", ")
+  }
+
+  /** `multimodal_resize` gate-subset predicate (empty at the default mod 1)
+    * — mirrors `VectorOps.ResizeGateModConf`, which Verify sets from the
+    * same SPARK_GRAFT_RESIZE_MOD env this reads, so the dumped oracle SQL
+    * and the engine cover the identical 1/N payload subset at the 100×
+    * gate (round-13 VERDICT next #5).
+    */
+  private def resizeGateWhere: String = {
+    val n = sys.env.getOrElse("SPARK_GRAFT_RESIZE_MOD", "1").toInt
+    if (n > 1) s" WHERE doc_id % $n = 0" else ""
+  }
+
   private def dotSql(a: String, b: String) =
     s"list_sum(list_transform(list_zip($a, $b), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
 
@@ -786,6 +853,18 @@ object SparkEntry {
         .mkString(" UNION ALL ") +
       ") u ORDER BY step"
     },
+    // unigram-LM train trajectory: seed vocabulary + every round's Viterbi
+    // counts and prune verdicts (uniLearnCtes replays the engine's
+    // exact-decimal DP and integer prune step for step)
+    "vocab_unigram" -> {
+      s"WITH $uniLearnCtes " +
+      "SELECT * FROM (" +
+      ("SELECT CAST(0 AS INT) AS em_round, piece, cnt, TRUE AS kept FROM p0 UNION ALL " +
+        (1 to TextOps.UniRounds).map(r =>
+          s"SELECT CAST($r AS INT) AS em_round, piece, cnt, kept FROM k$r")
+          .mkString(" UNION ALL ")) +
+      ") u ORDER BY em_round, piece"
+    },
     // apply the same learned merges (shared CTE prefix): word-type token
     // counts joined back onto the token stream, per-doc partial agg
     "tokenize_bpe" -> {
@@ -849,6 +928,23 @@ object SparkEntry {
       "p AS (SELECT doc_id, lang, n_chars, -ln((hkey + 1) / 1152921504606846976.0) / n_chars AS prio FROM h), " +
       s"t AS (SELECT * FROM p ORDER BY prio, doc_id LIMIT ${Relational.WeightedK}) " +
       "SELECT doc_id, lang, n_chars, round(prio, 8) AS prio FROM t ORDER BY doc_id"),
+    // DSIR importance resampling: hashed unigram+bigram bucket counts,
+    // add-one-smoothed target-vs-pool log-ratios (exact DECIMAL(20,18)
+    // quantization of ln on identical doubles), per-doc exact decimal
+    // product-sum, Gumbel-top-k selection (the A-ES trick in log space)
+    "sample_dsir" -> {
+      val B = TextOps.DsirBuckets
+      s"WITH g AS (SELECT doc_id, lang, unnest(list_concat(string_split(text, ' '), ${rawShingles(2)})) AS gram FROM documents), " +
+      s"gb AS (SELECT doc_id, lang, ${hash60Wide("('dsirf:' || gram)")} % $B AS b FROM g), " +
+      "db AS (SELECT doc_id, lang, b, count(1) AS c FROM gb GROUP BY 1, 2, 3), " +
+      s"tb AS (SELECT b, sum(CASE WHEN lang = '${TextOps.DsirTargetLang}' THEN c ELSE 0 END) AS pc, sum(c) AS qc FROM db GROUP BY 1), " +
+      "tot AS (SELECT CAST(sum(pc) AS BIGINT) AS pt, CAST(sum(qc) AS BIGINT) AS qt FROM tb), " +
+      s"diff AS (SELECT b, CAST(ln((pc + 1.0) / CAST(pt + $B AS DOUBLE)) - ln((qc + 1.0) / CAST(qt + $B AS DOUBLE)) AS DECIMAL(20,18)) AS d FROM tb CROSS JOIN tot), " +
+      "lw AS (SELECT doc_id, lang, CAST(sum(CAST(c AS DECIMAL(10,0)) * d) AS DOUBLE) AS logw FROM db JOIN diff USING (b) GROUP BY 1, 2), " +
+      "pr AS (SELECT doc_id, lang, logw, ln(-ln((hkey + 1) / 1152921504606846976.0)) - logw AS prio FROM (SELECT lw.*, CAST(('0x' || substr(md5('dsir:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hkey FROM lw) h), " +
+      s"t AS (SELECT * FROM pr ORDER BY prio, doc_id LIMIT ${TextOps.DsirK}) " +
+      "SELECT doc_id, lang, round(logw, 8) AS logw, round(prio, 8) AS prio FROM t ORDER BY doc_id"
+    },
     "agg_stringagg" ->
       ("SELECT r_name, CAST(count(1) AS INT) AS n_nations, " +
       "string_agg(n_name, ',' ORDER BY n_name) AS nations " +
@@ -1449,18 +1545,47 @@ object SparkEntry {
       (s"WITH t AS (SELECT doc_id, CAST(doc_id % ${TextOps.PackShards} AS INT) AS shard, CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_tokens FROM documents), " +
       "o AS (SELECT doc_id, shard, n_tokens, CAST(COALESCE(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_off FROM t) " +
       s"SELECT doc_id, shard, n_tokens, start_off, start_off // ${TextOps.PackCapacity} AS seq_id FROM o ORDER BY doc_id"),
-    // pack_greedy: the recursive member replays the per-shard next-fit fold
-    // step-for-step (rn order = the NFD sort), so bin ordinals AND running
-    // fills are in the hash — a one-doc misplacement breaks it
-    "pack_greedy" ->
-      (s"WITH RECURSIVE t AS (SELECT doc_id, CAST(doc_id % ${TextOps.PackShards} AS INT) AS shard, CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_tokens FROM documents), " +
-      "o AS (SELECT doc_id, shard, n_tokens, CAST(row_number() OVER (PARTITION BY shard ORDER BY n_tokens DESC, doc_id) AS BIGINT) AS rn FROM t), " +
-      "r AS (SELECT shard, rn, doc_id, n_tokens, 1 AS bin_id, n_tokens AS fill FROM o WHERE rn = 1 " +
-      "UNION ALL SELECT o.shard, o.rn, o.doc_id, o.n_tokens, " +
-      s"CASE WHEN r.fill + o.n_tokens > ${TextOps.PackBinCapacity} THEN r.bin_id + 1 ELSE r.bin_id END, " +
-      s"CASE WHEN r.fill + o.n_tokens > ${TextOps.PackBinCapacity} THEN o.n_tokens ELSE r.fill + o.n_tokens END " +
-      "FROM r JOIN o ON o.shard = r.shard AND o.rn = r.rn + 1) " +
-      "SELECT doc_id, shard, n_tokens, CAST(bin_id AS INT) AS bin_id, fill AS bin_fill FROM r ORDER BY doc_id"),
+    // pack_greedy: RUN-LEVEL recursion (round 14 — the per-DOC recursive
+    // replay was depth ∝ docs/shard: 62.5k iterations at 100×, each
+    // re-joining the doc table; intractable at any budget). In the NFD
+    // order, docs of equal n_tokens are consecutive, and next-fit over a
+    // run of r equal-size-t docs entering state (bin₀, fill₀) has a closed
+    // form: a = min(r, (C−fill₀)//t) docs top off the current bin, the
+    // rest fill fresh bins m = max(C//t, 1) at a time. The recursion walks
+    // RUNS (depth = distinct token sizes per shard, ≤ ~C and scale-
+    // INVARIANT — replicas add copies, not new sizes); every per-doc
+    // (bin_id, running fill) is then pure arithmetic off its run's entry
+    // state, so the hash still pins every doc's placement. The start
+    // state (bin 0, fill C) forces the first doc to open bin 1, exactly
+    // the engine's `bin == 0 ||` branch.
+    "pack_greedy" -> {
+      val C = TextOps.PackBinCapacity
+      // closed-form pieces over a joined (st, runs) row
+      val m = s"(CASE WHEN runs.n_tokens > $C THEN CAST(1 AS BIGINT) ELSE $C // runs.n_tokens END)"
+      // GREATEST clamp: an oversized run leaves fill_end = t > C, making
+      // the next run's headroom negative — the engine's overflow branch
+      val a = s"LEAST(runs.r, GREATEST(($C - st.fill_end) // runs.n_tokens, 0))"
+      val rem = s"(runs.r - $a)"
+      val newBins = s"(($rem + $m - 1) // $m)"
+      // ... and over the per-doc expansion row (same state, aliased rd)
+      val mD = s"(CASE WHEN rd.n_tokens > $C THEN CAST(1 AS BIGINT) ELSE $C // rd.n_tokens END)"
+      val aD = s"LEAST(rd.r, GREATEST(($C - rd.fill0) // rd.n_tokens, 0))"
+      val jD = s"(rd.i - $aD)"
+      s"WITH RECURSIVE t AS MATERIALIZED (SELECT doc_id, CAST(doc_id % ${TextOps.PackShards} AS INT) AS shard, CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_tokens FROM documents), " +
+      "d AS MATERIALIZED (SELECT doc_id, shard, n_tokens, CAST(row_number() OVER (PARTITION BY shard, n_tokens ORDER BY doc_id) AS BIGINT) AS i FROM t), " +
+      "runs AS MATERIALIZED (SELECT shard, n_tokens, CAST(count(1) AS BIGINT) AS r, CAST(row_number() OVER (PARTITION BY shard ORDER BY n_tokens DESC) AS BIGINT) AS k FROM t GROUP BY 1, 2), " +
+      s"st AS (SELECT shard, CAST(0 AS BIGINT) AS k, CAST(0 AS BIGINT) AS bin_end, CAST($C AS BIGINT) AS fill_end FROM (SELECT DISTINCT shard FROM t) s0 " +
+      "UNION ALL SELECT runs.shard, runs.k, " +
+      s"st.bin_end + CASE WHEN $rem = 0 THEN 0 ELSE $newBins END, " +
+      s"CASE WHEN $rem = 0 THEN st.fill_end + $a * runs.n_tokens ELSE ($rem - ($newBins - 1) * $m) * runs.n_tokens END " +
+      "FROM st JOIN runs ON runs.shard = st.shard AND runs.k = st.k + 1), " +
+      "rd AS (SELECT d.doc_id, d.shard, d.n_tokens, d.i, runs.r, st.bin_end AS bin0, st.fill_end AS fill0 " +
+      "FROM d JOIN runs ON runs.shard = d.shard AND runs.n_tokens = d.n_tokens " +
+      "JOIN st ON st.shard = d.shard AND st.k = runs.k - 1) " +
+      s"SELECT rd.doc_id, rd.shard, rd.n_tokens, CAST(CASE WHEN rd.i <= $aD THEN rd.bin0 ELSE rd.bin0 + ($jD + $mD - 1) // $mD END AS INT) AS bin_id, " +
+      s"CASE WHEN rd.i <= $aD THEN rd.fill0 + rd.i * rd.n_tokens ELSE ($jD - (($jD + $mD - 1) // $mD - 1) * $mD) * rd.n_tokens END AS bin_fill " +
+      "FROM rd ORDER BY rd.doc_id"
+    },
     "sample_hash" ->
       s"WITH h AS (SELECT doc_id, lang, source, ${saltedBucketSql("graft")} AS bucket FROM documents) SELECT doc_id, lang, source, bucket FROM h WHERE bucket < ${Relational.SamplePct} ORDER BY doc_id",
     "sample_reservoir" ->
@@ -1596,7 +1721,7 @@ object SparkEntry {
     // (byte-positional — substr on the raw UTF-8 text is character-based),
     // empty payloads (h=0) kept via left join with the md5 of zero bytes
     "multimodal_resize" ->
-      ("WITH mb AS (SELECT doc_id, text, octet_length(encode(text)) AS n, octet_length(encode(text)) % 60 + 4 AS w FROM documents), " +
+      (s"WITH mb AS (SELECT doc_id, text, octet_length(encode(text)) AS n, octet_length(encode(text)) % 60 + 4 AS w FROM documents$resizeGateWhere), " +
       "ms AS (SELECT doc_id, text, n, w, (w * 3 + 3) // 4 * 4 AS stride FROM mb), " +
       "mh AS (SELECT doc_id, text, n, w, stride, (n + stride - 1) // stride AS h FROM ms), " +
       "dims AS (SELECT doc_id, w, h, stride, greatest(w // 2, 1) AS ow, CASE WHEN h = 0 THEN 0 ELSE greatest(h // 2, 1) END AS oh, lower(hex(encode(text) || encode(repeat(' ', stride * h - n)))) AS hx FROM mh), " +
@@ -1607,6 +1732,24 @@ object SparkEntry {
       "FROM dims d LEFT JOIN o ON d.doc_id = o.doc_id ORDER BY d.doc_id"),
     "sim_topk" ->
       s"WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < ${VectorOps.QuerySetSize}), c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= ${VectorOps.QuerySetSize}), s AS (SELECT q_id, vec_id, ${dotSql("q_emb", "embedding")} / (sqrt(${sqNorm("q_emb")}) * sqrt(${sqNorm("embedding")})) AS cos FROM c CROSS JOIN q), r AS (SELECT q_id, vec_id, cos, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn FROM s) SELECT q_id, vec_id, cos, CAST(rn AS INT) AS rn FROM r WHERE rn <= ${VectorOps.TopK} ORDER BY q_id, rn",
+    // IVF incremental maintenance: integer-unit (Σ, n) state per
+    // (list, dim) (components quantized to 10^-12 units — exact double
+    // product + half-away rounding on both engines), batch assigned to
+    // nearest OLD centroid, delta merged by integer addition —
+    // cell-for-cell mirror of the engine's fold
+    "sim_ivf_incremental" ->
+      (s"WITH base AS (SELECT * FROM embeddings WHERE vec_id % ${VectorOps.IvfIncBatchMod} != 0), " +
+      s"batch AS (SELECT * FROM embeddings WHERE vec_id % ${VectorOps.IvfIncBatchMod} = 0), " +
+      s"scell AS (SELECT label AS list_id, CAST(g.i - 1 AS INT) AS pos, CAST(round(CAST(embedding[g.i] AS DOUBLE) * ${VectorOps.IvfIncUnit}.0) AS BIGINT) AS v FROM base, (SELECT unnest(generate_series(1, ${VectorOps.Dim})) AS i) g), " +
+      "state AS (SELECT list_id, pos, CAST(sum(v) AS BIGINT) AS usum, count(1) AS n_base FROM scell GROUP BY 1, 2), " +
+      s"cent AS (SELECT list_id AS c_list, list(CAST(usum AS DOUBLE) / ${VectorOps.IvfIncUnit}.0 / n_base ORDER BY pos) AS cvec FROM state GROUP BY 1), " +
+      s"a AS (SELECT vec_id, embedding, c_list, ${sqDistSql("embedding", "cvec")} AS d2 FROM batch CROSS JOIN cent), " +
+      "asg AS (SELECT vec_id, embedding, c_list FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, c_list) AS rn FROM a) r WHERE rn = 1), " +
+      s"dcell AS (SELECT c_list AS list_id, CAST(g.i - 1 AS INT) AS pos, CAST(round(CAST(embedding[g.i] AS DOUBLE) * ${VectorOps.IvfIncUnit}.0) AS BIGINT) AS v FROM asg, (SELECT unnest(generate_series(1, ${VectorOps.Dim})) AS i) g), " +
+      "delta AS (SELECT list_id, pos, CAST(sum(v) AS BIGINT) AS dusum, count(1) AS n_add FROM dcell GROUP BY 1, 2) " +
+      "SELECT s.list_id, s.pos, s.n_base, CAST(COALESCE(d.n_add, 0) AS BIGINT) AS n_add, " +
+      "s.usum + COALESCE(d.dusum, 0) AS usum " +
+      "FROM state s LEFT JOIN delta d USING (list_id, pos) ORDER BY list_id, pos"),
     // Matryoshka two-stage: stage 1 prefix-dim cosine over embedding[1:16]
     // (DuckDB slices are 1-based inclusive), top-MrlCandidates per query,
     // stage 2 exact full-dim cosine over just those candidates — every

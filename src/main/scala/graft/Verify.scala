@@ -31,6 +31,11 @@ object Verify {
       .foreach(v => spark.conf.set("graft.terminalSort", v))
     sys.env.get("SPARK_GRAFT_RAG_SHARED_CHUNKS")
       .foreach(v => spark.conf.set(graft.operators.TextOps.RagSharedChunkScanConf, v))
+    // SPARK_GRAFT_RESIZE_MOD=N gates multimodal_resize on the doc_id % N = 0
+    // subset (100× oracle tractability — SparkEntry.resizeGateWhere reads
+    // the SAME env for the dumped SQL, so both sides cover one subset)
+    sys.env.get("SPARK_GRAFT_RESIZE_MOD")
+      .foreach(v => spark.conf.set(graft.operators.VectorOps.ResizeGateModConf, v))
     run(spark, sfDir, outDir, sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet))
     spark.stop()
   }

@@ -1268,6 +1268,240 @@ object TextOps {
       .oracleSorted("doc_id")
   }
 
+  /** `vocab_unigram` knobs (pinned so the DuckDB chained-CTE oracle
+    * replays the identical trajectory):
+    *  - `UniMaxPieceLen`: longest candidate piece (SentencePiece's
+    *    max_sentencepiece_length);
+    *  - `UniSeedMulti`: multi-char seed-vocabulary size (top substrings by
+    *    occurrence count — the frequent-substring seeding of Kudo 2018,
+    *    which full SentencePiece draws from a suffix array; single chars
+    *    are always seeded and never pruned, preserving coverage);
+    *  - `UniRounds`: EM+prune rounds;
+    *  - `UniMaxWordLen`: the oracle's Viterbi DP chain depth — the engine
+    *    REQUIREs every word type fits (the shipped corpora max at 8) so a
+    *    longer-word corpus fails loudly instead of silently diverging
+    *    from the fixed-depth SQL replay.
+    */
+  val UniMaxPieceLen = 6
+  val UniSeedMulti = 80
+  val UniRounds = 3
+  val UniMaxWordLen = 16
+
+  /** K5j `vocab_unigram` (round 14): unigram-LM tokenizer training — the
+    * OTHER production tokenizer-training computation next to the BPE
+    * family (SentencePiece; Kudo 2018): seed a candidate vocabulary from
+    * frequent substrings, then alternate EM over the corpus with pruning
+    * of the least-useful pieces until the vocabulary converges. Same
+    * coordinator contract as `vocab_bpe`: the corpus collapses to the
+    * word-TYPE table ONCE (the only distributed pass, partial-agg shuffle
+    * ∝ corpus, output ∝ |vocabulary| — Heaps' law keeps it driver-sized
+    * at any corpus scale), and the train loop runs driver-local.
+    *
+    * This implementation is the hard-EM (Viterbi) variant with a
+    * count-rank prune, chosen so the full trajectory is EXACT and
+    * hash-gates like `vocab_bpe`'s 200-merge trajectory:
+    *  - piece scores are ln((cnt+1)/(T+V)) (add-one smoothing — no −∞ for
+    *    unused survivors) computed on IDENTICAL doubles and quantized to
+    *    DECIMAL(28,18), the `text_logprob` cross-engine ln discipline;
+    *    the ln+cast runs through a vocabulary-sized Spark job so the
+    *    engine's quantization IS Spark's, not the JVM driver's;
+    *  - the Viterbi DP maximizes the exact-decimal score sum with a total
+    *    deterministic tiebreak (fewer pieces, then lexicographically
+    *    smallest zero-padded cut-position string) — mirrored term for
+    *    term by the oracle's fixed-depth chained-CTE DP;
+    *  - the E-step counts are integers (piece occurrences in each type's
+    *    Viterbi segmentation × type count), and the prune keeps the top
+    *    4/5 of multi-char pieces by (count desc, piece asc UTF-8) — the
+    *    pure-integer inequality rank·5 ≤ m·4 on both engines.
+    *
+    * Output: the full trajectory — round 0 = seeded vocabulary with
+    * substring counts, rounds 1..`UniRounds` = every live piece with its
+    * new Viterbi count and kept/pruned verdict. TextOpsSpec pins the DP
+    * to brute-force segmentation enumeration per word type and the
+    * trajectory to its invariants (chars never pruned, coverage, exact
+    * prune arithmetic).
+    */
+  def vocabUnigram(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    uniLearnLocal(s, bpeCollectTypes(s, dir))
+      .toDF("em_round", "piece", "cnt", "kept")
+      .oracleSorted("em_round", "piece")
+  }
+
+  /** Driver-local unigram-LM train loop over the collected word-type
+    * table. Returns the full (round, piece, count, kept) trajectory.
+    * BMP-only string ops (like the shipped corpora); lengths/substrings
+    * are Java char counts == DuckDB character counts for BMP text.
+    */
+  private[graft] def uniLearnLocal(s: SparkSession, types: Seq[(String, Long)])
+      : Seq[(Int, String, Long, Boolean)] = {
+    require(types.forall(_._1.length <= UniMaxWordLen),
+      s"word type exceeds UniMaxWordLen=$UniMaxWordLen — the oracle DP chain cannot replay it")
+    // seed: substring occurrence counts (overlapping, weighted by type count)
+    val subCnt = scala.collection.mutable.HashMap.empty[String, Long]
+    for ((w, n) <- types; l <- 1 to UniMaxPieceLen; i <- 0 to w.length - l) {
+      val p = w.substring(i, i + l)
+      subCnt.update(p, subCnt.getOrElse(p, 0L) + n)
+    }
+    val byCountThenPiece: ((String, Long), (String, Long)) => Boolean =
+      (a, b) => a._2 > b._2 || (a._2 == b._2 && cmpUtf8(a._1, b._1) < 0)
+    val chars = subCnt.iterator.filter(_._1.length == 1).toSeq.sortWith(byCountThenPiece)
+    val multi = subCnt.iterator.filter(_._1.length > 1).toSeq
+      .sortWith(byCountThenPiece).take(UniSeedMulti)
+    var pieces: Seq[(String, Long)] = chars ++ multi
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long, Boolean)]
+    pieces.foreach { case (p, c) => out += ((0, p, c, true)) }
+    for (r <- 1 to UniRounds) {
+      val score = uniScores(s, pieces)
+      val vc = scala.collection.mutable.HashMap.empty[String, Long]
+      for ((w, n) <- types; p <- uniViterbi(w, score))
+        vc.update(p, vc.getOrElse(p, 0L) + n)
+      val withNew = pieces.map { case (p, _) => (p, vc.getOrElse(p, 0L)) }
+      val multiRanked = withNew.filter(_._1.length > 1).sortWith(byCountThenPiece)
+      val m = multiRanked.size
+      val keptMulti = multiRanked.zipWithIndex
+        .collect { case ((p, _), idx) if (idx + 1) * 5 <= m * 4 => p }.toSet
+      withNew.foreach { case (p, c) =>
+        out += ((r, p, c, p.length == 1 || keptMulti(p)))
+      }
+      pieces = withNew.filter { case (p, _) => p.length == 1 || keptMulti(p) }
+    }
+    out.toSeq
+  }
+
+  /** Piece log-scores for one EM round, computed THROUGH Spark (a
+    * vocabulary-sized local job) so ln and the double→DECIMAL(28,18)
+    * quantization are exactly the engine arithmetic the `text_logprob`
+    * gate already pins to DuckDB's — the driver JVM's own Math.log never
+    * touches the trajectory. The double ratio (cnt+1)/(T+V) is IEEE-754
+    * division, identical everywhere.
+    */
+  private[graft] def uniScores(s: SparkSession, pieces: Seq[(String, Long)])
+      : Map[String, java.math.BigDecimal] = {
+    import s.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val tv = pieces.iterator.map(_._2).sum + pieces.size
+    pieces.map { case (p, c) => (p, (c + 1.0) / tv.toDouble) }
+      .toDF("piece", "x")
+      .select(col("piece"), log(col("x")).cast(DecimalType(28, 18)).as("sc"))
+      .collect().map(r => r.getString(0) -> r.getDecimal(1)).toMap
+  }
+
+  /** Exact-decimal Viterbi segmentation of one word under the current
+    * piece scores: maximize the score sum; ties broken by fewer pieces,
+    * then the lexicographically smallest zero-padded cut-position string
+    * — a TOTAL order the oracle's `ORDER BY s DESC, np, cuts` replays.
+    * Every character is always a live piece, so the DP never starves.
+    */
+  private[graft] def uniViterbi(w: String,
+      score: Map[String, java.math.BigDecimal]): Seq[String] = {
+    final case class St(s: java.math.BigDecimal, np: Int, cuts: String)
+    def better(a: St, b: St): Boolean = {
+      val d = a.s.compareTo(b.s)
+      d > 0 || (d == 0 && (a.np < b.np || (a.np == b.np && a.cuts.compareTo(b.cuts) < 0)))
+    }
+    val L = w.length
+    val dp = new Array[St](L + 1)
+    dp(0) = St(java.math.BigDecimal.ZERO.setScale(18), 0, "")
+    var k = 1
+    while (k <= L) {
+      var best: St = null
+      var j = math.max(0, k - UniMaxPieceLen)
+      while (j < k) {
+        if (dp(j) != null) score.get(w.substring(j, k)).foreach { ps =>
+          val cand = St(dp(j).s.add(ps), dp(j).np + 1, dp(j).cuts + f"$j%02d")
+          if (best == null || better(cand, best)) best = cand
+        }
+        j += 1
+      }
+      dp(k) = best
+      k += 1
+    }
+    require(dp(L) != null, s"no segmentation for '$w' — char coverage broken")
+    val cuts = dp(L).cuts.grouped(2).map(_.toInt).toSeq
+    cuts.zipWithIndex.map { case (st, i) =>
+      w.substring(st, if (i + 1 < cuts.length) cuts(i + 1) else L)
+    }
+  }
+
+  /** `sample_dsir` knobs: feature-hash bucket count, target domain, and
+    * sample size. 64 buckets is deliberately small against DSIR's 10k —
+    * the synthetic corpus has 31 word types; the BUCKETED importance
+    * ratios must still separate the domains (measured: the selected set
+    * overrepresents the target at every shipped SF — the TextOpsSpec law).
+    */
+  val DsirBuckets = 64
+  val DsirTargetLang = "en"
+  val DsirK = 100
+
+  /** K23″ `sample_dsir` (round 14): importance-resampling data selection
+    * (DSIR; Xie et al. 2023) — the LEARNED-mixing sampler next to the
+    * fixed-rate family (`sample_hash`/`sample_mix`) and the length-
+    * weighted one (`sample_weighted`): each pool document is weighted by
+    * the log-likelihood ratio of a TARGET domain's hashed-n-gram unigram
+    * model against the raw pool's, then an exact-k weighted sample is
+    * drawn by Gumbel-top-k. Composes three proven parts:
+    *  - features: word unigrams + 2-word shingles (the `WordShingles`
+    *    kernel), hashed into `DsirBuckets` buckets with the md5-60-bit
+    *    gram hash both engines share;
+    *  - exact ratios: per bucket, ln((pc+1)/(PT+B)) − ln((qc+1)/(QT+B))
+    *    (add-one smoothing) on identical doubles, quantized
+    *    DECIMAL(20,18) — the `text_logprob` ln discipline; per-doc
+    *    log-weight = Σ_b c_db · diff_b as an EXACT decimal product-sum
+    *    (DECIMAL(10,0) × DECIMAL(20,18) → (31,18), no precision cliff on
+    *    either engine);
+    *  - selection: Gumbel-top-k ≡ the A-ES trick of `sample_weighted` in
+    *    log space — prio = ln(−ln(u)) − logw with u the exact dyadic
+    *    (hkey+1)/2^60 from the salted doc hash, k smallest prios win.
+    *
+    * Scale: one corpus scan (gram explode → (doc, bucket) partial agg,
+    * shuffle ∝ |docs|·B not corpus bytes), the B-row ratio table
+    * broadcasts back, and the pick is a TakeOrdered heap — no global
+    * sort, no second scan. The bucket-count table is behind a lineage cut
+    * (it feeds both the ratio build and the scoring join).
+    */
+  def sampleDsir(s: SparkSession, dir: String): DataFrame =
+    dsirScored(s, dir)
+      .orderBy(asc("prio"), asc("doc_id"))
+      .limit(DsirK)
+      .select(col("doc_id"), col("lang"),
+        round(col("logw"), 8).as("logw"), round(col("prio"), 8).as("prio"))
+      .oracleSorted("doc_id")
+
+  /** Every pool document with its DSIR log-weight and Gumbel priority
+    * (the frame `sample_dsir` takes its top-k from) — split out so the
+    * TextOpsSpec overrepresentation law measures the exact weights the
+    * query selects on.
+    */
+  private[graft] def dsirScored(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.ScalarAttach._
+    import graft.functions.LineageCut._
+    import org.apache.spark.sql.types.DecimalType
+    val db = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        explode(concat(words(col("text")), shingles(col("text"), 2))).as("gram"))
+      .select(col("doc_id"), col("lang"),
+        (conv(substring(md5s(concat(lit("dsirf:"), col("gram"))), 1, 15), 16, 10)
+          .cast("long") % DsirBuckets).as("b"))
+      .groupBy("doc_id", "lang", "b").agg(count(lit(1)).as("c"))
+      .lineageCut(eager = false)
+    val tb = db.groupBy("b").agg(
+      sum(when(col("lang") === DsirTargetLang, col("c")).otherwise(0L)).as("pc"),
+      sum("c").as("qc"))
+    val tot = tb.agg(sum("pc").as("pt"), sum("qc").as("qt"))
+    val diff = tb.attachScalarRow(tot)
+      .select(col("b"),
+        (log((col("pc") + lit(1.0)) / (col("pt") + lit(DsirBuckets.toLong)).cast("double")) -
+         log((col("qc") + lit(1.0)) / (col("qt") + lit(DsirBuckets.toLong)).cast("double")))
+          .cast(DecimalType(20, 18)).as("d"))
+    val u = (Relational.saltedHash("dsir") + 1).cast("double") /
+      lit(1.152921504606846976e18)
+    db.join(broadcast(diff), "b")
+      .groupBy("doc_id", "lang")
+      .agg(sum(col("c").cast(DecimalType(10, 0)) * col("d")).cast("double").as("logw"))
+      .withColumn("prio", log(-log(u)) - col("logw"))
+  }
+
   /** `corpus_budget` per-source token budget (calibrated so every source
     * both keeps and drops documents at every shipped SF — non-vacuous
     * gate branches; sources carry ~1.6–2.3k estimated tokens).

@@ -496,9 +496,22 @@ object VectorOps {
     * Scale shape: two narrow map stages; pixel bytes never shuffle. Output
     * volume is ¼ of input pixels — the typical pre-featurization reduction.
     */
+  /** `multimodal_resize` gate-subset knob: when > 1, the query (and the
+    * dumped oracle SQL — both read the same source) covers only documents
+    * with doc_id ≡ 0 (mod N). Purpose: the DuckDB oracle re-derives the
+    * resample through `hex(blob)` carried per PIXEL row — tractable at
+    * 1×/10× but past the 24 GB oracle budget at the 100× staging — so the
+    * 100× gate runs a deterministic 1/N payload subset instead of
+    * excluding the query (round-13 VERDICT next #5). Default 1 = full
+    * table; set via SPARK_GRAFT_RESIZE_MOD on Verify.
+    */
+  val ResizeGateModConf = "graft.resizeGateMod"
+
   def multimodalResize(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    val n = s.conf.get(ResizeGateModConf, "1").toInt
     Tables.documents(s, dir)
+      .filter(if (n > 1) pmod(col("doc_id"), lit(n.toLong)) === 0 else lit(true))
       .select(col("doc_id"), col("text").cast("binary").as("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, raw) => (id, encodeBmp(raw)) })
@@ -1258,6 +1271,95 @@ object VectorOps {
     Tables.embeddings(s, dir)
       .select(col("vec_id"), slice(col("embedding"), 1, MrlPrefixDims).as("prefix"))
       .repartition(col("vec_id"))
+
+  /** `sim_ivf_incremental` batch split: vec_id ≡ 0 (mod this) is the
+    * ARRIVING batch; the rest is the already-indexed base.
+    */
+  val IvfIncBatchMod = 10L
+
+  /** K3h `sim_ivf_incremental` (round 14): IVF index maintenance WITHOUT
+    * a rebuild — the `dedup_incremental`/`matview_delta` discipline
+    * applied to the vector index. The index state is self-maintainable:
+    * per (list, dimension), an exact-decimal component SUM plus the
+    * member count. An arriving embedding batch (1) assigns each vector to
+    * its nearest EXISTING centroid (L2, deterministic (d2, list) tiebreak
+    * — the k-row centroid table broadcasts to the batch), (2) folds the
+    * batch into per-(list, dim) (Σ, n) DELTAS, and (3) merges delta into
+    * state by pure decimal addition — the base corpus VECTORS are never
+    * rescanned; only the k×Dim state table and the batch move.
+    *
+    * Exactness (the M9 refresh law, ported): component sums go through
+    * DECIMAL(28,20) (the `labelMeanCentroids` discipline), so
+    * state + delta ≡ a full rebuild over the merged corpus BIT-FOR-BIT —
+    * VectorOpsSpec asserts the equality; the DuckDB oracle replays
+    * assignment and merge cell-for-cell. Output: the updated index state
+    * (list, dim, base count, added count, new centroid component) —
+    * k×Dim rows at ANY corpus scale.
+    */
+  /** `sim_ivf_incremental` state quantum: components are summed in
+    * integer units of 10⁻¹². Why integers and not the `labelMeanCentroids`
+    * DECIMAL(28,20) discipline: the state is the OUTPUT here, and a
+    * >17-significant-digit decimal cannot cross the hash gate — the two
+    * engines' decimal→double conversions disagree in the last ulp for
+    * some values (measured in round 14: −0.00757498271349403 5 vs 6).
+    * The quantization itself is exact cross-engine: a float component ×
+    * 10¹² is an EXACT double product (24-bit mantissa × 5¹² fits 53
+    * bits), both engines round half-away-from-zero, and int64→double for
+    * the centroid build is uniquely defined IEEE. BIGINT headroom: |sum|
+    * ≤ n·max|v|·10¹² — at the 100× staging (~45k members/cell, |v| ≤ ~5)
+    * that is ~2×10¹⁷ of 9.2×10¹⁸.
+    */
+  val IvfIncUnit = 1000000000000L
+
+  private def ivfIncUnits(c: Column): Column =
+    round(c.cast("double") * lit(IvfIncUnit.toDouble)).cast("long")
+
+  def simIvfIncremental(s: SparkSession, dir: String): DataFrame = {
+    val (state, assigned) = ivfIncParts(s, dir)
+    val delta = assigned
+      .select(col("c_list").as("list_id"), posexplode(col("embedding")))
+      .groupBy("list_id", "pos")
+      .agg(sum(ivfIncUnits(col("col"))).as("dusum"), count(lit(1)).as("n_add"))
+    state.join(delta, Seq("list_id", "pos"), "left_outer")
+      .select(col("list_id"), col("pos"), col("n_base"),
+        coalesce(col("n_add"), lit(0L)).as("n_add"),
+        (col("usum") + coalesce(col("dusum"), lit(0L))).as("usum"))
+      .oracleSorted("list_id", "pos")
+  }
+
+  /** The (index state, assigned batch) pair of `sim_ivf_incremental` —
+    * split out so the VectorOpsSpec refresh law can rebuild per-list
+    * sums over the merged membership through an INDEPENDENT aggregation
+    * tree and compare exactly.
+    */
+  private[graft] def ivfIncParts(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    import graft.functions.LineageCut._
+    val emb = Tables.embeddings(s, dir)
+    val base = emb.filter(pmod(col("vec_id"), lit(IvfIncBatchMod)) =!= 0)
+    val batch = emb.filter(pmod(col("vec_id"), lit(IvfIncBatchMod)) === 0)
+    // index state — cut: it feeds the centroid build AND the final merge
+    val state = base
+      .select(col("label").as("list_id"), posexplode(col("embedding")))
+      .groupBy("list_id", "pos")
+      .agg(sum(ivfIncUnits(col("col"))).as("usum"), count(lit(1)).as("n_base"))
+      .lineageCut(eager = false)
+    val cent = state
+      .select(col("list_id").as("c_list"), col("pos"),
+        (col("usum").cast("double") / lit(IvfIncUnit.toDouble) / col("n_base"))
+          .as("comp"))
+      .groupBy("c_list")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("comp")))),
+        x => x.getField("comp")).as("cvec"))
+    val assigned = batch
+      .crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("embedding"), col("c_list"),
+        Vec.sqDistF(col("embedding"), col("cvec")).as("d2"))
+      .withColumn("rn", row_number()
+        .over(Window.partitionBy("vec_id").orderBy(asc("d2"), asc("c_list"))))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("c_list"))
+    (state, assigned)
+  }
 
   /** K3b `sim_ann`: LSH-bucketed approximate nearest neighbours — queries
     * join the corpus only within their probed sign-bit buckets, so each

@@ -716,6 +716,104 @@ class TextOpsSpec extends AnyFunSuite {
     assert(got == Seq((1, "a", "a", 2L), (2, "aa", "a", 1L)))
   }
 
+  test("vocab_unigram: Viterbi DP equals brute-force segmentation enumeration for every corpus word type (K5j)") {
+    // types + seed scores exactly as the operator builds them
+    val types = Tables.documents(spark, sfDir)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .where(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val subCnt = scala.collection.mutable.HashMap.empty[String, Long]
+    for ((w, n) <- types; l <- 1 to TextOps.UniMaxPieceLen; i <- 0 to w.length - l) {
+      val p = w.substring(i, i + l)
+      subCnt.update(p, subCnt.getOrElse(p, 0L) + n)
+    }
+    val multi = subCnt.iterator.filter(_._1.length > 1).toSeq
+      .sortBy { case (p, c) => (-c, p) }.take(TextOps.UniSeedMulti)
+    val pieces = subCnt.iterator.filter(_._1.length == 1).toSeq ++ multi
+    val score = TextOps.uniScores(spark, pieces)
+
+    // brute force: enumerate EVERY segmentation, pick the best under the
+    // DP's total order (score desc, fewer pieces, lexicographic cuts)
+    def allSegs(w: String, from: Int): Seq[List[Int]] =
+      if (from == w.length) Seq(Nil)
+      else (from + 1 to math.min(w.length, from + TextOps.UniMaxPieceLen))
+        .filter(to => score.contains(w.substring(from, to)))
+        .flatMap(to => allSegs(w, to).map(from :: _))
+    for ((w, _) <- types) {
+      val best = allSegs(w, 0).map { cuts =>
+        val ps = cuts.zipWithIndex.map { case (st, i) =>
+          w.substring(st, if (i + 1 < cuts.length) cuts(i + 1) else w.length)
+        }
+        val s = ps.map(score).reduce(_.add(_))
+        (s, ps.size, cuts.map(j => f"$j%02d").mkString, ps)
+      }.minBy { case (s, np, cuts, _) => (s.negate, np, cuts) }(
+        Ordering.Tuple3(Ordering.by((b: java.math.BigDecimal) => b),
+          Ordering.Int, Ordering.String))
+      assert(TextOps.uniViterbi(w, score) == best._4,
+        s"DP diverged from brute force on '$w'")
+    }
+  }
+
+  test("vocab_unigram trajectory laws: char coverage, exact prune arithmetic, round chaining, non-vacuity (K5j)") {
+    val rows = TextOps.vocabUnigram(spark, sfDir)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getBoolean(3)))
+    val byRound = rows.groupBy(_._1)
+    assert(byRound.keySet == (0 to TextOps.UniRounds).toSet)
+    // chars are never pruned (coverage is preserved forever)
+    assert(rows.filter(_._2.length == 1).forall(_._4))
+    // prune arithmetic: kept multi per round r >= 1 is exactly floor(4m/5)
+    for (r <- 1 to TextOps.UniRounds) {
+      val multi = byRound(r).filter(_._2.length > 1)
+      assert(multi.count(_._4) == multi.size * 4 / 5,
+        s"round $r kept ${multi.count(_._4)} of ${multi.size}")
+    }
+    // round chaining: round r's piece set == round r-1's kept set
+    for (r <- 1 to TextOps.UniRounds) {
+      val prev = byRound(r - 1).filter(_._4).map(_._2).toSet
+      assert(byRound(r).map(_._2).toSet == prev, s"round $r pieces drifted")
+    }
+    // char-mass conservation: each word's chars are covered exactly once
+    // by its Viterbi segmentation, so sum(cnt * len(piece)) at every EM
+    // round equals total corpus non-space chars
+    val totalChars = Tables.documents(spark, sfDir)
+      .select(sum(length(regexp_replace(col("text"), " ", ""))).cast("long"))
+      .collect().head.getLong(0)
+    for (r <- 1 to TextOps.UniRounds)
+      assert(byRound(r).map { case (_, p, c, _) => c * p.length }.sum == totalChars,
+        s"round $r char mass broken")
+    // non-vacuity: something is pruned, and EM moved the counts
+    assert(rows.exists(!_._4))
+    assert(byRound(1).map(t => t._2 -> t._3).toMap !=
+      byRound(0).map(t => t._2 -> t._3).toMap)
+  }
+
+  test("sample_dsir: selection is the exact Gumbel-top-k of the scored pool and overrepresents the target domain (K23″ DSIR laws)") {
+    val pool = TextOps.dsirScored(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getDouble(3)))
+    val sel = TextOps.sampleDsir(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(sel.length == TextOps.DsirK)
+    // selection integrity: the query's rows are EXACTLY the pool's k
+    // smallest (prio, doc_id) — the Gumbel-top-k contract
+    val want = pool.sortBy { case (id, _, _, prio) => (prio, id) }
+      .take(TextOps.DsirK).map(_._1).toSet
+    assert(sel.map(_._1).toSet == want)
+    // importance resampling works: the selected set overrepresents the
+    // target domain vs its pool share (measured margin ~10pp at the spec
+    // SF — a broken ratio/feature/selection step collapses it to ~0)
+    val poolShare = pool.count(_._2 == TextOps.DsirTargetLang).toDouble / pool.length
+    val selShare = sel.count(_._2 == TextOps.DsirTargetLang).toDouble / sel.length
+    assert(selShare > poolShare,
+      f"target share not lifted: selected $selShare%.3f vs pool $poolShare%.3f")
+    // ... and the mechanism is the weights: mean log-weight of the
+    // selected set strictly exceeds the pool mean
+    val selIds = sel.map(_._1).toSet
+    val meanSel = pool.filter(p => selIds(p._1)).map(_._3).sum / sel.length
+    val meanPool = pool.map(_._3).sum / pool.length
+    assert(meanSel > meanPool, f"selected mean logw $meanSel%.4f <= pool $meanPool%.4f")
+  }
+
   test("tokenize_bpe applies the learned merges: hand-computed per-doc counts") {
     import spark.implicits._
     // same corpus as the learn test: after its 3 merges every word is one

@@ -882,6 +882,41 @@ class VectorOpsSpec extends AnyFunSuite {
       s"hit (${r.getLong(0)}, ${r.getLong(2)}) not in the candidate set"))
   }
 
+  test("sim_ivf_incremental: one incremental step equals a full rebuild over the merged corpus bit-for-bit (K3h refresh law)") {
+    val got = VectorOps.simIvfIncremental(spark, sfDir)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got.nonEmpty)
+    val (_, assigned) = VectorOps.ivfIncParts(spark, sfDir)
+    val emb = Tables.embeddings(spark, sfDir)
+    // independent aggregation tree: one grouped mean over the merged
+    // membership (base keeps its label, batch keeps its ASSIGNED list)
+    val merged = emb
+      .filter(pmod(col("vec_id"), lit(VectorOps.IvfIncBatchMod)) =!= 0)
+      .select(col("label").as("list_id"), col("embedding"))
+      .union(assigned.select(col("c_list").as("list_id"), col("embedding")))
+    val rebuild = merged.select(col("list_id"), posexplode(col("embedding")))
+      .groupBy("list_id", "pos")
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("col").cast("double") * lit(VectorOps.IvfIncUnit.toDouble))
+          .cast("long")).as("usum"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(rebuild.keySet == got.keySet)
+    rebuild.foreach { case (k, (n, usum)) =>
+      val (nb, na, u) = got(k)
+      assert(nb + na == n, s"$k member count drifted")
+      assert(u == usum, s"$k state sum drifted: $u vs $usum")
+    }
+    // non-vacuity: the batch lands, and assignment is by DISTANCE, not by
+    // the vector's own label (random vectors scatter across lists)
+    val asg = assigned.join(emb, "vec_id")
+      .select(col("c_list"), col("label")).collect()
+    assert(asg.nonEmpty)
+    assert(asg.exists(r => r.getInt(0) != r.getInt(1)),
+      "every batch vector landed on its own label's list — assignment vacuous")
+    assert(got.values.map(_._2).sum > 0, "no additions reached the state")
+  }
+
   test("sim_mrl: exhaustive candidates reproduce sim_topk rank-for-rank; recall is monotone in C and never starves a query (K3g truncation-rerank laws)") {
     val want = VectorOps.simTopk(spark, sfDir)
       .select("q_id", "rn", "vec_id").collect()

@@ -60,21 +60,28 @@ def row_sorted(df):
     return df.loc[order].reset_index(drop=True)
 
 def agg_exprs(con, rel_sql):
-    """Per-column order-independent aggregates over `rel_sql` (see --agg)."""
+    """Per-column order-independent aggregates over `rel_sql` (see --agg).
+
+    Each column contributes BOTH a sum-style aggregate and a non-null
+    count: SQL sum()/length() ignore NULLs, so without count(x) a value
+    drift of NULL->0 (numeric) or NULL->'' (string) would change neither
+    count(*) nor any column sum and pass silently (round-13 ADVICE #1).
+    """
     cols = con.execute(f"DESCRIBE SELECT * FROM {rel_sql}").fetchall()
     exprs = []
     for name, ctype, *_ in cols:
         q = '"' + name.replace('"', '""') + '"'
+        nn = f"CAST(count({q}) AS VARCHAR) || ':' || "
         t = ctype.upper()
         if any(t.startswith(p) for p in
                ("TINYINT", "SMALLINT", "INTEGER", "BIGINT", "HUGEINT",
                 "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT",
                 "FLOAT", "DOUBLE", "DECIMAL", "REAL")):
-            exprs.append(f"CAST(sum(CAST({q} AS DECIMAL(38,6))) AS VARCHAR) AS {q}")
+            exprs.append(f"{nn}CAST(sum(CAST({q} AS DECIMAL(38,6))) AS VARCHAR) AS {q}")
         elif t.startswith("VARCHAR"):
-            exprs.append(f"CAST(sum(length({q})) AS VARCHAR) AS {q}")
+            exprs.append(f"{nn}CAST(sum(length({q})) AS VARCHAR) AS {q}")
         elif t.startswith("BOOLEAN"):
-            exprs.append(f"CAST(sum(CAST({q} AS INT)) AS VARCHAR) AS {q}")
+            exprs.append(f"{nn}CAST(sum(CAST({q} AS INT)) AS VARCHAR) AS {q}")
         else:  # temporal / nested: presence only
             exprs.append(f"CAST(count({q}) AS VARCHAR) AS {q}")
     return "count(*) AS __n_rows, " + ", ".join(exprs)

@@ -103,14 +103,19 @@ def main():
         (r"(- `sbt test` — )\d+( tests)", rf"\g<1>{n_tests}\g<2>"),
         (r"(`BroadcastNestedLoopJoin`, )\d+( counted allowlist entries)",
          rf"\g<1>{len(allow)}\g<2>"),
+        # the Verify/selfcheck bullet's oracled-of-registered pair
+        # (round-13 VERDICT "what's wrong" #1: it had drifted for rounds)
+        (r"\(\d+ of \d+\)( is hash-compared)",
+         rf"({len(oracles)} of {len(queries)})\g<1>"),
     ], args.check)
     exc = len(queries) - len(oracles)
+    # anchored on HTML-comment markers (round-13 ADVICE #4) so editorial
+    # rewording around the stamped span can never silently unmatch
     ok &= stamp("MIGRATION.md", [
-        (r"\(\d+ of \d+ registered queries —\n"
-         r"the \d+ exceptions? (?:is|are) float-iterative",
-         f"({len(oracles)} of {len(queries)} registered queries —\n"
+        (r"(?s)(<!-- stamp:oracled -->).*?(<!-- /stamp:oracled -->)",
+         rf"\g<1>({len(oracles)} of {len(queries)} registered queries —\n"
          f"the {exc} exception{'s' if exc != 1 else ''} "
-         f"{'are' if exc != 1 else 'is'} float-iterative"),
+         f"{'are' if exc != 1 else 'is'} float-iterative)" r"\g<2>"),
     ], args.check)
     sys.exit(0 if ok else 1)
 
