@@ -146,6 +146,7 @@ object SparkEntry {
     "vocab_oov" -> (TextOps.vocabOov _),
     "vocab_bpe" -> (TextOps.vocabBpe _),
     "vocab_unigram" -> (TextOps.vocabUnigram _),
+    "tokenize_unigram" -> (TextOps.tokenizeUnigram _),
     "tokenize_bpe" -> (TextOps.tokenizeBpe _),
     "tokenize_bpe_encode" -> (TextOps.tokenizeBpeEncode _),
     // §2.K1/K2 deduplication
@@ -563,10 +564,17 @@ object SparkEntry {
     * Every CTE is MATERIALIZED (the `bpeLearnCtes` lesson — inlining
     * re-opens the parquet per chain step).
     */
-  private val uniLearnCtes: String = {
+  /** One Viterbi pass of the `vocab_unigram` oracle, parameterized by the
+    * EM round r: smoothed scores sc$r off the previous vocabulary p${r−1},
+    * the fixed-depth DP chain v{r}_0..W, and the per-word best b$r. Split
+    * out of [[uniLearnCtes]] so `tokenize_unigram` can run a FOURTH pass
+    * over the final trained vocabulary (its per-word `np` IS the token
+    * count).
+    */
+  private def uniViterbiCtes(r: Int): String = {
     val P = TextOps.UniMaxPieceLen
     val W = TextOps.UniMaxWordLen
-    def dp(r: Int): String =
+    val dp =
       (s"v${r}_0 AS (SELECT word, n, 0 AS pos, CAST(0 AS DECIMAL(28,18)) AS s, 0 AS np, '' AS cuts FROM ty)" +:
         (1 to W).map { k =>
           val branches = (math.max(0, k - P) until k).map { j =>
@@ -577,11 +585,17 @@ object SparkEntry {
           s"v${r}_$k AS MATERIALIZED (SELECT word, n, pos, s, np, cuts FROM " +
           s"(SELECT *, row_number() OVER (PARTITION BY word ORDER BY s DESC, np, cuts) AS rk FROM ($branches) c$r$k) r$r$k WHERE rk = 1)"
         }).mkString(", ")
+    s"tv$r AS (SELECT CAST(sum(cnt) + count(1) AS BIGINT) AS tv FROM p${r - 1}), " +
+    s"sc$r AS MATERIALIZED (SELECT piece, CAST(ln((cnt + 1.0) / CAST(tv AS DOUBLE)) AS DECIMAL(28,18)) AS s FROM p${r - 1} CROSS JOIN tv$r), " +
+    dp + ", " +
+    s"b$r AS MATERIALIZED (SELECT word, n, np, cuts FROM (${(1 to W).map(k => s"SELECT * FROM v${r}_$k").mkString(" UNION ALL ")}) u$r WHERE pos = length(word))"
+  }
+
+  private val uniLearnCtes: String = {
+    val P = TextOps.UniMaxPieceLen
+    val W = TextOps.UniMaxWordLen
     def round(r: Int): String =
-      s"tv$r AS (SELECT CAST(sum(cnt) + count(1) AS BIGINT) AS tv FROM p${r - 1}), " +
-      s"sc$r AS MATERIALIZED (SELECT piece, CAST(ln((cnt + 1.0) / CAST(tv AS DOUBLE)) AS DECIMAL(28,18)) AS s FROM p${r - 1} CROSS JOIN tv$r), " +
-      dp(r) + ", " +
-      s"b$r AS MATERIALIZED (SELECT word, n, np, cuts FROM (${(1 to W).map(k => s"SELECT * FROM v${r}_$k").mkString(" UNION ALL ")}) u$r WHERE pos = length(word)), " +
+      uniViterbiCtes(r) + ", " +
       s"occ$r AS MATERIALIZED (SELECT substring(word, start + 1, stop - start) AS piece, n FROM " +
       s"(SELECT word, n, CAST(substring(cuts, 2 * gi - 1, 2) AS INT) AS start, " +
       s"CASE WHEN gi < np THEN CAST(substring(cuts, 2 * gi + 1, 2) AS INT) ELSE length(word) END AS stop " +
@@ -864,6 +878,18 @@ object SparkEntry {
           s"SELECT CAST($r AS INT) AS em_round, piece, cnt, kept FROM k$r")
           .mkString(" UNION ALL ")) +
       ") u ORDER BY em_round, piece"
+    },
+    // apply the learned unigram vocabulary (shared CTE prefix): a fourth
+    // Viterbi pass over the FINAL vocabulary p3 — each word's np is its
+    // token count — joined back onto the token stream, per-doc partial agg
+    "tokenize_unigram" -> {
+      val r = TextOps.UniRounds + 1
+      s"WITH $uniLearnCtes, ${uniViterbiCtes(r)}, " +
+      "t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents), " +
+      s"tj AS (SELECT doc_id, t.word, np FROM t JOIN b$r b ON b.word = t.word WHERE length(t.word) > 0) " +
+      "SELECT doc_id, count(1) AS n_words, CAST(sum(np) AS BIGINT) AS n_uni_tokens, " +
+      "round(CAST(sum(length(word)) AS DOUBLE) / CAST(sum(np) AS BIGINT), 4) AS chars_per_token " +
+      "FROM tj GROUP BY doc_id ORDER BY doc_id"
     },
     // apply the same learned merges (shared CTE prefix): word-type token
     // counts joined back onto the token stream, per-doc partial agg

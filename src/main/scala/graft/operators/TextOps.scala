@@ -1323,18 +1323,55 @@ object TextOps {
     */
   def vocabUnigram(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    uniLearnLocal(s, bpeCollectTypes(s, dir))
+    uniLearnLocal(s, bpeCollectTypes(s, dir))._1
       .toDF("em_round", "piece", "cnt", "kept")
       .oracleSorted("em_round", "piece")
   }
 
+  /** K5k `tokenize_unigram` (round 14): APPLY the learned unigram-LM
+    * vocabulary — the count leg of the unigram tokenizer round trip, the
+    * exact `tokenize_bpe` shape for the OTHER tokenizer family: per doc,
+    * whitespace token count, Viterbi token count under the final trained
+    * vocabulary (scores from the last EM round's counts), and
+    * chars-per-token. Learn and apply share `uniLearnLocal` — one
+    * trajectory, one final vocabulary, by construction. Scale shape =
+    * `tokenize_bpe`'s: the train loop is driver-local over the word-type
+    * table, the word → token-count map broadcasts, and the corpus pays
+    * ONE scan + one broadcast probe — flat in vocabulary size. The
+    * oracle extends the `vocab_unigram` CTE replay with a FOURTH Viterbi
+    * DP over the final vocabulary and joins its per-word piece counts
+    * back onto the token stream.
+    */
+  def tokenizeUnigram(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val types = bpeCollectTypes(s, dir)
+    val (_, finalPieces) = uniLearnLocal(s, types)
+    val score = uniScores(s, finalPieces)
+    val wordLen = types
+      .map { case (w, _) => (w, uniViterbi(w, score).size.toLong) }
+      .toDF("word", "w_uni")
+    Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .where(length(col("word")) > 0)
+      .join(broadcast(wordLen), "word")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum("w_uni").as("n_uni_tokens"),
+        sum(length(col("word")).cast("long")).as("n_chars_txt"))
+      .select(col("doc_id"), col("n_words"), col("n_uni_tokens"),
+        round(col("n_chars_txt").cast("double") / col("n_uni_tokens"), 4)
+          .as("chars_per_token"))
+      .oracleSorted("doc_id")
+  }
+
   /** Driver-local unigram-LM train loop over the collected word-type
-    * table. Returns the full (round, piece, count, kept) trajectory.
-    * BMP-only string ops (like the shipped corpora); lengths/substrings
-    * are Java char counts == DuckDB character counts for BMP text.
+    * table. Returns (the full (round, piece, count, kept) trajectory,
+    * the FINAL vocabulary with its last-round counts — the apply leg's
+    * input). BMP-only string ops (like the shipped corpora); lengths /
+    * substrings are Java char counts == DuckDB character counts for BMP
+    * text.
     */
   private[graft] def uniLearnLocal(s: SparkSession, types: Seq[(String, Long)])
-      : Seq[(Int, String, Long, Boolean)] = {
+      : (Seq[(Int, String, Long, Boolean)], Seq[(String, Long)]) = {
     require(types.forall(_._1.length <= UniMaxWordLen),
       s"word type exceeds UniMaxWordLen=$UniMaxWordLen — the oracle DP chain cannot replay it")
     // seed: substring occurrence counts (overlapping, weighted by type count)
@@ -1366,7 +1403,7 @@ object TextOps {
       }
       pieces = withNew.filter { case (p, _) => p.length == 1 || keptMulti(p) }
     }
-    out.toSeq
+    (out.toSeq, pieces)
   }
 
   /** Piece log-scores for one EM round, computed THROUGH Spark (a

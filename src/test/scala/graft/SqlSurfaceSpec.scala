@@ -66,6 +66,7 @@ class SqlSurfaceSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     // exceeds Spark's analyzer resolution iteration cap — the bridge
     // parses it (MATERIALIZED stripped) but resolution cannot fixpoint
     "vocab_unigram" -> "Max iterations",
+    "tokenize_unigram" -> "Max iterations",
     "tokenize_bpe" -> "list_reduce",
     "tokenize_bpe_encode" -> "list_reduce",
     // same init-less list_reduce fold (plus a window list() aggregate and

@@ -788,6 +788,37 @@ class TextOpsSpec extends AnyFunSuite {
       byRound(0).map(t => t._2 -> t._3).toMap)
   }
 
+  test("tokenize_unigram: segmentation round-trips every word type; per-doc counts are bounded and the two tokenizer families genuinely differ (K5k)") {
+    // round trip: the final vocabulary's Viterbi pieces rebuild each word
+    val types = Tables.documents(spark, sfDir)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .where(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val (_, finalPieces) = TextOps.uniLearnLocal(spark, types)
+    val score = TextOps.uniScores(spark, finalPieces)
+    types.foreach { case (w, _) =>
+      assert(TextOps.uniViterbi(w, score).mkString == w, s"'$w' did not round-trip")
+    }
+    // per-doc bounds: words <= unigram tokens <= chars (every piece is a
+    // nonempty substring; every word is at least one piece)
+    val uni = TextOps.tokenizeUnigram(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(uni.nonEmpty)
+    val chars = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), length(regexp_replace(col("text"), " ", "")).cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    uni.foreach { case (d, (nw, nu)) =>
+      assert(nw <= nu && nu <= chars(d), s"doc $d bounds broken: $nw <= $nu <= ${chars(d)}")
+    }
+    // the unigram family is not BPE in disguise: token counts differ
+    // somewhere (both trained on this corpus)
+    val bpe = TextOps.tokenizeBpe(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(uni.exists { case (d, (_, nu)) => bpe(d) != nu },
+      "unigram and BPE token counts identical on every doc — family vacuous")
+  }
+
   test("sample_dsir: selection is the exact Gumbel-top-k of the scored pool and overrepresents the target domain (K23″ DSIR laws)") {
     val pool = TextOps.dsirScored(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getDouble(3)))
