@@ -150,6 +150,22 @@ object AnnRecall {
     }
     spark.conf.unset(VectorOps.MrlCandidatesConf)
 
+    // sim_hamming sweep (round 14): rerank-pool size C against the cosine
+    // ground truth. scored_pairs is the stage-2 exact-rerank pool; stage 1
+    // additionally Hamming-scores |corpus| x queries pairs at two
+    // XOR+popcounts per pair — integer ops on the signature column family,
+    // the cheapest stage-1 in the family. C = |corpus| is exhaustive:
+    // recall exactly 1.0 (VectorOpsSpec law).
+    for (c <- Seq(VectorOps.HamCandidates.toLong, 4L * VectorOps.HamCandidates,
+                  16L * VectorOps.HamCandidates, nCorpus)) {
+      spark.conf.set(VectorOps.HamCandidatesConf, c.toString)
+      val (got, sec) = timed(pairs(
+        VectorOps.simHamming(spark, dir).filter(col("rn") <= VectorOps.AnnTopK)))
+      row("sim_hamming", c, want, got, sec,
+        VectorOps.hamCandidates(spark, VectorOps.hamStaged(spark, dir)).count())
+    }
+    spark.conf.unset(VectorOps.HamCandidatesConf)
+
     println(s"""{"metric":"ann_recall","sf":"$dir","n_corpus":$nCorpus,""" +
       s""""ground_truth_pairs":${want.size},"brute_secs":${fmt(bruteSec)},""" +
       s""""sweeps":[${rows.mkString(",")}]}""")

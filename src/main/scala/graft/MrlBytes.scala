@@ -38,7 +38,7 @@ object MrlBytes {
     * part files under `dir`, for leaf columns whose TOP-LEVEL field name
     * is in `fields` (array columns have leaves like `prefix.list.element`).
     */
-  private def chunkBytes(dir: String, fields: Set[String]): Long = {
+  private[graft] def chunkBytes(dir: String, fields: Set[String]): Long = {
     val conf = new Configuration()
     val root = new java.io.File(dir)
     val files = (if (root.isDirectory) root.listFiles().toSeq else Seq(root))

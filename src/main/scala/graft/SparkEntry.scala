@@ -67,6 +67,7 @@ object SparkEntry {
     "agg_regression" -> (Aggregates.aggRegression _),
     "agg_entropy" -> (Aggregates.aggEntropy _),
     "agg_stringagg" -> (Aggregates.aggStringagg _),
+    "agg_kmv" -> (Aggregates.aggKmv _),
     "agg_argmax" -> (Aggregates.aggArgmax _),
     "stats_ks" -> (Aggregates.statsKs _),
     "resample_ffill" -> (EventOps.resampleFfill _),
@@ -210,6 +211,7 @@ object SparkEntry {
     "sim_topk" -> (VectorOps.simTopk _),
     "sim_mips" -> (VectorOps.simMips _),
     "sim_mrl" -> (VectorOps.simMrl _),
+    "sim_hamming" -> (VectorOps.simHamming _),
     "sim_ivf_incremental" -> (VectorOps.simIvfIncremental _),
     "sim_mips_ivf" -> (VectorOps.simMipsIvf _),
     "sim_ann" -> (VectorOps.simAnn _),
@@ -976,6 +978,32 @@ object SparkEntry {
       "string_agg(n_name, ',' ORDER BY n_name) AS nations " +
       "FROM nation JOIN region ON n_regionkey = r_regionkey " +
       "GROUP BY r_name ORDER BY r_name"),
+    // KMV sketch over distinct 3-shingle sets per lang: full replay — the
+    // k-smallest selection, the sketch-only union merge, membership
+    // counts, and the cross-multiplied integer bound flags are all
+    // deterministic md5-prefix arithmetic, identical on both engines
+    "agg_kmv" ->
+      (s"WITH tok AS (SELECT lang, unnest($sh3) AS g FROM documents), " +
+      s"h AS (SELECT DISTINCT lang, ${hash60Wide("g")} AS hv FROM tok), " +
+      "n AS (SELECT lang, count(*) AS n_d FROM h GROUP BY 1), " +
+      s"sk AS (SELECT lang, hv FROM (SELECT lang, hv, row_number() OVER (PARTITION BY lang ORDER BY hv) AS rn FROM h) WHERE rn <= ${Aggregates.KmvK}), " +
+      "lp AS (SELECT a.lang AS lang_a, b.lang AS lang_b FROM n a JOIN n b ON a.lang < b.lang), " +
+      "mh AS (SELECT DISTINCT lang_a, lang_b, hv FROM (SELECT lp.lang_a, lp.lang_b, sk.hv FROM lp JOIN sk ON sk.lang = lp.lang_a UNION ALL SELECT lp.lang_a, lp.lang_b, sk.hv FROM lp JOIN sk ON sk.lang = lp.lang_b)), " +
+      s"us AS (SELECT lang_a, lang_b, hv FROM (SELECT *, row_number() OVER (PARTITION BY lang_a, lang_b ORDER BY hv) AS rn FROM mh) WHERE rn <= ${Aggregates.KmvK}), " +
+      "ua AS (SELECT lang_a, lang_b, CAST(count(*) AS INT) AS kk, max(hv) AS h_k FROM us GROUP BY 1, 2), " +
+      "nc AS (SELECT us.lang_a, us.lang_b, count(*) AS n_common FROM us JOIN sk a ON a.lang = us.lang_a AND a.hv = us.hv JOIN sk b ON b.lang = us.lang_b AND b.hv = us.hv GROUP BY 1, 2), " +
+      "ix AS (SELECT a.lang AS lang_a, b.lang AS lang_b, count(*) AS n_i FROM h a JOIN h b ON a.hv = b.hv AND a.lang < b.lang GROUP BY 1, 2), " +
+      "f AS (SELECT lp.lang_a, lp.lang_b, na.n_d AS n_a, nb.n_d AS n_b, COALESCE(ix.n_i, 0) AS n_inter, na.n_d + nb.n_d - COALESCE(ix.n_i, 0) AS n_union, ua.kk, ua.h_k, COALESCE(nc.n_common, 0) AS n_common " +
+      "FROM lp JOIN n na ON na.lang = lp.lang_a JOIN n nb ON nb.lang = lp.lang_b " +
+      "JOIN ua ON ua.lang_a = lp.lang_a AND ua.lang_b = lp.lang_b " +
+      "LEFT JOIN ix ON ix.lang_a = lp.lang_a AND ix.lang_b = lp.lang_b " +
+      "LEFT JOIN nc ON nc.lang_a = lp.lang_a AND nc.lang_b = lp.lang_b) " +
+      "SELECT lang_a, lang_b, n_a, n_b, n_inter, n_union, kk, h_k, n_common, " +
+      s"CASE WHEN kk < ${Aggregates.KmvK} THEN CASE WHEN kk = n_union THEN 1 ELSE 0 END " +
+      s"WHEN CAST(n_union AS DECIMAL(38,0)) * h_k * ${100 - Aggregates.KmvDistinctPct} <= CAST('${Aggregates.KmvSpaceK1}' AS DECIMAL(38,0)) " +
+      s"AND CAST('${Aggregates.KmvSpaceK1}' AS DECIMAL(38,0)) <= CAST(n_union AS DECIMAL(38,0)) * h_k * ${100 + Aggregates.KmvDistinctPct} THEN 1 ELSE 0 END AS est_ok, " +
+      s"CASE WHEN abs(n_common * 100 * n_union - kk * CAST(100 AS BIGINT) * n_inter) <= ${Aggregates.KmvJaccardPct} * kk * n_union THEN 1 ELSE 0 END AS jac_ok " +
+      "FROM f ORDER BY lang_a, lang_b"),
     "setop_union" ->
       "SELECT user_id FROM events WHERE event_type = 'click' UNION SELECT user_id FROM events WHERE event_type = 'view' ORDER BY user_id",
     // day grain, not user grain: every user does every event type, so the
@@ -1787,6 +1815,23 @@ object SparkEntry {
       s"s1 AS (SELECT q_id, vec_id, ${dotSql("q_pre", "pre")} / (sqrt(${sqNorm("q_pre")}) * sqrt(${sqNorm("pre")})) AS pcos FROM c CROSS JOIN q), " +
       "r1 AS (SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id ORDER BY pcos DESC, vec_id) AS prn FROM s1), " +
       s"cand AS (SELECT q_id, vec_id FROM r1 WHERE prn <= ${VectorOps.MrlCandidates}), " +
+      s"s2 AS (SELECT cand.q_id, cand.vec_id, ${dotSql("q_emb", "embedding")} / (sqrt(${sqNorm("q_emb")}) * sqrt(${sqNorm("embedding")})) AS cos FROM cand JOIN c ON cand.vec_id = c.vec_id JOIN q ON cand.q_id = q.q_id), " +
+      "r2 AS (SELECT q_id, vec_id, cos, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn FROM s2) " +
+      s"SELECT q_id, vec_id, cos, CAST(rn AS INT) AS rn FROM r2 WHERE rn <= ${VectorOps.TopK} ORDER BY q_id, rn"),
+    // Binary-quantization two-stage: stage 1 ranks by Hamming distance
+    // between sign signatures (two 32-bit words per vector, rebuilt here
+    // from the ORIGINAL embedding column — integer-exact XOR+popcount on
+    // both engines), top-HamCandidates per query, stage 2 exact full-dim
+    // cosine over just those candidates (the sim_mrl s2 chain)
+    "sim_hamming" ->
+      (s"WITH e AS (SELECT vec_id, embedding, " +
+      s"CAST(list_sum(list_transform(generate_series(1, ${VectorOps.HamWordBits}), i -> CASE WHEN embedding[i] >= 0 THEN CAST(1 AS BIGINT) << (i - 1) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS lo, " +
+      s"CAST(list_sum(list_transform(generate_series(1, ${VectorOps.HamWordBits}), i -> CASE WHEN embedding[${VectorOps.HamWordBits} + i] >= 0 THEN CAST(1 AS BIGINT) << (i - 1) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS hi FROM embeddings), " +
+      s"q AS (SELECT vec_id AS q_id, embedding AS q_emb, lo AS q_lo, hi AS q_hi FROM e WHERE vec_id < ${VectorOps.QuerySetSize}), " +
+      s"c AS (SELECT vec_id, embedding, lo, hi FROM e WHERE vec_id >= ${VectorOps.QuerySetSize}), " +
+      "s1 AS (SELECT q_id, vec_id, bit_count(xor(q_lo, lo)) + bit_count(xor(q_hi, hi)) AS hd FROM c CROSS JOIN q), " +
+      "r1 AS (SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id ORDER BY hd, vec_id) AS prn FROM s1), " +
+      s"cand AS (SELECT q_id, vec_id FROM r1 WHERE prn <= ${VectorOps.HamCandidates}), " +
       s"s2 AS (SELECT cand.q_id, cand.vec_id, ${dotSql("q_emb", "embedding")} / (sqrt(${sqNorm("q_emb")}) * sqrt(${sqNorm("embedding")})) AS cos FROM cand JOIN c ON cand.vec_id = c.vec_id JOIN q ON cand.q_id = q.q_id), " +
       "r2 AS (SELECT q_id, vec_id, cos, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn FROM s2) " +
       s"SELECT q_id, vec_id, cos, CAST(rn AS INT) AS rn FROM r2 WHERE rn <= ${VectorOps.TopK} ORDER BY q_id, rn"),

@@ -792,4 +792,133 @@ object Aggregates {
         count(lit(1)).cast("int").as("n_nations"),
         array_join(array_sort(collect_list(col("n_name"))), ",").as("nations"))
       .oracleSorted("r_name")
+
+  // ------------------------------------------------------------------
+  // D31 agg_kmv: KMV distinct sketch + set-intersection estimation
+  // ------------------------------------------------------------------
+
+  /** KMV sketch size: the k smallest distinct 60-bit hashes of a set. */
+  val KmvK = 256
+
+  /** Distinct-estimate gate bound, in percent: the KMV estimator
+    * (k−1)·2⁶⁰/h_k has relative σ ≈ 1/√(k−2) ≈ 6.3% at k=256; 5σ ≈ 31.4%,
+    * rounded up to 32 (the `ApproxDistinctBound` discipline: generous
+    * enough never to trip on estimator variance, tight enough that a
+    * broken sketch cannot pass).
+    */
+  val KmvDistinctPct = 32
+
+  /** Jaccard-estimate gate bound, in percent (ADDITIVE): n_common/kk is a
+    * k-sample estimate of J with σ ≤ 1/(2√k) ≈ 3.1% at k=256; 5σ ≈ 15.6%,
+    * rounded up to 16.
+    */
+  val KmvJaccardPct = 16
+
+  /** 100 × (k−1) × 2⁶⁰ — the cross-multiplied estimator numerator (the
+    * bound comparisons run ×100 so the percent bounds stay integers).
+    */
+  val KmvSpaceK1: String =
+    ((BigInt(1) << 60) * (KmvK - 1) * 100).toString
+
+  /** D31 `agg_kmv` (round 14): KMV / theta-style distinct sketch with set
+    * INTERSECTION estimation — the mergeable-summary family member
+    * (HLL/CMS/histogram, D13′/D19/D22/D24) that supports set OPERATIONS
+    * (Bar-Yossef 2002; the Apache DataSketches theta pattern): a set's
+    * sketch is its `KmvK` smallest distinct 60-bit hashes — a pure
+    * function of the SET (order- and partition-independent, so it
+    * hash-gates where Misra-Gries-style counter summaries cannot), and
+    * mergeable: k-smallest-of(k-smallest(A) ∪ k-smallest(B)) ≡
+    * k-smallest(A ∪ B) (the merge law in AggregatesSpec). Per language
+    * pair over the distinct 3-word-shingle sets (the `WordShingles`
+    * kernel feed): the pair's UNION sketch is built from the two per-lang
+    * sketches ALONE (never the raw sets — at 100 TB the sketches are the
+    * only thing shards ship), distinct-of-union estimated as
+    * (k−1)·2⁶⁰/h_k, Jaccard as n_common/kk (union-sketch hashes present
+    * in both input sketches), intersection as Ĵ·N̂.
+    *
+    * Laws as columns (the D13′ discipline, exact twins aggregated
+    * SEPARATELY from the sketch): exact per-lang / intersection / union
+    * counts ride along, and `est_ok`/`jac_ok` flag the 5σ bounds via
+    * EXACT cross-multiplied integer comparisons (no float division
+    * anywhere — ×100 keeps the percent bounds integral; the estimator
+    * itself never materializes). When the union sketch is unsaturated
+    * (kk < k) it IS the exact union hash set and `est_ok` asserts
+    * equality outright. The oracle replays the ENTIRE computation
+    * (md5-prefix hashes are engine-identical), so the sketch STATE
+    * (h_k, kk, n_common) is hash-gated cell-for-cell, not just flagged.
+    *
+    * Scale shape: distinct (lang, hv) is vocabulary-sized (Heaps' law —
+    * the BPE-learn discipline); the per-lang window runs over that
+    * bounded set with a rank-k cutoff (WindowGroupLimit); everything
+    * past the sketches is ≤ |langs|²·k rows. The exact twins exist only
+    * to gate the sketch — at 100 TB a user ships sketches, not sets.
+    */
+  def aggKmv(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hashes = Tables.documents(s, dir)
+      .select(col("lang"),
+        explode(array_distinct(TextOps.shingles(col("text"), 3))).as("g"))
+      .select(col("lang"),
+        conv(substring(md5(col("g").cast("binary")), 1, 15), 16, 10)
+          .cast("long").as("hv"))
+      .distinct()
+    val exact = hashes.groupBy("lang").agg(count(lit(1)).as("n_d"))
+    val sketch = hashes
+      .withColumn("rn", row_number()
+        .over(Window.partitionBy("lang").orderBy(asc("hv"))))
+      .filter(col("rn") <= KmvK).select("lang", "hv")
+    // complete lang-pair frame (a < b), built driver-locally from the
+    // GROUP-KEY domain (|langs| rows — bounded like the k-means k-sized
+    // collects, never data-sized): a join-based cross pairing would
+    // constant-fold its key and plan as a nested loop
+    import s.implicits._
+    val langList = exact.select("lang").collect().map(_.getString(0)).sorted.toSeq
+    val lp = (for { a <- langList; b <- langList if a < b } yield (a, b))
+      .toDF("lang_a", "lang_b")
+    // the pair's merged candidate hashes, built from the two SKETCHES only
+    val merged = lp.join(sketch.withColumnRenamed("lang", "lang_a"), "lang_a")
+      .select("lang_a", "lang_b", "hv")
+      .union(lp.join(sketch.withColumnRenamed("lang", "lang_b"), "lang_b")
+        .select("lang_a", "lang_b", "hv"))
+      .distinct()
+    val us = merged
+      .withColumn("rn", row_number()
+        .over(Window.partitionBy("lang_a", "lang_b").orderBy(asc("hv"))))
+      .filter(col("rn") <= KmvK).select("lang_a", "lang_b", "hv")
+    val uagg = us.groupBy("lang_a", "lang_b")
+      .agg(count(lit(1)).cast("int").as("kk"), max(col("hv")).as("h_k"))
+    val common = us
+      .join(sketch.select(col("lang").as("lang_a"), col("hv")), Seq("lang_a", "hv"))
+      .join(sketch.select(col("lang").as("lang_b"), col("hv")), Seq("lang_b", "hv"))
+      .groupBy("lang_a", "lang_b").agg(count(lit(1)).as("n_common_raw"))
+    // exact twins from the full distinct hash sets (vocabulary-sized)
+    val inter = hashes.select(col("lang").as("lang_a"), col("hv"))
+      .join(hashes.select(col("lang").as("lang_b"), col("hv")), "hv")
+      .filter(col("lang_a") < col("lang_b"))
+      .groupBy("lang_a", "lang_b").agg(count(lit(1)).as("n_inter_raw"))
+    val spaceK1 = lit(KmvSpaceK1).cast("decimal(38,0)")
+    lp.join(exact.select(col("lang").as("lang_a"), col("n_d").as("n_a")), "lang_a")
+      .join(exact.select(col("lang").as("lang_b"), col("n_d").as("n_b")), "lang_b")
+      .join(inter, Seq("lang_a", "lang_b"), "left")
+      .join(uagg, Seq("lang_a", "lang_b"))
+      .join(common, Seq("lang_a", "lang_b"), "left")
+      .withColumn("n_inter", coalesce(col("n_inter_raw"), lit(0L)))
+      .withColumn("n_union", col("n_a") + col("n_b") - col("n_inter"))
+      .withColumn("n_common", coalesce(col("n_common_raw"), lit(0L)))
+      .withColumn("est_ok",
+        when(col("kk") < KmvK, (col("kk") === col("n_union")).cast("int"))
+          .otherwise(
+            ((col("n_union").cast("decimal(38,0)") * col("h_k") *
+                (100 - KmvDistinctPct) <= spaceK1) &&
+             (spaceK1 <= col("n_union").cast("decimal(38,0)") * col("h_k") *
+                (100 + KmvDistinctPct))).cast("int")))
+      .withColumn("jac_ok",
+        (abs(col("n_common") * lit(100L) * col("n_union") -
+             col("kk").cast("long") * lit(100L) * col("n_inter")) <=
+          lit(KmvJaccardPct.toLong) * col("kk") * col("n_union")).cast("int"))
+      .select(col("lang_a"), col("lang_b"), col("n_a"), col("n_b"),
+        col("n_inter"), col("n_union"), col("kk"), col("h_k"),
+        col("n_common"), col("est_ok"), col("jac_ok"))
+      .oracleSorted("lang_a", "lang_b")
+  }
 }

@@ -1272,6 +1272,142 @@ object VectorOps {
       .select(col("vec_id"), slice(col("embedding"), 1, MrlPrefixDims).as("prefix"))
       .repartition(col("vec_id"))
 
+  // ------------------------------------------------------------------
+  // K3j sim_hamming: binary quantization + Hamming stage 1 + exact rerank
+  // ------------------------------------------------------------------
+
+  /** `sim_hamming` stage-2 depth: exact-rerank candidates kept per query
+    * (session-overridable for the AnnRecall sweep — at C = |corpus| the
+    * rerank IS the brute force, rank-identity law in VectorOpsSpec).
+    */
+  val HamCandidates = 50
+  val HamCandidatesConf = "graft.sim.hamCandidates"
+
+  /** Bits per signature word. The `Dim`-bit sign signature is stored as
+    * two 32-bit words in BIGINT columns rather than one 64-bit word: bit
+    * 63 would fight BIGINT sign on both engines (the PHashRow lesson), and
+    * `1 << 31` still fits a long exactly.
+    */
+  val HamWordBits = 32
+
+  /** Fixed staging root of the signature column family `sim_hamming`
+    * reads (the `MrlStageDir` discipline: `by/<digest>` + `current`
+    * indirection, keyed on the source fingerprint). The mirror carries
+    * the two signature words as their OWN parquet columns next to the
+    * full embedding, so stage 1's scan schema is `(vec_id, bits_lo,
+    * bits_hi)` — 2 longs instead of `Dim` floats, a ~16× column-family
+    * byte cut (measured by [[graft.HamBytes]]; asserted in SourcesSpec).
+    */
+  val HamStageDir = "/tmp/graft_ham_bits"
+
+  private[graft] def hamCandidateCount(s: SparkSession): Long =
+    s.conf.get(HamCandidatesConf, HamCandidates.toString).toLong
+
+  private def stageHamBits(s: SparkSession, dir: String): Unit = synchronized {
+    Relational.withStageLock(HamStageDir) {
+      Relational.stageInto(HamStageDir,
+        s"$dir|ham1|${Relational.sourceFingerprint(s"$dir/embeddings.parquet")}") {
+        target =>
+          Tables.embeddings(s, dir)
+            .select(col("vec_id"), col("label"),
+              Vec.signBucket(col("embedding"), HamWordBits).as("bits_lo"),
+              Vec.signBucket(col("embedding"), HamWordBits, HamWordBits).as("bits_hi"),
+              col("embedding"))
+            .write.mode("overwrite").parquet(s"$target/embeddings")
+      }
+    }
+  }
+
+  /** The staged embeddings mirror with the sign-signature column family.
+    * Signatures are integers and float arrays round-trip parquet
+    * bit-exactly, so queries over the mirror hash-gate against an oracle
+    * that recomputes the signature from the ORIGINAL table.
+    */
+  private[graft] def hamStaged(s: SparkSession, dir: String): DataFrame = {
+    stageHamBits(s, dir)
+    s.read.parquet(s"${Relational.stagedRoot(HamStageDir)}/embeddings")
+  }
+
+  /** Inline A/B arm of the [[graft.HamBytes]] scan-bytes measurement: the
+    * signature computed on the fly from the full embedding column (the
+    * scan must fetch all `Dim` floats), behind the same repartition
+    * barrier as [[mrlPrefixInline]] so codegen cannot defer the signature
+    * build into the BNLJ build loop.
+    */
+  private[graft] def hamBitsInline(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"),
+        Vec.signBucket(col("embedding"), HamWordBits).as("bits_lo"),
+        Vec.signBucket(col("embedding"), HamWordBits, HamWordBits).as("bits_hi"))
+      .repartition(col("vec_id"))
+
+  /** Stage-1 candidate frame of `sim_hamming`: top-C per query by Hamming
+    * distance between sign signatures — two XOR+popcount longs per
+    * (corpus row, query), integer-exact on both engines. The input frame
+    * must carry `bits_lo`/`bits_hi`: the staged mirror for the operator,
+    * or the inline projection for the bytes A/B.
+    */
+  private[graft] def hamCandidates(s: SparkSession, emb: DataFrame): DataFrame = {
+    val c = hamCandidateCount(s)
+    val qb = emb.filter(col("vec_id") < QuerySetSize)
+      .select(col("vec_id").as("q_id"),
+        col("bits_lo").as("q_lo"), col("bits_hi").as("q_hi"))
+    val cb = emb.filter(col("vec_id") >= QuerySetSize)
+      .select(col("vec_id"), col("bits_lo"), col("bits_hi"))
+    cb.crossJoin(broadcast(qb))
+      .select(col("q_id"), col("vec_id"),
+        (bit_count(col("q_lo").bitwiseXOR(col("bits_lo"))) +
+         bit_count(col("q_hi").bitwiseXOR(col("bits_hi")))).as("hd"))
+      .withColumn("prn", row_number()
+        .over(Window.partitionBy("q_id").orderBy(asc("hd"), asc("vec_id"))))
+      .filter(col("prn") <= c)
+      .select("q_id", "vec_id")
+  }
+
+  /** K3j `sim_hamming` (round 14): binary-quantization two-stage retrieval
+    * — the cheapest stage-1 representation in the family (1 bit per
+    * dimension, the modern "binary embeddings" production pattern): each
+    * vector's `Dim` sign bits are packed into two 32-bit signature words,
+    * stage 1 ranks the WHOLE corpus per query by Hamming distance (two
+    * XOR+popcount instructions per pair — integer-exact, no float fold at
+    * all), keeps the top `HamCandidates`, and stage 2 reranks just those
+    * by full-dim exact cosine. Like `sim_mrl` there is no training and no
+    * index build; the accuracy knob is C alone (recall→1.0 as C→|corpus|
+    * — the exhaustive-C rank-identity law in VectorOpsSpec, measured
+    * recall-vs-C in the AnnRecall sweep). Sign-bit Hamming estimates the
+    * angle (Charikar 2002 SimHash: E[hd/Dim] = θ/π), so the stage-1
+    * ordering tracks cosine.
+    *
+    * Scale shape: stage 1 is the `sim_topk` broadcast scan reading 16 of
+    * ~260 bytes per row straight off the signature column family (staged
+    * mirror, scan schema asserted `(vec_id, bits_lo, bits_hi)` in
+    * SourcesSpec — at 100 TB this is the difference between scanning the
+    * corpus and scanning 6% of it); its BNLJ carries the `sim_topk`
+    * counted allowance (≤`QuerySetSize` broadcast rows). Stage 2 never
+    * rescans: the C×|queries| candidate ids come back onto ONE corpus
+    * hash join — broadcast under `MrlBroadcastMaxRows`, shuffle hash join
+    * beyond (the sweep's exhaustive-C regime).
+    */
+  def simHamming(s: SparkSession, dir: String): DataFrame = {
+    val emb = hamStaged(s, dir)
+    val q = emb.filter(col("vec_id") < QuerySetSize)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val cand = hamCandidates(s, emb)
+    val candSide =
+      if (hamCandidateCount(s) * QuerySetSize <= MrlBroadcastMaxRows) broadcast(cand)
+      else cand
+    emb.filter(col("vec_id") >= QuerySetSize)
+      .select("vec_id", "embedding")
+      .join(candSide, "vec_id")
+      .join(broadcast(q), "q_id")
+      .select(col("q_id"), col("vec_id"),
+        Vec.cosineF(col("q_emb"), col("embedding")).as("cos"))
+      .withColumn("rn", row_number()
+        .over(Window.partitionBy("q_id").orderBy(desc("cos"), asc("vec_id"))).cast("int"))
+      .filter(col("rn") <= TopK)
+      .oracleSorted("q_id", "rn")
+  }
+
   /** `sim_ivf_incremental` batch split: vec_id ≡ 0 (mod this) is the
     * ARRIVING batch; the rest is the already-indexed base.
     */

@@ -285,4 +285,43 @@ class AggregatesSpec extends AnyFunSuite {
     }
     assert(all.length == 25 && all.distinct.length == 25)
   }
+
+  test("agg_kmv: KMV merge law, 5-sigma bound flags, and complete pair frame (D31)") {
+    val rows = Aggregates.aggKmv(spark, sfDir).collect()
+    // complete pair frame over the 5 langs, flags all 1 (the statistical
+    // bounds genuinely hold on this data — the laws are not vacuous)
+    assert(rows.length == 10, s"expected 10 lang pairs, got ${rows.length}")
+    rows.foreach { r =>
+      assert(r.getInt(r.fieldIndex("est_ok")) == 1 &&
+             r.getInt(r.fieldIndex("jac_ok")) == 1,
+        s"bound flag tripped: $r")
+      val (nI, nU) = (r.getLong(r.fieldIndex("n_inter")), r.getLong(r.fieldIndex("n_union")))
+      val (nA, nB) = (r.getLong(r.fieldIndex("n_a")), r.getLong(r.fieldIndex("n_b")))
+      assert(nU == nA + nB - nI && nI > 0, s"exact-twin arithmetic broken: $r")
+      assert(r.getLong(r.fieldIndex("n_common")) <= r.getInt(r.fieldIndex("kk")))
+    }
+    // the MERGE law that makes KMV a mergeable summary:
+    // k-smallest(k-smallest(A) ∪ k-smallest(B)) == k-smallest(A ∪ B) —
+    // recompute both sides from the raw hash sets for one pair
+    import graft.operators.TextOps
+    val hv = graft.Tables.documents(spark, sfDir)
+      .select(col("lang"),
+        explode(array_distinct(TextOps.shingles(col("text"), 3))).as("g"))
+      .select(col("lang"),
+        conv(substring(md5(col("g").cast("binary")), 1, 15), 16, 10)
+          .cast("long").as("hv"))
+      .distinct().collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val (a, b) = ("de", "en")
+    def kmin(s: Set[Long]): Seq[Long] = s.toSeq.sorted.take(Aggregates.KmvK)
+    val fromSketches = kmin(kmin(hv(a)).toSet ++ kmin(hv(b)).toSet)
+    val fromUnion = kmin(hv(a) ++ hv(b))
+    assert(fromSketches == fromUnion, "KMV merge law violated")
+    // and the operator's published state for that pair matches the
+    // reference recomputation: kk = |union sketch|, h_k its max
+    val de = rows.find(r => r.getString(0) == a && r.getString(1) == b).get
+    assert(de.getInt(de.fieldIndex("kk")) == fromUnion.size &&
+           de.getLong(de.fieldIndex("h_k")) == fromUnion.max,
+      s"sketch state drifted from reference: $de vs ${fromUnion.size}/${fromUnion.max}")
+  }
 }

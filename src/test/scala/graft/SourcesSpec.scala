@@ -217,6 +217,33 @@ class SourcesSpec extends AnyFunSuite {
       s"stage-2 scan reads beyond the full-dim family: $fs"))
   }
 
+  test("sim_hamming: stage 1 reads ONLY the signature column family off the staged mirror (K3j)") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+    val helper = new AdaptiveSparkPlanHelper {}
+    val df = graft.operators.VectorOps.simHamming(spark, sfDir)
+    assert(df.collect().nonEmpty)
+    val scans = helper.collect(df.queryExecution.executedPlan) {
+      case f: FileSourceScanExec if f.relation.location.rootPaths
+        .exists(_.toString.contains("graft_ham_bits")) => f
+    }
+    assert(scans.nonEmpty, df.queryExecution.executedPlan.toString)
+    val fields = scans.map(_.requiredSchema.fieldNames.toSet)
+    // stage 1 (corpus + query signature sides): the scan schema is EXACTLY
+    // id + the two signature words — 16 bytes/row instead of Dim floats,
+    // the ~16x scan-bytes claim (measured in graft.HamBytes)
+    val stage1 = fields.filter(_.contains("bits_lo"))
+    assert(stage1.nonEmpty, s"no signature-family scan: $fields")
+    stage1.foreach(fs => assert(fs == Set("vec_id", "bits_lo", "bits_hi"),
+      s"stage-1 scan reads beyond the signature family: $fs"))
+    // stage 2 (full-dim rerank + query embeddings): id + embedding, never
+    // the signature words — the column families never fuse into one scan
+    val stage2 = fields.filter(_.contains("embedding"))
+    assert(stage2.nonEmpty, s"no full-dim scan: $fields")
+    stage2.foreach(fs => assert(fs == Set("vec_id", "embedding"),
+      s"stage-2 scan reads beyond the full-dim family: $fs"))
+  }
+
   test("parquet sink round-trips every type the engine emits (A4)") {
     import org.apache.spark.sql.functions._
     val out = "/tmp/graft_test_sink"

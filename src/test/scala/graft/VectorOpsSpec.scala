@@ -956,4 +956,74 @@ class VectorOpsSpec extends AnyFunSuite {
       s"recall not monotone in C: $rs")
     assert(rs.last == 1.0, s"exhaustive recall != 1.0: $rs")
   }
+
+  test("sim_hamming: staged sign signatures match a per-row reference; " +
+       "Hamming tracks the true angle on average (K3j binarization laws)") {
+    val emb = VectorOps.hamStaged(spark, sfDir)
+    val rows = emb.select("vec_id", "bits_lo", "bits_hi", "embedding")
+      .orderBy("vec_id").limit(64).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val v = r.getSeq[Float](3)
+      def word(off: Int): Long = (0 until VectorOps.HamWordBits)
+        .map(i => if (v(off + i) >= 0) 1L << i else 0L).sum
+      assert(r.getLong(1) == word(0) &&
+        r.getLong(2) == word(VectorOps.HamWordBits),
+        s"signature drifted for vec ${r.getLong(0)}")
+    }
+    // Charikar 2002: P[sign bit differs] = theta/pi per dimension, so
+    // E[hd] = Dim * theta/pi. Over the query x corpus pairs the MEAN
+    // Hamming distance of true-top-10 pairs must sit well below the mean
+    // over all pairs — the signal stage 1 ranks by (a distribution-level
+    // law, not per-pair: single pairs can invert)
+    val q = emb.filter(col("vec_id") < VectorOps.QuerySetSize)
+      .select(col("vec_id").as("q_id"),
+        col("bits_lo").as("q_lo"), col("bits_hi").as("q_hi"))
+    val all = emb.filter(col("vec_id") >= VectorOps.QuerySetSize)
+      .select(col("vec_id"), col("bits_lo"), col("bits_hi"))
+      .crossJoin(broadcast(q))
+      .select(col("q_id"), col("vec_id"),
+        (bit_count(col("q_lo").bitwiseXOR(col("bits_lo"))) +
+         bit_count(col("q_hi").bitwiseXOR(col("bits_hi")))).cast("long").as("hd"))
+    val want = VectorOps.simTopk(spark, sfDir).select("q_id", "vec_id")
+    val meanTop = all.join(want, Seq("q_id", "vec_id"))
+      .agg(avg("hd")).head.getDouble(0)
+    val meanAll = all.agg(avg("hd")).head.getDouble(0)
+    assert(meanTop < meanAll,
+      s"Hamming carries no angle signal: top-pair mean $meanTop vs all-pair $meanAll")
+  }
+
+  test("sim_hamming: exhaustive candidates reproduce sim_topk rank-for-rank; recall is monotone in C and never starves a query (K3j rerank laws)") {
+    val want = VectorOps.simTopk(spark, sfDir)
+      .select("q_id", "rn", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(want.nonEmpty)
+    val corpus = Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") >= VectorOps.QuerySetSize).count()
+    def runAt(c: Long): Map[(Long, Int), Long] = {
+      spark.conf.set(VectorOps.HamCandidatesConf, c.toString)
+      try VectorOps.simHamming(spark, sfDir)
+        .select("q_id", "rn", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+      finally spark.conf.unset(VectorOps.HamCandidatesConf)
+    }
+    val exhaustive = runAt(corpus)
+    assert(exhaustive == want,
+      s"exhaustive-C Hamming drifted from sim_topk: ${
+        (exhaustive.toSet diff want.toSet).take(5)}")
+    def recall(m: Map[(Long, Int), Long]): Double =
+      (m.toSet intersect want.toSet).size.toDouble / want.size
+    val rs = Seq(VectorOps.TopK.toLong, VectorOps.HamCandidates.toLong,
+      4L * VectorOps.HamCandidates, corpus).map { c =>
+      val m = runAt(c)
+      val byQ = m.keys.groupBy(_._1)
+      assert(byQ.size == VectorOps.QuerySetSize.toInt &&
+        byQ.values.forall(_.size == VectorOps.TopK),
+        s"starved query at C=$c: ${byQ.view.mapValues(_.size).toMap}")
+      recall(m)
+    }
+    assert(rs.zip(rs.tail).forall { case (a, b) => a <= b },
+      s"recall not monotone in C: $rs")
+    assert(rs.last == 1.0, s"exhaustive recall != 1.0: $rs")
+  }
 }
