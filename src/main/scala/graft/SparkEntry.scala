@@ -127,6 +127,8 @@ object SparkEntry {
     "event_retention" -> (EventOps.eventRetention _),
     "event_twap" -> (EventOps.eventTwap _),
     "anomaly_mad" -> (EventOps.anomalyMad _),
+    "anomaly_running" -> (EventOps.anomalyRunning _),
+    "stream_anomaly" -> (graft.streaming.StatefulOps.streamAnomaly _),
     "join_interval" -> (EventOps.joinInterval _),
     "stream_stateful" -> (graft.streaming.StatefulOps.streamStateful _),
     "stream_sessionize" -> (graft.streaming.StatefulOps.streamSessionize _),
@@ -256,6 +258,19 @@ object SparkEntry {
       "changes AS (SELECT key, o_custkey AS c_custkey, CAST(val AS DOUBLE) AS before_val, CAST(val + 100.0 AS DOUBLE) AS after_val, val + 100.0 AS c_val, 'U' AS op FROM base WHERE key % 7 = 3 AND key % 13 <> 5 " +
       "UNION ALL SELECT key, o_custkey, val, NULL, val, 'D' FROM base WHERE key % 13 = 5 " +
       "UNION ALL SELECT -key, o_custkey, NULL, val, val, 'I' FROM base WHERE key % 11 = 4)"
+
+  /** Running z-score anomaly oracle shared by `anomaly_running` (window
+    * form) and `stream_anomaly` (flatMapGroupsWithState form): running
+    * (n, Σv, Σv²) over integer cents in strict-predecessor frames, 3σ
+    * test as the exact cross-multiplied integer comparison.
+    */
+  private val anomalySql: String =
+    "WITH c AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents FROM events), " +
+      "w AS (SELECT user_id, event_id, cents, count(*) OVER pw AS n_prior, CAST(COALESCE(sum(cents) OVER pw, 0) AS BIGINT) AS s1, CAST(COALESCE(sum(cents * cents) OVER pw, 0) AS BIGINT) AS s2 FROM c " +
+      "WINDOW pw AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)) " +
+      s"SELECT user_id, event_id, cents, n_prior, s1, s2 FROM w WHERE n_prior >= ${EventOps.AnomalyMinPrior} " +
+      s"AND (cents * n_prior - s1) * (cents * n_prior - s1) * (n_prior - 1) > ${EventOps.AnomalyZ2} * n_prior * (n_prior * s2 - s1 * s1) " +
+      "ORDER BY user_id, event_id"
 
   /** Funnel oracle shared by `funnel_events` (join-chain form) and
     * `stream_funnel` (mapGroupsWithState form) — the two implementations
@@ -742,6 +757,8 @@ object SparkEntry {
     // the incremental mapGroupsWithState form must agree with the join
     // chain row-for-row — ONE oracle string for both, so they cannot drift
     "stream_funnel" -> funnelSql,
+    "anomaly_running" -> anomalySql,
+    "stream_anomaly" -> anomalySql,
     "event_retention" ->
       ("WITH a AS (SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day FROM events), " +
        "f AS (SELECT user_id, min(day) AS cohort_day FROM a GROUP BY 1) " +

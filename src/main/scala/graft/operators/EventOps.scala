@@ -479,4 +479,49 @@ object EventOps {
         round(col("adev") / (lit(1.4826) * col("mad")), 4).as("robust_z"))
       .oracleSorted("event_type", "event_id")
   }
+
+  /** `anomaly_running` gate: flag only after this many PRIOR events (a
+    * z-score against fewer is noise), and the squared z threshold (3σ →
+    * 9, kept squared so the test is a pure integer comparison).
+    */
+  val AnomalyMinPrior = 5
+  val AnomalyZ2 = 9L
+
+  /** E11 `anomaly_running` (round 14): per-key RUNNING z-score anomaly
+    * flags — the ONLINE form of D28's global MAD filter (production
+    * monitors score each event against what the key had seen BEFORE it,
+    * not against the full-history distribution a batch filter sees): per
+    * user in (ts, event_id) order, an event is anomalous when its value
+    * sits more than 3σ from the mean of its strict predecessors. One
+    * window pass carries the running (n, Σv, Σv²) over integer cents, and
+    * the 3σ test is the cross-multiplied INTEGER comparison
+    * (v·n − Σv)²·(n−1) > 9·n·(n·Σv² − Σv²) — no float mean/stddev
+    * anywhere, so both engines agree exactly (headroom: cents ≤ ~6×10⁴,
+    * n ≤ ~10², worst product ~3×10¹⁶ of 9.2×10¹⁸).
+    *
+    * Scale shape: ONE shuffle by user_id, one linear window pass per key
+    * (running frames are O(1)/row); output ∝ anomalies. The identical
+    * fold runs incrementally as `stream_anomaly`
+    * (StatefulOps.streamAnomaly — O(1) state per key at ingest time);
+    * StatefulOpsSpec pins the two row-for-row and across triggers.
+    */
+  def anomalyRunning(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val w = Window.partitionBy("user_id").orderBy(asc("ts"), asc("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val dev = col("cents") * col("n_prior") - col("s1")
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        (col("value").cast(DecimalType(12, 2)) * 100).cast("long").as("cents"))
+      .withColumn("n_prior", count(lit(1)).over(w))
+      .withColumn("s1", coalesce(sum(col("cents")).over(w), lit(0L)))
+      .withColumn("s2", coalesce(sum(col("cents") * col("cents")).over(w), lit(0L)))
+      .filter(col("n_prior") >= AnomalyMinPrior &&
+        dev * dev * (col("n_prior") - 1) >
+          lit(AnomalyZ2) * col("n_prior") *
+            (col("n_prior") * col("s2") - col("s1") * col("s1")))
+      .select(col("user_id"), col("event_id"), col("cents"),
+        col("n_prior"), col("s1"), col("s2"))
+      .oracleSorted("user_id", "event_id")
+  }
 }

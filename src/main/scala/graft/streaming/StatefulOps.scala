@@ -637,4 +637,92 @@ object StatefulOps {
       .outputMode(OutputMode.Update())
       .start()
   }
+
+  // ------------------------------------------------------------------
+  // running z-score anomaly fold (§2.J17 — streaming twin of E11)
+  // ------------------------------------------------------------------
+
+  case class AnomEvent(user_id: Long, event_id: Long, ts: Timestamp, cents: Long)
+
+  /** Per-user running moments over integer cents: count, Σv, Σv² of all
+    * events SEEN so far — O(1) state per key at any history length.
+    */
+  case class AnomState(n: Long, s1: Long, s2: Long)
+
+  case class AnomRow(user_id: Long, event_id: Long, cents: Long,
+                     n_prior: Long, s1: Long, s2: Long)
+
+  /** State transition shared by batch and streaming: fold a time-sorted
+    * batch of one user's events, scoring each against the moments of its
+    * STRICT predecessors (the event updates state only after it is
+    * scored). The 3σ test is the same cross-multiplied integer comparison
+    * as the window form (EventOps.anomalyRunning) — exact, so the two
+    * forms and the oracle agree cell-for-cell.
+    */
+  def foldAnomalies(events: Seq[AnomEvent],
+                    init: AnomState): (Seq[AnomRow], AnomState) = {
+    val minPrior = graft.operators.EventOps.AnomalyMinPrior
+    val z2 = graft.operators.EventOps.AnomalyZ2
+    val out = Seq.newBuilder[AnomRow]
+    var st = init
+    events.sortBy(e => (tsMicros(e.ts), e.event_id)).foreach { e =>
+      val (n, s1, s2) = (st.n, st.s1, st.s2)
+      val dev = e.cents * n - s1
+      if (n >= minPrior && dev * dev * (n - 1) > z2 * n * (n * s2 - s1 * s1))
+        out += AnomRow(e.user_id, e.event_id, e.cents, n, s1, s2)
+      st = AnomState(n + 1, s1 + e.cents, s2 + e.cents * e.cents)
+    }
+    (out.result(), st)
+  }
+
+  def anomalyFold(userId: Long, events: Iterator[AnomEvent],
+                  state: GroupState[AnomState]): Iterator[AnomRow] = {
+    val (rows, st) =
+      foldAnomalies(events.toSeq, state.getOption.getOrElse(AnomState(0L, 0L, 0L)))
+    state.update(st)
+    rows.iterator
+  }
+
+  /** Typed event frame shared by the batch entry and the parity test. */
+  private[graft] def anomEvents(s: SparkSession, dir: String): Dataset[AnomEvent] = {
+    import s.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        (col("value").cast(DecimalType(12, 2)) * 100).cast("long").as("cents"))
+      .as[AnomEvent]
+  }
+
+  /** J17 `stream_anomaly`: the INCREMENTAL form of `anomaly_running` —
+    * per-user running-moments state folded by `flatMapGroupsWithState`
+    * instead of a window pass over history. Same oracle SQL as the window
+    * form (the two must agree row-for-row; the parity test additionally
+    * proves the fold across MemoryStream triggers). Scale shape: ONE
+    * shuffle by user_id and 3 longs of state per user — the ingest-time
+    * monitor a production pipeline runs instead of re-windowing history
+    * every day.
+    */
+  def streamAnomaly(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    anomEvents(s, dir)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout())(anomalyFold)
+      .toDF()
+      .oracleSorted("user_id", "event_id")
+  }
+
+  /** Streaming entry — used by the cross-trigger parity test. */
+  def anomalyStreamQuery(events: Dataset[AnomEvent], queryName: String) = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout())(anomalyFold)
+      .writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode(OutputMode.Append())
+      .start()
+  }
 }

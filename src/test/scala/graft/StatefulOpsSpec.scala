@@ -284,4 +284,42 @@ class StatefulOpsSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> ((r.getDouble(r.fieldIndex("delta_sum")), r.getLong(r.fieldIndex("delta_n"))))).toMap
     assert(twin == m9, "stream twin deltas drift from matview_delta's journal")
   }
+
+  test("anomaly fold: flags across triggers == batch == window form (E11/J17)") {
+    import spark.implicits._
+    import StatefulOps.AnomEvent
+    implicit val sqlCtx = spark.sqlContext
+
+    // user 1: five flat prior values (cents=1000), then a spike at t6 —
+    // the spike must flag with n_prior=5 EVEN THOUGH the prior history and
+    // the spike arrive in different triggers (state carries the moments);
+    // the sixth flat value must NOT flag. Baseline needs nonzero variance
+    // (one 1001) or the RHS is 0 and any deviation trips — we want a
+    // genuine 3-sigma test, not a constant-detector.
+    val base = Seq(1000L, 1001L, 1000L, 1000L, 1000L).zipWithIndex.map {
+      case (c, i) => AnomEvent(1L, i + 1L, ts(s"2024-01-01 10:0$i:00"), c)
+    }
+    val stream = MemoryStream[AnomEvent]
+    val q = StatefulOps.anomalyStreamQuery(stream.toDS(), "anom_t")
+    try {
+      stream.addData(base: _*)
+      q.processAllAvailable()
+      stream.addData(
+        AnomEvent(1L, 6L, ts("2024-01-01 10:06:00"), 5000L),
+        AnomEvent(1L, 7L, ts("2024-01-01 10:07:00"), 1000L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("anom_t").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    assert(got == Set((1L, 6L, 5L)), s"cross-trigger flags: $got")
+
+    // the registered stateful entry agrees with the window form
+    // row-for-row on the real fixture, and flags real mass
+    val w = graft.operators.EventOps.anomalyRunning(spark, SparkTestSession.sfDir)
+      .collect().map(_.toSeq).toSeq
+    val f = StatefulOps.streamAnomaly(spark, SparkTestSession.sfDir)
+      .collect().map(_.toSeq).toSeq
+    assert(w == f, s"window and stateful anomaly forms disagree: ${w.length}/${f.length}")
+    assert(w.nonEmpty, "anomaly gate vacuous on the fixture")
+  }
 }
