@@ -214,6 +214,7 @@ object SparkEntry {
     "sim_mips" -> (VectorOps.simMips _),
     "sim_mrl" -> (VectorOps.simMrl _),
     "sim_hamming" -> (VectorOps.simHamming _),
+    "sim_mmr" -> (VectorOps.simMmr _),
     "sim_ivf_incremental" -> (VectorOps.simIvfIncremental _),
     "sim_mips_ivf" -> (VectorOps.simMipsIvf _),
     "sim_ann" -> (VectorOps.simAnn _),
@@ -258,6 +259,37 @@ object SparkEntry {
       "changes AS (SELECT key, o_custkey AS c_custkey, CAST(val AS DOUBLE) AS before_val, CAST(val + 100.0 AS DOUBLE) AS after_val, val + 100.0 AS c_val, 'U' AS op FROM base WHERE key % 7 = 3 AND key % 13 <> 5 " +
       "UNION ALL SELECT key, o_custkey, val, NULL, val, 'D' FROM base WHERE key % 13 = 5 " +
       "UNION ALL SELECT -key, o_custkey, NULL, val, val, 'I' FROM base WHERE key % 11 = 4)"
+
+  /** MMR oracle: the greedy selection UNROLLED as `MmrK` chained CTEs
+    * (the vocab_bpe trajectory-replay discipline) — sel1 is the relevance
+    * argmax, each further stage scores the not-yet-picked candidates as
+    * 0.5·rel − 0.5·max(sim to picked) over the SAME cosine folds the
+    * engine uses, and appends the (score desc, vec_id) winner. The full
+    * selection ORDER hash-gates, not just the set.
+    */
+  private val mmrSql: String = {
+    val rel = s"${dotSql("q_emb", "embedding")} / (sqrt(${sqNorm("q_emb")}) * sqrt(${sqNorm("embedding")}))"
+    val psim = s"${dotSql("a.embedding", "b.embedding")} / (sqrt(${sqNorm("a.embedding")}) * sqrt(${sqNorm("b.embedding")}))"
+    val lam = VectorOps.MmrLambda
+    val steps = (2 to VectorOps.MmrK).map { j =>
+      s"sel$j AS MATERIALIZED (SELECT * FROM sel${j - 1} UNION ALL " +
+      s"SELECT q_id, vec_id, $j AS rn FROM (" +
+      "SELECT m.q_id, m.vec_id, row_number() OVER (PARTITION BY m.q_id ORDER BY m.score DESC, m.vec_id) AS r FROM (" +
+      s"SELECT c2.q_id, c2.vec_id, $lam * c2.rel - ${1 - lam} * max(p.sim) AS score " +
+      s"FROM cand c2 JOIN ps p ON p.q_id = c2.q_id AND p.a = c2.vec_id " +
+      s"JOIN sel${j - 1} s ON s.q_id = p.q_id AND s.vec_id = p.b " +
+      s"WHERE NOT EXISTS (SELECT 1 FROM sel${j - 1} s2 WHERE s2.q_id = c2.q_id AND s2.vec_id = c2.vec_id) " +
+      "GROUP BY c2.q_id, c2.vec_id, c2.rel) m) WHERE r = 1)"
+    }.mkString(", ", ", ", " ")
+    s"WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < ${VectorOps.QuerySetSize}), " +
+      s"c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= ${VectorOps.QuerySetSize}), " +
+      s"s0 AS (SELECT q_id, vec_id, $rel AS rel, embedding FROM c CROSS JOIN q), " +
+      s"cand AS MATERIALIZED (SELECT q_id, vec_id, rel, embedding FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY rel DESC, vec_id) AS rn FROM s0) WHERE rn <= ${VectorOps.MmrCandidates}), " +
+      s"ps AS MATERIALIZED (SELECT a.q_id, a.vec_id AS a, b.vec_id AS b, $psim AS sim FROM cand a JOIN cand b ON a.q_id = b.q_id AND a.vec_id <> b.vec_id), " +
+      "sel1 AS MATERIALIZED (SELECT q_id, vec_id, 1 AS rn FROM (SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id ORDER BY rel DESC, vec_id) AS r FROM cand) WHERE r = 1)" +
+      steps +
+      s"SELECT q_id, CAST(rn AS INT) AS rn, vec_id FROM sel${VectorOps.MmrK} ORDER BY q_id, rn"
+  }
 
   /** Running z-score anomaly oracle shared by `anomaly_running` (window
     * form) and `stream_anomaly` (flatMapGroupsWithState form): running
@@ -1852,6 +1884,7 @@ object SparkEntry {
       s"s2 AS (SELECT cand.q_id, cand.vec_id, ${dotSql("q_emb", "embedding")} / (sqrt(${sqNorm("q_emb")}) * sqrt(${sqNorm("embedding")})) AS cos FROM cand JOIN c ON cand.vec_id = c.vec_id JOIN q ON cand.q_id = q.q_id), " +
       "r2 AS (SELECT q_id, vec_id, cos, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn FROM s2) " +
       s"SELECT q_id, vec_id, cos, CAST(rn AS INT) AS rn FROM r2 WHERE rn <= ${VectorOps.TopK} ORDER BY q_id, rn"),
+    "sim_mmr" -> mmrSql,
     // MIPS: same brute scan as sim_topk ranked by the RAW dot product —
     // the float fold mirrors FloatVecDot term for term (dotSql)
     "sim_mips" ->

@@ -1408,6 +1408,99 @@ object VectorOps {
       .oracleSorted("q_id", "rn")
   }
 
+  // ------------------------------------------------------------------
+  // K3k sim_mmr: maximal-marginal-relevance diversified retrieval
+  // ------------------------------------------------------------------
+
+  /** MMR pool: stage-1 exact top-C candidates the greedy reranker picks
+    * from, and the picks per query. λ = 1/2 exactly (relevance and
+    * diversity weighted equally): halving is an exact IEEE operation, so
+    * both engines' scores are bitwise functions of the shared cosines.
+    */
+  val MmrCandidates = 20
+  val MmrK = 10
+  val MmrLambda = 0.5
+
+  /** Per-query greedy MMR selection over the (relevance, pairwise-sim)
+    * pools — group size is C + C² rows, bounded by `MmrCandidates`, never
+    * corpus-sized. Pick 1 = argmax relevance; pick j = argmax
+    * λ·rel(d) − (1−λ)·max_{s∈selected} sim(d, s), ties by vec_id asc.
+    * The doubles come IN from the shared `Vec.cosineF` columns and the
+    * score arithmetic is two exact halvings and a subtract, so the oracle
+    * (which unrolls the same greedy as chained CTEs over the same
+    * cosines) reproduces every comparison bitwise.
+    */
+  private def mmrSelect(qId: Long,
+                        rel: Map[Long, Double],
+                        sim: Map[(Long, Long), Double]): Seq[(Long, Int, Long)] = {
+    val first = rel.toSeq.maxBy { case (v, r) => (r, -v) }._1
+    val picks = scala.collection.mutable.ArrayBuffer(first)
+    while (picks.length < MmrK && picks.length < rel.size) {
+      val next = rel.keysIterator.filterNot(picks.contains).map { d =>
+        val msim = picks.iterator.map(p => sim((d, p))).max
+        (d, MmrLambda * rel(d) - (1 - MmrLambda) * msim)
+      }.maxBy { case (v, s) => (s, -v) }._1
+      picks += next
+    }
+    picks.toSeq.zipWithIndex.map { case (v, i) => (qId, i + 1, v) }
+  }
+
+  /** K3k `sim_mmr` (round 14): maximal-marginal-relevance diversified
+    * top-k (Carbonell & Goldstein 1998) — the rerank RAG runs when the
+    * top-k must COVER the query's facets instead of repeating its nearest
+    * cluster: stage 1 takes the exact cosine top-`MmrCandidates` per
+    * query (the `sim_topk` scan), stage 2 greedily picks `MmrK` of them,
+    * each pick maximizing λ·relevance − (1−λ)·max-similarity-to-already-
+    * picked. Output is (q_id, rank, vec_id) — integers only; the floats
+    * live inside the shared cosine folds.
+    *
+    * Scale shape: stage 1 is the counted `sim_topk` BNLJ (≤`QuerySetSize`
+    * broadcast rows); the pairwise-sim pool is an EQUI self-join of the
+    * C-row candidate frame on q_id (C² rows per query, bounded by conf,
+    * never corpus-sized); the greedy runs per query group in
+    * `flatMapGroups` (the StatefulOps typed-surface discipline) over
+    * those ≤C+C² rows. The oracle unrolls the same greedy as `MmrK`
+    * chained CTEs (the `vocab_bpe` trajectory-replay discipline), so the
+    * full selection ORDER hash-gates, not just the set.
+    */
+  def simMmr(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir)
+    val q = emb.filter(col("vec_id") < QuerySetSize)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val corpus = emb.filter(col("vec_id") >= QuerySetSize)
+    val cand = corpus.crossJoin(broadcast(q))
+      .select(col("q_id"), col("vec_id"),
+        Vec.cosineF(col("q_emb"), col("embedding")).as("rel"))
+      .withColumn("rn", row_number()
+        .over(Window.partitionBy("q_id").orderBy(desc("rel"), asc("vec_id"))))
+      .filter(col("rn") <= MmrCandidates)
+      .select("q_id", "vec_id", "rel")
+      // multi-consumer intermediate (both sides of the pairwise self-join):
+      // the cut keeps the counted stage-1 BNLJ a SINGLE plan node and the
+      // corpus scan a single pass, instead of re-executing per consumer
+      .lineageCut(eager = false)
+    val withEmb = cand.join(emb.select(col("vec_id"), col("embedding")), "vec_id")
+    val pairs = withEmb.select(col("q_id"), col("vec_id").as("a"),
+        col("rel"), col("embedding").as("emb_a"))
+      .join(withEmb.select(col("q_id"), col("vec_id").as("b"),
+        col("embedding").as("emb_b")), "q_id")
+      .filter(col("a") =!= col("b"))
+      .select(col("q_id"), col("a"), col("rel"), col("b"),
+        Vec.cosineF(col("emb_a"), col("emb_b")).as("sim"))
+      .as[(Long, Long, Double, Long, Double)]
+    pairs.groupByKey(_._1)
+      .flatMapGroups { (qId, it) =>
+        val rows = it.toSeq
+        val rel = rows.map(r => r._2 -> r._3).toMap
+        val sim = rows.map(r => (r._2, r._4) -> r._5).toMap
+        mmrSelect(qId, rel, sim).iterator
+      }
+      .toDF("q_id", "rn", "vec_id")
+      .select(col("q_id"), col("rn").cast("int").as("rn"), col("vec_id"))
+      .oracleSorted("q_id", "rn")
+  }
+
   /** `sim_ivf_incremental` batch split: vec_id ≡ 0 (mod this) is the
     * ARRIVING batch; the rest is the already-indexed base.
     */

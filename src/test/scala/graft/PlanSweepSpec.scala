@@ -34,7 +34,8 @@ class PlanSweepSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
 
   // name -> max sanctioned BroadcastNestedLoopJoin count in the plan
   private val bnljAllowed = Map("sim_topk" -> 1, "sim_mips" -> 1,
-    "sim_mrl" -> 1, "sim_hamming" -> 1, "rag_retrieve" -> 1, "rag_hybrid" -> 1,
+    "sim_mrl" -> 1, "sim_hamming" -> 1, "sim_mmr" -> 1,
+    "rag_retrieve" -> 1, "rag_hybrid" -> 1,
     // the k-row (=10) centroid table broadcast onto the arriving batch —
     // bounded by the list count, never corpus-sized
     "sim_ivf_incremental" -> 1)

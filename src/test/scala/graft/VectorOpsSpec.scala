@@ -957,6 +957,74 @@ class VectorOpsSpec extends AnyFunSuite {
     assert(rs.last == 1.0, s"exhaustive recall != 1.0: $rs")
   }
 
+  test("sim_mmr: pick 1 is the relevance argmax, picks are distinct and locally optimal, and diversification genuinely reorders (K3k greedy laws)") {
+    val got = VectorOps.simMmr(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val byQ = got.groupBy(_._1)
+    assert(byQ.size == VectorOps.QuerySetSize.toInt &&
+      byQ.values.forall(_.length == VectorOps.MmrK),
+      s"wrong shape: ${byQ.view.mapValues(_.length).toMap}")
+    byQ.values.foreach { rows =>
+      assert(rows.map(_._3).distinct.length == rows.length, "duplicate pick")
+      assert(rows.map(_._2).sorted.toSeq == (1 to VectorOps.MmrK), "rank gap")
+    }
+    // pick 1 == sim_topk rank 1 (the relevance argmax — MMR's first pick
+    // has no diversity term)
+    val top1 = VectorOps.simTopk(spark, sfDir).filter(col("rn") === 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(r.fieldIndex("vec_id"))).toMap
+    byQ.foreach { case (q, rows) =>
+      assert(rows.find(_._2 == 1).get._3 == top1(q),
+        s"query $q pick 1 is not the relevance argmax")
+    }
+    // diversification non-vacuity: for at least one query the MMR top-k
+    // is NOT the plain cosine top-k order
+    val topk = VectorOps.simTopk(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(r.fieldIndex("rn")), r.getLong(r.fieldIndex("vec_id")))).toSet
+    assert(got.toSet != topk, "MMR degenerated to plain top-k on this data")
+    // local optimality: each pick j >= 2 scores at least as high as every
+    // candidate it passed over AT THAT STEP, over an independently
+    // collected (rel, sim) pool (1e-9 slack for the independent fold)
+    val emb = Tables.embeddings(spark, sfDir)
+    val q = emb.filter(col("vec_id") < VectorOps.QuerySetSize)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val cand = emb.filter(col("vec_id") >= VectorOps.QuerySetSize)
+      .crossJoin(broadcast(q))
+      .select(col("q_id"), col("vec_id"),
+        graft.functions.Vec.cosineF(col("q_emb"), col("embedding")).as("rel"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("q_id").orderBy(desc("rel"), asc("vec_id"))))
+      .filter(col("rn") <= VectorOps.MmrCandidates)
+    val rels = cand.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val ce = cand.join(emb, "vec_id").select("q_id", "vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getSeq[Float](2).toArray)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var (d, na, nb, i) = (0.0, 0.0, 0.0, 0)
+      while (i < a.length) {
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val embByQ = ce.groupBy(_._1._1)
+    byQ.foreach { case (qid, rows) =>
+      val vecs = embByQ(qid).map { case ((_, v), e) => v -> e }.toMap
+      val ordered = rows.sortBy(_._2).map(_._3)
+      (2 to ordered.length).foreach { j =>
+        val sel = ordered.take(j - 1)
+        def score(d: Long): Double =
+          VectorOps.MmrLambda * rels((qid, d)) -
+            (1 - VectorOps.MmrLambda) * sel.map(p => cos(vecs(d), vecs(p))).max
+        val picked = score(ordered(j - 1))
+        vecs.keys.filterNot(ordered.take(j).contains).foreach { other =>
+          assert(picked >= score(other) - 1e-9,
+            s"query $qid step $j passed over a better candidate $other")
+        }
+      }
+    }
+  }
+
   test("sim_hamming: staged sign signatures match a per-row reference; " +
        "Hamming tracks the true angle on average (K3j binarization laws)") {
     val emb = VectorOps.hamStaged(spark, sfDir)
