@@ -215,6 +215,7 @@ object SparkEntry {
     "sim_mrl" -> (VectorOps.simMrl _),
     "sim_hamming" -> (VectorOps.simHamming _),
     "sim_mmr" -> (VectorOps.simMmr _),
+    "sample_fps" -> (VectorOps.sampleFps _),
     "sim_ivf_incremental" -> (VectorOps.simIvfIncremental _),
     "sim_mips_ivf" -> (VectorOps.simMipsIvf _),
     "sim_ann" -> (VectorOps.simAnn _),
@@ -271,24 +272,58 @@ object SparkEntry {
     val rel = s"${dotSql("q_emb", "embedding")} / (sqrt(${sqNorm("q_emb")}) * sqrt(${sqNorm("embedding")}))"
     val psim = s"${dotSql("a.embedding", "b.embedding")} / (sqrt(${sqNorm("a.embedding")}) * sqrt(${sqNorm("b.embedding")}))"
     val lam = VectorOps.MmrLambda
+    // single-reference recurrence: sel_j carries the ORDERED pick list as
+    // a LIST column and references sel_{j-1} exactly ONCE. A multi-
+    // reference chain (UNION + join + NOT EXISTS per step) inlines
+    // EXPONENTIALLY under engines without materialized CTEs — the
+    // SqlSurfaceSpec sweep drives this text through spark.sql, where the
+    // 3-refs-per-level form built 3^MmrK analyzer copies and OOMed.
     val steps = (2 to VectorOps.MmrK).map { j =>
-      s"sel$j AS MATERIALIZED (SELECT * FROM sel${j - 1} UNION ALL " +
-      s"SELECT q_id, vec_id, $j AS rn FROM (" +
-      "SELECT m.q_id, m.vec_id, row_number() OVER (PARTITION BY m.q_id ORDER BY m.score DESC, m.vec_id) AS r FROM (" +
-      s"SELECT c2.q_id, c2.vec_id, $lam * c2.rel - ${1 - lam} * max(p.sim) AS score " +
-      s"FROM cand c2 JOIN ps p ON p.q_id = c2.q_id AND p.a = c2.vec_id " +
-      s"JOIN sel${j - 1} s ON s.q_id = p.q_id AND s.vec_id = p.b " +
-      s"WHERE NOT EXISTS (SELECT 1 FROM sel${j - 1} s2 WHERE s2.q_id = c2.q_id AND s2.vec_id = c2.vec_id) " +
-      "GROUP BY c2.q_id, c2.vec_id, c2.rel) m) WHERE r = 1)"
+      s"sel$j AS MATERIALIZED (SELECT q_id, list_append(sel, vec_id) AS sel FROM (" +
+      s"SELECT m.q_id, m.sel, m.vec_id, row_number() OVER (PARTITION BY m.q_id ORDER BY $lam * m.rel - ${1 - lam} * m.mx DESC, m.vec_id) AS r FROM (" +
+      "SELECT s.q_id, s.sel, p.a AS vec_id, c2.rel, max(p.sim) AS mx " +
+      s"FROM sel${j - 1} s " +
+      "JOIN ps p ON p.q_id = s.q_id AND list_contains(s.sel, p.b) AND NOT list_contains(s.sel, p.a) " +
+      "JOIN cand c2 ON c2.q_id = p.q_id AND c2.vec_id = p.a " +
+      "GROUP BY s.q_id, s.sel, p.a, c2.rel) m) WHERE r = 1)"
     }.mkString(", ", ", ", " ")
     s"WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < ${VectorOps.QuerySetSize}), " +
       s"c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= ${VectorOps.QuerySetSize}), " +
       s"s0 AS (SELECT q_id, vec_id, $rel AS rel, embedding FROM c CROSS JOIN q), " +
       s"cand AS MATERIALIZED (SELECT q_id, vec_id, rel, embedding FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY rel DESC, vec_id) AS rn FROM s0) WHERE rn <= ${VectorOps.MmrCandidates}), " +
       s"ps AS MATERIALIZED (SELECT a.q_id, a.vec_id AS a, b.vec_id AS b, $psim AS sim FROM cand a JOIN cand b ON a.q_id = b.q_id AND a.vec_id <> b.vec_id), " +
-      "sel1 AS MATERIALIZED (SELECT q_id, vec_id, 1 AS rn FROM (SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id ORDER BY rel DESC, vec_id) AS r FROM cand) WHERE r = 1)" +
+      "sel1 AS MATERIALIZED (SELECT q_id, list_value(vec_id) AS sel FROM (SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id ORDER BY rel DESC, vec_id) AS r FROM cand) WHERE r = 1)" +
       steps +
-      s"SELECT q_id, CAST(rn AS INT) AS rn, vec_id FROM sel${VectorOps.MmrK} ORDER BY q_id, rn"
+      s"SELECT q_id, CAST(g.i AS INT) AS rn, sel[g.i] AS vec_id FROM sel${VectorOps.MmrK}, (SELECT unnest(generate_series(1, ${VectorOps.MmrK})) AS i) g ORDER BY q_id, rn"
+  }
+
+  /** Farthest-point-sampling oracle: the greedy maximin trajectory as a
+    * SINGLE-REFERENCE CTE recurrence (the mmrSql lesson — a pick CTE
+    * referenced twice per level inlines 2^K copies under engines without
+    * materialized CTEs): f_j carries every unpicked row's distance-to-
+    * nearest-picked `md` plus the ORDERED pick/radius lists; each step
+    * extracts the (md desc, vec_id) argmax with full-partition
+    * first_value windows — ONE reference to f_{j-1} — then folds it into
+    * `md` via `least` (matching the engine's left-fold). Both the pick
+    * ORDER and each step's covering radius hash-gate.
+    */
+  private val fpsSql: String = {
+    val steps = (2 until VectorOps.FpsK).map { j =>
+      s"f$j AS MATERIALIZED (SELECT vec_id, embedding, least(md, ${sqDistSql("embedding", "pe")}) AS md, " +
+        "list_append(picks, pv) AS picks, list_append(d2s, pd) AS d2s FROM (" +
+        "SELECT vec_id, embedding, md, picks, d2s, first_value(vec_id) OVER w AS pv, " +
+        "first_value(embedding) OVER w AS pe, first_value(md) OVER w AS pd " +
+        s"FROM f${j - 1} WINDOW w AS (ORDER BY md DESC, vec_id)) WHERE vec_id <> pv)"
+    }.mkString(", ")
+    "WITH s1 AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 1), " +
+      s"f1 AS MATERIALIZED (SELECT e.vec_id, e.embedding, ${sqDistSql("e.embedding", "s.embedding")} AS md, " +
+      "list_value(s.vec_id) AS picks, list_value(CAST(0.0 AS DOUBLE)) AS d2s " +
+      "FROM embeddings e, s1 s WHERE e.vec_id <> s.vec_id), " +
+      steps +
+      ", fin AS (SELECT list_append(picks, pv) AS picks, list_append(d2s, pd) AS d2s FROM (" +
+      "SELECT picks, d2s, first_value(vec_id) OVER w AS pv, first_value(md) OVER w AS pd " +
+      s"FROM f${VectorOps.FpsK - 1} WINDOW w AS (ORDER BY md DESC, vec_id)) LIMIT 1) " +
+      s"SELECT CAST(g.i AS INT) AS rn, picks[g.i] AS vec_id, d2s[g.i] AS d2 FROM fin, (SELECT unnest(generate_series(1, ${VectorOps.FpsK})) AS i) g ORDER BY rn"
   }
 
   /** Running z-score anomaly oracle shared by `anomaly_running` (window
@@ -1885,6 +1920,7 @@ object SparkEntry {
       "r2 AS (SELECT q_id, vec_id, cos, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn FROM s2) " +
       s"SELECT q_id, vec_id, cos, CAST(rn AS INT) AS rn FROM r2 WHERE rn <= ${VectorOps.TopK} ORDER BY q_id, rn"),
     "sim_mmr" -> mmrSql,
+    "sample_fps" -> fpsSql,
     // MIPS: same brute scan as sim_topk ranked by the RAW dot product —
     // the float fold mirrors FloatVecDot term for term (dotSql)
     "sim_mips" ->

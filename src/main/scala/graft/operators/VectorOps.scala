@@ -1501,6 +1501,57 @@ object VectorOps {
       .oracleSorted("q_id", "rn")
   }
 
+  // ------------------------------------------------------------------
+  // K8′ sample_fps: farthest-point-sampling coreset selection
+  // ------------------------------------------------------------------
+
+  /** Coreset size picked by farthest-point sampling. */
+  val FpsK = 10
+
+  /** K8′ `sample_fps` (round 14): greedy k-center / farthest-point
+    * sampling (Gonzalez 1985; the coreset selector deep-learning data
+    * selection builds on, Sener & Savarese 2018) — the DIVERSITY sampler
+    * next to the rate-based family (K8/K12/K23): seed with the lowest
+    * vec_id, then repeatedly pick the point FARTHEST from its nearest
+    * already-picked center (maximin). The picked maximin d2 sequence is
+    * exactly the evolving covering radius — non-increasing by
+    * construction (the law in VectorOpsSpec), and the selection is a
+    * 2-approximation of the optimal k-center cover (Gonzalez's theorem).
+    *
+    * Execution is the `kmeans_clusters` driver-loop discipline: centers
+    * live on the driver (k × Dim floats — only ONE row crosses per step),
+    * each step is one broadcast-free narrow scan computing
+    * least(d²(x, c₁), …, d²(x, c_j)) over the cached corpus plus a
+    * TakeOrdered(1) by (d2 desc, vec_id) — no shuffle anywhere; total
+    * arithmetic O(k²·n·Dim) with k fixed. Ties break on vec_id, d² folds
+    * are the shared `VecSqDist` kernel, and `least` is min (association-
+    * free), so the oracle — the same greedy unrolled as chained
+    * MATERIALIZED CTEs (the `sim_mmr` discipline) — reproduces the pick
+    * TRAJECTORY bitwise, including each step's covering radius.
+    */
+  def sampleFps(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding")).cache()
+    try {
+      def litVec(v: Seq[Float]): Column = array(v.map(lit): _*)
+      val seed = emb.orderBy(asc("vec_id")).limit(1).collect().head
+      var centers = Vector(seed.getSeq[Float](1))
+      var picks = Vector((1, seed.getLong(0), 0.0))
+      while (picks.length < FpsK) {
+        val mindist = centers
+          .map(c => Vec.sqDistF(col("embedding"), litVec(c)))
+          .reduce(least(_, _))
+        val top = emb.filter(!col("vec_id").isin(picks.map(_._2): _*))
+          .select(col("vec_id"), mindist.as("md"), col("embedding"))
+          .orderBy(desc("md"), asc("vec_id")).limit(1).collect().head
+        picks :+= ((picks.length + 1, top.getLong(0), top.getDouble(1)))
+        centers :+= top.getSeq[Float](2)
+      }
+      picks.toDF("rn", "vec_id", "d2").oracleSorted("rn")
+    } finally { emb.unpersist(); () }
+  }
+
   /** `sim_ivf_incremental` batch split: vec_id ≡ 0 (mod this) is the
     * ARRIVING batch; the rest is the already-indexed base.
     */

@@ -141,6 +141,8 @@ class SqlSurfaceSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
       .replace("epoch_us(", "unix_micros(")
       .replace("quantile_cont(", "percentile(")
       .replace("list_contains(", "array_contains(")
+      .replace("list_append(", "array_append(")
+      .replace("list_value(", "array(")
       .replace("list_transform(", "transform(")
       .replace("list_filter(", "filter(")
       .replace("list_sort(", "array_sort(")

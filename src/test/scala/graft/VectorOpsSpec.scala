@@ -957,6 +957,47 @@ class VectorOpsSpec extends AnyFunSuite {
     assert(rs.last == 1.0, s"exhaustive recall != 1.0: $rs")
   }
 
+  test("sample_fps: greedy maximin trajectory matches a sequential-fold replay; covering radius is non-increasing (K8' coreset laws)") {
+    val got = VectorOps.sampleFps(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    assert(got.length == VectorOps.FpsK &&
+      got.map(_._1).toSeq == (1 to VectorOps.FpsK) &&
+      got.map(_._2).distinct.length == got.length, s"bad shape: ${got.toSeq}")
+    assert(got.head._3 == 0.0, "seed carries a nonzero radius")
+    // the picked maximin d2 IS the covering radius of the selection so
+    // far — non-increasing by construction, strictly positive
+    val radii = got.tail.map(_._3)
+    assert(radii.forall(_ > 0) &&
+      radii.zip(radii.tail).forall { case (a, b) => a >= b },
+      s"covering radius not non-increasing: ${radii.toSeq}")
+    // full replay with a plain sequential Scala fold (the kernel's fold
+    // order) — the pick TRAJECTORY must match exactly
+    val all = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def d2(a: Array[Float], b: Array[Float]): Double = {
+      var (acc, i) = (0.0, 0)
+      while (i < a.length) {
+        val d = a(i).toDouble - b(i).toDouble; acc += d * d; i += 1
+      }
+      acc
+    }
+    var picks = Vector(all.keys.min)
+    var replay = Vector((1, picks.head, 0.0))
+    while (picks.length < VectorOps.FpsK) {
+      val (v, md) = all.keysIterator.filterNot(picks.contains).map { x =>
+        x -> picks.map(p => d2(all(x), all(p))).min
+      }.maxBy { case (x, m) => (m, -x) }
+      picks :+= v
+      replay :+= ((picks.length, v, md))
+    }
+    assert(got.toSeq == replay, s"trajectory drifted:\n$got\nvs\n$replay")
+    // diversity non-vacuity: the coreset spans more than one label
+    val labels = Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id").isin(got.map(_._2): _*))
+      .select("label").distinct().count()
+    assert(labels >= 2, "farthest-point picks collapsed into one cluster")
+  }
+
   test("sim_mmr: pick 1 is the relevance argmax, picks are distinct and locally optimal, and diversification genuinely reorders (K3k greedy laws)") {
     val got = VectorOps.simMmr(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
