@@ -1068,15 +1068,18 @@ object SparkEntry {
     // deterministic md5-prefix arithmetic, identical on both engines
     "agg_kmv" ->
       (s"WITH tok AS (SELECT lang, unnest($sh3) AS g FROM documents), " +
-      s"h AS (SELECT DISTINCT lang, ${hash60Wide("g")} AS hv FROM tok), " +
-      "n AS (SELECT lang, count(*) AS n_d FROM h GROUP BY 1), " +
-      s"sk AS (SELECT lang, hv FROM (SELECT lang, hv, row_number() OVER (PARTITION BY lang ORDER BY hv) AS rn FROM h) WHERE rn <= ${Aggregates.KmvK}), " +
+      // h feeds four consumers (n, sk, ix twice) and costs a 26M-row
+      // unnest+md5 at 100x — inlined per reference it blew the gate's
+      // 600 s budget; MATERIALIZED evaluates each shared stage once
+      s"h AS MATERIALIZED (SELECT DISTINCT lang, ${hash60Wide("g")} AS hv FROM tok), " +
+      "n AS MATERIALIZED (SELECT lang, count(*) AS n_d FROM h GROUP BY 1), " +
+      s"sk AS MATERIALIZED (SELECT lang, hv FROM (SELECT lang, hv, row_number() OVER (PARTITION BY lang ORDER BY hv) AS rn FROM h) WHERE rn <= ${Aggregates.KmvK}), " +
       "lp AS (SELECT a.lang AS lang_a, b.lang AS lang_b FROM n a JOIN n b ON a.lang < b.lang), " +
       "mh AS (SELECT DISTINCT lang_a, lang_b, hv FROM (SELECT lp.lang_a, lp.lang_b, sk.hv FROM lp JOIN sk ON sk.lang = lp.lang_a UNION ALL SELECT lp.lang_a, lp.lang_b, sk.hv FROM lp JOIN sk ON sk.lang = lp.lang_b)), " +
       s"us AS (SELECT lang_a, lang_b, hv FROM (SELECT *, row_number() OVER (PARTITION BY lang_a, lang_b ORDER BY hv) AS rn FROM mh) WHERE rn <= ${Aggregates.KmvK}), " +
       "ua AS (SELECT lang_a, lang_b, CAST(count(*) AS INT) AS kk, max(hv) AS h_k FROM us GROUP BY 1, 2), " +
       "nc AS (SELECT us.lang_a, us.lang_b, count(*) AS n_common FROM us JOIN sk a ON a.lang = us.lang_a AND a.hv = us.hv JOIN sk b ON b.lang = us.lang_b AND b.hv = us.hv GROUP BY 1, 2), " +
-      "ix AS (SELECT a.lang AS lang_a, b.lang AS lang_b, count(*) AS n_i FROM h a JOIN h b ON a.hv = b.hv AND a.lang < b.lang GROUP BY 1, 2), " +
+      "ix AS MATERIALIZED (SELECT a.lang AS lang_a, b.lang AS lang_b, count(*) AS n_i FROM h a JOIN h b ON a.hv = b.hv AND a.lang < b.lang GROUP BY 1, 2), " +
       "f AS (SELECT lp.lang_a, lp.lang_b, na.n_d AS n_a, nb.n_d AS n_b, COALESCE(ix.n_i, 0) AS n_inter, na.n_d + nb.n_d - COALESCE(ix.n_i, 0) AS n_union, ua.kk, ua.h_k, COALESCE(nc.n_common, 0) AS n_common " +
       "FROM lp JOIN n na ON na.lang = lp.lang_a JOIN n nb ON nb.lang = lp.lang_b " +
       "JOIN ua ON ua.lang_a = lp.lang_a AND ua.lang_b = lp.lang_b " +
