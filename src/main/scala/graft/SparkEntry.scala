@@ -129,6 +129,8 @@ object SparkEntry {
     "anomaly_mad" -> (EventOps.anomalyMad _),
     "anomaly_running" -> (EventOps.anomalyRunning _),
     "stream_anomaly" -> (graft.streaming.StatefulOps.streamAnomaly _),
+    "event_markov" -> (EventOps.eventMarkov _),
+    "stream_kmv" -> (graft.streaming.StatefulOps.streamKmv _),
     "join_interval" -> (EventOps.joinInterval _),
     "stream_stateful" -> (graft.streaming.StatefulOps.streamStateful _),
     "stream_sessionize" -> (graft.streaming.StatefulOps.streamSessionize _),
@@ -826,6 +828,21 @@ object SparkEntry {
     "stream_funnel" -> funnelSql,
     "anomaly_running" -> anomalySql,
     "stream_anomaly" -> anomalySql,
+    // first-order transition matrix: lead over the per-user stream, then
+    // type-domain counts with per-src totals (probability = n/src_total,
+    // an exact integer ratio the consumer divides)
+    "event_markov" ->
+      ("WITH p AS (SELECT event_type AS src_type, lead(event_type) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS dst_type FROM events), " +
+      "c AS (SELECT src_type, dst_type, count(*) AS n FROM p WHERE dst_type IS NOT NULL GROUP BY 1, 2), " +
+      "t AS (SELECT src_type, CAST(sum(n) AS BIGINT) AS src_total FROM c GROUP BY 1) " +
+      "SELECT c.src_type, c.dst_type, n, src_total FROM c JOIN t USING (src_type) ORDER BY src_type, dst_type"),
+    // the agg_kmv per-lang sketch stage alone (the state the streaming
+    // fold maintains): k smallest distinct 60-bit shingle hashes
+    "stream_kmv" ->
+      (s"WITH tok AS (SELECT lang, unnest($sh3) AS g FROM documents), " +
+      s"h AS MATERIALIZED (SELECT DISTINCT lang, ${hash60Wide("g")} AS hv FROM tok), " +
+      s"sk AS (SELECT lang, hv FROM (SELECT lang, hv, row_number() OVER (PARTITION BY lang ORDER BY hv) AS rn FROM h) WHERE rn <= ${Aggregates.KmvK}) " +
+      "SELECT lang, CAST(count(*) AS INT) AS kk, max(hv) AS h_k FROM sk GROUP BY 1 ORDER BY lang"),
     "event_retention" ->
       ("WITH a AS (SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day FROM events), " +
        "f AS (SELECT user_id, min(day) AS cohort_day FROM a GROUP BY 1) " +

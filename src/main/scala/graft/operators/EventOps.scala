@@ -524,4 +524,33 @@ object EventOps {
         col("n_prior"), col("s1"), col("s2"))
       .oracleSorted("user_id", "event_id")
   }
+
+  /** E12 `event_markov` (round 14): first-order transition matrix of the
+    * per-user event stream — the user-journey Markov model (what follows
+    * what, and how often): per user in (ts, event_id) order, each event
+    * pairs with its successor via `lead`, pairs aggregate to (src, dst)
+    * counts, and each row carries its src row-total so the transition
+    * probability is the exact integer ratio n/src_total (never
+    * materialized as a float — the consumer divides). Output is
+    * |event_types|² rows max.
+    *
+    * Scale shape: ONE shuffle by user_id for the lead window (linear
+    * pass), then a partial-agg groupBy whose key space is the TYPE
+    * domain (bounded), and a broadcast-sized totals join. Law
+    * (EventAnalyticsSpec): per-src counts sum exactly to src_total, and
+    * src_total equals the user-stream non-terminal event count.
+    */
+  def eventMarkov(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(asc("ts"), asc("event_id"))
+    val pairs = Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("src_type"))
+      .withColumn("dst_type", lead(col("src_type"), 1).over(w))
+      .filter(col("dst_type").isNotNull)
+      .groupBy("src_type", "dst_type").agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy("src_type").agg(sum(col("n")).as("src_total"))
+    pairs.join(totals, "src_type")
+      .select(col("src_type"), col("dst_type"), col("n"), col("src_total"))
+      .oracleSorted("src_type", "dst_type")
+  }
 }

@@ -712,6 +712,75 @@ object StatefulOps {
       .oracleSorted("user_id", "event_id")
   }
 
+  // ------------------------------------------------------------------
+  // KMV sketch maintenance at ingest (§2.J18 — streaming twin of D31)
+  // ------------------------------------------------------------------
+
+  case class KmvHash(lang: String, hv: Long)
+
+  /** Per-lang KMV state: the `Aggregates.KmvK` smallest DISTINCT hashes
+    * seen so far, kept sorted — O(k) per key regardless of history. The
+    * fold is a pure function of the hash SET (merge = k-smallest of
+    * union), so any batch split / arrival order yields the same state —
+    * the mergeability that lets every shard maintain its sketch at
+    * ingest and ship k longs instead of its vocabulary.
+    */
+  case class KmvSketch(hs: Seq[Long])
+
+  /** Published sketch state per lang: size and the largest retained
+    * (= k-th smallest overall) hash — the estimator's whole input.
+    */
+  case class KmvRow(lang: String, kk: Int, h_k: Long)
+
+  def kmvFold(lang: String, rows: Iterator[KmvHash],
+              state: GroupState[KmvSketch]): KmvRow = {
+    val prev = state.getOption.map(_.hs).getOrElse(Seq.empty)
+    val merged = (prev.iterator ++ rows.map(_.hv)).toArray.distinct.sorted
+      .take(graft.operators.Aggregates.KmvK).toSeq
+    state.update(KmvSketch(merged))
+    KmvRow(lang, merged.size, merged.max)
+  }
+
+  /** J18 `stream_kmv`: the D31 KMV sketch MAINTAINED incrementally with
+    * `mapGroupsWithState` instead of rebuilt from the distinct hash table
+    * — the ingest-time form of `agg_kmv`'s per-lang sketch stage (state
+    * is k longs per key; a new document batch folds in as
+    * k-smallest-of-union, the AggregatesSpec merge law). Output per lang:
+    * sketch size and the k-th smallest hash (the estimator's whole
+    * state). Same hash derivation as `agg_kmv` (60-bit md5 prefix over
+    * distinct 3-shingles), so the oracle replays it exactly; the
+    * cross-trigger parity test (StatefulOpsSpec) feeds the hashes split
+    * across triggers in a different order and must land on the identical
+    * sketch.
+    */
+  def streamKmv(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select(col("lang"),
+        explode(array_distinct(graft.operators.TextOps.shingles(col("text"), 3))).as("g"))
+      .select(col("lang"),
+        conv(substring(md5(col("g").cast("binary")), 1, 15), 16, 10)
+          .cast("long").as("hv"))
+      .as[KmvHash]
+      .groupByKey(_.lang)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout())(kmvFold)
+      .toDF()
+      .oracleSorted("lang")
+  }
+
+  /** Streaming entry — used by the cross-trigger parity test. */
+  def kmvStreamQuery(hashes: Dataset[KmvHash], queryName: String) = {
+    import hashes.sparkSession.implicits._
+    hashes
+      .groupByKey(_.lang)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout())(kmvFold)
+      .writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode(OutputMode.Update())
+      .start()
+  }
+
   /** Streaming entry — used by the cross-trigger parity test. */
   def anomalyStreamQuery(events: Dataset[AnomEvent], queryName: String) = {
     import events.sparkSession.implicits._

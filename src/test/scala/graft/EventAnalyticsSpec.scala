@@ -141,4 +141,20 @@ class EventAnalyticsSpec extends AnyFunSuite {
           s"user $u session hosts an error but counts 0 incidents"))
     }
   }
+  test("event_markov: rows sum to src totals and transitions conserve the stream (E12)") {
+    val rows = EventOps.eventMarkov(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty && rows.length <= 25, s"shape: ${rows.length}")
+    // per-src counts sum exactly to the carried src_total
+    rows.groupBy(_._1).foreach { case (src, rs) =>
+      val total = rs.head._4
+      assert(rs.forall(_._4 == total), s"$src carries mixed totals")
+      assert(rs.map(_._3).sum == total, s"$src counts do not sum to total")
+    }
+    // conservation: total transitions = total events - one terminal per user
+    val ev = Tables.events(spark, sfDir)
+    val want = ev.count() - ev.select("user_id").distinct().count()
+    assert(rows.map(_._3).sum == want,
+      s"transition mass ${rows.map(_._3).sum} != events-minus-terminals $want")
+  }
 }

@@ -322,4 +322,46 @@ class StatefulOpsSpec extends AnyFunSuite {
     assert(w == f, s"window and stateful anomaly forms disagree: ${w.length}/${f.length}")
     assert(w.nonEmpty, "anomaly gate vacuous on the fixture")
   }
+
+  test("kmv fold: sketch is invariant to trigger splits and arrival order, and matches the batch k-min (J18)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import StatefulOps.KmvHash
+    implicit val sqlCtx = spark.sqlContext
+
+    // the real fixture's distinct (lang, hv) rows, independently derived
+    val rows = graft.Tables.documents(spark, SparkTestSession.sfDir)
+      .select(col("lang"),
+        explode(array_distinct(graft.operators.TextOps.shingles(col("text"), 3))).as("g"))
+      .select(col("lang"),
+        conv(substring(md5(col("g").cast("binary")), 1, 15), 16, 10)
+          .cast("long").as("hv"))
+      .distinct().as[KmvHash].collect().toSeq
+    val want = rows.groupBy(_.lang).view.mapValues { hs =>
+      val k = hs.map(_.hv).distinct.sorted.take(graft.operators.Aggregates.KmvK)
+      (k.size, k.max)
+    }.toMap
+
+    // stream the SAME hashes split across two triggers in reversed order —
+    // the folded sketch must be identical (pure function of the set)
+    val (a, b) = rows.reverse.splitAt(rows.length / 3)
+    val stream = MemoryStream[KmvHash]
+    val q = StatefulOps.kmvStreamQuery(stream.toDS(), "kmv_t")
+    try {
+      stream.addData(a: _*); q.processAllAvailable()
+      stream.addData(b: _*); q.processAllAvailable()
+    } finally q.stop()
+    // update-mode sink: last row per lang is the final state
+    val fin = spark.table("kmv_t").collect().zipWithIndex
+      .groupBy(_._1.getString(0))
+      .map { case (l, rs) =>
+        val r = rs.maxBy(_._2)._1; l -> ((r.getInt(1), r.getLong(2)))
+      }
+    assert(fin == want, s"streamed sketch drifted: $fin vs $want")
+
+    // and the registered batch entry agrees
+    val batch = StatefulOps.streamKmv(spark, SparkTestSession.sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getInt(1), r.getLong(2)))).toMap
+    assert(batch == want, s"batch entry drifted: $batch vs $want")
+  }
 }
