@@ -131,6 +131,7 @@ object SparkEntry {
     "stream_anomaly" -> (graft.streaming.StatefulOps.streamAnomaly _),
     "event_markov" -> (EventOps.eventMarkov _),
     "stream_kmv" -> (graft.streaming.StatefulOps.streamKmv _),
+    "scan_timetravel" -> (Lakehouse.scanTimetravel _),
     "join_interval" -> (EventOps.joinInterval _),
     "stream_stateful" -> (graft.streaming.StatefulOps.streamStateful _),
     "stream_sessionize" -> (graft.streaming.StatefulOps.streamSessionize _),
@@ -836,6 +837,17 @@ object SparkEntry {
       "c AS (SELECT src_type, dst_type, count(*) AS n FROM p WHERE dst_type IS NOT NULL GROUP BY 1, 2), " +
       "t AS (SELECT src_type, CAST(sum(n) AS BIGINT) AS src_total FROM c GROUP BY 1) " +
       "SELECT c.src_type, c.dst_type, n, src_total FROM c JOIN t USING (src_type) ORDER BY src_type, dst_type"),
+    // time travel: the oracle RE-DERIVES each copy-on-write snapshot from
+    // the raw table (v0 base / v1 update batch / v2 delete batch) while
+    // the engine reads the staged version directories — the gate pins the
+    // snapshot round trip too
+    "scan_timetravel" ->
+      ("WITH v0 AS (SELECT o_orderkey AS k, CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents FROM orders), " +
+      "v1 AS (SELECT k, CASE WHEN k % 10 = 0 THEN cents + 100 ELSE cents END AS cents FROM v0), " +
+      "v2 AS (SELECT * FROM v1 WHERE k % 7 <> 0) " +
+      "SELECT 0 AS version, count(*) AS n_rows, CAST(sum(cents) AS BIGINT) AS sum_cents, min(k) AS min_key, max(k) AS max_key FROM v0 " +
+      "UNION ALL SELECT 1, count(*), CAST(sum(cents) AS BIGINT), min(k), max(k) FROM v1 " +
+      "UNION ALL SELECT 2, count(*), CAST(sum(cents) AS BIGINT), min(k), max(k) FROM v2 ORDER BY version"),
     // the agg_kmv per-lang sketch stage alone (the state the streaming
     // fold maintains): k smallest distinct 60-bit shingle hashes
     "stream_kmv" ->

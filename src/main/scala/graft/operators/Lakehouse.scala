@@ -495,4 +495,75 @@ object Lakehouse {
         "scanned", "n_match", "skip_safe")
       .oracleSorted("file_id")
   }
+
+  // ------------------------------------------------------------------
+  // M10 scan_timetravel: versioned snapshots, AS-OF reads
+  // ------------------------------------------------------------------
+
+  /** Versioned-table staging root (the `MrlStageDir` discipline:
+    * `by/<digest>` + `current`, keyed on the source fingerprint). Each
+    * version is a FULL copy-on-write snapshot directory `v0/ v1/ v2/` —
+    * the Delta/Iceberg v1 model, where a committed version is an
+    * immutable file set and time travel is directory selection, never
+    * reconstruction.
+    */
+  val TtStageDir = "/tmp/graft_timetravel"
+  val TtVersions = 3
+
+  /** The version chain, derived deterministically from `orders` so the
+    * oracle can re-derive every snapshot from the raw table:
+    * v0 = (key, cust, cents); v1 = v0 with cents+100 on key ≡ 0 (mod 10)
+    * (an update batch); v2 = v1 minus key ≡ 0 (mod 7) (a delete batch).
+    */
+  private[graft] def ttSnapshot(s: SparkSession, dir: String, v: Int): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val v0 = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"),
+      (col("o_totalprice").cast(DecimalType(12, 2)) * 100).cast("long").as("cents"))
+    val v1 = v0.withColumn("cents",
+      when(col("o_orderkey") % 10 === 0, col("cents") + 100).otherwise(col("cents")))
+    v match {
+      case 0 => v0
+      case 1 => v1
+      case _ => v1.filter(col("o_orderkey") % 7 =!= 0)
+    }
+  }
+
+  private def stageTimeTravel(s: SparkSession, dir: String): Unit = synchronized {
+    Relational.withStageLock(TtStageDir) {
+      Relational.stageInto(TtStageDir,
+        s"$dir|tt1|${Relational.sourceFingerprint(s"$dir/orders.parquet")}") {
+        target =>
+          (0 until TtVersions).foreach { v =>
+            ttSnapshot(s, dir, v).write.mode("overwrite").parquet(s"$target/v$v")
+          }
+      }
+    }
+  }
+
+  /** M10 `scan_timetravel` (round 14): AS-OF version reads over a
+    * copy-on-write versioned table — the lakehouse time-travel surface
+    * (audit "what did the table say when the model trained", reproduce a
+    * past run, diff two versions). Version resolution is directory
+    * selection off the staged manifest layout; each AS-OF read is an
+    * ordinary pruned parquet scan of that version's immutable file set —
+    * no log replay, no reconstruction, so an AS-OF query plans and costs
+    * exactly like a current-version query at any scale. The query reads
+    * ALL versions and emits one audit row per version (row count, exact
+    * cents sum, key span) — the reconciliation a retention/takedown
+    * audit wants. The oracle re-derives every snapshot from the raw
+    * table while the engine reads the staged files, so the gate also
+    * pins the staged snapshot round trip.
+    */
+  def scanTimetravel(s: SparkSession, dir: String): DataFrame = {
+    stageTimeTravel(s, dir)
+    val root = Relational.stagedRoot(TtStageDir)
+    (0 until TtVersions).map { v =>
+      s.read.parquet(s"$root/v$v")
+        .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("sum_cents"),
+          min(col("o_orderkey")).as("min_key"), max(col("o_orderkey")).as("max_key"))
+        .select(lit(v).as("version"), col("n_rows"), col("sum_cents"),
+          col("min_key"), col("max_key"))
+    }.reduce(_ union _)
+      .oracleSorted("version")
+  }
 }

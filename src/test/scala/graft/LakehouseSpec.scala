@@ -225,4 +225,25 @@ class LakehouseSpec extends AnyFunSuite {
       .select("o_custkey").distinct().count()
     assert(out.length.toLong == affected, s"${out.length} journal rows != $affected churned groups")
   }
+  test("scan_timetravel: version chain semantics and staged-snapshot round trip (M10)") {
+    val rows = Lakehouse.scanTimetravel(spark, sfDir).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(rows.keySet == Set(0, 1, 2))
+    // updates change values, never cardinality; deletes change cardinality
+    assert(rows(1)._1 == rows(0)._1, "v1 update batch changed the row count")
+    assert(rows(2)._1 < rows(1)._1, "v2 delete batch removed nothing")
+    // v1 sum = v0 sum + 100 per updated key; v2 keys are a subset span
+    val nUpd = graft.Tables.orders(spark, sfDir)
+      .filter(col("o_orderkey") % 10 === 0).count()
+    assert(rows(1)._2 == rows(0)._2 + 100 * nUpd,
+      s"v1 sum drift: ${rows(1)._2} vs ${rows(0)._2} + 100*$nUpd")
+    // staged AS-OF reads equal the in-memory derivation row-for-row
+    (0 until Lakehouse.TtVersions).foreach { v =>
+      val staged = spark.read
+        .parquet(s"${graft.operators.Relational.stagedRoot(Lakehouse.TtStageDir)}/v$v")
+        .collect().map(_.toSeq).toSet
+      val derived = Lakehouse.ttSnapshot(spark, sfDir, v).collect().map(_.toSeq).toSet
+      assert(staged == derived, s"v$v staged snapshot drifted from its derivation")
+    }
+  }
 }
