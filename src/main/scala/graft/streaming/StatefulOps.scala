@@ -734,9 +734,17 @@ object StatefulOps {
 
   def kmvFold(lang: String, rows: Iterator[KmvHash],
               state: GroupState[KmvSketch]): KmvRow = {
-    val prev = state.getOption.map(_.hs).getOrElse(Seq.empty)
-    val merged = (prev.iterator ++ rows.map(_.hv)).toArray.distinct.sorted
-      .take(graft.operators.Aggregates.KmvK).toSeq
+    val k = graft.operators.Aggregates.KmvK
+    // bounded fold: a k-capped sorted set consumed straight off the
+    // iterator — O(k) memory through the fold itself, not just the
+    // stored state (the incoming batch is never materialized)
+    val set = scala.collection.mutable.TreeSet.empty[Long]
+    state.getOption.foreach(_.hs.foreach(set.add))
+    rows.foreach { r =>
+      if (set.size < k) { set.add(r.hv); () }
+      else if (r.hv < set.last && set.add(r.hv)) { set.remove(set.last); () }
+    }
+    val merged = set.toSeq
     state.update(KmvSketch(merged))
     KmvRow(lang, merged.size, merged.max)
   }
