@@ -36,6 +36,9 @@ object HamBytes {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // round-14 ADVICE: shut the session down even when the semantic-
+    // identity require (or a read) throws
+    try {
 
     val staged = VectorOps.hamStaged(spark, dir)
     val nStaged = VectorOps.hamCandidates(spark, staged).count()
@@ -62,6 +65,7 @@ object HamBytes {
       s""""mirror_fulldim_bytes":$bMirrorFull,"inline_stage1_bytes":$bInline,""" +
       s""""pruning_cut":${ratio(bMirrorFull, bStaged)},""" +
       s""""inline_over_staged":${ratio(bInline, bStaged)}}""")
-    spark.stop()
+
+    } finally spark.stop()
   }
 }

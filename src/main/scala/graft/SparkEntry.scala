@@ -281,13 +281,18 @@ object SparkEntry {
     // EXPONENTIALLY under engines without materialized CTEs — the
     // SqlSurfaceSpec sweep drives this text through spark.sql, where the
     // 3-refs-per-level form built 3^MmrK analyzer copies and OOMed.
+    // LEFT joins + the NULL-pick carry (round-14 ADVICE): a query whose
+    // pool is exhausted (fewer candidates than MmrK — degenerate stage-1
+    // pools) keeps its partial `sel` through every remaining step instead
+    // of silently dropping out of the chain; still ONE reference to
+    // sel_{j-1} per step (the exponential-inlining discipline holds)
     val steps = (2 to VectorOps.MmrK).map { j =>
-      s"sel$j AS MATERIALIZED (SELECT q_id, list_append(sel, vec_id) AS sel FROM (" +
-      s"SELECT m.q_id, m.sel, m.vec_id, row_number() OVER (PARTITION BY m.q_id ORDER BY $lam * m.rel - ${1 - lam} * m.mx DESC, m.vec_id) AS r FROM (" +
+      s"sel$j AS MATERIALIZED (SELECT q_id, CASE WHEN vec_id IS NULL THEN sel ELSE list_append(sel, vec_id) END AS sel FROM (" +
+      s"SELECT m.q_id, m.sel, m.vec_id, row_number() OVER (PARTITION BY m.q_id ORDER BY $lam * m.rel - ${1 - lam} * m.mx DESC NULLS LAST, m.vec_id) AS r FROM (" +
       "SELECT s.q_id, s.sel, p.a AS vec_id, c2.rel, max(p.sim) AS mx " +
       s"FROM sel${j - 1} s " +
-      "JOIN ps p ON p.q_id = s.q_id AND list_contains(s.sel, p.b) AND NOT list_contains(s.sel, p.a) " +
-      "JOIN cand c2 ON c2.q_id = p.q_id AND c2.vec_id = p.a " +
+      "LEFT JOIN ps p ON p.q_id = s.q_id AND list_contains(s.sel, p.b) AND NOT list_contains(s.sel, p.a) " +
+      "LEFT JOIN cand c2 ON c2.q_id = p.q_id AND c2.vec_id = p.a " +
       "GROUP BY s.q_id, s.sel, p.a, c2.rel) m) WHERE r = 1)"
     }.mkString(", ", ", ", " ")
     s"WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < ${VectorOps.QuerySetSize}), " +
@@ -297,7 +302,7 @@ object SparkEntry {
       s"ps AS MATERIALIZED (SELECT a.q_id, a.vec_id AS a, b.vec_id AS b, $psim AS sim FROM cand a JOIN cand b ON a.q_id = b.q_id AND a.vec_id <> b.vec_id), " +
       "sel1 AS MATERIALIZED (SELECT q_id, list_value(vec_id) AS sel FROM (SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id ORDER BY rel DESC, vec_id) AS r FROM cand) WHERE r = 1)" +
       steps +
-      s"SELECT q_id, CAST(g.i AS INT) AS rn, sel[g.i] AS vec_id FROM sel${VectorOps.MmrK}, (SELECT unnest(generate_series(1, ${VectorOps.MmrK})) AS i) g ORDER BY q_id, rn"
+      s"SELECT q_id, CAST(g.i AS INT) AS rn, sel[g.i] AS vec_id FROM sel${VectorOps.MmrK}, (SELECT unnest(generate_series(1, ${VectorOps.MmrK})) AS i) g WHERE g.i <= len(sel) ORDER BY q_id, rn"
   }
 
   /** Farthest-point-sampling oracle: the greedy maximin trajectory as a
@@ -332,14 +337,17 @@ object SparkEntry {
   /** Running z-score anomaly oracle shared by `anomaly_running` (window
     * form) and `stream_anomaly` (flatMapGroupsWithState form): running
     * (n, Σv, Σv²) over integer cents in strict-predecessor frames, 3σ
-    * test as the exact cross-multiplied integer comparison.
+    * test as the exact cross-multiplied integer comparison — widened to
+    * HUGEINT (DECIMAL(38,0) after the Spark bridge) like the engine's
+    * DECIMAL(38,0) products, since per-key history is unbounded and the
+    * n·Σv² term overflows 64 bits past ~5×10⁴ events (round-14 ADVICE).
     */
   private val anomalySql: String =
     "WITH c AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents FROM events), " +
       "w AS (SELECT user_id, event_id, cents, count(*) OVER pw AS n_prior, CAST(COALESCE(sum(cents) OVER pw, 0) AS BIGINT) AS s1, CAST(COALESCE(sum(cents * cents) OVER pw, 0) AS BIGINT) AS s2 FROM c " +
       "WINDOW pw AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)) " +
       s"SELECT user_id, event_id, cents, n_prior, s1, s2 FROM w WHERE n_prior >= ${EventOps.AnomalyMinPrior} " +
-      s"AND (cents * n_prior - s1) * (cents * n_prior - s1) * (n_prior - 1) > ${EventOps.AnomalyZ2} * n_prior * (n_prior * s2 - s1 * s1) " +
+      s"AND CAST(cents * n_prior - s1 AS HUGEINT) * (cents * n_prior - s1) * (n_prior - 1) > CAST(${EventOps.AnomalyZ2} AS HUGEINT) * n_prior * (CAST(n_prior AS HUGEINT) * s2 - CAST(s1 AS HUGEINT) * s1) " +
       "ORDER BY user_id, event_id"
 
   /** Funnel oracle shared by `funnel_events` (join-chain form) and

@@ -496,8 +496,12 @@ object EventOps {
     * window pass carries the running (n, Σv, Σv²) over integer cents, and
     * the 3σ test is the cross-multiplied INTEGER comparison
     * (v·n − Σv)²·(n−1) > 9·n·(n·Σv² − Σv²) — no float mean/stddev
-    * anywhere, so both engines agree exactly (headroom: cents ≤ ~6×10⁴,
-    * n ≤ ~10², worst product ~3×10¹⁶ of 9.2×10¹⁸).
+    * anywhere, so both engines agree exactly. The products are widened to
+    * DECIMAL(38,0) (HUGEINT in the oracle) before multiplying — the state
+    * is unbounded (stream_anomaly keeps per-key moments forever), and at
+    * cents ~6×10⁴ the n·Σv² term alone overflows a Long once a key's
+    * history reaches ~5×10⁴ events (round-14 ADVICE); 38 digits carry the
+    * worst product past n ~10¹⁰ per key.
     *
     * Scale shape: ONE shuffle by user_id, one linear window pass per key
     * (running frames are O(1)/row); output ∝ anomalies. The identical
@@ -510,6 +514,9 @@ object EventOps {
     val w = Window.partitionBy("user_id").orderBy(asc("ts"), asc("event_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val dev = col("cents") * col("n_prior") - col("s1")
+    // first factor of each product chain widened; BIGINT co-factors then
+    // promote, so every multiply runs in decimal space (exact at scale 0)
+    val wide = DecimalType(38, 0)
     Tables.events(s, dir)
       .select(col("user_id"), col("event_id"), col("ts"),
         (col("value").cast(DecimalType(12, 2)) * 100).cast("long").as("cents"))
@@ -517,9 +524,10 @@ object EventOps {
       .withColumn("s1", coalesce(sum(col("cents")).over(w), lit(0L)))
       .withColumn("s2", coalesce(sum(col("cents") * col("cents")).over(w), lit(0L)))
       .filter(col("n_prior") >= AnomalyMinPrior &&
-        dev * dev * (col("n_prior") - 1) >
-          lit(AnomalyZ2) * col("n_prior") *
-            (col("n_prior") * col("s2") - col("s1") * col("s1")))
+        dev.cast(wide) * dev * (col("n_prior") - 1) >
+          lit(AnomalyZ2).cast(wide) * col("n_prior") *
+            (col("n_prior").cast(wide) * col("s2") -
+              col("s1").cast(wide) * col("s1")))
       .select(col("user_id"), col("event_id"), col("cents"),
         col("n_prior"), col("s1"), col("s2"))
       .oracleSorted("user_id", "event_id")

@@ -1481,11 +1481,15 @@ object VectorOps {
       // corpus scan a single pass, instead of re-executing per consumer
       .lineageCut(eager = false)
     val withEmb = cand.join(emb.select(col("vec_id"), col("embedding")), "vec_id")
+    // self-pairs (a = b) stay IN the frame so every candidate seeds its
+    // query's group even when the stage-1 pool is degenerate (round-14
+    // ADVICE: the old a <> b filter silently dropped a single-candidate
+    // query instead of emitting its one pick); the greedy reads relevance
+    // off every row and pairwise sims off the a <> b rows only
     val pairs = withEmb.select(col("q_id"), col("vec_id").as("a"),
         col("rel"), col("embedding").as("emb_a"))
       .join(withEmb.select(col("q_id"), col("vec_id").as("b"),
         col("embedding").as("emb_b")), "q_id")
-      .filter(col("a") =!= col("b"))
       .select(col("q_id"), col("a"), col("rel"), col("b"),
         Vec.cosineF(col("emb_a"), col("emb_b")).as("sim"))
       .as[(Long, Long, Double, Long, Double)]
@@ -1493,7 +1497,7 @@ object VectorOps {
       .flatMapGroups { (qId, it) =>
         val rows = it.toSeq
         val rel = rows.map(r => r._2 -> r._3).toMap
-        val sim = rows.map(r => (r._2, r._4) -> r._5).toMap
+        val sim = rows.filter(r => r._2 != r._4).map(r => (r._2, r._4) -> r._5).toMap
         mmrSelect(qId, rel, sim).iterator
       }
       .toDF("q_id", "rn", "vec_id")

@@ -656,8 +656,21 @@ object StatefulOps {
     * batch of one user's events, scoring each against the moments of its
     * STRICT predecessors (the event updates state only after it is
     * scored). The 3σ test is the same cross-multiplied integer comparison
-    * as the window form (EventOps.anomalyRunning) — exact, so the two
-    * forms and the oracle agree cell-for-cell.
+    * as the window form (EventOps.anomalyRunning) — run in BigInt, the
+    * Scala twin of the window form's DECIMAL(38,0) widening (per-key
+    * history is unbounded, so the 64-bit products overflow past ~5×10⁴
+    * events; round-14 ADVICE) — exact, so the two forms and the oracle
+    * agree cell-for-cell.
+    *
+    * ORDERING ASSUMPTION (round-14 ADVICE): events are sorted within the
+    * batch, but state already folded in earlier triggers is never
+    * re-scored — an event arriving in a LATER trigger with an EARLIER
+    * event time is scored against moments that include its successors,
+    * which diverges from the strict-predecessor window form. The parity
+    * gate therefore assumes in-event-time-order arrival across triggers
+    * (the shape a watermarked, log-ordered ingest delivers); the
+    * documented late-arrival behavior — still scored, against the
+    * richer state — is pinned by its own StatefulOpsSpec test.
     */
   def foldAnomalies(events: Seq[AnomEvent],
                     init: AnomState): (Seq[AnomRow], AnomState) = {
@@ -667,8 +680,9 @@ object StatefulOps {
     var st = init
     events.sortBy(e => (tsMicros(e.ts), e.event_id)).foreach { e =>
       val (n, s1, s2) = (st.n, st.s1, st.s2)
-      val dev = e.cents * n - s1
-      if (n >= minPrior && dev * dev * (n - 1) > z2 * n * (n * s2 - s1 * s1))
+      val dev = BigInt(e.cents) * n - s1
+      if (n >= minPrior &&
+          dev * dev * (n - 1) > BigInt(z2) * n * (BigInt(n) * s2 - BigInt(s1) * s1))
         out += AnomRow(e.user_id, e.event_id, e.cents, n, s1, s2)
       st = AnomState(n + 1, s1 + e.cents, s2 + e.cents * e.cents)
     }

@@ -323,6 +323,38 @@ class StatefulOpsSpec extends AnyFunSuite {
     assert(w.nonEmpty, "anomaly gate vacuous on the fixture")
   }
 
+  test("anomaly fold: a late-arriving event is scored against already-folded " +
+       "successors — the documented J17 in-order-arrival assumption") {
+    import spark.implicits._
+    import StatefulOps.{AnomEvent, AnomState}
+    implicit val sqlCtx = spark.sqlContext
+
+    // trigger 1 folds five flat values; trigger 2 delivers a spike whose
+    // EVENT TIME precedes three of them. The fold scores it against the
+    // full five-event state (n_prior = 5 → flags), while the in-event-
+    // time-order fold of the same six events sees only two strict
+    // predecessors at the spike (< AnomalyMinPrior → no flag). This test
+    // pins the divergence the streamAnomaly scaladoc documents.
+    val base = Seq(1000L, 1001L, 1000L, 1000L, 1000L).zipWithIndex.map {
+      case (c, i) => AnomEvent(9L, i + 1L, ts(s"2024-01-01 10:0$i:00"), c)
+    }
+    val late = AnomEvent(9L, 6L, ts("2024-01-01 10:01:30"), 5000L)
+    val stream = MemoryStream[AnomEvent]
+    val q = StatefulOps.anomalyStreamQuery(stream.toDS(), "anom_late_t")
+    try {
+      stream.addData(base: _*)
+      q.processAllAvailable()
+      stream.addData(late)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("anom_late_t").collect()
+      .map(r => (r.getLong(1), r.getLong(3))).toSet
+    assert(got == Set((6L, 5L)), s"late-event flags (event_id, n_prior): $got")
+    val (rows, _) = StatefulOps.foldAnomalies(base :+ late, AnomState(0L, 0L, 0L))
+    assert(rows.isEmpty,
+      s"in-event-time-order fold of the same events unexpectedly flagged: $rows")
+  }
+
   test("kmv fold: sketch is invariant to trigger splits and arrival order, and matches the batch k-min (J18)") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

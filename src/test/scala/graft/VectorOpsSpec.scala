@@ -1135,4 +1135,28 @@ class VectorOpsSpec extends AnyFunSuite {
       s"recall not monotone in C: $rs")
     assert(rs.last == 1.0, s"exhaustive recall != 1.0: $rs")
   }
+
+  test("sim_mmr: a single-candidate stage-1 pool still emits its pick 1 " +
+       "instead of silently dropping the query (round-14 ADVICE)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_mmr_degen").toString
+    try {
+      // QuerySetSize query vectors + exactly ONE corpus vector: every
+      // query's stage-1 pool is the degenerate single candidate the old
+      // a <> b self-join filter dropped entirely
+      val rnd = new scala.util.Random(7)
+      def v(): Array[Float] = Array.fill(VectorOps.Dim)(rnd.nextFloat() - 0.5f)
+      val rows = (0L to VectorOps.QuerySetSize.toLong).map(i => (i, v()))
+      rows.toDF("vec_id", "embedding")
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      val got = VectorOps.simMmr(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      val want = (0L until VectorOps.QuerySetSize.toLong)
+        .map(q => (q, 1, VectorOps.QuerySetSize.toLong)).toSet
+      assert(got == want, s"degenerate-pool output: $got (want $want)")
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dir)).deleteRecursively()
+    }
+  }
 }
