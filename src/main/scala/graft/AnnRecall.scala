@@ -166,6 +166,22 @@ object AnnRecall {
     }
     spark.conf.unset(VectorOps.HamCandidatesConf)
 
+    // sim_hnsw sweep (round 15): beam width against the cosine ground
+    // truth. scored_pairs is the VISITED set (every (query, node) the
+    // beam touched and scored) — unlike IVF's probe fraction this is
+    // corpus-size independent (iters x beam x degree), the graph-index
+    // selling point; recall at any beam is graph-reachability bound, so
+    // exhaustive beam is NOT asserted to hit 1.0 (the bounded-iteration
+    // contract) — the sweep MEASURES where the curve saturates.
+    for (c <- Seq(VectorOps.HnswBeam.toLong, 4L * VectorOps.HnswBeam,
+                  16L * VectorOps.HnswBeam, nCorpus)) {
+      spark.conf.set(VectorOps.HnswBeamConf, c.toString)
+      val (got, sec) = timed(pairs(VectorOps.simHnsw(spark, dir)))
+      row("sim_hnsw", c, want, got, sec,
+        VectorOps.hnswVisited(spark, dir).count())
+    }
+    spark.conf.unset(VectorOps.HnswBeamConf)
+
     println(s"""{"metric":"ann_recall","sf":"$dir","n_corpus":$nCorpus,""" +
       s""""ground_truth_pairs":${want.size},"brute_secs":${fmt(bruteSec)},""" +
       s""""sweeps":[${rows.mkString(",")}]}""")

@@ -217,6 +217,7 @@ object SparkEntry {
     "sim_mips" -> (VectorOps.simMips _),
     "sim_mrl" -> (VectorOps.simMrl _),
     "sim_hamming" -> (VectorOps.simHamming _),
+    "sim_hnsw" -> (VectorOps.simHnsw _),
     "sim_mmr" -> (VectorOps.simMmr _),
     "sample_fps" -> (VectorOps.sampleFps _),
     "sim_ivf_incremental" -> (VectorOps.simIvfIncremental _),
@@ -303,6 +304,55 @@ object SparkEntry {
       "sel1 AS MATERIALIZED (SELECT q_id, list_value(vec_id) AS sel FROM (SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id ORDER BY rel DESC, vec_id) AS r FROM cand) WHERE r = 1)" +
       steps +
       s"SELECT q_id, CAST(g.i AS INT) AS rn, sel[g.i] AS vec_id FROM sel${VectorOps.MmrK}, (SELECT unnest(generate_series(1, ${VectorOps.MmrK})) AS i) g WHERE g.i <= len(sel) ORDER BY q_id, rn"
+  }
+
+  /** sim_hnsw oracle: the ENTIRE index build and bounded beam search
+    * replayed as chained CTEs — bucket exponent from the corpus count via
+    * the same integer CASE ladder as [[VectorOps.hnswBits]], sign buckets
+    * as a masked fixed-length series fold (the sim_hamming signature
+    * idiom), min-vec_id portals, within-bucket cosine kNN symmetrized,
+    * 1-bit-flip shortcut edges, then `HnswIters` unrolled beam rounds.
+    * Each round x_t/v_t references its predecessor at most twice
+    * (MATERIALIZED; 2^HnswIters = 8 inline copies under engines without
+    * materialized CTEs — the mmrSql exponential-inlining budget holds).
+    * The expanded flag rides as a boolean column: top-`HnswBeam`
+    * unexpanded rows expand, everything re-touched collapses by
+    * group-max (cosines are pure functions of (q, vec), so duplicates
+    * agree bitwise).
+    */
+  private val hnswSql: String = {
+    val qss = VectorOps.QuerySetSize
+    def cosOf(a: String, b: String) =
+      s"${dotSql(a, b)} / (sqrt(${sqNorm(a)}) * sqrt(${sqNorm(b)}))"
+    val ladder = (3 until VectorOps.HnswMaxBits)
+      .map(b => s"WHEN n <= ${VectorOps.HnswTargetList << b} THEN $b")
+      .mkString("CASE ", " ", s" ELSE ${VectorOps.HnswMaxBits} END")
+    val bkt = s"CAST(list_sum(list_transform(generate_series(1, ${VectorOps.HnswMaxBits}), " +
+      "i -> CASE WHEN i <= p.bits AND embedding[i] >= 0 THEN CAST(1 AS BIGINT) << (i - 1) ELSE CAST(0 AS BIGINT) END)) AS BIGINT)"
+    val iters = (1 to VectorOps.HnswIters).map { t =>
+      s"x$t AS MATERIALIZED (SELECT q_id, vec_id, cos, ex, row_number() OVER (PARTITION BY q_id, ex ORDER BY cos DESC, vec_id) AS r FROM v${t - 1}), " +
+      s"n$t AS (SELECT DISTINCT x.q_id, e.dst FROM x$t x JOIN edges e ON NOT x.ex AND x.r <= ${VectorOps.HnswBeam} AND e.src = x.vec_id), " +
+      s"s$t AS (SELECT n$t.q_id, n$t.dst AS vec_id, ${cosOf("q.q_emb", "cb.embedding")} AS cos FROM n$t JOIN cb ON cb.vec_id = n$t.dst JOIN q ON q.q_id = n$t.q_id), " +
+      s"v$t AS MATERIALIZED (SELECT q_id, vec_id, max(cos) AS cos, bool_or(ex) AS ex FROM (" +
+      s"SELECT q_id, vec_id, cos, (ex OR r <= ${VectorOps.HnswBeam}) AS ex FROM x$t " +
+      s"UNION ALL SELECT q_id, vec_id, cos, FALSE AS ex FROM s$t) u$t GROUP BY 1, 2)"
+    }.mkString(", ", ", ", ", ")
+    s"WITH p AS MATERIALIZED (SELECT $ladder AS bits FROM (SELECT count(*) AS n FROM embeddings WHERE vec_id >= $qss) t0), " +
+      s"g AS (SELECT i, CAST(1 AS BIGINT) << i AS pw FROM (SELECT unnest(generate_series(0, ${VectorOps.HnswMaxBits - 1})) AS i) gg), " +
+      s"q AS MATERIALIZED (SELECT vec_id AS q_id, embedding AS q_emb, $bkt AS b FROM embeddings, p WHERE vec_id < $qss), " +
+      s"cb AS MATERIALIZED (SELECT vec_id, embedding, $bkt AS b FROM embeddings, p WHERE vec_id >= $qss), " +
+      "portal AS MATERIALIZED (SELECT cb.b, cb.vec_id, cb.embedding FROM cb JOIN (SELECT b, min(vec_id) AS mv FROM cb GROUP BY b) pm ON cb.b = pm.b AND cb.vec_id = pm.mv), " +
+      s"kn0 AS (SELECT a.vec_id AS src, bb.vec_id AS dst, row_number() OVER (PARTITION BY a.vec_id ORDER BY ${cosOf("a.embedding", "bb.embedding")} DESC, bb.vec_id) AS rn FROM cb a JOIN cb bb ON a.b = bb.b AND a.vec_id <> bb.vec_id), " +
+      s"knn AS MATERIALIZED (SELECT src, dst FROM kn0 WHERE rn <= ${VectorOps.HnswM}), " +
+      "sym AS (SELECT src, dst FROM knn UNION ALL SELECT dst AS src, src AS dst FROM knn), " +
+      "fl AS (SELECT cb.vec_id AS src, xor(cb.b, g.pw) AS fb FROM cb, g, p WHERE g.i < p.bits), " +
+      "sc AS (SELECT fl.src, pt.vec_id AS dst FROM fl JOIN portal pt ON pt.b = fl.fb), " +
+      "edges AS MATERIALIZED (SELECT DISTINCT src, dst FROM (SELECT src, dst FROM sym UNION ALL SELECT src, dst FROM sc) alle), " +
+      "qf AS (SELECT q_id, q_emb, b AS eb FROM q UNION ALL SELECT q_id, q_emb, xor(q.b, g.pw) AS eb FROM q, g, p WHERE g.i < p.bits), " +
+      s"v0 AS MATERIALIZED (SELECT q_id, pt.vec_id, ${cosOf("q_emb", "pt.embedding")} AS cos, FALSE AS ex FROM qf JOIN portal pt ON pt.b = qf.eb)" +
+      iters +
+      s"r AS (SELECT q_id, vec_id, cos, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn FROM v${VectorOps.HnswIters}) " +
+      s"SELECT q_id, vec_id, cos, CAST(rn AS INT) AS rn FROM r WHERE rn <= ${VectorOps.AnnTopK} ORDER BY q_id, rn"
   }
 
   /** Farthest-point-sampling oracle: the greedy maximin trajectory as a
@@ -1960,6 +2010,7 @@ object SparkEntry {
       "r2 AS (SELECT q_id, vec_id, cos, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn FROM s2) " +
       s"SELECT q_id, vec_id, cos, CAST(rn AS INT) AS rn FROM r2 WHERE rn <= ${VectorOps.TopK} ORDER BY q_id, rn"),
     "sim_mmr" -> mmrSql,
+    "sim_hnsw" -> hnswSql,
     "sample_fps" -> fpsSql,
     // MIPS: same brute scan as sim_topk ranked by the RAW dot product —
     // the float fold mirrors FloatVecDot term for term (dotSql)

@@ -1409,6 +1409,232 @@ object VectorOps {
   }
 
   // ------------------------------------------------------------------
+  // K3n sim_hnsw: navigable-small-world graph ANN + bounded beam search
+  // ------------------------------------------------------------------
+
+  /** Within-bucket kNN out-degree of the neighbor graph (before
+    * symmetrization — the build adds every edge's reverse so a node that
+    * is nobody's nearest neighbor is still reachable from its own kNN
+    * targets, the standard NSW connectivity repair).
+    */
+  val HnswM = 6
+
+  /** Target bucket population: the bucket-count exponent grows with the
+    * corpus so buckets hold ~this many nodes at any scale (the
+    * `dedup_semantic_lsh` linear-scale argument — Σ|bucket|² ≈ n·target,
+    * never n²).
+    */
+  val HnswTargetList = 64L
+
+  /** Bucket-exponent cap (2^34 buckets ≈ 10¹² vectors at the target). */
+  val HnswMaxBits = 34
+
+  /** Beam expansion rounds — fixed, so the whole search unrolls into a
+    * finite CTE chain the oracle replays exactly.
+    */
+  val HnswIters = 3
+
+  /** Beam width: unexpanded nodes expanded per round per query
+    * (session-overridable for the AnnRecall recall-vs-cost sweep).
+    */
+  val HnswBeam = 8
+  val HnswBeamConf = "graft.sim.hnswBeam"
+
+  /** Fixed staging root of the graph column family `sim_hnsw` reads (the
+    * `MrlStageDir` discipline: immutable `by/<digest>` targets + `current`
+    * indirection, keyed on the source fingerprint). Two families:
+    * `portals` (one row per populated bucket, embedding inline) and
+    * `edges` — (src, dst, dst_emb) with the DESTINATION embedding stored
+    * inline next to the adjacency pair, the layout a serving-side HNSW
+    * keeps (vector adjacent to neighbor list) so expansion + scoring is
+    * ONE key-lookup join against the edge family and the corpus embedding
+    * column family is never rescanned at query time.
+    */
+  val HnswStageDir = "/tmp/graft_hnsw_graph"
+
+  private[graft] def hnswBeamWidth(s: SparkSession): Long =
+    s.conf.get(HnswBeamConf, HnswBeam.toString).toLong
+
+  /** Bucket-count exponent for a corpus of n vectors: the smallest b ≥ 3
+    * with `HnswTargetList`·2^b ≥ n (capped at [[HnswMaxBits]]). Pure
+    * integer comparisons, so the oracle's CASE ladder lands on the
+    * identical exponent for the identical count.
+    */
+  private[graft] def hnswBits(n: Long): Int = {
+    var b = 3
+    while (b < HnswMaxBits && (HnswTargetList << b) < n) b += 1
+    b
+  }
+
+  /** The corpus-derived exponent both the build and the query side use —
+    * a metadata-cheap count, never a data scan.
+    */
+  private[graft] def hnswCorpusBits(s: SparkSession, dir: String): Int =
+    hnswBits(Tables.embeddings(s, dir)
+      .filter(col("vec_id") >= QuerySetSize).count())
+
+  /** All 1-bit flips of bucket `b` under `bits` — the deterministic
+    * "neighboring list" set (Hamming-adjacent sign buckets are the
+    * geometrically adjacent half-space cells, the `sim_ann` multi-probe
+    * identity), shared by the shortcut build and the query entry fan.
+    */
+  private def hnswFlips(b: Column, bits: Int): Seq[Column] =
+    (0 until bits).map(i => b.bitwiseXOR(lit(1L << i)))
+
+  private def stageHnswGraph(s: SparkSession, dir: String): Unit = synchronized {
+    Relational.withStageLock(HnswStageDir) {
+      Relational.stageInto(HnswStageDir,
+        s"$dir|hnsw1|${Relational.sourceFingerprint(s"$dir/embeddings.parquet")}") {
+        target =>
+          val bits = hnswCorpusBits(s, dir)
+          // corpus nodes with their sign bucket — multi-consumer (kNN
+          // self-join both sides, portal argmin, shortcut fan, dst_emb
+          // join): cut so the scan runs once
+          val nodes = Tables.embeddings(s, dir)
+            .filter(col("vec_id") >= QuerySetSize)
+            .select(col("vec_id"), col("embedding"),
+              Vec.signBucket(col("embedding"), bits).as("b"))
+            .lineageCut(eager = false)
+          // portal per populated bucket: its min-vec_id node (an arbitrary
+          // but deterministic hub — HNSW's own top-layer entry is the
+          // first-inserted node, equally arbitrary)
+          val portals = nodes.groupBy("b").agg(min(col("vec_id")).as("vec_id"))
+            .join(nodes.select(col("vec_id"), col("embedding")), "vec_id")
+            .select("b", "vec_id", "embedding")
+            .lineageCut(eager = false)
+          portals.write.mode("overwrite").parquet(s"$target/portals")
+          // within-bucket kNN by cosine: candidate mass Σ|bucket|² ≈
+          // n·HnswTargetList — linear, never all-pairs (the dedup_embed
+          // bucketing discipline applied to graph build)
+          val knn = nodes
+            .select(col("b"), col("vec_id").as("src"), col("embedding").as("emb_a"))
+            .join(nodes.select(col("b"), col("vec_id").as("dst"),
+              col("embedding").as("emb_b")), "b")
+            .filter(col("src") =!= col("dst"))
+            .select(col("src"), col("dst"),
+              Vec.cosineF(col("emb_a"), col("emb_b")).as("c"))
+            .withColumn("rn", row_number()
+              .over(Window.partitionBy("src").orderBy(desc("c"), asc("dst"))))
+            .filter(col("rn") <= HnswM)
+            .select("src", "dst")
+          // long-range shortcuts: node → portal of each 1-bit-flip bucket
+          // (existing buckets only; `bits` ≈ log n edges per node — the
+          // HNSW logarithmic-degree shape)
+          val shortcuts = nodes
+            .select(col("vec_id").as("src"),
+              explode(array(hnswFlips(col("b"), bits): _*)).as("fb"))
+            .join(portals.select(col("b").as("fb"), col("vec_id").as("dst")), "fb")
+            .select("src", "dst")
+          knn.union(knn.select(col("dst").as("src"), col("src").as("dst")))
+            .union(shortcuts)
+            .distinct()
+            .join(nodes.select(col("vec_id").as("dst"),
+              col("embedding").as("dst_emb")), "dst")
+            .select("src", "dst", "dst_emb")
+            .write.mode("overwrite").parquet(s"$target/edges")
+      }
+    }
+  }
+
+  /** The staged graph families (edges, portals). */
+  private[graft] def hnswStaged(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    stageHnswGraph(s, dir)
+    val root = Relational.stagedRoot(HnswStageDir)
+    (s.read.parquet(s"$root/edges"), s.read.parquet(s"$root/portals"))
+  }
+
+  /** The VISITED-and-scored frame of `sim_hnsw` — every (q_id, vec_id,
+    * cos) the beam search touched, BEFORE final ranking; split out for
+    * the AnnRecall sweep's scored-pairs cost axis (same rationale as
+    * [[annCandidates]]).
+    */
+  private[graft] def hnswVisited(s: SparkSession, dir: String): DataFrame = {
+    val (edges, portals) = hnswStaged(s, dir)
+    val bits = hnswCorpusBits(s, dir)
+    val q = Tables.embeddings(s, dir).filter(col("vec_id") < QuerySetSize)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        Vec.signBucket(col("embedding"), bits).as("b"))
+      .lineageCut(eager = false) // re-joined every scoring round
+    // entry fan: the query's own bucket plus its 1-bit flips — their
+    // portals seed the search (broadcast the tiny query fan onto the
+    // portal family scan)
+    val qf = q.select(col("q_id"), col("q_emb"),
+      explode(array(col("b") +: hnswFlips(col("b"), bits): _*)).as("eb"))
+    val entries = portals
+      .select(col("b").as("eb"), col("vec_id"), col("embedding"))
+      .join(broadcast(qf), "eb")
+      .select(col("q_id"), col("vec_id"),
+        Vec.cosineF(col("q_emb"), col("embedding")).as("cos"),
+        lit(false).as("ex"))
+    val beam = hnswBeamWidth(s)
+    var v = entries
+    for (_ <- 1 to HnswIters) {
+      // rank UNEXPANDED nodes per query; the top `beam` expand this round
+      // and flip to expanded — each node expands at most once (the HNSW
+      // visited-set discipline), so no edge is fetched twice for a query
+      val x = v.withColumn("r", row_number()
+          .over(Window.partitionBy("q_id", "ex").orderBy(desc("cos"), asc("vec_id"))))
+        .lineageCut(eager = false) // two consumers: frontier + carry
+      val fr = x.filter(!col("ex") && col("r") <= beam)
+        .select(col("q_id"), col("vec_id").as("src"))
+      val scored = edges.join(broadcast(fr), "src")
+        .select(col("q_id"), col("dst").as("vec_id"), col("dst_emb"))
+        .distinct()
+        .join(broadcast(q.select(col("q_id"), col("q_emb"))), "q_id")
+        .select(col("q_id"), col("vec_id"),
+          Vec.cosineF(col("q_emb"), col("dst_emb")).as("cos"),
+          lit(false).as("ex"))
+      val carried = x.select(col("q_id"), col("vec_id"), col("cos"),
+        (col("ex") || col("r") <= beam).as("ex"))
+      v = carried.union(scored)
+        .groupBy("q_id", "vec_id")
+        .agg(max(col("cos")).as("cos"), max(col("ex")).as("ex"))
+    }
+    v.select("q_id", "vec_id", "cos")
+  }
+
+  /** K3n `sim_hnsw` (round 15): graph-based ANN — the NSW/HNSW family
+    * (Malkov & Yashunin 2016), the serving-side default index
+    * (hnswlib, Lucene, pgvector) and the one ANN class missing next to
+    * LSH/IVF/PQ/MRL/Hamming (round-14 VERDICT #1). The index is a staged
+    * NAVIGABLE NEIGHBOR GRAPH over sign-LSH buckets whose count grows
+    * with the corpus ([[hnswBits]]): within-bucket kNN edges (cosine,
+    * degree `HnswM`, symmetrized for reachability) plus long-range
+    * shortcuts to the portals (min-vec_id hubs) of each node's 1-bit-flip
+    * buckets (~log n per node — the HNSW logarithmic-degree shape; a
+    * flipped sign bucket is the geometrically adjacent half-space cell,
+    * the `sim_ann` multi-probe identity). A query enters at the portals
+    * of its own bucket and its 1-bit flips, then runs `HnswIters` rounds
+    * of bounded beam search: each round expands the `HnswBeam` best
+    * not-yet-expanded nodes, scores their neighbors by exact full-dim
+    * cosine, and folds them into the visited set; the answer is the
+    * cosine top-`AnnTopK` of everything visited. Determinism: every float
+    * is the shared `Vec.cosineF` fold, buckets/flips/portals are pure
+    * integer functions, every tie breaks on vec_id, and the expansion
+    * count is fixed — so the oracle replays the ENTIRE search (graph
+    * build + every beam round) as chained CTEs and the result hash-gates.
+    *
+    * Scale shape: the build is bucketed (within-bucket self-join at
+    * corpus-adaptive granularity — candidate mass Σ|bucket|² ≈
+    * n·`HnswTargetList`, LINEAR, where a fixed-k within-list kNN would be
+    * n²/k) and runs ONCE into the immutable staged family; at query time
+    * per-query work is `HnswIters × HnswBeam` key-lookup joins against
+    * the edge family (destination embeddings inline — the corpus
+    * embedding column family is NEVER rescanned), each frontier a
+    * broadcast of ≤ queries × beam rows. Unlike IVF's probe-a-fraction
+    * scan, the touched-row count is independent of corpus size — the
+    * property that makes graph indexes the high-recall/low-latency
+    * serving choice.
+    */
+  def simHnsw(s: SparkSession, dir: String): DataFrame =
+    hnswVisited(s, dir)
+      .withColumn("rn", row_number()
+        .over(Window.partitionBy("q_id").orderBy(desc("cos"), asc("vec_id"))).cast("int"))
+      .filter(col("rn") <= AnnTopK)
+      .oracleSorted("q_id", "rn")
+
+  // ------------------------------------------------------------------
   // K3k sim_mmr: maximal-marginal-relevance diversified retrieval
   // ------------------------------------------------------------------
 

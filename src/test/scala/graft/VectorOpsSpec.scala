@@ -1136,6 +1136,114 @@ class VectorOpsSpec extends AnyFunSuite {
     assert(rs.last == 1.0, s"exhaustive recall != 1.0: $rs")
   }
 
+  test("sim_hnsw: staged graph is well-formed and the registered output " +
+       "equals an independent full beam-search replay (K3n laws)") {
+    val qss = VectorOps.QuerySetSize.toLong
+    val (edgesDf, portalsDf) = VectorOps.hnswStaged(spark, sfDir)
+    val edges = edgesDf.collect()
+      .map(r => (r.getLong(r.fieldIndex("src")), r.getLong(r.fieldIndex("dst")),
+        r.getSeq[Float](r.fieldIndex("dst_emb")).toArray))
+    assert(edges.nonEmpty, "empty edge family")
+    assert(edges.forall { case (s0, d, _) => s0 != d && s0 >= qss && d >= qss },
+      "self-loop or non-corpus endpoint in the graph")
+    assert(edges.map(t => (t._1, t._2)).distinct.length == edges.length,
+      "duplicate edge in the staged family")
+    val embMap = Tables.embeddings(spark, sfDir)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    edges.take(256).foreach { case (_, d, de) =>
+      assert(de.sameElements(embMap(d)), s"dst_emb drifted from corpus for $d")
+    }
+    // every corpus node is reachable FROM somewhere (symmetrized kNN +
+    // shortcut in-edges): appears as a dst
+    val dsts = edges.map(_._2).toSet
+    val corpusIds = embMap.keySet.filter(_ >= qss)
+    assert(corpusIds.subsetOf(dsts),
+      s"unreachable corpus nodes: ${(corpusIds -- dsts).take(5)}")
+
+    // independent replay of the whole bounded beam search
+    val bits = VectorOps.hnswCorpusBits(spark, sfDir)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var (dd, na, nb, i) = (0.0, 0.0, 0.0, 0)
+      while (i < a.length) {
+        dd += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      dd / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def bucket(v: Array[Float]): Long =
+      (0 until bits).map(i => if (v(i) >= 0) 1L << i else 0L).sum
+    val adj = edges.groupBy(_._1).map { case (s0, es) => s0 -> es.map(_._2).toSet }
+    val portalMap = portalsDf.collect()
+      .map(r => r.getLong(r.fieldIndex("b")) -> r.getLong(r.fieldIndex("vec_id"))).toMap
+    val want = embMap.keys.filter(_ < qss).toSeq.sorted.flatMap { qid =>
+      val qe = embMap(qid)
+      val b = bucket(qe)
+      val entryBuckets = b +: (0 until bits).map(i => b ^ (1L << i))
+      var scored = entryBuckets.flatMap(portalMap.get).distinct
+        .map(v => v -> cos(qe, embMap(v))).toMap
+      var expanded = Set.empty[Long]
+      (1 to VectorOps.HnswIters).foreach { _ =>
+        val frontier = scored.keys.filterNot(expanded).toSeq
+          .sortBy(v => (-scored(v), v)).take(VectorOps.HnswBeam)
+        expanded ++= frontier
+        val nbrs = frontier.flatMap(v => adj.getOrElse(v, Set.empty))
+          .distinct.filterNot(scored.contains)
+        scored ++= nbrs.map(v => v -> cos(qe, embMap(v)))
+      }
+      scored.toSeq.sortBy { case (v, c) => (-c, v) }
+        .take(VectorOps.AnnTopK).zipWithIndex
+        .map { case ((v, _), i) => (qid, i + 1, v) }
+    }.toSet
+    val got = VectorOps.simHnsw(spark, sfDir).collect()
+      .map(r => (r.getLong(r.fieldIndex("q_id")), r.getInt(r.fieldIndex("rn")),
+        r.getLong(r.fieldIndex("vec_id")))).toSet
+    assert(got == want, s"beam-search replay diverges: got ${got.size} rows, " +
+      s"diff ${(got diff want).take(5)} / ${(want diff got).take(5)}")
+    // shape: no query starves, ranks dense
+    val byQ = got.groupBy(_._1)
+    assert(byQ.size == VectorOps.QuerySetSize.toInt &&
+      byQ.values.forall(_.map(_._2).toSeq.sorted == (1 to VectorOps.AnnTopK)),
+      "starved query or rank gap")
+  }
+
+  test("sim_hnsw: exact recall on a bucket-separable clustered corpus (K3n)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_hnsw_sep").toString
+    try {
+      // 8 clusters aligned with the 3-bit sign buckets (corpus 80 ≤ 512 →
+      // bits = 3): cluster c's members share the sign pattern of dims 0-2
+      // and differ by small same-sign jitter further out, so the true
+      // top-k of each query is entirely within its own bucket and the
+      // beam (entering at the bucket portal, expanding intra-bucket kNN
+      // edges) must recover it exactly
+      val rnd = new scala.util.Random(11)
+      def member(c: Int, j: Int): Array[Float] = {
+        val v = Array.fill(VectorOps.Dim)(0.05f + 0.9f * rnd.nextFloat() * 0.01f)
+        (0 until 3).foreach(i => v(i) = if (((c >> i) & 1) == 1) 1f else -1f)
+        v(3 + j % 8) += 0.3f
+        v
+      }
+      val qss = VectorOps.QuerySetSize
+      val queries = (0 until qss).map(q => (q.toLong, member(q, 0)))
+      val corpus = (0 until 80).map { k =>
+        ((qss + k).toLong, member(k % 8, k / 8 + 1))
+      }
+      (queries ++ corpus).toDF("vec_id", "embedding")
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      val got = VectorOps.simHnsw(spark, dir).collect()
+        .map(r => (r.getLong(r.fieldIndex("q_id")), r.getLong(r.fieldIndex("vec_id")))).toSet
+      val want = VectorOps.simTopk(spark, dir)
+        .filter(col("rn") <= VectorOps.AnnTopK).collect()
+        .map(r => (r.getLong(r.fieldIndex("q_id")), r.getLong(r.fieldIndex("vec_id")))).toSet
+      assert(got == want,
+        s"recall < 1.0 on separable clusters: missing ${(want diff got).take(5)}")
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dir)).deleteRecursively()
+    }
+  }
+
   test("sim_mmr: a single-candidate stage-1 pool still emits its pick 1 " +
        "instead of silently dropping the query (round-14 ADVICE)") {
     import spark.implicits._
