@@ -443,12 +443,16 @@ object Joins {
     * key_a < key_b + distinct canonicalize the pair set. Cost ∝ names ×
     * |name| candidates, never names².
     *
-    * The DuckDB oracle is the BRUTE-FORCE all-pairs join — the hash match
-    * proves the blocking finds exactly the quadratic answer (recall 1.0
+    * The DuckDB oracle REPLAYS the same FastSS chain (round 15 — linear
+    * like the engine, so the 10×/100× scale gates run it; the old
+    * brute-force all-pairs oracle was quadratic and kept this the last
+    * excluded_manual). The recall-1.0 proof against brute force lives in
+    * JoinsWindowsSpec (driver-side all-pairs on the fixture — the hash
+    * match there proves the blocking finds exactly the quadratic answer
     * over the FULL Levenshtein-≤1 class: substitutions via the shared
     * position-qualified variant, insertions/deletions via name-to-variant
-    * equality across lengths — LawsCheck pins the class completeness on
-    * random variable-length universes).
+    * equality across lengths) and in LawsCheck's class-completeness
+    * property on random variable-length universes.
     */
   def joinFuzzy(s: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(s, dir).select(col("c_custkey"), col("c_name"))

@@ -278,4 +278,35 @@ class JoinsWindowsSpec extends AnyFunSuite {
     assert(!df.queryExecution.executedPlan.toString.contains("Window"),
       "ratio-to-report must not plan a global window")
   }
+
+  test("join_fuzzy: FastSS blocking equals the brute-force all-pairs answer " +
+       "on the fixture (recall-1.0 proof, retired from the oracle in r15)") {
+    // the registered oracle now replays the linear FastSS chain so the
+    // 10x/100x gates can run it; THIS test carries the recall proof the
+    // quadratic oracle used to provide — driver-side textbook DP over the
+    // full fixture cross product, compared set-exactly
+    val names = Tables.customer(spark, SparkTestSession.sfDir)
+      .select("c_custkey", "c_name").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def lev(x: String, y: String): Int = {
+      val d = Array.tabulate(x.length + 1, y.length + 1)(
+        (i, j) => if (j == 0) i else if (i == 0) j else 0)
+      for (i <- 1 to x.length; j <- 1 to y.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (x(i - 1) == y(j - 1)) 0 else 1))
+      d(x.length)(y.length)
+    }
+    val want = (for {
+      (ka, na) <- names; (kb, nb) <- names
+      if ka < kb
+      dist = lev(na, nb) if dist <= 1
+    } yield (ka, kb, na, nb, dist)).toSet
+    val got = graft.operators.Joins.joinFuzzy(spark, SparkTestSession.sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3),
+        r.getInt(4))).toSet
+    assert(want.nonEmpty, "fuzzy recall proof vacuous on the fixture")
+    assert(got == want,
+      s"blocking missed ${(want diff got).take(3)} / over-emitted ${(got diff want).take(3)}")
+  }
 }
