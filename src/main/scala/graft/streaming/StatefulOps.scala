@@ -769,20 +769,19 @@ object StatefulOps {
     * is k longs per key; a new document batch folds in as
     * k-smallest-of-union, the AggregatesSpec merge law). Output per lang:
     * sketch size and the k-th smallest hash (the estimator's whole
-    * state). Same hash derivation as `agg_kmv` (60-bit md5 prefix over
-    * distinct 3-shingles), so the oracle replays it exactly; the
-    * cross-trigger parity test (StatefulOpsSpec) feeds the hashes split
-    * across triggers in a different order and must land on the identical
-    * sketch.
+    * state). Reads the SAME staged distinct (lang, hv) family as
+    * `agg_kmv` (round 15 — the derivation staged once instead of each
+    * query paying the corpus explode+distinct independently; the sketch
+    * is a pure function of the hash SET, so consuming the deduplicated
+    * family is value-identical to folding the raw stream, and the
+    * cross-trigger parity test still feeds RAW hashes split across
+    * triggers in a different order and must land on the identical sketch).
+    * The oracle replays the 60-bit md5-prefix derivation from the
+    * ORIGINAL documents table exactly.
     */
   def streamKmv(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Tables.documents(s, dir)
-      .select(col("lang"),
-        explode(array_distinct(graft.operators.TextOps.shingles(col("text"), 3))).as("g"))
-      .select(col("lang"),
-        conv(substring(md5(col("g").cast("binary")), 1, 15), 16, 10)
-          .cast("long").as("hv"))
+    graft.operators.Aggregates.kmvHashes(s, dir)
       .as[KmvHash]
       .groupByKey(_.lang)
       .mapGroupsWithState(GroupStateTimeout.NoTimeout())(kmvFold)
