@@ -145,6 +145,7 @@ object SparkEntry {
     "rank_strategies" -> (TextOps.rankStrategies _),
     "text_tfidf" -> (TextOps.textTfidf _),
     "text_logprob" -> (TextOps.textLogprob _),
+    "text_logprob2" -> (TextOps.textLogprob2 _),
     "text_tokens" -> (TextOps.textTokens _),
     "text_quality" -> (TextOps.textQuality _),
     "text_langid" -> (TextOps.textLangid _),
@@ -1603,6 +1604,23 @@ object SparkEntry {
       "SELECT doc_id, count(1) AS n_tokens, " +
       "round(CAST(sum(CAST(-ln(CAST(tf AS DOUBLE) / n_total) AS DECIMAL(28,18))) AS DOUBLE) / count(1), 6) AS avg_neg_logprob " +
       "FROM lt JOIN lc USING (token) CROSS JOIN ln_tot GROUP BY doc_id ORDER BY doc_id"),
+    // bigram LM with stupid backoff: the SAME shingle-stream g CTE text as
+    // text_ngrams/text_collocations (one bigram-count definition), ln
+    // chains parenthesized identically to the Spark Column chain, per-doc
+    // means through exact decimal sums
+    "text_logprob2" ->
+      ("WITH g AS (SELECT doc_id, unnest(list_transform(generate_series(1, greatest(len(string_split(text, ' ')) - 1, 1)), i -> array_to_string((string_split(text, ' '))[i:i+1], ' '))) AS bigram FROM documents), " +
+      s"b AS (SELECT bigram, count(1) AS c_xy FROM g GROUP BY 1 HAVING count(1) >= ${TextOps.BigramLmMinSupport}), " +
+      "u AS (SELECT w, count(1) AS c_w FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) GROUP BY 1), " +
+      "t AS (SELECT CAST(sum(c_w) AS BIGINT) AS n_total FROM u), " +
+      "pr AS (SELECT doc_id, bigram, split_part(bigram, ' ', 1) AS x, split_part(bigram, ' ', 2) AS y FROM g WHERE len(string_split(bigram, ' ')) = 2), " +
+      "sc AS (SELECT pr.doc_id, CASE WHEN b.c_xy IS NULL THEN 1 ELSE 0 END AS backoff, " +
+      "CAST(CASE WHEN b.c_xy IS NOT NULL THEN ln(CAST(ux.c_w AS DOUBLE)) - ln(CAST(b.c_xy AS DOUBLE)) " +
+      "ELSE ln(CAST(t.n_total AS DOUBLE)) - ln(CAST(uy.c_w AS DOUBLE)) + ln(2.5) END AS DECIMAL(28,18)) AS nlp " +
+      "FROM pr LEFT JOIN b ON pr.bigram = b.bigram JOIN u ux ON pr.x = ux.w JOIN u uy ON pr.y = uy.w, t) " +
+      "SELECT doc_id, count(1) AS n_bigrams, CAST(sum(backoff) AS BIGINT) AS n_backoff, " +
+      "round(CAST(sum(nlp) AS DOUBLE) / count(1), 6) AS avg_neg_logprob " +
+      "FROM sc GROUP BY doc_id ORDER BY doc_id"),
     "text_tokens" ->
       "SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS n_ws_tokens, CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS INT) AS n_re_tokens, CAST(length(text) AS INT) AS len_chars, CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_bpe_est FROM documents ORDER BY doc_id",
     "text_quality" ->

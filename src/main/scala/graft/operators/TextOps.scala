@@ -695,6 +695,70 @@ object TextOps {
       .oracleSorted("doc_id")
   }
 
+  /** Bigram-LM-table support floor — shared definition with `text_ngrams`
+    * (≥ 2): a bigram seen once is treated as unseen. This is also what
+    * makes backoff non-vacuous when the LM scores its own training corpus
+    * (with no floor, every scored bigram would trivially be in the table).
+    */
+  val BigramLmMinSupport = 2
+
+  /** K22′ `text_logprob2` (round 15, VERDICT #6): bigram-LM quality score
+    * with STUPID BACKOFF (Brants 2007, α = 2/5) — the word-ORDER signal
+    * the unigram perplexity proxy (K22 `text_logprob`) cannot see: token
+    * salad built from common words scores like prose under a unigram LM,
+    * but its TRANSITIONS are unseen and every one pays the backoff
+    * penalty here. Per doc, per within-doc bigram (x, y): −ln p with
+    * p = c_xy/c_x when the corpus bigram table carries (x, y) at support
+    * ≥ [[BigramLmMinSupport]] (the `text_ngrams` floor — the two share
+    * the shingle-stream count definition), else backoff p = α·c_y/N.
+    * The ln chain is explicitly parenthesized — (ln c_x − ln c_xy) on the
+    * match branch, ((ln N − ln c_y) + ln 2.5) on the backoff branch —
+    * identical doubles in, identical doubles out on both engines (the
+    * `text_collocations` discipline; −ln α enters as +ln 2.5 computed by
+    * each engine's own ln, and the round-6 output absorbs the ≤1-ulp
+    * libm spread). Per-doc means go through exact DECIMAL(28,18) sums;
+    * `n_backoff` rides along — the signal a quality filter thresholds.
+    *
+    * Scale shape: two explode→partial-agg passes (vocabulary- and
+    * bigram-table-sized shuffles — Heaps-bounded), the bigram probe joins
+    * back on the exploded shingle stream (hot bigrams are exactly AQE's
+    * skew-split territory), the unigram table broadcasts twice (x/y
+    * probes), corpus total via one `attachScalarRow`. Docs with no true
+    * bigram (single-token) drop out — mirrored by the oracle.
+    */
+  def textLogprob2(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.ScalarAttach._
+    import org.apache.spark.sql.types.DecimalType
+    val docs = Tables.documents(s, dir)
+    val uni = docs.select(explode(words(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("c_w"))
+      .lineageCut(eager = false) // three consumers: total + two probes
+    val total = uni.agg(sum("c_w").cast("long").as("n_total"))
+    val bi = docs.select(explode(shingles(col("text"), 2)).as("bigram"))
+      .filter(size(split(col("bigram"), " ")) === 2)
+      .groupBy("bigram").agg(count(lit(1)).as("c_xy"))
+      .filter(col("c_xy") >= BigramLmMinSupport)
+      .lineageCut(eager = false)
+    val lnD = (c: Column) => log(c.cast("double"))
+    val nlp = when(col("c_xy").isNotNull, lnD(col("c_x")) - lnD(col("c_xy")))
+      .otherwise(lnD(col("n_total")) - lnD(col("c_y")) + log(lit(2.5)))
+    docs.select(col("doc_id"), explode(shingles(col("text"), 2)).as("bigram"))
+      .filter(size(split(col("bigram"), " ")) === 2)
+      .withColumn("x", split(col("bigram"), " ")(0))
+      .withColumn("y", split(col("bigram"), " ")(1))
+      .join(bi, Seq("bigram"), "left")
+      .join(broadcast(uni.select(col("token").as("x"), col("c_w").as("c_x"))), "x")
+      .join(broadcast(uni.select(col("token").as("y"), col("c_w").as("c_y"))), "y")
+      .attachScalarRow(total)
+      .select(col("doc_id"),
+        col("c_xy").isNull.cast("long").as("backoff"),
+        nlp.cast(DecimalType(28, 18)).as("nlp"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("backoff").as("n_backoff"),
+        round(sum(col("nlp")).cast("double") / count(lit(1)), 6).as("avg_neg_logprob"))
+      .oracleSorted("doc_id")
+  }
+
   /** Character-bigram profiles per candidate language for `text_langid`.
     * Order = prediction priority on score ties.
     */

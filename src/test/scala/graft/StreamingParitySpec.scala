@@ -318,6 +318,42 @@ class StreamingParitySpec extends AnyFunSuite {
     assert(batch.nonEmpty)
   }
 
+  test("file-source STATEFUL streaming: mapGroupsWithState KMV over a growing " +
+       "parquet dir == the registered batch entry (J18 ingest shape, r15)") {
+    // round-14 VERDICT #5: every stateful op proved parity via MemoryStream
+    // only; this drives one (stream_kmv's fold) through the production
+    // ingest entry point — readStream.format(parquet) DIRECTORY DISCOVERY —
+    // with a second file landing mid-stream, and requires the final per-key
+    // states to equal the registered batch form on the real fixture
+    import spark.implicits._
+    import graft.streaming.StatefulOps
+    import graft.streaming.StatefulOps.KmvHash
+    val src = "/tmp/graft_test_kmv_stream_src"
+    val hashRows = graft.operators.Aggregates
+      .kmvHashes(spark, SparkTestSession.sfDir).as[KmvHash].collect().toSeq
+    val (b1, b2) = hashRows.splitAt(hashRows.length / 2)
+    new scala.reflect.io.Directory(new java.io.File(src)).deleteRecursively()
+    val schema = b1.toDF("lang", "hv").schema
+    b1.toDF("lang", "hv").write.parquet(src)
+    val q = StatefulOps.kmvStreamQuery(
+      spark.readStream.schema(schema).parquet(src).as[KmvHash], "kmv_fsrc_t")
+    try {
+      q.processAllAvailable()
+      b2.toDF("lang", "hv").write.mode("append").parquet(src)
+      q.processAllAvailable()
+    } finally q.stop()
+    // update-mode sink: last row per lang is the final state
+    val fin = spark.table("kmv_fsrc_t").collect().zipWithIndex
+      .groupBy(_._1.getString(0))
+      .map { case (l, rs) =>
+        val r = rs.maxBy(_._2)._1; l -> ((r.getInt(1), r.getLong(2)))
+      }
+    val batch = StatefulOps.streamKmv(spark, SparkTestSession.sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getInt(1), r.getLong(2)))).toMap
+    assert(batch.nonEmpty, "file-stream KMV parity vacuous")
+    assert(fin == batch, s"file-stream KMV drifted: $fin vs $batch")
+  }
+
   test("withWatermark drops data later than the watermark delay (J4)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

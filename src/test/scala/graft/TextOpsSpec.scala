@@ -241,6 +241,62 @@ class TextOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("text_logprob2: word-order salad pays the backoff penalty a unigram " +
+       "LM cannot see, and scores match a driver-side model (K22', r15)") {
+    import spark.implicits._
+    // prose: a 40-word sequence repeated 3x per doc, so every forward
+    // transition clears the support floor; salad: the SAME tokens in
+    // REVERSE order, once — every reversed transition appears exactly
+    // once corpus-wide (below the floor) and none coincides with a
+    // forward one. Token frequencies are uniform, so a unigram LM's
+    // per-doc MEAN cannot separate the two — the bigram LM must, via
+    // backoff on every salad transition
+    val seqWords = (1 to 40).map(i => s"w$i")
+    val prose = Seq.fill(3)(seqWords).flatten.mkString(" ")
+    val salad = seqWords.reverse.mkString(" ")
+    val docs = Seq((1L, prose), (2L, prose), (3L, salad))
+      .toDF("doc_id", "text")
+    docs.write.mode("overwrite").parquet("/tmp/graft_test_lp2/documents.parquet")
+    val rows = TextOps.textLogprob2(spark, "/tmp/graft_test_lp2")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+
+    // unigram control: identical scores for prose and salad
+    val uniRows = TextOps.textLogprob(spark, "/tmp/graft_test_lp2")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(uniRows(1L) == uniRows(3L),
+      "fixture broken: unigram LM separated the permuted doc")
+    // bigram LM separates them, and the salad's transitions back off
+    assert(rows(3L)._3 > rows(1L)._3,
+      s"salad ${rows(3L)} should out-score prose ${rows(1L)}")
+    assert(rows(3L)._2 > 0, "backoff vacuous on the salad doc")
+    assert(rows(1L)._2 < rows(1L)._1, "every prose bigram backed off")
+    assert(rows(1L) == rows(2L), "identical docs score differently")
+
+    // driver-side stupid-backoff model, exact to the round-6 output
+    val texts = Map(1L -> prose, 2L -> prose, 3L -> salad)
+    val toks = texts.view.mapValues(_.split(" ", -1).toSeq).toMap
+    val uni = toks.values.flatten.groupBy(identity).view.mapValues(_.size).toMap
+    val total = uni.values.sum.toDouble
+    val bi = toks.values.flatMap(ts => ts.zip(ts.tail))
+      .groupBy(identity).view.mapValues(_.size)
+      .filter(_._2 >= TextOps.BigramLmMinSupport).toMap
+    texts.keys.foreach { id =>
+      val pairs = toks(id).zip(toks(id).tail)
+      val want = pairs.map { case (x, y) =>
+        bi.get((x, y)) match {
+          case Some(cxy) => math.log(uni(x).toDouble) - math.log(cxy.toDouble)
+          case None =>
+            math.log(total) - math.log(uni(y).toDouble) + math.log(2.5)
+        }
+      }.sum / pairs.size
+      val (n, _, got) = rows(id)
+      assert(n == pairs.size, s"doc $id bigram count $n != ${pairs.size}")
+      assert(math.abs(got - want) < 2e-6, s"doc $id: got $got want $want")
+    }
+  }
+
   test("text_langid prediction is one of the profiled languages") {
     val langs = TextOps.langProfiles.map(_._1).toSet + "und"
     val preds = TextOps.textLangid(spark, sfDir)
