@@ -219,6 +219,7 @@ object SparkEntry {
     "sim_mrl" -> (VectorOps.simMrl _),
     "sim_hamming" -> (VectorOps.simHamming _),
     "sim_hnsw" -> (VectorOps.simHnsw _),
+    "sim_hnsw_incremental" -> (VectorOps.simHnswIncremental _),
     "sim_mmr" -> (VectorOps.simMmr _),
     "sample_fps" -> (VectorOps.sampleFps _),
     "sim_ivf_incremental" -> (VectorOps.simIvfIncremental _),
@@ -354,6 +355,40 @@ object SparkEntry {
       iters +
       s"r AS (SELECT q_id, vec_id, cos, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn FROM v${VectorOps.HnswIters}) " +
       s"SELECT q_id, vec_id, cos, CAST(rn AS INT) AS rn FROM r WHERE rn <= ${VectorOps.AnnTopK} ORDER BY q_id, rn"
+  }
+
+  /** sim_hnsw_incremental oracle: the graph INSERT replayed — bucket
+    * exponent pinned to the BASE count, base/batch buckets, merged
+    * portals (base pinned, fresh buckets from the batch), batch kNN over
+    * bucketmates, reverse edges, flip shortcuts, distinct. The insert is
+    * a function of base buckets/portals and the batch alone (no base kNN
+    * CTEs needed — the batch-proportional-ingest property, visible in
+    * the oracle text itself).
+    */
+  private val hnswIncSql: String = {
+    val qss = VectorOps.QuerySetSize
+    val mod = VectorOps.IvfIncBatchMod
+    def cosOf(a: String, b: String) =
+      s"${dotSql(a, b)} / (sqrt(${sqNorm(a)}) * sqrt(${sqNorm(b)}))"
+    val ladder = (3 until VectorOps.HnswMaxBits)
+      .map(b => s"WHEN n <= ${VectorOps.HnswTargetList << b} THEN $b")
+      .mkString("CASE ", " ", s" ELSE ${VectorOps.HnswMaxBits} END")
+    val bkt = s"CAST(list_sum(list_transform(generate_series(1, ${VectorOps.HnswMaxBits}), " +
+      "i -> CASE WHEN i <= p.bits AND embedding[i] >= 0 THEN CAST(1 AS BIGINT) << (i - 1) ELSE CAST(0 AS BIGINT) END)) AS BIGINT)"
+    s"WITH p AS MATERIALIZED (SELECT $ladder AS bits FROM (SELECT count(*) AS n FROM embeddings WHERE vec_id >= $qss AND vec_id % $mod <> 0) t0), " +
+      s"g AS (SELECT i, CAST(1 AS BIGINT) << i AS pw FROM (SELECT unnest(generate_series(0, ${VectorOps.HnswMaxBits - 1})) AS i) gg), " +
+      s"bb AS MATERIALIZED (SELECT vec_id, embedding, $bkt AS b FROM embeddings, p WHERE vec_id >= $qss AND vec_id % $mod <> 0), " +
+      s"nb AS MATERIALIZED (SELECT vec_id, embedding, $bkt AS b FROM embeddings, p WHERE vec_id >= $qss AND vec_id % $mod = 0), " +
+      "bp AS (SELECT b, min(vec_id) AS vec_id FROM bb GROUP BY b), " +
+      "np AS (SELECT nb.b, min(nb.vec_id) AS vec_id FROM nb LEFT JOIN bp ON nb.b = bp.b WHERE bp.b IS NULL GROUP BY nb.b), " +
+      "pt AS MATERIALIZED (SELECT b, vec_id FROM bp UNION ALL SELECT b, vec_id FROM np), " +
+      "mates AS (SELECT b, vec_id, embedding FROM bb UNION ALL SELECT b, vec_id, embedding FROM nb), " +
+      s"kn0 AS (SELECT a.vec_id AS src, m.vec_id AS dst, row_number() OVER (PARTITION BY a.vec_id ORDER BY ${cosOf("a.embedding", "m.embedding")} DESC, m.vec_id) AS rn FROM nb a JOIN mates m ON a.b = m.b AND a.vec_id <> m.vec_id), " +
+      s"knn AS MATERIALIZED (SELECT src, dst FROM kn0 WHERE rn <= ${VectorOps.HnswM}), " +
+      "fl AS (SELECT nb.vec_id AS src, xor(nb.b, g.pw) AS fb FROM nb, g, p WHERE g.i < p.bits), " +
+      "sc AS (SELECT fl.src, pt.vec_id AS dst FROM fl JOIN pt ON pt.b = fl.fb WHERE fl.src <> pt.vec_id), " +
+      "ins AS (SELECT DISTINCT src, dst FROM (SELECT src, dst FROM knn UNION ALL SELECT dst AS src, src AS dst FROM knn UNION ALL SELECT src, dst FROM sc) alle) " +
+      s"SELECT src, dst, CAST(CASE WHEN src % $mod = 0 THEN 1 ELSE 0 END AS INT) AS src_is_batch FROM ins ORDER BY src, dst"
   }
 
   /** Farthest-point-sampling oracle: the greedy maximin trajectory as a
@@ -2039,6 +2074,7 @@ object SparkEntry {
       s"SELECT q_id, vec_id, cos, CAST(rn AS INT) AS rn FROM r2 WHERE rn <= ${VectorOps.TopK} ORDER BY q_id, rn"),
     "sim_mmr" -> mmrSql,
     "sim_hnsw" -> hnswSql,
+    "sim_hnsw_incremental" -> hnswIncSql,
     "sample_fps" -> fpsSql,
     // MIPS: same brute scan as sim_topk ranked by the RAW dot product —
     // the float fold mirrors FloatVecDot term for term (dotSql)

@@ -1634,6 +1634,81 @@ object VectorOps {
       .filter(col("rn") <= AnnTopK)
       .oracleSorted("q_id", "rn")
 
+  /** K3n′ `sim_hnsw_incremental` (round 15): graph-index maintenance — the
+    * K3h (`sim_ivf_incremental`) discipline applied to the NSW graph,
+    * because a serving index that must be REBUILT for every ingest batch
+    * is not an index at 100 TB. The arriving batch is the shared
+    * `vec_id % IvfIncBatchMod = 0` corpus slice; the op emits exactly the
+    * EDGES the insert appends: each batch node's within-bucket cosine kNN
+    * over its bucketmates (base ∪ batch — cost ∝ |batch| × bucket, the
+    * base is never self-joined), the REVERSE of those (the in-links that
+    * make the new node findable — real HNSW insertion appends these
+    * back-edges to existing nodes' lists), and 1-bit-flip shortcuts to
+    * the MERGED portal table (base portals pinned; a batch node opening a
+    * fresh bucket becomes its portal). The bucket exponent stays pinned
+    * to the BASE corpus count — growing past the ladder step is the
+    * re-index trigger, exactly like an IVF list-count change.
+    *
+    * Output is the inserted edge set — integers plus a batch-src flag —
+    * so the oracle replays the whole insert (ladder, buckets, portals,
+    * kNN ranks, flips) and the result hash-gates; note the insert needs
+    * NO base kNN edges at all (it is a function of base buckets/portals
+    * and the batch alone), which is what makes ingest batch-proportional.
+    * Laws (VectorOpsSpec): disjoint from and consistent with the full
+    * rebuild's bucket geometry; every batch node reachable (has in-edges);
+    * asymmetry — candidate mass is batch×bucket, never base×base.
+    */
+  def simHnswIncremental(s: SparkSession, dir: String): DataFrame = {
+    val (inserted, _, _) = hnswIncParts(s, dir)
+    inserted
+      .select(col("src"), col("dst"),
+        (pmod(col("src"), lit(IvfIncBatchMod)) === 0).cast("int").as("src_is_batch"))
+      .oracleSorted("src", "dst")
+  }
+
+  /** The (inserted edges, base-bucketed nodes, batch-bucketed nodes)
+    * triple — split out so the VectorOpsSpec laws can probe the pieces.
+    */
+  private[graft] def hnswIncParts(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val corpus = Tables.embeddings(s, dir).filter(col("vec_id") >= QuerySetSize)
+    val base = corpus.filter(pmod(col("vec_id"), lit(IvfIncBatchMod)) =!= 0)
+    val batch = corpus.filter(pmod(col("vec_id"), lit(IvfIncBatchMod)) === 0)
+    val bits = hnswBits(base.count())
+    def bucketed(df: DataFrame): DataFrame = df
+      .select(col("vec_id"), col("embedding"),
+        Vec.signBucket(col("embedding"), bits).as("b"))
+      .lineageCut(eager = false)
+    val bb = bucketed(base)
+    val nb = bucketed(batch)
+    val basePortals = bb.groupBy("b").agg(min(col("vec_id")).as("vec_id"))
+    val newPortals = nb.join(basePortals.select("b"), Seq("b"), "left_anti")
+      .groupBy("b").agg(min(col("vec_id")).as("vec_id"))
+    val portals = basePortals.union(newPortals)
+    val mates = bb.select(col("b"), col("vec_id").as("dst"), col("embedding").as("emb_b"))
+      .union(nb.select(col("b"), col("vec_id").as("dst"), col("embedding").as("emb_b")))
+    val knn = nb.select(col("b"), col("vec_id").as("src"), col("embedding").as("emb_a"))
+      .join(mates, "b")
+      .filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"),
+        Vec.cosineF(col("emb_a"), col("emb_b")).as("c"))
+      .withColumn("rn", row_number()
+        .over(Window.partitionBy("src").orderBy(desc("c"), asc("dst"))))
+      .filter(col("rn") <= HnswM)
+      .select("src", "dst")
+    val shortcuts = nb
+      .select(col("vec_id").as("src"),
+        explode(array(hnswFlips(col("b"), bits): _*)).as("fb"))
+      .join(portals.select(col("b").as("fb"), col("vec_id").as("dst")), "fb")
+      .filter(col("src") =!= col("dst"))
+      .select("src", "dst")
+    val inserted = knn
+      .union(knn.select(col("dst").as("src"), col("src").as("dst")))
+      .union(shortcuts)
+      .distinct()
+    (inserted, bb, nb)
+  }
+
   // ------------------------------------------------------------------
   // K3k sim_mmr: maximal-marginal-relevance diversified retrieval
   // ------------------------------------------------------------------

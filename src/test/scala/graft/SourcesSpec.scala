@@ -244,6 +244,37 @@ class SourcesSpec extends AnyFunSuite {
       s"stage-2 scan reads beyond the full-dim family: $fs"))
   }
 
+  test("sim_hnsw: query-time scans touch ONLY the staged graph families " +
+       "plus the tiny query-side slice — the corpus embedding column is " +
+       "never rescanned (K3n)") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+    val helper = new AdaptiveSparkPlanHelper {}
+    val df = graft.operators.VectorOps.simHnsw(spark, sfDir)
+    assert(df.collect().nonEmpty)
+    val scans = helper.collect(df.queryExecution.executedPlan) {
+      case f: FileSourceScanExec => f
+    }
+    val (staged, original) = scans.partition(_.relation.location.rootPaths
+      .exists(_.toString.contains("graft_hnsw_graph")))
+    // staged families carry all corpus bytes the search reads: edges
+    // (with dst_emb inline) and portals
+    assert(staged.nonEmpty, df.queryExecution.executedPlan.toString)
+    val stagedFields = staged.map(_.requiredSchema.fieldNames.toSet)
+    stagedFields.foreach(fs => assert(
+      fs.subsetOf(Set("src", "dst", "dst_emb")) ||
+        fs.subsetOf(Set("b", "vec_id", "embedding")),
+      s"unexpected staged-family scan schema: $fs"))
+    // the ORIGINAL embeddings table appears only as the query-side slice
+    // (vec_id < QuerySetSize pushed to the scan) — every such scan must
+    // carry that pushed filter, so the corpus rows never stream again
+    original.foreach { f =>
+      val pushed = f.metadata.getOrElse("PushedFilters", "")
+      assert(pushed.contains("LessThan(vec_id"),
+        s"original-table scan without the query-slice pushdown: $pushed\n$f")
+    }
+  }
+
   test("parquet sink round-trips every type the engine emits (A4)") {
     import org.apache.spark.sql.functions._
     val out = "/tmp/graft_test_sink"

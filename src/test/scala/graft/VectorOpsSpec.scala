@@ -1207,6 +1207,34 @@ class VectorOpsSpec extends AnyFunSuite {
       "starved query or rank gap")
   }
 
+  test("sim_hnsw_incremental: every inserted edge touches the batch, every " +
+       "batch node becomes findable, and the flag tracks membership (K3n')") {
+    val (insDf, bbDf, nbDf) = VectorOps.hnswIncParts(spark, sfDir)
+    val ins = insDf.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val batchIds = nbDf.select("vec_id").collect().map(_.getLong(0)).toSet
+    val baseIds = bbDf.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(ins.nonEmpty && batchIds.nonEmpty && baseIds.nonEmpty)
+    // ingest is batch-proportional: no inserted edge joins base to base
+    assert(ins.forall { case (s0, d) => batchIds(s0) || batchIds(d) },
+      "a base-to-base edge leaked into the insert set")
+    // well-formed: valid endpoints, no self-loops, distinct
+    assert(ins.forall { case (s0, d) =>
+      s0 != d && (batchIds(s0) || baseIds(s0)) && (batchIds(d) || baseIds(d))
+    })
+    assert(ins.distinct.length == ins.length, "duplicate inserted edge")
+    // findability: the reverse kNN edges give every batch node an in-link
+    val dsts = ins.map(_._2).toSet
+    assert(batchIds.subsetOf(dsts),
+      s"unfindable batch nodes: ${(batchIds -- dsts).take(5)}")
+    // the registered output is exactly the parts, with a faithful flag
+    val got = VectorOps.simHnswIncremental(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(got.map(t => (t._1, t._2)).toSet == ins.toSet)
+    got.foreach { case (s0, _, f) =>
+      assert((f == 1) == batchIds(s0), s"flag drift at src $s0")
+    }
+  }
+
   test("sim_hnsw: exact recall on a bucket-separable clustered corpus (K3n)") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_hnsw_sep").toString

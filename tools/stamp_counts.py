@@ -112,6 +112,13 @@ def main():
         (r"(?s)(<!-- stamp:oracled -->).*?(<!-- /stamp:oracled -->)",
          rf"\g<1>{len(oracles)} of {len(queries)}\g<2>"),
     ], args.check)
+    # PLANS.md BNLJ-inventory table (round-15 VERDICT #8): the derived
+    # allowlist is stamped next to the hand-written per-query bound table,
+    # so spec/prose drift fails --check
+    ok &= stamp("PLANS.md", [
+        (r"(?s)(<!-- stamp:bnlj-list -->).*?(<!-- /stamp:bnlj-list -->)",
+         rf"\g<1>{', '.join(allow)}\g<2>"),
+    ], args.check)
     exc = len(queries) - len(oracles)
     # anchored on HTML-comment markers (round-13 ADVICE #4) so editorial
     # rewording around the stamped span can never silently unmatch
