@@ -341,6 +341,10 @@ object SparkEntry {
     }.mkString(", ", ", ", ", ")
     s"WITH p AS MATERIALIZED (SELECT $ladder AS bits FROM (SELECT count(*) AS n FROM embeddings WHERE vec_id >= $qss) t0), " +
       s"g AS (SELECT i, CAST(1 AS BIGINT) << i AS pw FROM (SELECT unnest(generate_series(0, ${VectorOps.HnswMaxBits - 1})) AS i) gg), " +
+      // 2-bit masks for the radius-2 entry ring: pw_i + pw_j = pw_i XOR
+      // pw_j for distinct bits (no carries) — keeps every xor() call
+      // flat for the SqlSurfaceSpec bridge
+      "g2 AS (SELECT ga.i AS i1, gb.i AS i2, CAST(ga.pw + gb.pw AS BIGINT) AS pw2 FROM g ga JOIN g gb ON ga.i < gb.i), " +
       s"q AS MATERIALIZED (SELECT vec_id AS q_id, embedding AS q_emb, $bkt AS b FROM embeddings, p WHERE vec_id < $qss), " +
       s"cb AS MATERIALIZED (SELECT vec_id, embedding, $bkt AS b FROM embeddings, p WHERE vec_id >= $qss), " +
       "portal AS MATERIALIZED (SELECT cb.b, cb.vec_id, cb.embedding FROM cb JOIN (SELECT b, min(vec_id) AS mv FROM cb GROUP BY b) pm ON cb.b = pm.b AND cb.vec_id = pm.mv), " +
@@ -349,8 +353,12 @@ object SparkEntry {
       "sym AS (SELECT src, dst FROM knn UNION ALL SELECT dst AS src, src AS dst FROM knn), " +
       "fl AS (SELECT cb.vec_id AS src, xor(cb.b, g.pw) AS fb FROM cb, g, p WHERE g.i < p.bits), " +
       "sc AS (SELECT fl.src, pt.vec_id AS dst FROM fl JOIN portal pt ON pt.b = fl.fb), " +
-      "edges AS MATERIALIZED (SELECT DISTINCT src, dst FROM (SELECT src, dst FROM sym UNION ALL SELECT src, dst FROM sc) alle), " +
-      "qf AS (SELECT q_id, q_emb, b AS eb FROM q UNION ALL SELECT q_id, q_emb, xor(q.b, g.pw) AS eb FROM q, g, p WHERE g.i < p.bits), " +
+      // hub spokes: bucket member <-> portal (intra-bucket connectivity
+      // under duplicate cliques — see VectorOps.stageHnswGraph)
+      "hub AS (SELECT cb.vec_id AS src, pt.vec_id AS dst FROM cb JOIN portal pt ON cb.b = pt.b WHERE cb.vec_id <> pt.vec_id), " +
+      "edges AS MATERIALIZED (SELECT DISTINCT src, dst FROM (SELECT src, dst FROM sym UNION ALL SELECT src, dst FROM hub UNION ALL SELECT dst AS src, src AS dst FROM hub UNION ALL SELECT src, dst FROM sc) alle), " +
+      "qf AS (SELECT q_id, q_emb, b AS eb FROM q UNION ALL SELECT q_id, q_emb, xor(q.b, g.pw) AS eb FROM q, g, p WHERE g.i < p.bits " +
+      "UNION ALL SELECT q_id, q_emb, xor(q.b, g2.pw2) AS eb FROM q, g2, p WHERE g2.i2 < p.bits), " +
       s"v0 AS MATERIALIZED (SELECT q_id, pt.vec_id, ${cosOf("q_emb", "pt.embedding")} AS cos, FALSE AS ex FROM qf JOIN portal pt ON pt.b = qf.eb)" +
       iters +
       s"r AS (SELECT q_id, vec_id, cos, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn FROM v${VectorOps.HnswIters}) " +
@@ -387,7 +395,8 @@ object SparkEntry {
       s"knn AS MATERIALIZED (SELECT src, dst FROM kn0 WHERE rn <= ${VectorOps.HnswM}), " +
       "fl AS (SELECT nb.vec_id AS src, xor(nb.b, g.pw) AS fb FROM nb, g, p WHERE g.i < p.bits), " +
       "sc AS (SELECT fl.src, pt.vec_id AS dst FROM fl JOIN pt ON pt.b = fl.fb WHERE fl.src <> pt.vec_id), " +
-      "ins AS (SELECT DISTINCT src, dst FROM (SELECT src, dst FROM knn UNION ALL SELECT dst AS src, src AS dst FROM knn UNION ALL SELECT src, dst FROM sc) alle) " +
+      "hubi AS (SELECT nb.vec_id AS src, pt.vec_id AS dst FROM nb JOIN pt ON nb.b = pt.b WHERE nb.vec_id <> pt.vec_id), " +
+      "ins AS (SELECT DISTINCT src, dst FROM (SELECT src, dst FROM knn UNION ALL SELECT dst AS src, src AS dst FROM knn UNION ALL SELECT src, dst FROM hubi UNION ALL SELECT dst AS src, src AS dst FROM hubi UNION ALL SELECT src, dst FROM sc) alle) " +
       s"SELECT src, dst, CAST(CASE WHEN src % $mod = 0 THEN 1 ELSE 0 END AS INT) AS src_is_batch FROM ins ORDER BY src, dst"
   }
 

@@ -1481,10 +1481,25 @@ object VectorOps {
   private def hnswFlips(b: Column, bits: Int): Seq[Column] =
     (0 until bits).map(i => b.bitwiseXOR(lit(1L << i)))
 
+  /** All 2-bit flips (i < j) — the radius-2 ring of the query ENTRY fan
+    * only (the graph's shortcut edges stay radius-1): for a near neighbor
+    * at angle θ each sign bit flips with probability θ/π, so the
+    * expected Hamming distance between a query's bucket and its true
+    * neighbors' buckets grows with `bits` — at the 100× staging (13-bit
+    * buckets) the radius-1 fan left the beam reachability-starved
+    * (recall plateaued at 0.60 regardless of beam, `annrecall_100x_r15`);
+    * entering at the ≤2-flip portals covers the bucket ring where most
+    * neighbor mass sits at ~bits²/2 extra k-row portal lookups — still
+    * corpus-size independent.
+    */
+  private def hnswFlips2(b: Column, bits: Int): Seq[Column] =
+    (for { i <- 0 until bits; j <- (i + 1) until bits }
+      yield b.bitwiseXOR(lit((1L << i) | (1L << j))))
+
   private def stageHnswGraph(s: SparkSession, dir: String): Unit = synchronized {
     Relational.withStageLock(HnswStageDir) {
       Relational.stageInto(HnswStageDir,
-        s"$dir|hnsw1|${Relational.sourceFingerprint(s"$dir/embeddings.parquet")}") {
+        s"$dir|hnsw2|${Relational.sourceFingerprint(s"$dir/embeddings.parquet")}") {
         target =>
           val bits = hnswCorpusBits(s, dir)
           // corpus nodes with their sign bucket — multi-consumer (kNN
@@ -1525,7 +1540,21 @@ object VectorOps {
               explode(array(hnswFlips(col("b"), bits): _*)).as("fb"))
             .join(portals.select(col("b").as("fb"), col("vec_id").as("dst")), "fb")
             .select("src", "dst")
+          // hub spokes: every bucket member ↔ its portal (degree bounded
+          // by the bucket target). kNN alone fragments duplicate-heavy
+          // buckets into cos=1.0 cliques disconnected from the portal —
+          // the classic NSW pathology HNSW's neighbor-diversity heuristic
+          // exists for; the hub guarantees intra-bucket connectivity, so
+          // any node in an entered bucket is ≤2 hops from its portal
+          // (measured: exhaustive-beam recall at 100× was stuck at 0.60
+          // visiting 61% of the corpus before the hub; see BASELINE)
+          val hub = nodes
+            .join(portals.select(col("b"), col("vec_id").as("dst")), "b")
+            .filter(col("vec_id") =!= col("dst"))
+            .select(col("vec_id").as("src"), col("dst"))
           knn.union(knn.select(col("dst").as("src"), col("src").as("dst")))
+            .union(hub)
+            .union(hub.select(col("dst").as("src"), col("src").as("dst")))
             .union(shortcuts)
             .distinct()
             .join(nodes.select(col("vec_id").as("dst"),
@@ -1556,11 +1585,12 @@ object VectorOps {
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         Vec.signBucket(col("embedding"), bits).as("b"))
       .lineageCut(eager = false) // re-joined every scoring round
-    // entry fan: the query's own bucket plus its 1-bit flips — their
+    // entry fan: the query's own bucket plus its Hamming-≤2 flips — their
     // portals seed the search (broadcast the tiny query fan onto the
     // portal family scan)
     val qf = q.select(col("q_id"), col("q_emb"),
-      explode(array(col("b") +: hnswFlips(col("b"), bits): _*)).as("eb"))
+      explode(array(col("b") +: (hnswFlips(col("b"), bits) ++
+        hnswFlips2(col("b"), bits)): _*)).as("eb"))
     val entries = portals
       .select(col("b").as("eb"), col("vec_id"), col("embedding"))
       .join(broadcast(qf), "eb")
@@ -1605,8 +1635,8 @@ object VectorOps {
     * buckets (~log n per node — the HNSW logarithmic-degree shape; a
     * flipped sign bucket is the geometrically adjacent half-space cell,
     * the `sim_ann` multi-probe identity). A query enters at the portals
-    * of its own bucket and its 1-bit flips, then runs `HnswIters` rounds
-    * of bounded beam search: each round expands the `HnswBeam` best
+    * of its own bucket and its Hamming-≤2 flips (see [[hnswFlips2]] for
+    * why radius 2), then runs `HnswIters` rounds of bounded beam search: each round expands the `HnswBeam` best
     * not-yet-expanded nodes, scores their neighbors by exact full-dim
     * cosine, and folds them into the visited set; the answer is the
     * cosine top-`AnnTopK` of everything visited. Determinism: every float
@@ -1702,8 +1732,16 @@ object VectorOps {
       .join(portals.select(col("b").as("fb"), col("vec_id").as("dst")), "fb")
       .filter(col("src") =!= col("dst"))
       .select("src", "dst")
+    // hub spokes to the merged portal table — the build's intra-bucket
+    // connectivity guarantee carried through the insert
+    val hub = nb
+      .join(portals.select(col("b"), col("vec_id").as("dst")), "b")
+      .filter(col("vec_id") =!= col("dst"))
+      .select(col("vec_id").as("src"), col("dst"))
     val inserted = knn
       .union(knn.select(col("dst").as("src"), col("src").as("dst")))
+      .union(hub)
+      .union(hub.select(col("dst").as("src"), col("src").as("dst")))
       .union(shortcuts)
       .distinct()
     (inserted, bb, nb)

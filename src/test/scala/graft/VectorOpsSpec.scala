@@ -1179,7 +1179,9 @@ class VectorOpsSpec extends AnyFunSuite {
     val want = embMap.keys.filter(_ < qss).toSeq.sorted.flatMap { qid =>
       val qe = embMap(qid)
       val b = bucket(qe)
-      val entryBuckets = b +: (0 until bits).map(i => b ^ (1L << i))
+      val entryBuckets = (b +: (0 until bits).map(i => b ^ (1L << i))) ++
+        (for { i <- 0 until bits; j <- (i + 1) until bits }
+          yield b ^ ((1L << i) | (1L << j)))
       var scored = entryBuckets.flatMap(portalMap.get).distinct
         .map(v => v -> cos(qe, embMap(v))).toMap
       var expanded = Set.empty[Long]
