@@ -70,23 +70,31 @@ object AnnRecall {
       rows += (s"""{"op":"$op","conf":$conf,""" +
         s""""recall":${fmt((got & truth).size.toDouble / truth.size)},""" +
         s""""secs":${fmt(sec)},"scored_pairs":$scored}""")
+    // Every conf-driven sweep unsets its conf in `finally` (round-15
+    // ADVICE): an exception mid-sweep would otherwise leave the session
+    // conf set, and any later gated query in the same session would
+    // silently diverge from its oracle, which hardcodes the default.
+    def sweep(conf: String)(body: => Unit): Unit =
+      try body finally spark.conf.unset(conf)
 
-    for (flips <- 0 to 2) {
-      spark.conf.set(VectorOps.AnnProbeFlipsConf, flips.toString)
-      val (got, sec) = timed(pairs(VectorOps.simAnn(spark, dir)))
-      row("sim_ann", flips, want, got, sec, VectorOps.annCandidates(spark, dir).count())
+    sweep(VectorOps.AnnProbeFlipsConf) {
+      for (flips <- 0 to 2) {
+        spark.conf.set(VectorOps.AnnProbeFlipsConf, flips.toString)
+        val (got, sec) = timed(pairs(VectorOps.simAnn(spark, dir)))
+        row("sim_ann", flips, want, got, sec, VectorOps.annCandidates(spark, dir).count())
+      }
     }
-    spark.conf.unset(VectorOps.AnnProbeFlipsConf)
     // round-9 ADVICE: the centroid frame is probe-count independent — hoist
     // it out of the sweep (the per-probe candidate count still re-runs, its
     // result genuinely depends on the nProbe conf set each iteration).
     val cent = VectorOps.labelMeanCentroids(emb)
-    for (p <- Seq(1, 2, 4, 8)) {
-      spark.conf.set(VectorOps.IvfProbesConf, p.toString)
-      val (got, sec) = timed(pairs(VectorOps.simIvf(spark, dir)))
-      row("sim_ivf", p, want, got, sec, VectorOps.ivfCandidates(emb, cent).count())
+    sweep(VectorOps.IvfProbesConf) {
+      for (p <- Seq(1, 2, 4, 8)) {
+        spark.conf.set(VectorOps.IvfProbesConf, p.toString)
+        val (got, sec) = timed(pairs(VectorOps.simIvf(spark, dir)))
+        row("sim_ivf", p, want, got, sec, VectorOps.ivfCandidates(emb, cent).count())
+      }
     }
-    spark.conf.unset(VectorOps.IvfProbesConf)
 
     // sim_ivfpq sweep (round-10 VERDICT next-round #4): nProbe × {ADC,
     // exact-rerank}. Ground truth here is exact squared-L2 top-k (the
@@ -103,15 +111,16 @@ object AnnRecall {
       .withColumn("rn", row_number().over(org.apache.spark.sql.expressions.Window
         .partitionBy("q_id").orderBy(asc("d2"), asc("vec_id"))))
       .filter(col("rn") <= VectorOps.AnnTopK))
-    for (p <- Seq(1, 2, 4, 10)) {
-      spark.conf.set(VectorOps.IvfProbesConf, p.toString)
-      val scored = VectorOps.ivfPqCandidates(spark, dir).count()
-      val (gotAdc, secAdc) = timed(pairs(VectorOps.simIvfPq(spark, dir)))
-      row("sim_ivfpq", p, l2want, gotAdc, secAdc, scored)
-      val (gotRr, secRr) = timed(pairs(VectorOps.simIvfPqRerank(spark, dir)))
-      row("sim_ivfpq_rerank", p, l2want, gotRr, secRr, scored)
+    sweep(VectorOps.IvfProbesConf) {
+      for (p <- Seq(1, 2, 4, 10)) {
+        spark.conf.set(VectorOps.IvfProbesConf, p.toString)
+        val scored = VectorOps.ivfPqCandidates(spark, dir).count()
+        val (gotAdc, secAdc) = timed(pairs(VectorOps.simIvfPq(spark, dir)))
+        row("sim_ivfpq", p, l2want, gotAdc, secAdc, scored)
+        val (gotRr, secRr) = timed(pairs(VectorOps.simIvfPqRerank(spark, dir)))
+        row("sim_ivfpq_rerank", p, l2want, gotRr, secRr, scored)
+      }
     }
-    spark.conf.unset(VectorOps.IvfProbesConf)
 
     // sim_mips_ivf sweep (round-12 VERDICT #2): MIPS ground truth is the
     // brute-force DOT ranking (sim_mips capped at AnnTopK) — cosine truth
@@ -124,13 +133,14 @@ object AnnRecall {
     val mipsWant = pairs(
       VectorOps.simMips(spark, dir).filter(col("rn") <= VectorOps.AnnTopK))
     val (mipsAug, mipsCent) = VectorOps.mipsIvfParts(emb)
-    for (p <- Seq(1, 2, 4, 10)) {
-      spark.conf.set(VectorOps.IvfProbesConf, p.toString)
-      val (got, sec) = timed(pairs(VectorOps.simMipsIvf(spark, dir)))
-      row("sim_mips_ivf", p, mipsWant, got, sec,
-        VectorOps.mipsIvfCandidates(mipsAug, mipsCent).count())
+    sweep(VectorOps.IvfProbesConf) {
+      for (p <- Seq(1, 2, 4, 10)) {
+        spark.conf.set(VectorOps.IvfProbesConf, p.toString)
+        val (got, sec) = timed(pairs(VectorOps.simMipsIvf(spark, dir)))
+        row("sim_mips_ivf", p, mipsWant, got, sec,
+          VectorOps.mipsIvfCandidates(mipsAug, mipsCent).count())
+      }
     }
-    spark.conf.unset(VectorOps.IvfProbesConf)
 
     // sim_mrl sweep (round 13): rerank-pool size C against the cosine
     // ground truth (the metric MRL ranks in). scored_pairs is the STAGE-2
@@ -140,15 +150,16 @@ object AnnRecall {
     // overhead every C shares, noted in the BASELINE table. C = |corpus|
     // is exhaustive: stage 2 IS the brute force, recall exactly 1.0
     // (VectorOpsSpec law).
-    for (c <- Seq(VectorOps.MrlCandidates.toLong, 4L * VectorOps.MrlCandidates,
-                  16L * VectorOps.MrlCandidates, nCorpus)) {
-      spark.conf.set(VectorOps.MrlCandidatesConf, c.toString)
-      val (got, sec) = timed(pairs(
-        VectorOps.simMrl(spark, dir).filter(col("rn") <= VectorOps.AnnTopK)))
-      row("sim_mrl", c, want, got, sec,
-        VectorOps.mrlCandidates(spark, VectorOps.mrlStaged(spark, dir)).count())
+    sweep(VectorOps.MrlCandidatesConf) {
+      for (c <- Seq(VectorOps.MrlCandidates.toLong, 4L * VectorOps.MrlCandidates,
+                    16L * VectorOps.MrlCandidates, nCorpus)) {
+        spark.conf.set(VectorOps.MrlCandidatesConf, c.toString)
+        val (got, sec) = timed(pairs(
+          VectorOps.simMrl(spark, dir).filter(col("rn") <= VectorOps.AnnTopK)))
+        row("sim_mrl", c, want, got, sec,
+          VectorOps.mrlCandidates(spark, VectorOps.mrlStaged(spark, dir)).count())
+      }
     }
-    spark.conf.unset(VectorOps.MrlCandidatesConf)
 
     // sim_hamming sweep (round 14): rerank-pool size C against the cosine
     // ground truth. scored_pairs is the stage-2 exact-rerank pool; stage 1
@@ -156,15 +167,16 @@ object AnnRecall {
     // XOR+popcounts per pair — integer ops on the signature column family,
     // the cheapest stage-1 in the family. C = |corpus| is exhaustive:
     // recall exactly 1.0 (VectorOpsSpec law).
-    for (c <- Seq(VectorOps.HamCandidates.toLong, 4L * VectorOps.HamCandidates,
-                  16L * VectorOps.HamCandidates, nCorpus)) {
-      spark.conf.set(VectorOps.HamCandidatesConf, c.toString)
-      val (got, sec) = timed(pairs(
-        VectorOps.simHamming(spark, dir).filter(col("rn") <= VectorOps.AnnTopK)))
-      row("sim_hamming", c, want, got, sec,
-        VectorOps.hamCandidates(spark, VectorOps.hamStaged(spark, dir)).count())
+    sweep(VectorOps.HamCandidatesConf) {
+      for (c <- Seq(VectorOps.HamCandidates.toLong, 4L * VectorOps.HamCandidates,
+                    16L * VectorOps.HamCandidates, nCorpus)) {
+        spark.conf.set(VectorOps.HamCandidatesConf, c.toString)
+        val (got, sec) = timed(pairs(
+          VectorOps.simHamming(spark, dir).filter(col("rn") <= VectorOps.AnnTopK)))
+        row("sim_hamming", c, want, got, sec,
+          VectorOps.hamCandidates(spark, VectorOps.hamStaged(spark, dir)).count())
+      }
     }
-    spark.conf.unset(VectorOps.HamCandidatesConf)
 
     // sim_hnsw sweep (round 15): beam width against the cosine ground
     // truth. scored_pairs is the VISITED set (every (query, node) the
@@ -173,14 +185,20 @@ object AnnRecall {
     // selling point; recall at any beam is graph-reachability bound, so
     // exhaustive beam is NOT asserted to hit 1.0 (the bounded-iteration
     // contract) — the sweep MEASURES where the curve saturates.
-    for (c <- Seq(VectorOps.HnswBeam.toLong, 4L * VectorOps.HnswBeam,
-                  16L * VectorOps.HnswBeam, nCorpus)) {
-      spark.conf.set(VectorOps.HnswBeamConf, c.toString)
-      val (got, sec) = timed(pairs(VectorOps.simHnsw(spark, dir)))
-      row("sim_hnsw", c, want, got, sec,
-        VectorOps.hnswVisited(spark, dir).count())
+    // stage the graph BEFORE the sweep: the first sim_hnsw invocation
+    // otherwise pays the one-time index build, which landed inside the
+    // lowest-beam row's wall time (round 15's "beam 8 slower than beam
+    // 32" artifact was exactly this)
+    VectorOps.hnswStaged(spark, dir)
+    sweep(VectorOps.HnswBeamConf) {
+      for (c <- Seq(VectorOps.HnswBeam.toLong, 4L * VectorOps.HnswBeam,
+                    16L * VectorOps.HnswBeam, nCorpus)) {
+        spark.conf.set(VectorOps.HnswBeamConf, c.toString)
+        val (got, sec) = timed(pairs(VectorOps.simHnsw(spark, dir)))
+        row("sim_hnsw", c, want, got, sec,
+          VectorOps.hnswVisited(spark, dir).count())
+      }
     }
-    spark.conf.unset(VectorOps.HnswBeamConf)
 
     println(s"""{"metric":"ann_recall","sf":"$dir","n_corpus":$nCorpus,""" +
       s""""ground_truth_pairs":${want.size},"brute_secs":${fmt(bruteSec)},""" +

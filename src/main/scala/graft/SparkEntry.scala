@@ -348,8 +348,13 @@ object SparkEntry {
       s"q AS MATERIALIZED (SELECT vec_id AS q_id, embedding AS q_emb, $bkt AS b FROM embeddings, p WHERE vec_id < $qss), " +
       s"cb AS MATERIALIZED (SELECT vec_id, embedding, $bkt AS b FROM embeddings, p WHERE vec_id >= $qss), " +
       "portal AS MATERIALIZED (SELECT cb.b, cb.vec_id, cb.embedding FROM cb JOIN (SELECT b, min(vec_id) AS mv FROM cb GROUP BY b) pm ON cb.b = pm.b AND cb.vec_id = pm.mv), " +
-      s"kn0 AS (SELECT a.vec_id AS src, bb.vec_id AS dst, row_number() OVER (PARTITION BY a.vec_id ORDER BY ${cosOf("a.embedding", "bb.embedding")} DESC, bb.vec_id) AS rn FROM cb a JOIN cb bb ON a.b = bb.b AND a.vec_id <> bb.vec_id), " +
-      s"knn AS MATERIALIZED (SELECT src, dst FROM kn0 WHERE rn <= ${VectorOps.HnswM}), " +
+      // kNN with the neighbor-diversity (occlusion) prune — mirrors
+      // VectorOps.diversifiedKnn: rank the HnswCand nearest bucketmates,
+      // occlude c when a higher-ranked s is closer to c than src is,
+      // non-occluded win the M slots first, occluded back-fill
+      s"kn0 AS MATERIALIZED (SELECT src, dst, c, rn FROM (SELECT a.vec_id AS src, bb.vec_id AS dst, ${cosOf("a.embedding", "bb.embedding")} AS c, row_number() OVER (PARTITION BY a.vec_id ORDER BY ${cosOf("a.embedding", "bb.embedding")} DESC, bb.vec_id) AS rn FROM cb a JOIN cb bb ON a.b = bb.b AND a.vec_id <> bb.vec_id) kr WHERE rn <= ${VectorOps.HnswCand}), " +
+      s"occ AS (SELECT a.src, a.dst, max(CASE WHEN ${cosOf("ec.embedding", "es.embedding")} > a.c THEN 1 ELSE 0 END) AS occ FROM kn0 a JOIN kn0 s2 ON s2.src = a.src AND s2.rn < a.rn JOIN cb ec ON ec.vec_id = a.dst JOIN cb es ON es.vec_id = s2.dst GROUP BY a.src, a.dst), " +
+      s"knn AS MATERIALIZED (SELECT src, dst FROM (SELECT a.src, a.dst, row_number() OVER (PARTITION BY a.src ORDER BY COALESCE(o.occ, 0), a.rn) AS dr FROM kn0 a LEFT JOIN occ o ON o.src = a.src AND o.dst = a.dst) kd WHERE dr <= ${VectorOps.HnswM}), " +
       "sym AS (SELECT src, dst FROM knn UNION ALL SELECT dst AS src, src AS dst FROM knn), " +
       "fl AS (SELECT cb.vec_id AS src, xor(cb.b, g.pw) AS fb FROM cb, g, p WHERE g.i < p.bits), " +
       "sc AS (SELECT fl.src, pt.vec_id AS dst FROM fl JOIN portal pt ON pt.b = fl.fb), " +
@@ -391,8 +396,10 @@ object SparkEntry {
       "np AS (SELECT nb.b, min(nb.vec_id) AS vec_id FROM nb LEFT JOIN bp ON nb.b = bp.b WHERE bp.b IS NULL GROUP BY nb.b), " +
       "pt AS MATERIALIZED (SELECT b, vec_id FROM bp UNION ALL SELECT b, vec_id FROM np), " +
       "mates AS (SELECT b, vec_id, embedding FROM bb UNION ALL SELECT b, vec_id, embedding FROM nb), " +
-      s"kn0 AS (SELECT a.vec_id AS src, m.vec_id AS dst, row_number() OVER (PARTITION BY a.vec_id ORDER BY ${cosOf("a.embedding", "m.embedding")} DESC, m.vec_id) AS rn FROM nb a JOIN mates m ON a.b = m.b AND a.vec_id <> m.vec_id), " +
-      s"knn AS MATERIALIZED (SELECT src, dst FROM kn0 WHERE rn <= ${VectorOps.HnswM}), " +
+      // same diversity prune as the full build (see hnswSql's kn0/occ/knn)
+      s"kn0 AS MATERIALIZED (SELECT src, dst, c, rn FROM (SELECT a.vec_id AS src, m.vec_id AS dst, ${cosOf("a.embedding", "m.embedding")} AS c, row_number() OVER (PARTITION BY a.vec_id ORDER BY ${cosOf("a.embedding", "m.embedding")} DESC, m.vec_id) AS rn FROM nb a JOIN mates m ON a.b = m.b AND a.vec_id <> m.vec_id) kr WHERE rn <= ${VectorOps.HnswCand}), " +
+      s"occ AS (SELECT a.src, a.dst, max(CASE WHEN ${cosOf("ec.embedding", "es.embedding")} > a.c THEN 1 ELSE 0 END) AS occ FROM kn0 a JOIN kn0 s2 ON s2.src = a.src AND s2.rn < a.rn JOIN mates ec ON ec.vec_id = a.dst JOIN mates es ON es.vec_id = s2.dst GROUP BY a.src, a.dst), " +
+      s"knn AS MATERIALIZED (SELECT src, dst FROM (SELECT a.src, a.dst, row_number() OVER (PARTITION BY a.src ORDER BY COALESCE(o.occ, 0), a.rn) AS dr FROM kn0 a LEFT JOIN occ o ON o.src = a.src AND o.dst = a.dst) kd WHERE dr <= ${VectorOps.HnswM}), " +
       "fl AS (SELECT nb.vec_id AS src, xor(nb.b, g.pw) AS fb FROM nb, g, p WHERE g.i < p.bits), " +
       "sc AS (SELECT fl.src, pt.vec_id AS dst FROM fl JOIN pt ON pt.b = fl.fb WHERE fl.src <> pt.vec_id), " +
       "hubi AS (SELECT nb.vec_id AS src, pt.vec_id AS dst FROM nb JOIN pt ON nb.b = pt.b WHERE nb.vec_id <> pt.vec_id), " +
@@ -1452,8 +1459,11 @@ object SparkEntry {
     // last excluded_manual). The recall-1.0 proof against brute force is
     // retired to JoinsWindowsSpec (driver-side all-pairs on the fixture)
     // plus LawsCheck's class-completeness property on random universes.
+    // zero-length names excluded on BOTH sides (round-15 ADVICE): the
+    // engine's sequence(1, length) would emit variants for them while
+    // generate_series(1, 0) yields none — see Joins.joinFuzzy
     "join_fuzzy" ->
-      ("WITH c AS (SELECT c_custkey AS key, c_name AS name FROM customer), " +
+      ("WITH c AS (SELECT c_custkey AS key, c_name AS name FROM customer WHERE length(c_name) > 0), " +
       "e AS MATERIALIZED (SELECT key, name, unnest(generate_series(1, length(name))) AS i FROM c), " +
       "w AS MATERIALIZED (SELECT key, name, i, substr(name, 1, i - 1) || substr(name, i + 1) AS v FROM e), " +
       "subs AS (SELECT a.key AS key_a, b.key AS key_b, a.name AS name_a, b.name AS name_b FROM w a JOIN w b ON a.i = b.i AND a.v = b.v AND a.key < b.key), " +

@@ -820,39 +820,6 @@ object Aggregates {
   val KmvSpaceK1: String =
     ((BigInt(1) << 60) * (KmvK - 1) * 100).toString
 
-  /** D31 `agg_kmv` (round 14): KMV / theta-style distinct sketch with set
-    * INTERSECTION estimation — the mergeable-summary family member
-    * (HLL/CMS/histogram, D13′/D19/D22/D24) that supports set OPERATIONS
-    * (Bar-Yossef 2002; the Apache DataSketches theta pattern): a set's
-    * sketch is its `KmvK` smallest distinct 60-bit hashes — a pure
-    * function of the SET (order- and partition-independent, so it
-    * hash-gates where Misra-Gries-style counter summaries cannot), and
-    * mergeable: k-smallest-of(k-smallest(A) ∪ k-smallest(B)) ≡
-    * k-smallest(A ∪ B) (the merge law in AggregatesSpec). Per language
-    * pair over the distinct 3-word-shingle sets (the `WordShingles`
-    * kernel feed): the pair's UNION sketch is built from the two per-lang
-    * sketches ALONE (never the raw sets — at 100 TB the sketches are the
-    * only thing shards ship), distinct-of-union estimated as
-    * (k−1)·2⁶⁰/h_k, Jaccard as n_common/kk (union-sketch hashes present
-    * in both input sketches), intersection as Ĵ·N̂.
-    *
-    * Laws as columns (the D13′ discipline, exact twins aggregated
-    * SEPARATELY from the sketch): exact per-lang / intersection / union
-    * counts ride along, and `est_ok`/`jac_ok` flag the 5σ bounds via
-    * EXACT cross-multiplied integer comparisons (no float division
-    * anywhere — ×100 keeps the percent bounds integral; the estimator
-    * itself never materializes). When the union sketch is unsaturated
-    * (kk < k) it IS the exact union hash set and `est_ok` asserts
-    * equality outright. The oracle replays the ENTIRE computation
-    * (md5-prefix hashes are engine-identical), so the sketch STATE
-    * (h_k, kk, n_common) is hash-gated cell-for-cell, not just flagged.
-    *
-    * Scale shape: distinct (lang, hv) is vocabulary-sized (Heaps' law —
-    * the BPE-learn discipline); the per-lang window runs over that
-    * bounded set with a rank-k cutoff (WindowGroupLimit); everything
-    * past the sketches is ≤ |langs|²·k rows. The exact twins exist only
-    * to gate the sketch — at 100 TB a user ships sketches, not sets.
-    */
   /** Fixed staging root of the distinct (lang, hv) shingle-hash family
     * SHARED by `agg_kmv` and `stream_kmv` (round 15, VERDICT #4): both
     * queries consume the same distinct 60-bit-hash set, and at 100× each
@@ -889,6 +856,39 @@ object Aggregates {
     s.read.parquet(s"${Relational.stagedRoot(KmvStageDir)}/hashes")
   }
 
+  /** D31 `agg_kmv` (round 14): KMV / theta-style distinct sketch with set
+    * INTERSECTION estimation — the mergeable-summary family member
+    * (HLL/CMS/histogram, D13′/D19/D22/D24) that supports set OPERATIONS
+    * (Bar-Yossef 2002; the Apache DataSketches theta pattern): a set's
+    * sketch is its `KmvK` smallest distinct 60-bit hashes — a pure
+    * function of the SET (order- and partition-independent, so it
+    * hash-gates where Misra-Gries-style counter summaries cannot), and
+    * mergeable: k-smallest-of(k-smallest(A) ∪ k-smallest(B)) ≡
+    * k-smallest(A ∪ B) (the merge law in AggregatesSpec). Per language
+    * pair over the distinct 3-word-shingle sets (the `WordShingles`
+    * kernel feed): the pair's UNION sketch is built from the two per-lang
+    * sketches ALONE (never the raw sets — at 100 TB the sketches are the
+    * only thing shards ship), distinct-of-union estimated as
+    * (k−1)·2⁶⁰/h_k, Jaccard as n_common/kk (union-sketch hashes present
+    * in both input sketches), intersection as Ĵ·N̂.
+    *
+    * Laws as columns (the D13′ discipline, exact twins aggregated
+    * SEPARATELY from the sketch): exact per-lang / intersection / union
+    * counts ride along, and `est_ok`/`jac_ok` flag the 5σ bounds via
+    * EXACT cross-multiplied integer comparisons (no float division
+    * anywhere — ×100 keeps the percent bounds integral; the estimator
+    * itself never materializes). When the union sketch is unsaturated
+    * (kk < k) it IS the exact union hash set and `est_ok` asserts
+    * equality outright. The oracle replays the ENTIRE computation
+    * (md5-prefix hashes are engine-identical), so the sketch STATE
+    * (h_k, kk, n_common) is hash-gated cell-for-cell, not just flagged.
+    *
+    * Scale shape: distinct (lang, hv) is vocabulary-sized (Heaps' law —
+    * the BPE-learn discipline); the per-lang window runs over that
+    * bounded set with a rank-k cutoff (WindowGroupLimit); everything
+    * past the sketches is ≤ |langs|²·k rows. The exact twins exist only
+    * to gate the sketch — at 100 TB a user ships sketches, not sets.
+    */
   def aggKmv(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val hashes = kmvHashes(s, dir)

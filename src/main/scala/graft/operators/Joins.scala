@@ -455,7 +455,16 @@ object Joins {
     * property on random variable-length universes.
     */
   def joinFuzzy(s: SparkSession, dir: String): DataFrame = {
+    // Zero-length names are excluded IDENTICALLY on both sides (round-15
+    // ADVICE): `sequence(1, length(name))` on an empty name returns the
+    // descending [1, 0] (Spark's sequence is bidirectional), so the engine
+    // would emit deletion variants for it — while the oracle's
+    // generate_series(1, 0) yields none. The fixture contract keeps names
+    // non-empty (TPC-H c_name), so the filter is a no-op there; it exists
+    // so the blocking's candidate class has ONE definition on both engines
+    // for any input.
     val c = Tables.customer(s, dir).select(col("c_custkey"), col("c_name"))
+      .filter(length(col("c_name")) > 0)
     // Blocking covers the WHOLE Levenshtein-≤1 class through three
     // disjoint equi-join routes (FastSS, position-qualified):
     //  - substitution: shared (deletion INDEX, variant) — two equal-length
