@@ -364,7 +364,12 @@ object SparkEntry {
       "edges AS MATERIALIZED (SELECT DISTINCT src, dst FROM (SELECT src, dst FROM sym UNION ALL SELECT src, dst FROM hub UNION ALL SELECT dst AS src, src AS dst FROM hub UNION ALL SELECT src, dst FROM sc) alle), " +
       "qf AS (SELECT q_id, q_emb, b AS eb FROM q UNION ALL SELECT q_id, q_emb, xor(q.b, g.pw) AS eb FROM q, g, p WHERE g.i < p.bits " +
       "UNION ALL SELECT q_id, q_emb, xor(q.b, g2.pw2) AS eb FROM q, g2, p WHERE g2.i2 < p.bits), " +
-      s"v0 AS MATERIALIZED (SELECT q_id, pt.vec_id, ${cosOf("q_emb", "pt.embedding")} AS cos, FALSE AS ex FROM qf JOIN portal pt ON pt.b = qf.eb)" +
+      // v0 = portal fan (expandable) ∪ own-bucket members (pre-expanded —
+      // scored, never spend a beam slot; see VectorOps.hnswVisited round 16);
+      // duplicates fold with expanded winning
+      s"v0 AS MATERIALIZED (SELECT q_id, vec_id, max(cos) AS cos, bool_or(ex) AS ex FROM (" +
+      s"SELECT q_id, pt.vec_id, ${cosOf("q_emb", "pt.embedding")} AS cos, FALSE AS ex FROM qf JOIN portal pt ON pt.b = qf.eb " +
+      s"UNION ALL SELECT q.q_id, cb.vec_id, ${cosOf("q.q_emb", "cb.embedding")} AS cos, TRUE AS ex FROM q JOIN cb ON cb.b = q.b) u0 GROUP BY 1, 2)" +
       iters +
       s"r AS (SELECT q_id, vec_id, cos, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn FROM v${VectorOps.HnswIters}) " +
       s"SELECT q_id, vec_id, cos, CAST(rn AS INT) AS rn FROM r WHERE rn <= ${VectorOps.AnnTopK} ORDER BY q_id, rn"

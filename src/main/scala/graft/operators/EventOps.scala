@@ -496,12 +496,16 @@ object EventOps {
     * window pass carries the running (n, Σv, Σv²) over integer cents, and
     * the 3σ test is the cross-multiplied INTEGER comparison
     * (v·n − Σv)²·(n−1) > 9·n·(n·Σv² − Σv²) — no float mean/stddev
-    * anywhere, so both engines agree exactly. The products are widened to
-    * DECIMAL(38,0) (HUGEINT in the oracle) before multiplying — the state
-    * is unbounded (stream_anomaly keeps per-key moments forever), and at
-    * cents ~6×10⁴ the n·Σv² term alone overflows a Long once a key's
-    * history reaches ~5×10⁴ events (round-14 ADVICE); 38 digits carry the
-    * worst product past n ~10¹⁰ per key.
+    * anywhere, so both engines agree exactly. The ACCUMULATORS and the
+    * products both run wide (round-15 ADVICE — the round-14 fix widened
+    * only the 3σ comparison, leaving the running Σv² itself to wrap a
+    * Long at ~2.5×10⁹ events on one hot key at cents ~6×10⁴): Σv and Σv²
+    * accumulate in DECIMAL(38,0) — exactly DuckDB's own BIGINT-sum →
+    * HUGEINT widening — and the comparison's triple products run in the
+    * same type, carrying the worst term past n ~10¹⁰ per key. The
+    * EMITTED s1/s2 stay BIGINT (the cross-engine schema): the narrowing
+    * cast fails loudly at the same point DuckDB's CAST(sum AS BIGINT)
+    * errors, instead of the old silent wrap inside the accumulator.
     *
     * Scale shape: ONE shuffle by user_id, one linear window pass per key
     * (running frames are O(1)/row); output ∝ anomalies. The identical
@@ -521,15 +525,17 @@ object EventOps {
       .select(col("user_id"), col("event_id"), col("ts"),
         (col("value").cast(DecimalType(12, 2)) * 100).cast("long").as("cents"))
       .withColumn("n_prior", count(lit(1)).over(w))
-      .withColumn("s1", coalesce(sum(col("cents")).over(w), lit(0L)))
-      .withColumn("s2", coalesce(sum(col("cents") * col("cents")).over(w), lit(0L)))
+      .withColumn("s1", coalesce(sum(col("cents").cast(wide)).over(w),
+        lit(0L).cast(wide)))
+      .withColumn("s2", coalesce(sum((col("cents").cast(wide)) * col("cents")).over(w),
+        lit(0L).cast(wide)))
       .filter(col("n_prior") >= AnomalyMinPrior &&
         dev.cast(wide) * dev * (col("n_prior") - 1) >
           lit(AnomalyZ2).cast(wide) * col("n_prior") *
             (col("n_prior").cast(wide) * col("s2") -
-              col("s1").cast(wide) * col("s1")))
-      .select(col("user_id"), col("event_id"), col("cents"),
-        col("n_prior"), col("s1"), col("s2"))
+              col("s1") * col("s1")))
+      .select(col("user_id"), col("event_id"), col("cents"), col("n_prior"),
+        col("s1").cast("long").as("s1"), col("s2").cast("long").as("s2"))
       .oracleSorted("user_id", "event_id")
   }
 

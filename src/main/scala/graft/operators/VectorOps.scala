@@ -1561,7 +1561,10 @@ object VectorOps {
   private def stageHnswGraph(s: SparkSession, dir: String): Unit = synchronized {
     Relational.withStageLock(HnswStageDir) {
       Relational.stageInto(HnswStageDir,
-        s"$dir|hnsw4|${Relational.sourceFingerprint(s"$dir/embeddings.parquet")}") {
+        // the build constants are part of the key: a constant change must
+        // re-stage, not silently reuse the old family
+        s"$dir|hnsw5|M=$HnswM|C=$HnswCand|" +
+          Relational.sourceFingerprint(s"$dir/embeddings.parquet")) {
         target =>
           val bits = hnswBits(Tables.embeddings(s, dir)
             .filter(col("vec_id") >= QuerySetSize).count())
@@ -1580,6 +1583,11 @@ object VectorOps {
             .select(col("vec_id"), col("embedding"),
               Vec.signBucket(col("embedding"), bits).as("b"))
             .lineageCut(eager = false)
+          // bucketed-corpus family: the serving layout (vectors keyed by
+          // their bucket) the query-time own-bucket entry scan key-joins
+          // against — see hnswVisited (round 16)
+          nodes.select("b", "vec_id", "embedding")
+            .sort("b").write.mode("overwrite").parquet(s"$target/buckets")
           // portal per populated bucket: its min-vec_id node (an arbitrary
           // but deterministic hub — HNSW's own top-layer entry is the
           // first-inserted node, equally arbitrary)
@@ -1637,6 +1645,14 @@ object VectorOps {
     (s.read.parquet(s"$root/edges"), s.read.parquet(s"$root/portals"))
   }
 
+  /** The staged bucketed-corpus family (b, vec_id, embedding) — the
+    * serving layout the own-bucket entry scan key-joins against.
+    */
+  private[graft] def hnswBuckets(s: SparkSession, dir: String): DataFrame = {
+    stageHnswGraph(s, dir)
+    s.read.parquet(s"${Relational.stagedRoot(HnswStageDir)}/buckets")
+  }
+
   /** The VISITED-and-scored frame of `sim_hnsw` — every (q_id, vec_id,
     * cos) the beam search touched, BEFORE final ranking; split out for
     * the AnnRecall sweep's scored-pairs cost axis (same rationale as
@@ -1644,6 +1660,7 @@ object VectorOps {
     */
   private[graft] def hnswVisited(s: SparkSession, dir: String): DataFrame = {
     val (edges, portals) = hnswStaged(s, dir)
+    val buckets = hnswBuckets(s, dir)
     val bits = hnswCorpusBits(s, dir)
     val q = Tables.embeddings(s, dir).filter(col("vec_id") < QuerySetSize)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
@@ -1655,14 +1672,37 @@ object VectorOps {
     val qf = q.select(col("q_id"), col("q_emb"),
       explode(array(col("b") +: (hnswFlips(col("b"), bits) ++
         hnswFlips2(col("b"), bits)): _*)).as("eb"))
-    val entries = portals
+    val fan = portals
       .select(col("b").as("eb"), col("vec_id"), col("embedding"))
       .join(broadcast(qf), "eb")
       .select(col("q_id"), col("vec_id"),
         Vec.cosineF(col("q_emb"), col("embedding")).as("cos"),
         lit(false).as("ex"))
+    // own-bucket entry scan (round 16): score every member of the query's
+    // OWN bucket at entry, PRE-EXPANDED — scored candidates that never
+    // spend a beam slot. Measured on the 100× staging (duplicate-replica
+    // corpus): the true neighbors sit in the query's own bucket, but the
+    // bucket PORTAL is the min-vec_id member — an unrelated direction
+    // whose cosine never wins a low-beam slot, so beam 8 plateaued at
+    // 0.60 while beam 32 (which expands every entry) hit 1.0. Scanning
+    // the bucket directly decouples recall-of-own-bucket from beam width;
+    // marking the rows expanded keeps them from crowding out the portal
+    // fan in the expansion ranking (measured: entering them expandable
+    // CUT sf0.1 recall 0.80 → 0.20 at beam 32 — expansion budget drained
+    // on intra-bucket edges). Cost: ≈`HnswTargetList` rows per query —
+    // the ladder pins bucket population, so this is corpus-size
+    // independent like the rest of the search; the `buckets` family is
+    // the staged serving layout, key-joined on b, corpus never rescanned.
+    val own = buckets
+      .join(broadcast(q.select(col("q_id"), col("q_emb"), col("b"))), "b")
+      .select(col("q_id"), col("vec_id"),
+        Vec.cosineF(col("q_emb"), col("embedding")).as("cos"),
+        lit(true).as("ex"))
     val beam = hnswBeamWidth(s)
-    var v = entries
+    // a member can also be a fan portal: fold duplicates, expanded wins
+    var v = fan.union(own)
+      .groupBy("q_id", "vec_id")
+      .agg(max(col("cos")).as("cos"), max(col("ex")).as("ex"))
     for (_ <- 1 to HnswIters) {
       // rank UNEXPANDED nodes per query; the top `beam` expand this round
       // and flip to expanded — each node expands at most once (the HNSW
@@ -1701,7 +1741,9 @@ object VectorOps {
     * flipped sign bucket is the geometrically adjacent half-space cell,
     * the `sim_ann` multi-probe identity). A query enters at the portals
     * of its own bucket and its Hamming-≤2 flips (see [[hnswFlips2]] for
-    * why radius 2), then runs `HnswIters` rounds of bounded beam search: each round expands the `HnswBeam` best
+    * why radius 2) PLUS a pre-expanded scan of its own bucket's members
+    * (round 16 — see the rationale at the scan site in [[hnswVisited]]),
+    * then runs `HnswIters` rounds of bounded beam search: each round expands the `HnswBeam` best
     * not-yet-expanded nodes, scores their neighbors by exact full-dim
     * cosine, and folds them into the visited set; the answer is the
     * cosine top-`AnnTopK` of everything visited. Determinism: every float

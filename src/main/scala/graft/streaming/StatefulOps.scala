@@ -645,9 +645,13 @@ object StatefulOps {
   case class AnomEvent(user_id: Long, event_id: Long, ts: Timestamp, cents: Long)
 
   /** Per-user running moments over integer cents: count, Σv, Σv² of all
-    * events SEEN so far — O(1) state per key at any history length.
+    * events SEEN so far — O(1) state per key at any history length. The
+    * moments are BigInt (encoded as DECIMAL(38,0) state — round-15
+    * ADVICE: per-key history is unbounded, and a Long Σv² wraps silently
+    * at ~2.5×10⁹ events on a hot key at cents ~6×10⁴; the window form
+    * widens identically).
     */
-  case class AnomState(n: Long, s1: Long, s2: Long)
+  case class AnomState(n: Long, s1: BigInt, s2: BigInt)
 
   case class AnomRow(user_id: Long, event_id: Long, cents: Long,
                      n_prior: Long, s1: Long, s2: Long)
@@ -672,6 +676,16 @@ object StatefulOps {
     * documented late-arrival behavior — still scored, against the
     * richer state — is pinned by its own StatefulOpsSpec test.
     */
+  /** Narrow a BigInt moment to the emitted BIGINT column, failing loudly
+    * at the same point the oracle's CAST(sum AS BIGINT) errors — never a
+    * silent wrap (round-15 ADVICE).
+    */
+  private def toLongExact(b: BigInt): Long =
+    if (b.isValidLong) b.toLong
+    else throw new ArithmeticException(
+      s"anomaly moment $b exceeds the emitted BIGINT range (mirror of the " +
+        "oracle's CAST overflow error)")
+
   def foldAnomalies(events: Seq[AnomEvent],
                     init: AnomState): (Seq[AnomRow], AnomState) = {
     val minPrior = graft.operators.EventOps.AnomalyMinPrior
@@ -682,9 +696,10 @@ object StatefulOps {
       val (n, s1, s2) = (st.n, st.s1, st.s2)
       val dev = BigInt(e.cents) * n - s1
       if (n >= minPrior &&
-          dev * dev * (n - 1) > BigInt(z2) * n * (BigInt(n) * s2 - BigInt(s1) * s1))
-        out += AnomRow(e.user_id, e.event_id, e.cents, n, s1, s2)
-      st = AnomState(n + 1, s1 + e.cents, s2 + e.cents * e.cents)
+          dev * dev * (n - 1) > BigInt(z2) * n * (n * s2 - s1 * s1))
+        out += AnomRow(e.user_id, e.event_id, e.cents, n,
+          toLongExact(s1), toLongExact(s2))
+      st = AnomState(n + 1, s1 + e.cents, s2 + BigInt(e.cents) * e.cents)
     }
     (out.result(), st)
   }

@@ -1176,15 +1176,18 @@ class VectorOpsSpec extends AnyFunSuite {
     val adj = edges.groupBy(_._1).map { case (s0, es) => s0 -> es.map(_._2).toSet }
     val portalMap = portalsDf.collect()
       .map(r => r.getLong(r.fieldIndex("b")) -> r.getLong(r.fieldIndex("vec_id"))).toMap
+    val bucketMembers = corpusIds.groupBy(v => bucket(embMap(v)))
     val want = embMap.keys.filter(_ < qss).toSeq.sorted.flatMap { qid =>
       val qe = embMap(qid)
       val b = bucket(qe)
       val entryBuckets = (b +: (0 until bits).map(i => b ^ (1L << i))) ++
         (for { i <- 0 until bits; j <- (i + 1) until bits }
           yield b ^ ((1L << i) | (1L << j)))
-      var scored = entryBuckets.flatMap(portalMap.get).distinct
+      // own-bucket members enter scored AND pre-expanded (round 16)
+      val own = bucketMembers.getOrElse(b, Set.empty)
+      var scored = (entryBuckets.flatMap(portalMap.get) ++ own).distinct
         .map(v => v -> cos(qe, embMap(v))).toMap
-      var expanded = Set.empty[Long]
+      var expanded: Set[Long] = own
       (1 to VectorOps.HnswIters).foreach { _ =>
         val frontier = scored.keys.filterNot(expanded).toSeq
           .sortBy(v => (-scored(v), v)).take(VectorOps.HnswBeam)
