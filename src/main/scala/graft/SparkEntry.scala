@@ -308,6 +308,69 @@ object SparkEntry {
       s"SELECT q_id, CAST(g.i AS INT) AS rn, sel[g.i] AS vec_id FROM sel${VectorOps.MmrK}, (SELECT unnest(generate_series(1, ${VectorOps.MmrK})) AS i) g WHERE g.i <= len(sel) ORDER BY q_id, rn"
   }
 
+  /** kmeans_clusters oracle (round 16 — the registry's last no_oracle row,
+    * round-15 VERDICT #1): the FULL float k-means loop replayed by a
+    * DuckDB recursive CTE to the engine's own converge-or-cap exit, then
+    * the cluster report over the final centers. Exactness chain, each
+    * link already proven by a passing gate: init = first-vector-per-label
+    * (`kmeans_assign`); per-iteration re-center = exact DECIMAL(28,20)
+    * sums cast to DOUBLE over the argmin assignment (`kmeans_iter1` —
+    * associative-exact, so partition order cannot move an ulp); the
+    * argmin = min over (dist, cid) structs, ties to the lower cid (the
+    * engine's array_min struct form); every distance is the shared
+    * sequential fold ([[sqDistSql]] ≡ Vec.sqDistF). Since every stage is
+    * bitwise-identical, ITERATING them stays bitwise-identical — the
+    * loop carries one (cid, center, movement) row set per iteration and
+    * stops when the max per-centroid squared movement drops to
+    * `KmeansTol` or at the `KmeansMaxIters` cap, exactly the engine's
+    * `while` condition (an empty cluster keeps its center through the
+    * LEFT JOIN's COALESCE, movement 0 — the engine's branch). The
+    * movement trajectory renders as floor(m·10¹²) integers (the
+    * graph_pagerank floor trick; the engine emits the same), so the
+    * WHOLE loop path hash-gates — centers, exit iteration, and report.
+    * The recursive member references `c` twice (prev-centers + argmin
+    * book) and aggregates over it — DuckDB executes both against the
+    * previous iteration's rows; Spark's recursive CTEs reject the
+    * aggregation (INVALID_RECURSIVE_REFERENCE, the kmeans_int_trace
+    * exemption class in SqlSurfaceSpec).
+    */
+  private val kmeansFloatSql: String = {
+    val dim = VectorOps.Dim
+    val tol = VectorOps.KmeansTol
+    val cap = VectorOps.KmeansMaxIters
+    def argmin(emb: String, cvec: String, cid: String) =
+      s"CAST(min({'d': ${sqDistSql(emb, cvec)}, 'c': CAST($cid AS DOUBLE)}).c AS INT)"
+    "WITH RECURSIVE " +
+      "init AS (SELECT CAST(row_number() OVER (ORDER BY label) - 1 AS INT) AS cid, " +
+      "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec " +
+      "FROM (SELECT label, embedding, row_number() OVER (PARTITION BY label ORDER BY vec_id) AS rn FROM embeddings) i0 WHERE rn = 1), " +
+      "c AS (SELECT cid, cvec, 0 AS iter, CAST(1e18 AS DOUBLE) AS mv_max FROM init " +
+      "UNION ALL SELECT cid, cvec, iter, max(mv) OVER () AS mv_max FROM (" +
+      s"SELECT p.cid, COALESCE(n.ncvec, p.cvec) AS cvec, p.iter + 1 AS iter, " +
+      s"CASE WHEN n.ncvec IS NULL THEN 0.0 ELSE ${sqDistSql("p.cvec", "n.ncvec")} END AS mv " +
+      s"FROM (SELECT * FROM c WHERE mv_max > $tol AND iter < $cap) p " +
+      "LEFT JOIN (SELECT cid, list(comp ORDER BY pos) AS ncvec FROM (" +
+      "SELECT cid, g.i AS pos, CAST(sum(CAST(CAST(embedding[g.i] AS DOUBLE) AS DECIMAL(28,20))) AS DOUBLE) / count(1) AS comp " +
+      s"FROM (SELECT e.vec_id, e.embedding, ${argmin("e.embedding", "c2.cvec", "c2.cid")} AS cid " +
+      s"FROM embeddings e JOIN (SELECT * FROM c WHERE mv_max > $tol AND iter < $cap) c2 ON TRUE " +
+      "GROUP BY e.vec_id, e.embedding) a, " +
+      s"(SELECT unnest(generate_series(1, $dim)) AS i) g GROUP BY cid, g.i) rc GROUP BY cid) n ON n.cid = p.cid) stp), " +
+      "fin AS (SELECT cid, cvec FROM c WHERE iter = (SELECT max(iter) FROM c)), " +
+      "mseq AS (SELECT string_agg(CAST(CAST(floor(mv_max * 1e12) AS BIGINT) AS VARCHAR), ',' ORDER BY iter) AS movement_seq " +
+      "FROM (SELECT iter, max(mv_max) AS mv_max FROM c WHERE iter >= 1 GROUP BY iter) ms), " +
+      s"asgf AS (SELECT e.vec_id, e.label, sqrt(${sqNorm("e.embedding")}) AS nrm, " +
+      s"${argmin("e.embedding", "f.cvec", "f.cid")} AS cid " +
+      "FROM embeddings e JOIN fin f ON TRUE GROUP BY e.vec_id, e.label, e.embedding), " +
+      "lab AS (SELECT cid, label AS top_label, n AS top_n FROM (" +
+      "SELECT cid, label, count(1) AS n, row_number() OVER (PARTITION BY cid ORDER BY count(1) DESC, label) AS rn " +
+      "FROM asgf GROUP BY cid, label) lr WHERE rn = 1) " +
+      "SELECT a.cid AS cluster_id, count(1) AS n_vecs, any_value(l.top_label) AS top_label, " +
+      "round(CAST(any_value(l.top_n) AS DOUBLE) / count(1), 4) AS label_share, " +
+      "round(median(a.nrm), 6) AS median_norm, any_value(m.movement_seq) AS movement_seq " +
+      "FROM asgf a JOIN lab l ON l.cid = a.cid CROSS JOIN mseq m " +
+      "GROUP BY a.cid ORDER BY cluster_id"
+  }
+
   /** sim_hnsw oracle: the ENTIRE index build and bounded beam search
     * replayed as chained CTEs — bucket exponent from the corpus count via
     * the same integer CASE ladder as [[VectorOps.hnswBits]], sign buckets
@@ -2177,6 +2240,9 @@ object SparkEntry {
       s"s AS (SELECT q_id, c.vec_id, ${dotSql("q_emb", "c.embedding")} / (sqrt(${sqNorm("q_emb")}) * sqrt(${sqNorm("c.embedding")})) AS cos FROM c JOIN q USING (bucket)), " +
       "r AS (SELECT q_id, vec_id, cos, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn FROM s) " +
       s"SELECT q_id, vec_id, cos, CAST(rn AS INT) AS rn FROM r WHERE rn <= ${VectorOps.AnnTopK} ORDER BY q_id, rn"),
+    // the FULL float loop to convergence + cluster report (round 16 —
+    // closes the registry's last no_oracle row; see kmeansFloatSql)
+    "kmeans_clusters" -> kmeansFloatSql,
     "kmeans_assign" ->
       ("WITH r AS (SELECT vec_id, label, embedding, row_number() OVER (PARTITION BY label ORDER BY vec_id) AS rn FROM embeddings), " +
       "cent AS (SELECT CAST(row_number() OVER (ORDER BY label) - 1 AS INT) AS cid, embedding AS cvec FROM r WHERE rn = 1), " +

@@ -2745,10 +2745,19 @@ object VectorOps {
     try {
       val (centers, movements) = kmeansCentersTraced(emb)
       // the full convergence trajectory, identical on every row: the gate
-      // artifact now records WHICH path the loop took, not just where it
+      // artifact records WHICH path the loop took, not just where it
       // landed (round-7; deterministic because the center sums are exact
-      // decimals — see kmeansCentersTraced)
-      val moveSeq = movements.map(m => f"$m%.6e").mkString(",")
+      // decimals — see kmeansCentersTraced). Each movement renders as
+      // floor(m·10¹²) — an integer both engines produce bit-identically
+      // from the identical double (the graph_pagerank floor trick; the
+      // previous %.6e format was NOT cross-engine replayable — Java
+      // rounds the decimal expansion HALF_UP where C-family printf
+      // rounds half-even — which kept this query the registry's last
+      // no_oracle row, round-15 VERDICT #1). Movements are ≤ ~dim·4, so
+      // the pico-unit product stays far under 2^53 where floor parity
+      // holds exactly.
+      val moveSeq = movements.map(m => math.floor(m * 1e12).toLong.toString)
+        .mkString(",")
 
       // Final assignment, materialized eagerly with its lineage cut: the
       // report below reads it twice, and after the cut it no longer
