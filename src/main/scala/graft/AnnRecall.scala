@@ -47,6 +47,14 @@ object AnnRecall {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Widened query/corpus split (round 16 — round-15 VERDICT #2: 5
+    // queries × AnnTopK = 25 ground-truth pairs was weak statistical
+    // evidence for recall claims this central). The measurement runs the
+    // SHIPPED operators under the session split override; the gated
+    // registry keeps the default (its oracles hardcode it). 50 queries →
+    // 250 ground-truth pairs per sweep. Env-overridable for quick runs.
+    val qSet = sys.env.getOrElse("SPARK_GRAFT_QUERYSET", "50")
+    spark.conf.set(VectorOps.QrySetConf, qSet)
 
     def pairs(df: DataFrame): Set[(Long, Long)] =
       df.select("q_id", "vec_id").collect()
@@ -103,9 +111,9 @@ object AnnRecall {
     // so nProbe=10 is exhaustive — at that point the rerank row must hit
     // recall 1.0 and the ADC row isolates pure PQ-resolution loss.
     import graft.functions.Vec
-    val l2q = emb.filter(col("vec_id") < VectorOps.QuerySetSize)
+    val l2q = VectorOps.queriesOf(emb)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-    val l2want = pairs(emb.filter(col("vec_id") >= VectorOps.QuerySetSize)
+    val l2want = pairs(VectorOps.corpusOf(emb)
       .crossJoin(broadcast(l2q))
       .withColumn("d2", Vec.sqDistF(col("q_emb"), col("embedding")))
       .withColumn("rn", row_number().over(org.apache.spark.sql.expressions.Window
@@ -201,8 +209,10 @@ object AnnRecall {
     }
 
     println(s"""{"metric":"ann_recall","sf":"$dir","n_corpus":$nCorpus,""" +
+      s""""query_set":$qSet,""" +
       s""""ground_truth_pairs":${want.size},"brute_secs":${fmt(bruteSec)},""" +
       s""""sweeps":[${rows.mkString(",")}]}""")
+    spark.conf.unset(VectorOps.QrySetConf)
     spark.stop()
   }
 }

@@ -202,15 +202,24 @@ object StatefulOps {
     * derived CDC batch (`Lakehouse.cdcBatch` — one fixture, all CDC
     * gates), reduced to deltas and folded per group.
     */
-  def streamMatview(s: SparkSession, dir: String): DataFrame = {
+  /** The typed delta feed of `stream_matview` — split out so the
+    * file-source parity test (round 16) drives the IDENTICAL fixture
+    * deltas through `readStream` directory discovery.
+    */
+  private[graft] def mvDeltas(s: SparkSession, dir: String): Dataset[MvDelta] = {
     import s.implicits._
     val base = graft.operators.Lakehouse.ordersBase(s, dir)
-    val ch = graft.operators.Lakehouse.cdcBatch(base)
+    graft.operators.Lakehouse.cdcBatch(base)
       .select(col("o_custkey").as("group"),
         (coalesce(round(col("after_val") * 100, 0).cast("long"), lit(0L)) -
           coalesce(round(col("before_val") * 100, 0).cast("long"), lit(0L))).as("delta_cents"),
         when(col("op") === "I", 1L).when(col("op") === "D", -1L).otherwise(0L).as("dn"))
       .as[MvDelta]
+  }
+
+  def streamMatview(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ch = mvDeltas(s, dir)
     mvMaintain(ch).toDF()
       .select(col("group").as("o_custkey"),
         (col("sum_cents").cast("double") / 100).as("delta_sum"),

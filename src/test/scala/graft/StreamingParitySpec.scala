@@ -354,6 +354,106 @@ class StreamingParitySpec extends AnyFunSuite {
     assert(fin == batch, s"file-stream KMV drifted: $fin vs $batch")
   }
 
+  /** Multiset difference of sink snapshots — the order-free way to isolate
+    * one trigger's Update-mode emissions (round-11 ADVICE: the memory sink
+    * does not contractually guarantee collect order, so "last rows" is not
+    * a safe final-state read; snapshot-before minus snapshot-after is).
+    */
+  private def emittedAfter[T](before: Seq[T], after: Seq[T]): Seq[T] = {
+    val pool = scala.collection.mutable.Map.empty[T, Int]
+    before.foreach(r => pool.update(r, pool.getOrElse(r, 0) + 1))
+    after.filter { r =>
+      val n = pool.getOrElse(r, 0)
+      if (n > 0) { pool.update(r, n - 1); false } else true
+    }
+  }
+
+  test("file-source STATEFUL streaming: transformWithState top-N (RocksDB " +
+       "store) over a growing parquet dir == the registered batch entry " +
+       "(J7 ingest shape, r16)") {
+    // round-15 VERDICT #4: stream_topn_state proved parity via MemoryStream
+    // only; this drives the TransformWithState/ListState path through the
+    // production ingest entry point — readStream parquet DIRECTORY
+    // DISCOVERY with a second file landing mid-stream — and requires each
+    // user's FINAL ranking to equal the registered batch form.
+    import spark.implicits._
+    import graft.streaming.StatefulOps
+    import graft.streaming.StatefulOps.TopEvent
+    val dir = SparkTestSession.sfDir
+    val src = "/tmp/graft_test_topn_stream_src"
+    val evs = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("value"))
+      .as[TopEvent].collect().toSeq
+    val (b1, b2) = evs.splitAt(evs.length / 2)
+    new scala.reflect.io.Directory(new java.io.File(src)).deleteRecursively()
+    val schema = b1.toDF().schema
+    b1.toDF().write.parquet(src)
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    def snap() = spark.table("topn_fsrc_t").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    val q = StatefulOps.topnStreamQuery(
+      spark.readStream.schema(schema).parquet(src).as[TopEvent], "topn_fsrc_t")
+    val (t1, t2) =
+      try {
+        q.processAllAvailable()
+        val t1 = snap()
+        b2.toDF().write.mode("append").parquet(src)
+        q.processAllAvailable()
+        (t1, snap())
+      } finally {
+        q.stop()
+        prev match {
+          case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+          case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        }
+      }
+    // final ranking per user: trigger-2's emission when the user re-emitted
+    // (Update mode re-emits the whole refreshed ranking), else trigger-1's
+    val late = emittedAfter(t1, t2).groupBy(_._1)
+    val fin = (t1.groupBy(_._1) ++ late).values.flatten.toSet
+    val batch = StatefulOps.streamTopnState(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(late.nonEmpty, "no ranking refreshed by the second file — parity vacuous")
+    assert(fin == batch, s"file-stream top-N drifted: ${(fin diff batch).take(5)} / " +
+      s"${(batch diff fin).take(5)}")
+  }
+
+  test("file-source STATEFUL streaming: mapGroupsWithState matview over a " +
+       "growing parquet dir == the registered batch entry (J16 ingest shape, r16)") {
+    import spark.implicits._
+    import graft.streaming.StatefulOps
+    import graft.streaming.StatefulOps.MvDelta
+    val dir = SparkTestSession.sfDir
+    val src = "/tmp/graft_test_mv_stream_src"
+    val deltas = StatefulOps.mvDeltas(spark, dir).collect().toSeq
+    val (b1, b2) = deltas.splitAt(deltas.length / 2)
+    new scala.reflect.io.Directory(new java.io.File(src)).deleteRecursively()
+    val schema = b1.toDF().schema
+    b1.toDF().write.parquet(src)
+    def snap() = spark.table("mv_fsrc_t").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val q = StatefulOps.matviewStreamQuery(
+      spark.readStream.schema(schema).parquet(src).as[MvDelta], "mv_fsrc_t")
+    val (t1, t2) =
+      try {
+        q.processAllAvailable()
+        val t1 = snap()
+        b2.toDF().write.mode("append").parquet(src)
+        q.processAllAvailable()
+        (t1, snap())
+      } finally q.stop()
+    val late = emittedAfter(t1, t2).groupBy(_._1)
+    val fin = (t1.groupBy(_._1) ++ late).values.flatten
+      .map(r => (r._1, r._2, r._3)).toSet
+    val batch = StatefulOps.streamMatview(spark, dir).collect()
+      .map(r => (r.getLong(0), math.round(r.getDouble(1) * 100), r.getLong(2))).toSet
+    assert(late.nonEmpty, "no group updated by the second file — parity vacuous")
+    assert(fin == batch, s"file-stream matview drifted: ${(fin diff batch).take(5)} / " +
+      s"${(batch diff fin).take(5)}")
+  }
+
   test("withWatermark drops data later than the watermark delay (J4)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
