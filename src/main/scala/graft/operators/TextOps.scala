@@ -655,8 +655,12 @@ object TextOps {
     // same number by construction
     val (uniS, biS) = ngramCounts(s, dir)
     val uni = uniS.select(col("token").as("w"), col("c_w"))
-    val tot = uniS.agg(sum("c_w").as("t_tok"))
-      .crossJoin(biS.agg(sum("c_xy").as("n_bi")))
+    // ONE aggregation over the union of both families (a crossJoin of two
+    // 1-row aggregates would plan as a BNLJ — PlanSweepSpec bans it)
+    val tot = uniS.select(col("c_w").as("v"), lit(true).as("is_tok"))
+      .unionByName(biS.select(col("c_xy").as("v"), lit(false).as("is_tok")))
+      .agg(sum(when(col("is_tok"), col("v"))).as("t_tok"),
+        sum(when(!col("is_tok"), col("v"))).as("n_bi"))
     val bi = biS
       .filter(col("c_xy") >= CollocMinSupport &&
         size(split(col("bigram"), " ")) === 2)

@@ -33,10 +33,11 @@ class VerifySpec extends AnyFunSuite {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
 
-  test("every registered query either has an oracle or is a documented rows-only entry") {
-    val rowsOnly = Set("kmeans_clusters")
+  test("every registered query has oracle SQL — the rows-only set is EMPTY " +
+       "(round 16: kmeans_clusters, the last rows-only entry, gained its " +
+       "recursive float-loop oracle)") {
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(missing == rowsOnly,
-      s"queries without oracle SQL must be the documented rows-only set; got $missing")
+    assert(missing.isEmpty,
+      s"every query must carry oracle SQL since round 16; missing: $missing")
   }
 }
