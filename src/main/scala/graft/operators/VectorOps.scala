@@ -1558,7 +1558,7 @@ object VectorOps {
     * Determinism: shared `Vec.cosineF` folds, ranks tie-break on dst, the
     * fill order is (occluded asc, rank asc) — total.
     */
-  private def diversifiedKnn(pairs: DataFrame): DataFrame = {
+  private[graft] def diversifiedKnn(pairs: DataFrame): DataFrame = {
     val cand = pairs
       .select(col("src"), col("dst"), col("emb_b"),
         Vec.cosineF(col("emb_a"), col("emb_b")).as("c"))

@@ -1200,4 +1200,30 @@ class TextOpsSpec extends AnyFunSuite {
     val ps = out.map(_.getDouble(2))
     assert(ps.zip(ps.tail).forall { case (a, b) => a >= b }, "not PMI-descending")
   }
+
+  test("staged n-gram LM count families equal a fresh corpus derivation, " +
+       "and the totals identities hold (r16 shared-family laws)") {
+    import org.apache.spark.sql.functions._
+    val (uni, bi) = TextOps.ngramCounts(spark, SparkTestSession.sfDir)
+    val docs = Tables.documents(spark, SparkTestSession.sfDir)
+    val freshUni = docs.select(explode(split(col("text"), " ")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("c_w"))
+    val freshBi = docs.select(explode(TextOps.shingles(col("text"), 2)).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("c_xy"))
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(asMap(uni) == asMap(freshUni), "staged uni drifted from the corpus")
+    assert(asMap(bi) == asMap(freshBi), "staged bi drifted from the corpus")
+    // the totals identities the consumers rely on: t_tok = Σ c_w equals the
+    // per-doc token-count sum, and n_bi = Σ c_xy equals the per-doc
+    // greatest(nt−1, 1) sum (a doc of nt tokens yields that many 2-shingles)
+    val perDoc = docs.select(
+        size(split(col("text"), " ")).cast("long").as("nt"),
+        greatest(size(split(col("text"), " ")) - 1, lit(1)).cast("long").as("nb"))
+      .agg(sum("nt"), sum("nb")).head()
+    val sums = uni.agg(sum("c_w")).head().getLong(0) ->
+      bi.agg(sum("c_xy")).head().getLong(0)
+    assert(sums == (perDoc.getLong(0) -> perDoc.getLong(1)),
+      s"totals identities broken: $sums vs $perDoc")
+  }
 }

@@ -1300,4 +1300,39 @@ class VectorOpsSpec extends AnyFunSuite {
       new Directory(new java.io.File(dir)).deleteRecursively()
     }
   }
+
+  test("diversifiedKnn: a duplicate clique spends ONE slot, degree stays " +
+       "min(M, pool), and a clique-free pool reduces to plain kNN (r16)") {
+    import spark.implicits._
+    val dim = VectorOps.Dim
+    // src at e0; a 4-copy clique NEAR src (cos ~0.995, mutual cos 1.0);
+    // M+2 weaker but mutually-orthogonal-ish singles the prune must keep
+    def v(parts: (Int, Double)*): Array[Float] = {
+      val a = new Array[Float](dim)
+      parts.foreach { case (i, x) => a(i) = x.toFloat }
+      a
+    }
+    val src = (100L, v(0 -> 1.0))
+    val clique = (0 until 4).map(i => (200L + i, v(0 -> 1.0, 1 -> 0.1)))
+    val singles = (0 until VectorOps.HnswM + 2).map(i =>
+      (300L + i, v(0 -> 1.0, (2 + i) -> (0.8 + 0.01 * i))))
+    val nodes = (clique ++ singles).map { case (id, emb) => (src._1, src._2, id, emb) }
+    val pairs = nodes.toDF("src", "emb_a", "dst", "emb_b")
+    val got = VectorOps.diversifiedKnn(pairs).collect()
+      .map(r => r.getLong(r.fieldIndex("dst"))).toSet
+    assert(got.size == VectorOps.HnswM, s"degree ${got.size} != M")
+    // the clique (4 candidates, all mutually cos=1.0, each nearer to the
+    // others than to src) must not monopolize: exactly ONE clique member
+    // survives the occlusion prune into the M slots when enough diverse
+    // non-occluded singles exist
+    assert((got & clique.map(_._1).toSet).size == 1,
+      s"clique spent ${(got & clique.map(_._1).toSet).size} slots: $got")
+    // clique-free pool of exactly M: prune is a no-op (backfill restores)
+    val plain = singles.take(VectorOps.HnswM)
+      .map { case (id, emb) => (src._1, src._2, id, emb) }
+      .toDF("src", "emb_a", "dst", "emb_b")
+    val got2 = VectorOps.diversifiedKnn(plain).collect()
+      .map(_.getLong(1)).toSet
+    assert(got2 == singles.take(VectorOps.HnswM).map(_._1).toSet)
+  }
 }
