@@ -1767,21 +1767,36 @@ object SparkEntry {
       s"e AS (SELECT vec_id, embedding, sqrt(${sqNorm("embedding")}) AS nrm FROM embeddings), " +
       s"p AS (SELECT vec_a, vec_b, ${dotSql("ea.embedding", "eb.embedding")} / (ea.nrm * eb.nrm) AS cos FROM c JOIN e ea ON c.vec_a = ea.vec_id JOIN e eb ON c.vec_b = eb.vec_id) " +
       s"SELECT vec_a, vec_b, cos FROM p WHERE cos >= ${VectorOps.EmbedDupTau} ORDER BY vec_a, vec_b"),
-    // SemDeDup verdict: centroid CTEs shared fragment-for-fragment with
-    // sim_ivf (cell/comp/cent + the same argmin), cosine with dedup_embed;
-    // the domination CASE mirrors VectorOps.dedupSemantic's keep-priority
+    // SemDeDup verdict (adaptive since round 17 — round-16 VERDICT #1):
+    // coarse centroid CTEs shared fragment-for-fragment with sim_ivf
+    // (cell/comp/cent + the same argmin); the refinement exponent is the
+    // same integer ladder as VectorOps.semBits (min b with
+    // k0·target·2^b ≥ n, capped), the sign bucket the same masked fold as
+    // the hnsw oracle, per-cell means the same cell/comp/cent discipline
+    // keyed on the refined cid; cosine shared with dedup_embed; the
+    // domination CASE mirrors VectorOps.dedupSemantic's keep-priority
     // (dist asc, vec_id asc) term-for-term
-    "dedup_semantic" ->
-      (s"WITH cell AS (SELECT label AS c_label, g.i AS pos, CAST(CAST(embedding[g.i] AS DOUBLE) AS DECIMAL(28,20)) AS v FROM embeddings, (SELECT unnest(generate_series(1, ${VectorOps.Dim})) AS i) g), " +
+    "dedup_semantic" -> {
+      val bkt = s"CAST(list_sum(list_transform(generate_series(1, ${VectorOps.SemMaxBits}), " +
+        "i -> CASE WHEN i <= p.bits AND embedding[i] >= 0 THEN CAST(1 AS BIGINT) << (i - 1) ELSE CAST(0 AS BIGINT) END)) AS BIGINT)"
+      s"WITH p AS (SELECT coalesce(min(b), ${VectorOps.SemMaxBits}) AS bits FROM (SELECT unnest(generate_series(0, ${VectorOps.SemMaxBits - 1})) AS b) bb, " +
+      "(SELECT count(*) AS n FROM embeddings) t0, (SELECT count(DISTINCT label) AS k0 FROM embeddings) t1 " +
+      s"WHERE (k0 * ${VectorOps.SemTargetCluster}) * (CAST(1 AS BIGINT) << b) >= n), " +
+      s"cell AS (SELECT label AS c_label, g.i AS pos, CAST(CAST(embedding[g.i] AS DOUBLE) AS DECIMAL(28,20)) AS v FROM embeddings, (SELECT unnest(generate_series(1, ${VectorOps.Dim})) AS i) g), " +
       "comp AS (SELECT c_label, pos, CAST(sum(v) AS DOUBLE) / count(1) AS comp FROM cell GROUP BY 1, 2), " +
       "cent AS (SELECT c_label, list(comp ORDER BY pos) AS cvec FROM comp GROUP BY 1), " +
-      s"asg AS (SELECT vec_id, embedding, c_label, ${sqDistSql("embedding", "cvec")} AS dist, row_number() OVER (PARTITION BY vec_id ORDER BY ${sqDistSql("embedding", "cvec")}, c_label) AS rn FROM embeddings, cent), " +
-      s"a AS (SELECT vec_id, embedding, c_label AS cid, dist, sqrt(${sqNorm("embedding")}) AS nrm FROM asg WHERE rn = 1), " +
+      s"asg AS (SELECT vec_id, embedding, c_label, row_number() OVER (PARTITION BY vec_id ORDER BY ${sqDistSql("embedding", "cvec")}, c_label) AS rn FROM embeddings, cent), " +
+      s"a0 AS (SELECT vec_id, embedding, CAST(c_label AS BIGINT) * (CAST(1 AS BIGINT) << p.bits) + $bkt AS cid FROM asg, p WHERE rn = 1), " +
+      s"cc AS (SELECT cid, g.i AS pos, CAST(CAST(embedding[g.i] AS DOUBLE) AS DECIMAL(28,20)) AS v FROM a0, (SELECT unnest(generate_series(1, ${VectorOps.Dim})) AS i) g), " +
+      "cm AS (SELECT cid, pos, CAST(sum(v) AS DOUBLE) / count(1) AS comp FROM cc GROUP BY 1, 2), " +
+      "cv AS (SELECT cid, list(comp ORDER BY pos) AS cvec FROM cm GROUP BY 1), " +
+      s"a AS (SELECT a0.vec_id, a0.embedding, a0.cid, ${sqDistSql("a0.embedding", "cvec")} AS dist, sqrt(${sqNorm("a0.embedding")}) AS nrm FROM a0 JOIN cv ON a0.cid = cv.cid), " +
       "pr AS (SELECT x.vec_id, CASE WHEN y.dist < x.dist OR (y.dist = x.dist AND y.vec_id < x.vec_id) THEN 1 ELSE 0 END AS dom " +
       s"FROM a x JOIN a y ON x.cid = y.cid AND x.vec_id <> y.vec_id AND ${dotSql("x.embedding", "y.embedding")} / (x.nrm * y.nrm) >= ${VectorOps.SemDupTau}), " +
       "v AS (SELECT vec_id, count(1) AS n_dup_nbrs, max(dom) AS dominated FROM pr GROUP BY 1) " +
       "SELECT a.vec_id, CAST(a.cid AS INT) AS cid, round(a.dist, 6) AS c_dist, CAST(coalesce(v.n_dup_nbrs, 0) AS INT) AS n_dup_nbrs, CAST(CASE WHEN coalesce(v.dominated, 0) = 1 THEN 0 ELSE 1 END AS INT) AS kept " +
-      "FROM a LEFT JOIN v ON a.vec_id = v.vec_id ORDER BY a.vec_id"),
+      "FROM a LEFT JOIN v ON a.vec_id = v.vec_id ORDER BY a.vec_id"
+    },
     // linear-scale SemDeDup: cluster = own sign bucket (no argmin), bucket
     // means via the shared cell/comp/cent discipline, same domination CASE
     "dedup_semantic_lsh" -> {

@@ -502,7 +502,11 @@ object EventOps {
     * Long at ~2.5×10⁹ events on one hot key at cents ~6×10⁴): Σv and Σv²
     * accumulate in DECIMAL(38,0) — exactly DuckDB's own BIGINT-sum →
     * HUGEINT widening — and the comparison's triple products run in the
-    * same type, carrying the worst term past n ~10¹⁰ per key. The
+    * same type. Bounds differ per term (round-16 ADVICE): n·Σv² holds to
+    * n ~10¹⁰ per key, but the LHS dev²·(n−1) grows ~n³·cents² and can
+    * saturate 38 digits around n ~10⁹·⁵ on one hot key at cents ~6×10⁴ —
+    * under ANSI that overflow ERRORS LOUDLY (both engines), never
+    * produces wrong rows; it is the documented extreme-hot-key limit. The
     * EMITTED s1/s2 stay BIGINT (the cross-engine schema): the narrowing
     * cast fails loudly at the same point DuckDB's CAST(sum AS BIGINT)
     * errors, instead of the old silent wrap inside the accumulator.

@@ -2445,34 +2445,76 @@ object VectorOps {
     */
   val SemDupTau = 0.35
 
-  /** §2.K2g `dedup_semantic` (round 9): SEMANTIC deduplication, the
-    * modern embedding-cluster-then-prune stage (SemDeDup, Abbas et al.
-    * 2023 — the shape behind LAION/web-scale corpus pruning): cluster the
-    * embedding space, then within each cluster drop every vector that has
-    * a cosine-≥ τ neighbour of higher keep-priority. Keep-priority is
-    * (closer to own centroid, then lower vec_id) — the paper's
-    * "most-representative member survives" policy under a TOTAL
-    * deterministic order (K6′'s argmax discipline, on doubles both
-    * engines compute bit-identically).
+  /** Target within-cell population of the ADAPTIVE semantic-dedup
+    * refinement (round-16 VERDICT #1): the cell count grows with the
+    * corpus so cells hold ~this many vectors at any scale — the SemDeDup
+    * contract (k ∝ N ⇒ Σ|cell|² ≈ N·target), the same discipline as
+    * [[HnswTargetList]].
+    */
+  val SemTargetCluster = 64L
+
+  /** Refinement-exponent cap: cid = coarse·2^b + bucket must stay in INT
+    * range at any coarse count the fixtures use (10·2^24 < 2^31), and
+    * 2^24 cells × 64 target ≈ 10⁹ vectors per coarse cell — ample.
+    */
+  val SemMaxBits = 24
+
+  /** `graft.semBits` session conf pins the refinement exponent — the
+    * law/bench-exhibit knob (b = 0 replays the pre-round-17 fixed-k form
+    * whose Σ|cluster|² ≈ N²/k made it the registry's one scale-killer at
+    * 100×). The registered query never sets it: both engines derive the
+    * exponent from the corpus count via the same integer ladder.
+    */
+  val SemBitsConf = "graft.semBits"
+
+  /** Refinement exponent for k0 coarse cells over n vectors: the smallest
+    * b ≥ 0 with k0·[[SemTargetCluster]]·2^b ≥ n (capped at
+    * [[SemMaxBits]]). Pure integer comparisons — the oracle's
+    * min-over-series replay lands on the identical exponent for the
+    * identical counts (the [[hnswBits]] discipline).
+    */
+  private[graft] def semBits(k0: Long, n: Long): Int = {
+    var b = 0
+    while (b < SemMaxBits && ((k0 * SemTargetCluster) << b) < n) b += 1
+    b
+  }
+
+  /** §2.K2g `dedup_semantic` (round 9; adaptive since round 17): SEMANTIC
+    * deduplication, the modern embedding-cluster-then-prune stage
+    * (SemDeDup, Abbas et al. 2023 — the shape behind LAION/web-scale
+    * corpus pruning): cluster the embedding space, then within each
+    * cluster drop every vector that has a cosine-≥ τ neighbour of higher
+    * keep-priority. Keep-priority is (closer to own cell centroid, then
+    * lower vec_id) — the paper's "most-representative member survives"
+    * policy under a TOTAL deterministic order (K6′'s argmax discipline,
+    * on doubles both engines compute bit-identically).
     *
-    * Structure: (1) centroids = [[labelMeanCentroids]] — sim_ivf's
+    * Structure: (1) coarse centroids = [[labelMeanCentroids]] — sim_ivf's
     * exact-decimal build, oracle-reproducible where k-means' driver loop
     * is not (at deployment the centroids come from `kmeans_clusters`;
-    * everything downstream is unchanged); (2) assignment is SHUFFLE-FREE
-    * (broadcast k×dim centroid row, per-row codegen'd struct-argmin —
-    * ties to the lower label, total); (3) candidate pairs come ONLY from
-    * the within-cluster equi-join on cid — the SemDeDup contract: k grows
-    * with the corpus (k ≈ N/target-cluster-size), so Σ|cluster|² stays
-    * ~N·|cluster| — linear in N at fixed cluster size, never all-pairs
-    * (PlanSweepSpec bans CartesianProduct); (4) the verdict emits EVERY
-    * vector with its cluster, centroid distance, ≥τ-neighbour count and
-    * kept flag, so both branches are hash-gated.
+    * everything downstream is unchanged); (2) coarse assignment is
+    * SHUFFLE-FREE (broadcast k0×dim centroid row, per-row codegen'd
+    * struct-argmin — ties to the lower label, total); (3) the cell id
+    * REFINES the coarse cell with b corpus-adaptive sign-bucket bits
+    * (cid = coarse·2^b + [[graft.functions.Vec.signBucket]]), b from the
+    * [[semBits]] integer ladder — round-16 VERDICT #1: at fixed k = 10
+    * the within-cluster pair mass Σ|cluster|² ≈ N²/k made this the
+    * registry's one scale-killer (418.8 s = 27% of the whole 204-query
+    * wall at 100×); with k0·2^b ∝ N the mass stays ≈ N·[[SemTargetCluster]]
+    * — linear, never all-pairs (PlanSweepSpec bans CartesianProduct);
+    * (4) keep-priority distance is to the CELL's own exact-decimal mean
+    * (the cluster that actually bounds the candidate pairs — the
+    * `dedup_semantic_lsh` discipline), one posexplode partial-agg pass;
+    * (5) the verdict emits EVERY vector with its cell, centroid distance,
+    * ≥τ-neighbour count and kept flag, so both branches are hash-gated.
     *
-    * Exactness: centroid means are order-invariant exact decimals; sqdist
-    * / cosine are sequential HOF folds over identical doubles (the
-    * sim_ivf / dedup_embed parity arguments); the domination predicate
-    * compares those doubles and breaks ties by vec_id — total, so the
-    * verdict is reproducible at any partition count or input order.
+    * Exactness: cell means are order-invariant exact decimals; sqdist /
+    * cosine are sequential HOF folds over identical doubles (the sim_ivf
+    * / dedup_embed parity arguments); the domination predicate compares
+    * those doubles and breaks ties by vec_id — total, so the verdict is
+    * reproducible at any partition count or input order. The ladder costs
+    * two driver-side counts (coarse frame is k0 rows; the corpus count is
+    * one footer-metadata job) — index-build state, like [[hnswBits]].
     */
   def dedupSemantic(s: SparkSession, dir: String): DataFrame =
     dedupSemanticWith(Tables.embeddings(s, dir), null)
@@ -2504,7 +2546,13 @@ object VectorOps {
     */
   private[graft] def dedupSemanticWith(emb: DataFrame, cent0: DataFrame): DataFrame = {
     import graft.functions.ScalarAttach._
+    val s = emb.sparkSession
     val cent = if (cent0 == null) labelMeanCentroids(emb) else cent0
+    // corpus-adaptive refinement exponent (round-16 VERDICT #1): derived
+    // once at "index build" from the coarse-cell and corpus counts; the
+    // conf override exists only for the fixed-k law/bench exhibit
+    val bits = s.conf.getOption(SemBitsConf).map(_.toInt)
+      .getOrElse(semBits(cent.count(), emb.count()))
     val centsRow = cent
       .agg(collect_list(struct(col("c_label"), col("cvec"))).as("cents"))
       .lineageCut(eager = false)
@@ -2512,13 +2560,26 @@ object VectorOps {
       array_min(transform(col("cents"),
         c => struct(Vec.sqDistF(v, c.getField("cvec")).as("dist"),
           c.getField("c_label").as("lbl"))))
+    // cell id = coarse argmin refined by b sign-bucket bits; at b = 0 the
+    // cell IS the coarse cell (the small-corpus fixed point of the ladder)
+    val coarse = emb.attachScalarRow(centsRow)
+      .select(col("vec_id"), col("embedding"),
+        (nearest(col("embedding")).getField("lbl").cast("long") * (1L << bits)
+          + (if (bits == 0) lit(0L) // signBucket folds ≥1 bit terms
+             else Vec.signBucket(col("embedding"), bits))).as("cid"))
+    // per-cell exact-decimal means — the keep-priority anchor is the cell
+    // that actually bounds the candidate pairs (the dedup_semantic_lsh
+    // discipline); NOT broadcast: the cell count grows ∝ N/target, so the
+    // mean frame joins back by its key (AQE picks broadcast while small)
+    val cellCent = labelMeanCentroids(
+        coarse.select(col("cid").as("label"), col("embedding")))
+      .select(col("c_label").as("cid"), col("cvec"))
     // assignment frame is referenced twice (pair join + verdict join);
     // the lineage cut materializes the one centroid aggregation + assign
     // pass instead of recomputing it per reference
-    val a = emb.attachScalarRow(centsRow)
-      .select(col("vec_id"), col("embedding"),
-        nearest(col("embedding")).getField("lbl").as("cid"),
-        nearest(col("embedding")).getField("dist").as("c_dist_raw"))
+    val a = coarse.join(cellCent, "cid")
+      .select(col("vec_id"), col("embedding"), col("cid"),
+        Vec.sqDistF(col("embedding"), col("cvec")).as("c_dist_raw"))
       .lineageCut(eager = false)
     // within-cluster ≥τ neighbours, with the domination verdict folded
     // into the same pass: y beats x iff closer to the centroid (vec_id
@@ -2777,9 +2838,14 @@ object VectorOps {
       // rounds half-even — which kept this query the registry's last
       // no_oracle row, round-15 VERDICT #1). Movements are ≤ ~dim·4, so
       // the pico-unit product stays far under 2^53 where floor parity
-      // holds exactly.
-      val moveSeq = movements.map(m => math.floor(m * 1e12).toLong.toString)
-        .mkString(",")
+      // holds exactly — guarded (round-16 ADVICE): an out-of-range
+      // movement from a larger-magnitude fixture must fail loudly here,
+      // not surface as an unexplained cross-engine hash mismatch.
+      val moveSeq = movements.map { m =>
+        require(m < (1L << 53) / 1e12,
+          s"kmeans movement $m exceeds the 2^53/1e12 floor-parity bound")
+        math.floor(m * 1e12).toLong.toString
+      }.mkString(",")
 
       // Final assignment, materialized eagerly with its lineage cut: the
       // report below reads it twice, and after the cut it no longer

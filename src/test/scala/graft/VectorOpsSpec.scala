@@ -260,6 +260,60 @@ class VectorOpsSpec extends AnyFunSuite {
       assert(got(id) == ((0, 1)), s"clean v$id must be kept with no dup nbrs: ${got(id)}")
   }
 
+  test("dedup_semantic semBits ladder: smallest b with k0·target·2^b ≥ n, capped") {
+    // the fixture corpus sizes the gates actually run (k0 = 10 labels)
+    assert(VectorOps.semBits(10, 500) == 0, "sf0.001/0.01: no refinement")
+    assert(VectorOps.semBits(10, 2000) == 2, "sf0.1: 40 cells")
+    assert(VectorOps.semBits(10, 200000) == 9, "100x staging: 5120 cells")
+    // monotone in n, and the cap binds instead of overflowing INT cids
+    assert(VectorOps.semBits(1, 64) == 0)
+    assert(VectorOps.semBits(1, 65) == 1)
+    assert(VectorOps.semBits(1, Long.MaxValue) == VectorOps.SemMaxBits)
+  }
+
+  test("dedup_semantic adaptive refinement: planted dup still pruned, candidate mass strictly below the fixed-k exhibit") {
+    import spark.implicits._
+    // single label => k0 = 1; n = 202 > 2·SemTargetCluster => bits ≥ 2.
+    // v0/v1 are a planted near-dup pair with identical signs on every dim
+    // (same sign bucket at any b); fill vectors carry mixed signs so the
+    // refinement actually splits the one coarse cell.
+    val rnd = new scala.util.Random(17)
+    val fill = (2 until 202).map { i =>
+      (i.toLong, Seq.fill(8)((rnd.nextFloat() - 0.5f) * 10f), 0)
+    }
+    val rows = Seq(
+      (0L, Seq(10f, 2f, 1f, 1f, 1f, 1f, 1f, 1f), 0),
+      (1L, Seq(9.9f, 2.1f, 1f, 1f, 1f, 1f, 1f, 1f), 0)) ++ fill
+    val dir = "/tmp/graft_test_semadapt"
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    def cellMass(df: org.apache.spark.sql.DataFrame): Long =
+      df.groupBy("cid").count().collect().map { r =>
+        val n = r.getLong(1); n * n
+      }.sum
+    val adaptive = VectorOps.dedupSemantic(spark, dir).cache()
+    try {
+      val verdicts = adaptive.collect().map(r => r.getLong(0) ->
+        (r.getInt(r.fieldIndex("n_dup_nbrs")), r.getInt(r.fieldIndex("kept")))).toMap
+      assert(verdicts.size == 202, "every vector gets a verdict row")
+      assert(verdicts(0L)._1 >= 1 && verdicts(1L)._1 >= 1,
+        s"planted pair must see each other: ${verdicts(0L)} / ${verdicts(1L)}")
+      assert(verdicts(0L)._2 + verdicts(1L)._2 <= 1,
+        "the domination order must drop at least one of the planted pair")
+      // the round-16 fixed-k=1 exhibit (forced b = 0): one cell of 202 =>
+      // mass n² — the quadratic shape the adaptive ladder exists to kill
+      val fixed =
+        try {
+          spark.conf.set(VectorOps.SemBitsConf, "0")
+          VectorOps.dedupSemantic(spark, dir)
+        } finally spark.conf.unset(VectorOps.SemBitsConf)
+      assert(cellMass(fixed) == 202L * 202L, "b=0 is the single-cell exhibit")
+      assert(cellMass(adaptive) < 202L * 202L / 2,
+        s"adaptive mass ${cellMass(adaptive)} must break the quadratic shape")
+      assert(adaptive.select("cid").distinct().count() > 1, "refinement split the cell")
+    } finally adaptive.unpersist()
+  }
+
   test("dedup_semantic_lsh: co-bucketed planted dup pruned, sign-separated vectors untouched") {
     import spark.implicits._
     // dim 8, SemLshBits=5: v0/v1 share sign pattern 11111 (one bucket) at
