@@ -131,6 +131,7 @@ object SparkEntry {
     "stream_anomaly" -> (graft.streaming.StatefulOps.streamAnomaly _),
     "event_markov" -> (EventOps.eventMarkov _),
     "stream_kmv" -> (graft.streaming.StatefulOps.streamKmv _),
+    "stream_dedup_minhash" -> (graft.streaming.StatefulOps.streamDedupMinhash _),
     "scan_timetravel" -> (Lakehouse.scanTimetravel _),
     "join_interval" -> (EventOps.joinInterval _),
     "stream_stateful" -> (graft.streaming.StatefulOps.streamStateful _),
@@ -1754,6 +1755,10 @@ object SparkEntry {
     "dedup_exact" ->
       "SELECT sha256(text) AS content_hash, min(doc_id) AS keep_id, count(1) AS n_copies FROM documents GROUP BY 1 ORDER BY keep_id",
     "dedup_minhash" ->
+      s"WITH $minhashCandSql, j AS (SELECT doc_a, doc_b, round(CAST(len(list_intersect(wa.hv, wb.hv)) AS DOUBLE) / len(list_distinct(list_concat(wa.hv, wb.hv))), 6) AS jaccard FROM c JOIN w wa ON c.doc_a = wa.doc_id JOIN w wb ON c.doc_b = wb.doc_id) SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= ${TextOps.MinhashTau} ORDER BY doc_a, doc_b",
+    // the ingest-time twin computes the IDENTICAL pair set (the funnel /
+    // anomaly twin discipline: one oracle, two implementations)
+    "stream_dedup_minhash" ->
       s"WITH $minhashCandSql, j AS (SELECT doc_a, doc_b, round(CAST(len(list_intersect(wa.hv, wb.hv)) AS DOUBLE) / len(list_distinct(list_concat(wa.hv, wb.hv))), 6) AS jaccard FROM c JOIN w wa ON c.doc_a = wa.doc_id JOIN w wb ON c.doc_b = wb.doc_id) SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= ${TextOps.MinhashTau} ORDER BY doc_a, doc_b",
     "dedup_simhash" ->
       s"WITH $simhashShSql SELECT simhash, count(1) AS n_docs, min(doc_id) AS min_doc FROM sh GROUP BY 1 ORDER BY simhash",

@@ -934,6 +934,19 @@ object TextOps {
       ).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
 
+  /** Scala twin of one band's signature (the [[bandSignaturesHof]]
+    * formula on a driver/state-side Seq): the streaming bucket fold uses
+    * it to decide pair OWNERSHIP — a candidate pair colliding in several
+    * bands is emitted only by its smallest colliding band, which
+    * deduplicates across buckets without a second stateful operator.
+    * Long arithmetic is exact (h < 2³¹, factor ≤ 7), so the value is
+    * bit-identical to the column form.
+    */
+  private[graft] def bandSigOf(hv: Seq[Long], b: Int): Option[Long] = {
+    val perm = hv.map(h => ((2L * b + 1) * h + 12345L * b + 1) % MinhashP).sorted
+    if (perm.size < 2) None else Some(perm(0) * 2147483648L + perm(1))
+  }
+
   /** K2 `dedup_minhash`: banded MinHash LSH near-dup detection.
     * shingle(3-word) → per-band min-signature → candidate pairs from a
     * bucket self-join on (band, sig) → exact Jaccard verification ≥ τ.

@@ -826,6 +826,140 @@ object StatefulOps {
       .start()
   }
 
+  // ------------------------------------------------------------------
+  // flatMapGroupsWithState banded MinHash near-dup dedup (§2.K2's
+  // ingest-time twin — round-16 VERDICT #4: the one LLM-dedup family
+  // member that had no streaming form under the twin discipline)
+  // ------------------------------------------------------------------
+
+  /** One (band, sig) bucket row of an arriving document: the banded-LSH
+    * index entry, with the doc's full hashed-shingle set riding along so
+    * the bucket fold can Jaccard-verify candidates without a join back
+    * to the corpus.
+    */
+  case class BandHv(band: Int, sig: Long, doc_id: Long, hv: Seq[Long])
+
+  case class MemberDoc(doc_id: Long, hv: Seq[Long])
+
+  /** Per-bucket state: every doc ingested into this (band, sig) bucket —
+    * exactly the posting list a persisted banded-LSH index keeps, so
+    * state mass is the index mass (4 band rows per doc) and a batch
+    * probe costs O(|bucket|) per key.
+    */
+  case class MinhashBucket(docs: Seq[MemberDoc])
+
+  /** Candidate pair with raw intersection/union set sizes — the Jaccard
+    * division + round runs DOWNSTREAM as the same Catalyst expression the
+    * batch form uses, so rounding can never drift between twins.
+    */
+  case class CandPair(doc_a: Long, doc_b: Long, n_inter: Int, n_union: Int)
+
+  /** Bucket fold: probe arrivals against the bucket's existing members
+    * (and earlier same-trigger arrivals, in doc_id order), then append
+    * them. A pair colliding in several bands is emitted ONLY by its
+    * smallest colliding band ([[graft.operators.TextOps.bandSigOf]] —
+    * a pure function of the two hv sets, so every bucket agrees without
+    * coordination); the union over buckets is then exactly the batch
+    * form's `distinct()` candidate set, with no second stateful
+    * operator in the streaming plan.
+    */
+  private def minhashBucketFold(key: (Int, Long), rows: Iterator[BandHv],
+                                state: GroupState[MinhashBucket]): Iterator[CandPair] = {
+    val band = key._1
+    val out = Seq.newBuilder[CandPair]
+    var members = state.getOption.map(_.docs.toList).getOrElse(Nil)
+    rows.toArray.sortBy(_.doc_id).foreach { r =>
+      members.foreach { m =>
+        if (m.doc_id != r.doc_id) {
+          val (a, b) =
+            if (m.doc_id < r.doc_id) (m, MemberDoc(r.doc_id, r.hv)) else (MemberDoc(r.doc_id, r.hv), m)
+          val owned = (0 until band).forall { j =>
+            (graft.operators.TextOps.bandSigOf(a.hv, j),
+             graft.operators.TextOps.bandSigOf(b.hv, j)) match {
+              case (Some(x), Some(y)) => x != y
+              case _ => true
+            }
+          }
+          if (owned) {
+            val sa = a.hv.toSet
+            val sb = b.hv.toSet
+            out += CandPair(a.doc_id, b.doc_id, (sa & sb).size, (sa | sb).size)
+          }
+        }
+      }
+      members ::= MemberDoc(r.doc_id, r.hv)
+    }
+    state.update(MinhashBucket(members))
+    out.result().iterator
+  }
+
+  /** The banded index rows a document contributes — (band, sig, doc_id,
+    * hv), null signatures excluded (a null sig matches nothing in the
+    * batch bucket join either). Shared by the gated batch entry and the
+    * parity tests' streaming feeds.
+    */
+  private[graft] def minhashBandRows(docs: DataFrame): Dataset[BandHv] = {
+    import docs.sparkSession.implicits._
+    import graft.operators.TextOps
+    docs
+      .select(col("doc_id"), TextOps.hashedShingles(col("text"), 3).as("hv"))
+      .select(col("doc_id"), col("hv"),
+        posexplode(graft.plans.BandSigs.of(col("hv"), TextOps.MinhashBands)))
+      .filter(col("col").isNotNull)
+      .select(col("pos").cast("int").as("band"), col("col").as("sig"),
+        col("doc_id"), col("hv"))
+      .as[BandHv]
+  }
+
+  /** Jaccard verify + τ filter over the fold's raw set sizes — the SAME
+    * Catalyst round/divide the batch `dedup_minhash` uses.
+    */
+  private[graft] def minhashVerify(pairs: DataFrame): DataFrame = {
+    import graft.operators.TextOps
+    pairs
+      .withColumn("jaccard",
+        round(col("n_inter").cast("double") / col("n_union"), 6))
+      .filter(col("jaccard") >= TextOps.MinhashTau)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** `stream_dedup_minhash`: banded MinHash near-dup detection MAINTAINED
+    * at ingest — per-(band, sig) bucket state probed by each arriving
+    * document, instead of the batch bucket self-join over the whole
+    * corpus. Same oracle SQL as `dedup_minhash`: the two forms must agree
+    * row-for-row (the KMV/anomaly/matview/funnel twin discipline), and
+    * the cross-trigger parity test additionally proves the fold emits
+    * every pair exactly once when the corpus arrives incrementally.
+    * Scale shape: state = the banded-LSH index itself (RocksDB-backed at
+    * deployment), one shuffle by (band, sig); per-trigger cost is
+    * ∝ |batch| · bucket occupancy — corpus size enters only through
+    * near-dup bucket mass, never a rescan.
+    */
+  def streamDedupMinhash(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    minhashVerify(
+      minhashBandRows(Tables.documents(s, dir))
+        .groupByKey(r => (r.band, r.sig))
+        .flatMapGroupsWithState(OutputMode.Append(),
+          GroupStateTimeout.NoTimeout())(minhashBucketFold)
+        .toDF())
+      .oracleSorted("doc_a", "doc_b")
+  }
+
+  /** Streaming entry — used by the cross-trigger parity test. */
+  def minhashStreamQuery(rows: Dataset[BandHv], queryName: String) = {
+    import rows.sparkSession.implicits._
+    rows
+      .groupByKey(r => (r.band, r.sig))
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout())(minhashBucketFold)
+      .writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode(OutputMode.Append())
+      .start()
+  }
+
   /** Streaming entry — used by the cross-trigger parity test. */
   def anomalyStreamQuery(events: Dataset[AnomEvent], queryName: String) = {
     import events.sparkSession.implicits._

@@ -39,7 +39,7 @@ def spark_rows(verify_dir, name):
                for f in g.glob(f"{verify_dir}/{name}/*.parquet"))
 
 
-def run_one(sf_dir, verify_dir, name, mode, timeout_sec, unordered, mem):
+def run_once(sf_dir, verify_dir, name, mode, timeout_sec, unordered, mem):
     part = f"{verify_dir}/.gate_{name}.json"
     cmd = [sys.executable, str(HERE / "selfcheck.py"), sf_dir, verify_dir,
            "--only", name, "--json", part, "--timeout-sec", str(timeout_sec)]
@@ -48,16 +48,14 @@ def run_one(sf_dir, verify_dir, name, mode, timeout_sec, unordered, mem):
     elif unordered:
         cmd.append("--unordered")
     env = dict(os.environ, SELFCHECK_MEM=mem)
-    t0 = time.time()
     # hard wall: timeout-sec bounds the ORACLE; give the process itself
     # 3x for parquet IO + interpreter startup, then declare it wedged
     try:
         p = subprocess.run(cmd, capture_output=True, text=True, env=env,
                            timeout=3 * timeout_sec + 120)
     except subprocess.TimeoutExpired:
-        return name, {"status": "gate_wedged", "rows": None,
-                      "detail": f"subprocess exceeded {3 * timeout_sec + 120}s"}, \
-               time.time() - t0
+        return {"status": "gate_wedged", "rows": None,
+                "detail": f"subprocess exceeded {3 * timeout_sec + 120}s"}
     try:
         rec = json.load(open(part))["queries"][name]
     except Exception as e:
@@ -68,6 +66,28 @@ def run_one(sf_dir, verify_dir, name, mode, timeout_sec, unordered, mem):
             os.remove(part)
         except OSError:
             pass
+    return rec
+
+
+# statuses that mean "the FULL compare was intractable here", after which the
+# agg fallback still extracts a verdict (round-16 VERDICT #3) — a plain fail
+# is a genuine mismatch and must NOT be retried away
+INTRACTABLE = ("oracle_timeout", "oracle_oom", "gate_wedged", "gate_error")
+
+
+def run_one(sf_dir, verify_dir, name, mode, timeout_sec, unordered, mem):
+    t0 = time.time()
+    if mode == "full_then_agg":
+        rec = run_once(sf_dir, verify_dir, name, "full", timeout_sec,
+                       unordered, mem)
+        if rec["status"] in INTRACTABLE:
+            first = rec["status"]
+            rec = run_once(sf_dir, verify_dir, name, "agg", timeout_sec,
+                           unordered, mem)
+            rec["fallback_from"] = first
+    else:
+        rec = run_once(sf_dir, verify_dir, name, mode, timeout_sec,
+                       unordered, mem)
     return name, rec, time.time() - t0
 
 
@@ -79,6 +99,11 @@ def main():
     ap.add_argument("--shards", type=int, default=4)
     ap.add_argument("--timeout-sec", type=float, default=600)
     ap.add_argument("--agg-threshold", type=int, default=200_000)
+    ap.add_argument("--full-first-threshold", type=int, default=5_000_000,
+                    help="rows up to which the full (hash) compare is tried "
+                         "FIRST, falling back to --agg only if the oracle "
+                         "times out / OOMs (round-16 VERDICT #3); above "
+                         "this, straight to agg")
     ap.add_argument("--unordered", action="store_true")
     ap.add_argument("--exclude", default="",
                     help="comma-separated: skip entirely, recorded as excluded_manual")
@@ -94,13 +119,21 @@ def main():
             report[name] = {"status": "excluded_manual", "rows": None}
             continue
         rows = spark_rows(args.verify_dir, name)
-        mode = "agg" if rows > args.agg_threshold else "full"
+        if rows <= args.agg_threshold:
+            mode = "full"
+        elif rows <= args.full_first_threshold:
+            mode = "full_then_agg"
+        else:
+            mode = "agg"
         order.append((rows, name, mode))
     # largest first: the slow tail starts immediately, shards stay busy
     order.sort(reverse=True)
-    print(f"{len(order)} queries ({sum(1 for r in order if r[2] == 'agg')} agg-mode, "
-          f"threshold {args.agg_threshold}), {args.shards} shards, "
-          f"oracle budget {args.timeout_sec:.0f}s, mem {args.mem}")
+    n_by = {m: sum(1 for r in order if r[2] == m)
+            for m in ("full", "full_then_agg", "agg")}
+    print(f"{len(order)} queries (modes {n_by}, agg threshold "
+          f"{args.agg_threshold}, full-first to {args.full_first_threshold}), "
+          f"{args.shards} shards, oracle budget {args.timeout_sec:.0f}s, "
+          f"mem {args.mem}")
 
     t0 = time.time()
     with cf.ThreadPoolExecutor(max_workers=args.shards) as ex:

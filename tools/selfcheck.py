@@ -125,8 +125,13 @@ def main(sf_dir, out_dir, unordered=False, json_out=None, timeout_sec=None,
         pdir = f"{out_dir}/{name}"
         files = glob.glob(f"{pdir}/*.parquet")
         if not files:
-            print(f"FAIL {name}: no spark output")
-            record(name, "fail", detail="no spark output"); n_fail += 1; continue
+            # Not-run is NOT a failure verdict (round-16 VERDICT #2: targeted
+            # gate runs against a partial Verify dump recorded every absent
+            # query as fail, so a green round read red). The skipped count is
+            # surfaced in the headline so a partial run never reads as
+            # "everything verified".
+            print(f"SKIP {name}: no spark output (query not run)")
+            record(name, "skipped", detail="no spark output (not run)"); continue
         con = None
         try:
             con = fresh_con()
@@ -246,14 +251,16 @@ def main(sf_dir, out_dir, unordered=False, json_out=None, timeout_sec=None,
     n_excl = sum(1 for r in report.values()
                  if r["status"] in ("oracle_timeout", "oracle_oom"))
     n_noracle = sum(1 for r in report.values() if r["status"] == "no_oracle")
+    n_skip = sum(1 for r in report.values() if r["status"] == "skipped")
     print(f"\n{n_pass} pass / {n_fail} fail / {n_excl} excluded"
-          f" / {n_noracle} no_oracle")
+          f" / {n_noracle} no_oracle / {n_skip} skipped")
     if json_out:
         with open(json_out, "w") as f:
             json.dump({"mode": "unordered" if unordered else "ordered",
                        "sf_dir": sf_dir, "verify_dir": out_dir,
                        "n_pass": n_pass, "n_fail": n_fail,
                        "n_excluded": n_excl, "n_no_oracle": n_noracle,
+                       "n_skipped": n_skip,
                        "queries": report}, f, indent=1)
         print(f"wrote {json_out}")
     return 1 if n_fail else 0
