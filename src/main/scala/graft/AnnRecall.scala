@@ -227,6 +227,24 @@ object AnnRecall {
         }
       }
 
+      // sim_hnsw ITERS ladder (round-16 VERDICT #6): on the hard 1× random
+      // geometry, is the 3-round expansion cap or the graph's reachability
+      // binding beam-8 recall? The conf (default pinned for the gated
+      // oracle) widens only here; rows are keyed iters·100 + beam so one
+      // sweep array carries the 2-D grid.
+      sweep(VectorOps.HnswItersConf) {
+        sweep(VectorOps.HnswBeamConf) {
+          for (it <- Seq(3, 5, 8); bm <- Seq(VectorOps.HnswBeam.toLong,
+                                             4L * VectorOps.HnswBeam)) {
+            spark.conf.set(VectorOps.HnswItersConf, it.toString)
+            spark.conf.set(VectorOps.HnswBeamConf, bm.toString)
+            val (got, sec) = timed(pairs(VectorOps.simHnsw(spark, dir)))
+            row("sim_hnsw_iters", it * 100L + bm, want, got, sec,
+              VectorOps.hnswVisited(spark, dir).count())
+          }
+        }
+      }
+
       println(s"""{"metric":"ann_recall","sf":"$dir","n_corpus":$nCorpus,""" +
         s""""query_set":$qSet,""" +
         s""""ground_truth_pairs":${want.size},"brute_secs":${fmt(bruteSec)},""" +

@@ -27,6 +27,7 @@ object SparkEntry {
     "scan_orc" -> (Relational.scanOrc _),
     "scan_nested" -> (Relational.scanNested _),
     "scan_binaryfile" -> (Relational.scanBinaryfile _),
+    "scan_packed" -> (Relational.scanPacked _),
     "scan_evolved" -> (Relational.scanEvolved _),
     "scan_partitioned" -> (Relational.scanPartitioned _),
     "scan_dpp" -> (Relational.scanDpp _),
@@ -983,6 +984,10 @@ object SparkEntry {
     // the oracle reads the ROW form the files were staged from — the hash
     // match proves the byte-exact file round-trip and the path→id binding
     "scan_binaryfile" ->
+      "SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, md5(text) AS checksum FROM documents ORDER BY doc_id",
+    // the packed twin must round-trip the identical bytes (one oracle, two
+    // ingest paths: per-file source vs packed parquet binary columns)
+    "scan_packed" ->
       "SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, md5(text) AS checksum FROM documents ORDER BY doc_id",
     "scan_partitioned" ->
       "SELECT doc_id, lang, source, n_chars FROM documents WHERE lang = 'en' ORDER BY doc_id",

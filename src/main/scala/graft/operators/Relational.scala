@@ -453,6 +453,53 @@ object Relational {
       .oracleSorted("doc_id")
   }
 
+  /** Fixed staging root of the packed-payload parquet mirror `scan_packed`
+    * reads (same indirection discipline as the other staged families).
+    */
+  val PackStageDir = "/tmp/graft_scan_packed"
+
+  /** The one-time packing backfill: read the per-file binary staging ONCE
+    * through the `binaryFile` source and write (doc_id, content) into
+    * parquet BINARY columns — the `multimodal_decode` input shape. This is
+    * the step `scan_binaryfile`'s scaladoc prescribes for 100 TB: after
+    * it, every downstream scan pays parquet column-chunk IO (splittable,
+    * footer-pruned, a few thousand row groups) instead of per-file
+    * open/list cost over millions of objects.
+    */
+  private def stagePacked(s: SparkSession, dir: String): Unit = synchronized {
+    withStageLock(PackStageDir) {
+      stageInto(PackStageDir,
+        s"$dir|pack1|${sourceFingerprint(s"$dir/documents.parquet")}") { target =>
+        stageBinary(s, dir)
+        s.read.format("binaryFile").option("pathGlobFilter", "*.txt")
+          .load(s"${stagedRoot(BinStageDir)}/documents")
+          .select(
+            regexp_extract(col("path"), "([0-9]+)\\.txt$", 1).cast("long").as("doc_id"),
+            col("content"))
+          .write.mode("overwrite").parquet(s"$target/packed")
+      }
+    }
+  }
+
+  /** A2‴′ `scan_packed` (round 17 — round-16 VERDICT #5): the EXECUTED
+    * packing swap. Same feature derivation as `scan_binaryfile` (size +
+    * md5 per payload, byte-exact against the oracle's row form), but read
+    * from the packed parquet binary columns the one-time [[stagePacked]]
+    * backfill wrote from the file staging. The hash gate proves the
+    * file→parquet packing round-trip is byte-exact (path→id binding
+    * included, since the ids were recovered from paths at pack time);
+    * the 100× bench row quantifies the file-count-vs-bytes win against
+    * `scan_binaryfile`'s per-file IO floor.
+    */
+  def scanPacked(s: SparkSession, dir: String): DataFrame = {
+    stagePacked(s, dir)
+    s.read.parquet(s"${stagedRoot(PackStageDir)}/packed")
+      .select(col("doc_id"),
+        octet_length(col("content")).cast("long").as("n_bytes"),
+        md5(col("content")).as("checksum"))
+      .oracleSorted("doc_id")
+  }
+
   /** Fixed staging root of the hive-partitioned mirror `scan_partitioned`
     * and `scan_dpp` read (fixed for the same oracle-path reason as
     * `CsvStageDir`; same `current`-symlink indirection).

@@ -1467,6 +1467,17 @@ object VectorOps {
     */
   val HnswIters = 3
 
+  /** `graft.sim.hnswIters` session conf overrides the pinned round count —
+    * the AnnRecall iters-ladder knob (round-16 VERDICT #6: on the hard 1×
+    * random geometry it was unknown whether the 3-round cap or the graph
+    * binds beam-8 recall). The registered query never sets it: the oracle
+    * unrolls exactly [[HnswIters]] rounds.
+    */
+  val HnswItersConf = "graft.sim.hnswIters"
+
+  private[graft] def hnswItersOf(s: SparkSession): Int =
+    s.conf.get(HnswItersConf, HnswIters.toString).toInt
+
   /** Beam width: unexpanded nodes expanded per round per query
     * (session-overridable for the AnnRecall recall-vs-cost sweep).
     */
@@ -1725,7 +1736,7 @@ object VectorOps {
     var v = fan.union(own)
       .groupBy("q_id", "vec_id")
       .agg(max(col("cos")).as("cos"), max(col("ex")).as("ex"))
-    for (_ <- 1 to HnswIters) {
+    for (_ <- 1 to hnswItersOf(s)) {
       // rank UNEXPANDED nodes per query; the top `beam` expand this round
       // and flip to expanded — each node expands at most once (the HNSW
       // visited-set discipline), so no edge is fetched twice for a query

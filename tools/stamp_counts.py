@@ -42,6 +42,49 @@ def parse_test_count(log_path):
     return int(m.group(1))
 
 
+def parse_test_detail(log_path):
+    """Exact scalatest figures for the round stamp (round-16 VERDICT #8):
+    the 'Tests: succeeded N, failed F' and 'Suites: completed M' counts,
+    taken from the LAST run summary in the log."""
+    txt = pathlib.Path(log_path).read_text(errors="replace")
+    mt = ms = None
+    for mt in re.finditer(r"Tests: succeeded (\d+), failed (\d+)", txt):
+        pass
+    for ms in re.finditer(r"Suites: completed (\d+), aborted (\d+)", txt):
+        pass
+    if not mt or not ms:
+        sys.exit(f"no scalatest summary lines in {log_path}")
+    return (int(mt.group(1)), int(mt.group(2)),
+            int(ms.group(1)), int(ms.group(2)))
+
+
+def stamp_progress(n_tests, detail, n_queries, n_oracles, check):
+    """Append the round's exact test/suite figures to PROGRESS.jsonl
+    (round-16 VERDICT #8) so the judge can diff them instead of re-running
+    the 19-minute suite; the round number is read from the driver's own
+    latest heartbeat record."""
+    import time
+    p = REPO / "PROGRESS.jsonl"
+    rnd = None
+    if p.exists():
+        for line in p.read_text().splitlines():
+            try:
+                rnd = json.loads(line).get("round", rnd)
+            except json.JSONDecodeError:
+                pass
+    rec = {"ts": time.time(), "kind": "test_stamp", "round": rnd,
+           "tests": detail[0], "tests_failed": detail[1],
+           "suites": detail[2], "suites_aborted": detail[3],
+           "sbt_passed_total": n_tests,
+           "queries": n_queries, "oracled": n_oracles}
+    if check:
+        print(f"test stamp (not written, --check): {json.dumps(rec)}")
+        return
+    with p.open("a") as f:
+        f.write(json.dumps(rec) + "\n")
+    print(f"stamped PROGRESS.jsonl: {json.dumps(rec)}")
+
+
 def parse_verify_dir(verify_dir):
     d = pathlib.Path(verify_dir)
     queries = sorted(p.parent.name for p in d.glob("*/_SUCCESS"))
@@ -91,7 +134,9 @@ def main():
     args = ap.parse_args()
 
     n_tests = parse_test_count(args.sbt_log)
+    detail = parse_test_detail(args.sbt_log)
     queries, oracles = parse_verify_dir(args.verify_dir)
+    stamp_progress(n_tests, detail, len(queries), len(oracles), args.check)
     rows_only = sorted(set(queries) - set(oracles))
     allow = parse_bnlj_allowlist()
     print(f"derived: {n_tests} tests, {len(queries)} queries, "
