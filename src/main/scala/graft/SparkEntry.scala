@@ -1800,11 +1800,14 @@ object SparkEntry {
       s"cc AS (SELECT cid, g.i AS pos, CAST(CAST(embedding[g.i] AS DOUBLE) AS DECIMAL(28,20)) AS v FROM a0, (SELECT unnest(generate_series(1, ${VectorOps.Dim})) AS i) g), " +
       "cm AS (SELECT cid, pos, CAST(sum(v) AS DOUBLE) / count(1) AS comp FROM cc GROUP BY 1, 2), " +
       "cv AS (SELECT cid, list(comp ORDER BY pos) AS cvec FROM cm GROUP BY 1), " +
-      s"a AS (SELECT a0.vec_id, a0.embedding, a0.cid, ${sqDistSql("a0.embedding", "cvec")} AS dist, sqrt(${sqNorm("a0.embedding")}) AS nrm FROM a0 JOIN cv ON a0.cid = cv.cid), " +
+      // dist pre-rounded to the gate's 1e-6 grid BEFORE the domination
+      // compare (round-17: raw-double compare is not cross-engine total
+      // at the two-equal-clique midpoint tie)
+      s"a AS (SELECT a0.vec_id, a0.embedding, a0.cid, round(${sqDistSql("a0.embedding", "cvec")}, 6) AS dist, sqrt(${sqNorm("a0.embedding")}) AS nrm FROM a0 JOIN cv ON a0.cid = cv.cid), " +
       "pr AS (SELECT x.vec_id, CASE WHEN y.dist < x.dist OR (y.dist = x.dist AND y.vec_id < x.vec_id) THEN 1 ELSE 0 END AS dom " +
       s"FROM a x JOIN a y ON x.cid = y.cid AND x.vec_id <> y.vec_id AND ${dotSql("x.embedding", "y.embedding")} / (x.nrm * y.nrm) >= ${VectorOps.SemDupTau}), " +
       "v AS (SELECT vec_id, count(1) AS n_dup_nbrs, max(dom) AS dominated FROM pr GROUP BY 1) " +
-      "SELECT a.vec_id, CAST(a.cid AS INT) AS cid, round(a.dist, 6) AS c_dist, CAST(coalesce(v.n_dup_nbrs, 0) AS INT) AS n_dup_nbrs, CAST(CASE WHEN coalesce(v.dominated, 0) = 1 THEN 0 ELSE 1 END AS INT) AS kept " +
+      "SELECT a.vec_id, CAST(a.cid AS INT) AS cid, a.dist AS c_dist, CAST(coalesce(v.n_dup_nbrs, 0) AS INT) AS n_dup_nbrs, CAST(CASE WHEN coalesce(v.dominated, 0) = 1 THEN 0 ELSE 1 END AS INT) AS kept " +
       "FROM a LEFT JOIN v ON a.vec_id = v.vec_id ORDER BY a.vec_id"
     },
     // linear-scale SemDeDup: cluster = own sign bucket (no argmin), bucket
@@ -1815,11 +1818,11 @@ object SparkEntry {
       s"cell AS (SELECT b, g.i AS pos, CAST(CAST(embedding[g.i] AS DOUBLE) AS DECIMAL(28,20)) AS v FROM e, (SELECT unnest(generate_series(1, ${VectorOps.Dim})) AS i) g), " +
       "comp AS (SELECT b, pos, CAST(sum(v) AS DOUBLE) / count(1) AS comp FROM cell GROUP BY 1, 2), " +
       "cent AS (SELECT b, list(comp ORDER BY pos) AS cvec FROM comp GROUP BY 1), " +
-      s"a AS (SELECT vec_id, embedding, e.b, ${sqDistSql("embedding", "cvec")} AS dist, sqrt(${sqNorm("embedding")}) AS nrm FROM e JOIN cent USING (b)), " +
+      s"a AS (SELECT vec_id, embedding, e.b, round(${sqDistSql("embedding", "cvec")}, 6) AS dist, sqrt(${sqNorm("embedding")}) AS nrm FROM e JOIN cent USING (b)), " +
       "pr AS (SELECT x.vec_id, CASE WHEN y.dist < x.dist OR (y.dist = x.dist AND y.vec_id < x.vec_id) THEN 1 ELSE 0 END AS dom " +
       s"FROM a x JOIN a y ON x.b = y.b AND x.vec_id <> y.vec_id AND ${dotSql("x.embedding", "y.embedding")} / (x.nrm * y.nrm) >= ${VectorOps.SemDupTau}), " +
       "v AS (SELECT vec_id, count(1) AS n_dup_nbrs, max(dom) AS dominated FROM pr GROUP BY 1) " +
-      "SELECT a.vec_id, CAST(a.b AS INT) AS bucket, round(a.dist, 6) AS c_dist, CAST(coalesce(v.n_dup_nbrs, 0) AS INT) AS n_dup_nbrs, CAST(CASE WHEN coalesce(v.dominated, 0) = 1 THEN 0 ELSE 1 END AS INT) AS kept " +
+      "SELECT a.vec_id, CAST(a.b AS INT) AS bucket, a.dist AS c_dist, CAST(coalesce(v.n_dup_nbrs, 0) AS INT) AS n_dup_nbrs, CAST(CASE WHEN coalesce(v.dominated, 0) = 1 THEN 0 ELSE 1 END AS INT) AS kept " +
       "FROM a LEFT JOIN v ON a.vec_id = v.vec_id ORDER BY a.vec_id"
     },
     "vec_norm" ->

@@ -1796,6 +1796,19 @@ object VectorOps {
     * scan, the touched-row count is independent of corpus size — the
     * property that makes graph indexes the high-recall/low-latency
     * serving choice.
+    *
+    * Hard-geometry recall bound (round-17 iters×beam ladder,
+    * `annrecall_1x_r17.json` — round-16 VERDICT #6 asked whether the
+    * 3-round cap or the graph binds the 1× random-geometry beam-8
+    * recall): iters 3/5/8 at beam 8 all read recall 0.456 with the
+    * visited set nearly frozen (28.9k → 29.5k → 30.2k scored pairs) —
+    * the frontier exhausts its reachable neighborhood, so extra rounds
+    * are NOT the lever; beam 32 moves 0.752 → 0.776 across the same
+    * ladder, inside the ±0.053 binomial band. The binding constraint is
+    * greedy-search reachability on unclustered geometry (the classic NSW
+    * local-optimum); the known fix is a multi-layer (hierarchical) entry
+    * graph, not more rounds — the default stays [[HnswIters]] = 3, which
+    * the measurement shows loses nothing.
     */
   def simHnsw(s: SparkSession, dir: String): DataFrame =
     hnswVisited(s, dir)
@@ -2587,10 +2600,18 @@ object VectorOps {
       .select(col("c_label").as("cid"), col("cvec"))
     // assignment frame is referenced twice (pair join + verdict join);
     // the lineage cut materializes the one centroid aggregation + assign
-    // pass instead of recomputing it per reference
+    // pass instead of recomputing it per reference. The keep-priority
+    // distance is ROUNDED to 1e-6 HERE, before any comparison (round-17
+    // 100× lesson): a cell holding two equal-mass replica cliques has its
+    // mean at the exact midpoint, so the two cliques' distances are
+    // MATHEMATICALLY equal and a raw-double compare is decided by each
+    // engine's fold noise — Spark and DuckDB ordered them oppositely.
+    // The 1e-6 grid is exactly the granularity every gate already hashes,
+    // so comparing on it adds no new cross-engine risk class, and ties on
+    // the grid fall through to the total vec_id order.
     val a = coarse.join(cellCent, "cid")
       .select(col("vec_id"), col("embedding"), col("cid"),
-        Vec.sqDistF(col("embedding"), col("cvec")).as("c_dist_raw"))
+        round(Vec.sqDistF(col("embedding"), col("cvec")), 6).as("c_dist"))
       .lineageCut(eager = false)
     // within-cluster ≥τ neighbours, with the domination verdict folded
     // into the same pass: y beats x iff closer to the centroid (vec_id
@@ -2599,14 +2620,13 @@ object VectorOps {
         col("x.cid") === col("y.cid") && col("x.vec_id") =!= col("y.vec_id"))
       .where(Vec.cosineF(col("x.embedding"), col("y.embedding")) >= SemDupTau)
       .select(col("x.vec_id").as("vec_id"),
-        when(col("y.c_dist_raw") < col("x.c_dist_raw") ||
-          (col("y.c_dist_raw") === col("x.c_dist_raw") &&
+        when(col("y.c_dist") < col("x.c_dist") ||
+          (col("y.c_dist") === col("x.c_dist") &&
             col("y.vec_id") < col("x.vec_id")), 1).otherwise(0).as("dom"))
       .groupBy("vec_id")
       .agg(count(lit(1)).as("n_dup_nbrs"), max("dom").as("dominated"))
     a.join(nbrs, Seq("vec_id"), "left")
-      .select(col("vec_id"), col("cid").cast("int").as("cid"),
-        round(col("c_dist_raw"), 6).as("c_dist"),
+      .select(col("vec_id"), col("cid").cast("int").as("cid"), col("c_dist"),
         coalesce(col("n_dup_nbrs"), lit(0L)).cast("int").as("n_dup_nbrs"),
         when(coalesce(col("dominated"), lit(0)) === 1, 0).otherwise(1)
           .cast("int").as("kept"))
@@ -2653,22 +2673,25 @@ object VectorOps {
     // bucket (single-sourced with sim_ivf / dedup_semantic)
     val cent = labelMeanCentroids(e.select(col("b").as("label"), col("embedding")))
       .select(col("c_label").as("b"), col("cvec"))
+    // keep-priority distance pre-rounded to the gate's 1e-6 grid before
+    // any comparison — see dedupSemanticWith (a bucket of two equal-mass
+    // cliques puts the mean at the exact midpoint; raw-double compare is
+    // not cross-engine total at that mathematical tie)
     val a = e.join(broadcast(cent), "b")
       .select(col("vec_id"), col("embedding"), col("b"),
-        Vec.sqDistF(col("embedding"), col("cvec")).as("c_dist_raw"))
+        round(Vec.sqDistF(col("embedding"), col("cvec")), 6).as("c_dist"))
       .lineageCut(eager = false)
     val nbrs = a.as("x").join(a.as("y"),
         col("x.b") === col("y.b") && col("x.vec_id") =!= col("y.vec_id"))
       .where(Vec.cosineF(col("x.embedding"), col("y.embedding")) >= SemDupTau)
       .select(col("x.vec_id").as("vec_id"),
-        when(col("y.c_dist_raw") < col("x.c_dist_raw") ||
-          (col("y.c_dist_raw") === col("x.c_dist_raw") &&
+        when(col("y.c_dist") < col("x.c_dist") ||
+          (col("y.c_dist") === col("x.c_dist") &&
             col("y.vec_id") < col("x.vec_id")), 1).otherwise(0).as("dom"))
       .groupBy("vec_id")
       .agg(count(lit(1)).as("n_dup_nbrs"), max("dom").as("dominated"))
     a.join(nbrs, Seq("vec_id"), "left")
-      .select(col("vec_id"), col("b").cast("int").as("bucket"),
-        round(col("c_dist_raw"), 6).as("c_dist"),
+      .select(col("vec_id"), col("b").cast("int").as("bucket"), col("c_dist"),
         coalesce(col("n_dup_nbrs"), lit(0L)).cast("int").as("n_dup_nbrs"),
         when(coalesce(col("dominated"), lit(0)) === 1, 0).otherwise(1)
           .cast("int").as("kept"))
