@@ -1813,8 +1813,14 @@ object SparkEntry {
     // linear-scale SemDeDup: cluster = own sign bucket (no argmin), bucket
     // means via the shared cell/comp/cent discipline, same domination CASE
     "dedup_semantic_lsh" -> {
-      val bkt = s"list_sum(list_transform(generate_series(1, ${VectorOps.SemLshBits}), i -> CASE WHEN embedding[i] >= 0 THEN 1 << (i - 1) ELSE 0 END))"
-      s"WITH e AS (SELECT vec_id, embedding, $bkt AS b FROM embeddings), " +
+      // width from the corpus-count ladder floored at the historical 5
+      // bits (round 17 — mirror of VectorOps.semLshBitsOf), masked fold
+      // like the dedup_semantic/hnsw bucket replays
+      val bkt = s"CAST(list_sum(list_transform(generate_series(1, ${VectorOps.SemMaxBits}), " +
+        "i -> CASE WHEN i <= p.bits AND embedding[i] >= 0 THEN CAST(1 AS BIGINT) << (i - 1) ELSE CAST(0 AS BIGINT) END)) AS BIGINT)"
+      s"WITH p AS (SELECT greatest(${VectorOps.SemLshBits}, coalesce(min(b), ${VectorOps.SemMaxBits})) AS bits FROM (SELECT unnest(generate_series(0, ${VectorOps.SemMaxBits - 1})) AS b) bb, " +
+      s"(SELECT count(*) AS n FROM embeddings) t0 WHERE ${VectorOps.SemTargetCluster} * (CAST(1 AS BIGINT) << b) >= n), " +
+      s"e AS (SELECT vec_id, embedding, $bkt AS b FROM embeddings, p), " +
       s"cell AS (SELECT b, g.i AS pos, CAST(CAST(embedding[g.i] AS DOUBLE) AS DECIMAL(28,20)) AS v FROM e, (SELECT unnest(generate_series(1, ${VectorOps.Dim})) AS i) g), " +
       "comp AS (SELECT b, pos, CAST(sum(v) AS DOUBLE) / count(1) AS comp FROM cell GROUP BY 1, 2), " +
       "cent AS (SELECT b, list(comp ORDER BY pos) AS cvec FROM comp GROUP BY 1), " +

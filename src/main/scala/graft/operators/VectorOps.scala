@@ -2633,19 +2633,32 @@ object VectorOps {
       .oracleSorted("vec_id")
   }
 
-  /** `dedup_semantic_lsh` bucket width: 2^5 = 32 sign-bit clusters at the
-    * toy corpus (both verdict branches populated at every shipped SF —
-    * 44-47/500 vectors carry ≥τ neighbours at sf0.001/0.01); a 100 TB
-    * deployment widens to 16-20 bits the same way IVF widens k.
+  /** `dedup_semantic_lsh` minimum bucket width (2^5 = 32 sign-bit
+    * clusters — the historical pinned width; both verdict branches
+    * populated at every shipped SF). Since round 17 the registered query
+    * derives its width from the corpus count via the same [[semBits]]
+    * ladder as `dedup_semantic` (floored here): with the main form made
+    * corpus-adaptive, the fixed 5-bit width had itself become the
+    * registry's last Σ|bucket|² ≈ n²/2^bits plan — 82.4 s at 100×
+    * (`bench_full100x_r17.json`) for the same verdicts the ladder width
+    * computes in seconds.
     */
   val SemLshBits = 5
 
-  /** `graft.semLshBits` session conf overrides the pinned [[SemLshBits]] —
-    * the deployment width knob (the registered query never sets it, so
-    * the 5-bit oracle contract is untouched; scale runs set 2^16+ the way
-    * AnnRecall sweeps `graft.ivfProbes`).
+  /** `graft.semLshBits` session conf pins the width — the law/bench
+    * exhibit knob (specs pin 5 to keep the hand-built bucket geometry;
+    * the registered query never sets it, so both engines derive the
+    * exponent from the corpus count).
     */
   val SemLshBitsConf = "graft.semLshBits"
+
+  /** Ladder width for the LSH form: smallest b with 64·2^b ≥ n, floored
+    * at the historical [[SemLshBits]] so small fixtures keep their bucket
+    * geometry (and [[graft.functions.Vec.signBucket]] always gets ≥ 1
+    * bit).
+    */
+  private[graft] def semLshBitsOf(n: Long): Int =
+    math.max(SemLshBits, semBits(1L, n))
 
   /** §2.K2h `dedup_semantic_lsh` (round 9): the LINEAR-SCALE form of
     * semantic dedup — clusters come from the deterministic sign-bucket
@@ -2665,8 +2678,13 @@ object VectorOps {
     * arguments), so the verdict hash-gates like the toy form.
     */
   def dedupSemanticLsh(s: SparkSession, dir: String): DataFrame = {
-    val bits = s.conf.get(SemLshBitsConf, SemLshBits.toString).toInt
-    val e = Tables.embeddings(s, dir)
+    val emb0 = Tables.embeddings(s, dir)
+    // width from the corpus-count ladder (round 17), conf only for the
+    // pinned-geometry spec laws; the floor keeps every shipped sf ≤ 0.1
+    // at the historical 5-bit contract
+    val bits = s.conf.getOption(SemLshBitsConf).map(_.toInt)
+      .getOrElse(semLshBitsOf(emb0.count()))
+    val e = emb0
       .select(col("vec_id"), col("embedding"),
         Vec.signBucket(col("embedding"), bits).as("b"))
     // per-bucket exact-decimal means — labelMeanCentroids keyed on the
@@ -2677,7 +2695,9 @@ object VectorOps {
     // any comparison — see dedupSemanticWith (a bucket of two equal-mass
     // cliques puts the mean at the exact midpoint; raw-double compare is
     // not cross-engine total at that mathematical tie)
-    val a = e.join(broadcast(cent), "b")
+    // NOT broadcast (round 17): the bucket-mean frame grows ∝ n/64 under
+    // the ladder width — joined by its key; AQE broadcasts while small
+    val a = e.join(cent, "b")
       .select(col("vec_id"), col("embedding"), col("b"),
         round(Vec.sqDistF(col("embedding"), col("cvec")), 6).as("c_dist"))
       .lineageCut(eager = false)
