@@ -87,6 +87,36 @@ class TextOpsSpec extends AnyFunSuite {
       s"candidate pairs $cand vs verified near-dups $verified")
   }
 
+  test("bandSigOf (state-side band signature) is bit-identical to the column form on the real corpus") {
+    // the streaming minhash fold's pair-OWNERSHIP rule recomputes band
+    // signatures driver/state-side via bandSigOf; any drift from the
+    // column kernel would mis-route pairs between buckets (dropped or
+    // doubled emissions), so the two implementations are pinned value-
+    // for-value over every (doc, band) of the fixture corpus
+    val dir = SparkTestSession.sfDir
+    val hv = Tables.documents(spark, dir)
+      .select(col("doc_id"), TextOps.hashedShingles(col("text"), 3).as("hv"))
+      .localCheckpoint()
+    val colForm = TextOps.bandSignatures(hv).collect()
+      .map(r => (r.getLong(0), r.getInt(r.fieldIndex("band"))) ->
+        (if (r.isNullAt(r.fieldIndex("sig"))) None else Some(r.getLong(r.fieldIndex("sig")))))
+      .toMap
+    val hvMap = hv.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(colForm.nonEmpty && hvMap.nonEmpty)
+    for ((doc, hvs) <- hvMap; b <- 0 until TextOps.MinhashBands)
+      assert(TextOps.bandSigOf(hvs, b) == colForm((doc, b)),
+        s"bandSigOf drift at doc=$doc band=$b")
+  }
+
+  test("semLshBitsOf ladder: floored at the pinned width, grows with the corpus") {
+    import graft.operators.VectorOps
+    assert(VectorOps.semLshBitsOf(3) == VectorOps.SemLshBits, "tiny fixtures keep the pinned geometry")
+    assert(VectorOps.semLshBitsOf(500) == VectorOps.SemLshBits, "sf0.001/0.01 unchanged")
+    assert(VectorOps.semLshBitsOf(2000) == VectorOps.SemLshBits, "sf0.1 unchanged")
+    assert(VectorOps.semLshBitsOf(20000) == 9, "10x staging: 512 buckets")
+    assert(VectorOps.semLshBitsOf(200000) == 12, "100x staging: 4096 buckets")
+  }
+
   test("text_repetition flags boilerplate and passes diverse text") {
     import spark.implicits._
     val docs = Seq(
