@@ -27,4 +27,8 @@ object GraftSession {
       .withExtensions(new graft.plans.GraftExtensions)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // codegen class cache sized for a many-operator inventory (the
+      // 100-entry default thrashes once a session runs more than a few
+      // dozen distinct plans; see graft.Bench for the measurement)
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
 }

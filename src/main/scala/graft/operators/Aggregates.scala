@@ -466,15 +466,66 @@ object Aggregates {
     */
   def aggQuantileMerge(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.ScalarAttach._
+    import graft.functions.LineageCut._
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.types.DecimalType
     val B = QmBins
     val x = Tables.lineitem(s, dir).select(col("l_returnflag").as("seg"),
       (col("l_extendedprice").cast(DecimalType(12, 2)) * 100).cast("long").as("c"))
-    val mm = x.agg(min("c").as("lo"), max("c").as("hi"), count(lit(1)).as("n_total"))
-    val binned = x.attachScalarRow(mm)
+    // Round-17 (guide §1.2 step 1 / §2.4): the round-7 form re-executed the
+    // 1-row (lo, hi, n_total) aggregate subtree at EVERY attachScalarRow
+    // site and ran the exact percentile as its own scan — 8 lineitem scans
+    // in one plan (plans/r17/agg_quantile_merge_before.txt). Two changes:
+    //
+    //  1. The global stats land on the driver (a 1-row aggregate — the
+    //     k-means coordinator-read class) and re-enter the plan as
+    //     literals: identical longs/doubles, so every downstream
+    //     expression is bit-identical to the attach-column form.
+    //  2. The exact percentile no longer uses the `percentile` aggregate:
+    //     its partial state is the full value→count map, so the merge +
+    //     sort ran single-threaded over every distinct value (probed
+    //     2.3-2.7 s at sf0.1 — repartitioning does NOT help, the merge is
+    //     the wall). Instead: a distinct-value grid (partial-agg groupBy,
+    //     parallel) + one cumulative window over |distinct| rows + the
+    //     k-th-smallest probes, replaying Percentile.getPercentile's
+    //     arithmetic EXACTLY — position = p·(n−1) in float64,
+    //     lower/higher = floor/ceil, valueAt(k) = min value with
+    //     cumulative count ≥ k, result = (higher−pos)·v_lo +
+    //     (pos−lower)·v_hi in the same operand order — so the emitted
+    //     doubles are bit-identical to the old aggregate's. (The merge
+    //     concentration is the same asymptotic class as the old plan's —
+    //     exactness at scale is exactly why this query's POINT is the
+    //     mergeable-histogram path; the exact arm exists to gate it.)
+    val grid = x.groupBy("c").agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum("cnt").over(Window.orderBy("c")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .lineageCut(eager = false)
+    val g = grid.agg(min("c").as("lo"), max("c").as("hi"),
+      sum("cnt").as("n_total")).collect()(0)
+    val (lo, hi, nTotal) = (g.getLong(0), g.getLong(1), g.getLong(2))
+    // Percentile.getPercentile replay (see note above)
+    val pos = QmQs.map(q => q * (nTotal - 1).toDouble)
+    val lows = pos.map(p => math.floor(p).toLong)
+    val highs = pos.map(p => math.ceil(p).toLong)
+    val probes = QmQs.indices.flatMap(i => Seq(
+      min(when(col("cum") >= lows(i) + 1, col("c"))).as(s"vl_$i"),
+      min(when(col("cum") >= highs(i) + 1, col("c"))).as(s"vh_$i")))
+    val vr = grid.agg(probes.head, probes.tail: _*).collect()(0)
+    val ex = QmQs.indices.map { i =>
+      val (vl, vh) = (vr.getLong(2 * i), vr.getLong(2 * i + 1))
+      // both short-circuits mirror Percentile.getPercentile: the two-product
+      // interpolation is only evaluated when it was there too (a·v + b·v
+      // with a+b=1 can differ from v by an ulp)
+      if (highs(i) == lows(i) || vl == vh) vl.toDouble
+      else (highs(i) - pos(i)) * vl.toDouble + (pos(i) - lows(i)) * vh.toDouble
+    }
+    // second (and last) scan: the binned rows, materialized once behind a
+    // lineage cut for the two histogram consumers (stored-summary arm and
+    // one-pass control arm)
+    val binned = x
       .withColumn("bin",
-        floor((col("c") - col("lo")) * B / (col("hi") - col("lo") + 1)).cast("int"))
+        floor((col("c") - lit(lo)) * B / (lit(hi) - lit(lo) + 1)).cast("int"))
+      .lineageCut(eager = false)
     val perSeg = binned.groupBy("seg", "bin").agg(count(lit(1)).as("cnt")) // stored summaries
     val merged = perSeg.groupBy("bin").agg(sum("cnt").as("cnt"))          // re-aggregation
     val direct = binned.groupBy("bin").agg(count(lit(1)).as("cnt"))       // one-pass control
@@ -482,22 +533,18 @@ object Aggregates {
     def qSel(hist: DataFrame, pfx: String): DataFrame = {
       val cum = hist.withColumn("cum", sum("cnt").over(Window.orderBy("bin")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .attachScalarRow(mm)
       val exprs = QmQs.map(q =>
-        min(when(col("cum") >= lit(q) * col("n_total"), col("bin"))).as(s"${pfx}_${qn(q)}"))
+        min(when(col("cum") >= lit(q) * lit(nTotal), col("bin"))).as(s"${pfx}_${qn(q)}"))
       cum.agg(exprs.head, exprs.tail: _*)
     }
-    val exact = x.agg(percentile(col("c"), array(QmQs.map(lit): _*)).as("ex"))
     qSel(merged, "bm")
       .attachScalarRow(qSel(direct, "bd"))
-      .attachScalarRow(exact)
-      .attachScalarRow(mm)
-      .withColumn("w", (col("hi") - col("lo") + 1) / lit(B))
+      .withColumn("w", (lit(hi) - lit(lo) + 1) / lit(B))
       .select(explode(array(QmQs.zipWithIndex.map { case (q, i) =>
         struct(lit(q).as("q"),
           col(s"bm_${qn(q)}").as("bin"),
           col(s"bd_${qn(q)}").as("bin_direct"),
-          col("ex")(i).as("exc"), col("lo"), col("w"))
+          lit(ex(i)).as("exc"), lit(lo).as("lo"), col("w"))
       }: _*)).as("p"))
       .select(col("p.q"),
         col("p.bin"),
@@ -710,19 +757,26 @@ object Aggregates {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.types.DecimalType
     val cents = (col("value").cast(DecimalType(12, 2)) * 100).cast("long")
+    import graft.functions.LineageCut._
+    // Round-17 (guide §2.4): the grid feeds BOTH the per-type totals and
+    // the running-CDF window — cut once so the events scan + distinct-value
+    // aggregation run once instead of twice. The totals side is a
+    // type-cardinality-bounded aggregate → broadcast to the probe join
+    // (was a sort-merge join: 2 exchanges + sorts on the grid).
     val grid = Tables.events(s, dir)
       .select(col("event_type"), (col("user_id") % 2).cast("int").as("variant"), cents.as("c"))
       .groupBy("event_type", "c")
       .agg(
         count(when(col("variant") === 0, 1)).as("d0"),
         count(when(col("variant") === 1, 1)).as("d1"))
+      .lineageCut(eager = false)
     val w = Window.partitionBy("event_type").orderBy("c")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val totals = grid.groupBy("event_type").agg(sum("d0").as("n0"), sum("d1").as("n1"))
     grid
       .withColumn("c0", sum("d0").over(w))
       .withColumn("c1", sum("d1").over(w))
-      .join(totals, "event_type")
+      .join(broadcast(totals), "event_type")
       .withColumn("gap", abs(col("c0").cast("double") / col("n0") -
         col("c1").cast("double") / col("n1")))
       .groupBy("event_type", "n0", "n1")

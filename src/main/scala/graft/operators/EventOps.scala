@@ -467,11 +467,19 @@ object EventOps {
     val e = Tables.events(s, dir)
       .select(col("event_type"), col("event_id"), col("value"))
       .withColumn("x", (col("value").cast(DecimalType(12, 2)) * 100).cast("long"))
+    // Round-17 (guide §2.4/§3.1): med and mad are event_type-cardinality-
+    // bounded aggregates → broadcast both probe joins (were sort-merge:
+    // events shuffled by event_type twice), and cut the deviation frame
+    // once — it feeds the MAD aggregate AND the final filter, so the old
+    // plan re-ran the events scan + median join for each consumer
+    // (4 scans → 1 + one narrow materialization).
+    import graft.functions.LineageCut._
     val med = e.groupBy("event_type").agg(median(col("x")).as("med"))
-    val j = e.join(med, Seq("event_type"))
+    val j = e.join(broadcast(med), Seq("event_type"))
       .withColumn("adev", abs(col("x") - col("med")))
+      .lineageCut(eager = false)
     val mad = j.groupBy("event_type").agg(median(col("adev")).as("mad"))
-    j.join(mad, Seq("event_type"))
+    j.join(broadcast(mad), Seq("event_type"))
       .where(col("adev") > lit(3) * lit(1.4826) * col("mad"))
       .select(col("event_type"), col("event_id"), col("value"),
         round(col("med") / 100, 2).as("med_val"),

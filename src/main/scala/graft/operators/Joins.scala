@@ -480,24 +480,59 @@ object Joins {
     // canonicalize (a deletion pair can surface at several i).
     def named(pfx: String): DataFrame = c.select(
       col("c_custkey").as(s"key_$pfx"), col("c_name").as(s"name_$pfx"))
-    def variants(pfx: String): DataFrame = c.select(
-      col("c_custkey").as(s"key_$pfx"), col("c_name").as(s"name_$pfx"),
+    // Round-17 (guide §2.4/§3): the deletion-variant table is derived ONCE
+    // behind a lineage cut — the round-7 form re-ran the customer scan +
+    // posexplode for each of its three join inputs, and because the
+    // substitution self-join's two sides are now the SAME materialized
+    // frame, their (i, v) shuffles are identical subtrees Spark dedups via
+    // ReusedExchange (2 exchanges → 1 on that join).
+    import graft.functions.LineageCut._
+    val vbase = c.select(
+      col("c_custkey").as("key"), col("c_name").as("name"),
       posexplode(expr("transform(sequence(1, length(c_name)), " +
         "i -> concat(substring(c_name, 1, i - 1), substring(c_name, i + 1, length(c_name))))")))
-      .withColumnsRenamed(Map("pos" -> s"i_$pfx", "col" -> s"v_$pfx"))
+      .withColumnsRenamed(Map("pos" -> "i", "col" -> "v"))
+      .lineageCut(eager = false)
+    def variants(pfx: String): DataFrame = vbase.select(
+      col("key").as(s"key_$pfx"), col("name").as(s"name_$pfx"),
+      col("i").as(s"i_$pfx"), col("v").as(s"v_$pfx"))
     val subs = variants("a").join(variants("b"),
       col("i_a") === col("i_b") && col("v_a") === col("v_b") &&
         col("key_a") < col("key_b"))
-    val dels = named("a").join(variants("b"),
-      col("name_a") === col("v_b") && col("key_a") < col("key_b"))
-    val inss = variants("a").join(named("b"),
-      col("v_a") === col("name_b") && col("key_a") < col("key_b"))
+    // Round-17 (guide §2.4): the deletion and insertion routes are ONE join
+    // run without the key_a < key_b qualifier and canonicalized AFTER — a
+    // cross-length pair (name_a = delete-variant of name_b) surfaces with
+    // the roles in either order, so one join + a least/greatest swap emits
+    // exactly the union the two mirrored joins produced (the terminal
+    // distinct already absorbed multiplicity). 3 joins → 2.
+    val crossLen = named("a").join(variants("b"),
+      col("name_a") === col("v_b") && col("key_a") =!= col("key_b"))
+    val swap = col("key_a") > col("key_b")
+    val delsInss = crossLen.select(
+      when(swap, col("key_b")).otherwise(col("key_a")).as("key_a"),
+      when(swap, col("key_a")).otherwise(col("key_b")).as("key_b"),
+      when(swap, col("name_b")).otherwise(col("name_a")).as("name_a"),
+      when(swap, col("name_a")).otherwise(col("name_b")).as("name_b"))
     val four = Seq(col("key_a"), col("key_b"), col("name_a"), col("name_b"))
+    // Round-17 (guide §1.2 step 2 — per-task work): the `levenshtein`
+    // verify was the query's single hottest expression (probed +2.6 s of
+    // 4.7 s at sf0.1: a full DP matrix per candidate row), and on THESE
+    // routes it is provably constant:
+    //  - substitution route: equal-length names sharing (i, delete-at-i)
+    //    agree everywhere except position i → dist = 0 if the names are
+    //    equal, else exactly 1;
+    //  - cross-length route: name_a IS name_b minus one character →
+    //    lengths differ by 1, one deletion transforms → dist exactly 1.
+    // So dist ≤ 1 holds by construction (the `where` was vacuously true)
+    // and the emitted dist is a character-equality CASE, not a DP. The
+    // recall proof is untouched: JoinsWindowsSpec compares the full
+    // (keys, names, dist) tuple set against a driver-side textbook DP
+    // over the fixture cross product.
     subs.select(four: _*)
-      .unionByName(dels.select(four: _*))
-      .unionByName(inss.select(four: _*))
-      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
-      .where(col("dist") <= 1)
+      .withColumn("dist",
+        when(col("name_a") === col("name_b"), 0).otherwise(1))
+      .unionByName(delsInss
+        .withColumn("dist", lit(1)))
       .distinct()
       .oracleSorted("key_a", "key_b")
   }

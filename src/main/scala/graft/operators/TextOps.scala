@@ -179,10 +179,15 @@ object TextOps {
   def textTfidf(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.ScalarAttach._
     val docs = Tables.documents(s, dir)
+    // Round-17 (guide §2.4; the rag_bm25 index-once shape): tf feeds BOTH
+    // the document-frequency aggregate and the probe join — without the
+    // cut each consumer re-ran the corpus explode + aggregation (2 full
+    // token-stream passes → 1).
     val tf = docs
       .select(col("doc_id"), explode(words(col("text"))).as("token"))
       .groupBy("doc_id", "token")
       .agg(count(lit(1)).as("tf"))
+      .lineageCut(eager = false)
     val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
     tf.join(broadcast(dfreq), "token")
@@ -432,13 +437,18 @@ object TextOps {
     import org.apache.spark.sql.types.DecimalType
     val realToks = (c: Column) => filter(split(c, " "), t => t =!= "")
     // chunk token stream; dl (chunk token count) is a PER-ROW function of
-    // the chunk text, computed before the explode — no window, no rejoin
-    // (the token-array HOF evaluates twice per CHUNK row — |chunks| lambda
-    // evaluations, noise next to the |occurrences|-sized explode output)
+    // the chunk text, computed before the explode — no window, no rejoin.
+    // Round-17 (guide §1.2 step 2): the token array is materialized as its
+    // own projection BELOW the Generate — `size(realToks(c))` and
+    // `explode(realToks(c))` in one select evaluated the interpreted
+    // split+filter HOF TWICE per chunk row (the generator input is
+    // evaluated in the Generate node, outside the child project's
+    // common-subexpression elimination); via an attribute it runs once.
     val tok = chunks0
+      .select(col("doc_id"), col("chunk_id"), realToks(col("chunk")).as("toks"))
       .select(col("doc_id"), col("chunk_id"),
-        size(realToks(col("chunk"))).cast("long").as("dl"),
-        explode(realToks(col("chunk"))).as("term"))
+        size(col("toks")).cast("long").as("dl"),
+        explode(col("toks")).as("term"))
     // THE INVERTED INDEX, built exactly once (lazy cut — the first
     // consuming job, the dfT broadcast, materializes it): every consumer
     // below reads the materialized rows — see the Scaladoc scale shape.
@@ -1654,9 +1664,13 @@ object TextOps {
           .cast("long") % DsirBuckets).as("b"))
       .groupBy("doc_id", "lang", "b").agg(count(lit(1)).as("c"))
       .lineageCut(eager = false)
+    // bucket-bounded (B rows); cut so the ratio build's two consumers (tot
+    // and diff) re-read B materialized rows instead of re-aggregating the
+    // full (doc, bucket) table twice (round-17, guide §2.4)
     val tb = db.groupBy("b").agg(
       sum(when(col("lang") === DsirTargetLang, col("c")).otherwise(0L)).as("pc"),
       sum("c").as("qc"))
+      .lineageCut(eager = false)
     val tot = tb.agg(sum("pc").as("pt"), sum("qc").as("qt"))
     val diff = tb.attachScalarRow(tot)
       .select(col("b"),

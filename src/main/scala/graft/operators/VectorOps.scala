@@ -947,7 +947,10 @@ object VectorOps {
     */
   private[graft] def pqKmeansSubCodebooks(emb: DataFrame,
                                           maxIters: Int = KmeansMaxIters,
-                                          tol: Double = KmeansTol): DataFrame = {
+                                          tol: Double = KmeansTol): DataFrame =
+    // AQE scoped off: per-iteration exchanges are (subspaces × k × subdim)-
+    // bounded — see graft.functions.Confs (results unaffected)
+    graft.functions.Confs.withoutAqe(emb.sparkSession) {
     import org.apache.spark.sql.functions.posexplode
     import org.apache.spark.sql.types.DecimalType
     val s = emb.sparkSession
@@ -965,10 +968,23 @@ object VectorOps {
         slice(col("embedding"), i * PqSubDim + 1, PqSubDim)): _*))
         .as(Seq("s", "subv"))).cache()
     try {
-      def centersLitBySub(): Column = array(centers.map(sub =>
-        array(sub.zipWithIndex.map { case (c, j) =>
-          struct(lit(j).as("cid"), array(c.map(lit(_)): _*).as("center"))
-        }: _*)): _*)
+      // one complex-typed Literal (codegen source stays identical across
+      // iterations → compiled class reused; see centersLit's round-17 note)
+      def centersLitBySub(): Column = {
+        import org.apache.spark.sql.catalyst.InternalRow
+        import org.apache.spark.sql.catalyst.expressions.Literal
+        import org.apache.spark.sql.catalyst.util.GenericArrayData
+        import org.apache.spark.sql.types._
+        val dt = ArrayType(ArrayType(StructType(Seq(
+          StructField("cid", IntegerType, nullable = false),
+          StructField("center", ArrayType(DoubleType, containsNull = false),
+            nullable = false))), containsNull = false), containsNull = false)
+        val v = new GenericArrayData(centers.map(sub =>
+          new GenericArrayData(sub.zipWithIndex.map { case (c, j) =>
+            InternalRow(j, new GenericArrayData(c.toArray)): Any
+          }): Any))
+        org.apache.spark.sql.GraftSqlBridge.column(Literal(v, dt))
+      }
       var moved = Double.MaxValue
       var it = 0
       while (it < maxIters && moved > tol) {
@@ -2758,10 +2774,29 @@ object VectorOps {
     * to the corpus — vs the k-row crossJoin form, which blows the row count
     * up k× and argmin-shuffles by vec_id every iteration.
     */
-  private def centersLit(cs: Array[Seq[Double]]): Column =
-    array(cs.zipWithIndex.map { case (c, i) =>
-      struct(lit(i).as("cid"), array(c.map(lit(_)): _*).as("center"))
-    }: _*)
+  private def centersLit(cs: Array[Seq[Double]]): Column = {
+    // Round-17 (guide §1.2 step 2): ONE complex-typed Literal instead of an
+    // array(struct(lit, lit…)) tree. Primitive literals are inlined into the
+    // generated Java source, so every k-means iteration's new centers used
+    // to produce NEW source → a janino recompile per iteration (the codegen
+    // cache keys on source text). A complex-typed Literal enters codegen as
+    // `references[i]` — the source is IDENTICAL across iterations and the
+    // compiled class is reused; only the reference array changes. The VALUES
+    // are the same doubles either way, so every distance/argmin result is
+    // bit-identical (the oracle trajectory replay is untouched).
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.types._
+    val dt = ArrayType(StructType(Seq(
+      StructField("cid", IntegerType, nullable = false),
+      StructField("center", ArrayType(DoubleType, containsNull = false),
+        nullable = false))), containsNull = false)
+    val v = new GenericArrayData(cs.zipWithIndex.map { case (c, i) =>
+      InternalRow(i, new GenericArrayData(c.toArray)): Any
+    })
+    org.apache.spark.sql.GraftSqlBridge.column(Literal(v, dt))
+  }
 
   /** Nearest-centroid argmin as a (dist, cid) struct — ties break on the
     * lower cid, exactly like SQL `ORDER BY dist, cid`.
@@ -2832,7 +2867,12 @@ object VectorOps {
     * exact decimals).
     */
   private[graft] def kmeansCentersTraced(emb: DataFrame, maxIters: Int = KmeansMaxIters,
-                                         tol: Double = KmeansTol): (Array[Seq[Double]], List[Double]) = {
+                                         tol: Double = KmeansTol): (Array[Seq[Double]], List[Double]) =
+    // AQE scoped off for the loop: every per-iteration exchange carries
+    // k×dim partial-agg rows (corpus-size independent), so adaptive
+    // re-planning only adds a per-iteration driver round trip — see
+    // graft.functions.Confs. Results are unaffected (physical-only).
+    graft.functions.Confs.withoutAqe(emb.sparkSession) {
     import org.apache.spark.sql.types.DecimalType
     var centers = initCenters(emb)
     var moved = Double.MaxValue
@@ -2870,6 +2910,17 @@ object VectorOps {
       System.err.println(s"[graft] kmeans stopped at the $maxIters-iteration cap " +
         s"with max center movement $moved > $tol (reference converge-or-cap contract)")
     (centers, trace.reverse)
+  }
+
+  // round-17 probe shims (graft.Probe) — same bodies the loop runs
+  private[graft] def probeInit(emb: DataFrame): Array[Seq[Double]] = initCenters(emb)
+  private[graft] def probeIterFrame(emb: DataFrame, centers: Array[Seq[Double]]): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    assignedTo(emb, centers)
+      .select(col("cid"), posexplode(col("embedding")))
+      .groupBy("cid", "pos")
+      .agg(sum(col("col").cast("double").cast(DecimalType(28, 20)))
+        .cast("double").as("sv"), count(lit(1)).as("n"))
   }
 
   def kmeansClusters(s: SparkSession, dir: String): DataFrame = {
@@ -3008,7 +3059,8 @@ object VectorOps {
         xGuarded.as("x"),
         (col("event_id") % 997).cast("long").as("y"))
       .cache() // A5: one materialization feeds init + all 8 passes
-    try {
+    // AQE scoped off for the 8 k-bounded iteration jobs (see Confs)
+    try graft.functions.Confs.withoutAqe(s) {
       // deterministic init: per residue class event_id % k, the point of
       // the SMALLEST event_id (min_by — unique ids, no tie ambiguity)
       val init = pts
@@ -3019,9 +3071,22 @@ object VectorOps {
       var centers = init
       val frames = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Long, Long, Long)]
       for (it <- 1 to KmIntIters) {
-        val centLit = array(centers.map { case (cid, cx, cy) =>
-          struct(lit(cid).as("cid"), lit(cx).as("cx"), lit(cy).as("cy"))
-        }: _*)
+        // one complex-typed Literal — identical generated source across the
+        // 8 iterations, so the argmin stage compiles once (see centersLit)
+        val centLit = {
+          import org.apache.spark.sql.catalyst.InternalRow
+          import org.apache.spark.sql.catalyst.expressions.Literal
+          import org.apache.spark.sql.catalyst.util.GenericArrayData
+          import org.apache.spark.sql.types._
+          val dt = ArrayType(StructType(Seq(
+            StructField("cid", IntegerType, nullable = false),
+            StructField("cx", LongType, nullable = false),
+            StructField("cy", LongType, nullable = false))), containsNull = false)
+          val v = new GenericArrayData(centers.map { case (cid, cx, cy) =>
+            InternalRow(cid, cx, cy): Any
+          })
+          org.apache.spark.sql.GraftSqlBridge.column(Literal(v, dt))
+        }
         // packed ordinal argmin: min over (sqdist·k + cid) — total order,
         // ties to the lower cid, all-integer (see header)
         val packed = array_min(transform(centLit, c =>
