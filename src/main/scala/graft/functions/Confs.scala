@@ -29,4 +29,20 @@ object Confs {
   /** AQE off for the duration of a k-bounded-iteration driver loop. */
   def withoutAqe[A](s: SparkSession)(body: => A): A =
     withConf(s, "spark.sql.adaptive.enabled", "false")(body)
+
+  /** Reduce-partition count for a k-bounded loop's exchanges: every
+    * shuffle inside these loops carries k×dim (or k×2) partial-agg rows
+    * REGARDLESS of corpus size, so a handful of reduce partitions is the
+    * right setting at any scale — `spark.sql.shuffle.partitions` = cores
+    * just launches empty tasks each iteration (probed: ~0.55 → ~0.40 s per
+    * k-means pass on top of the AQE scope). The map side (the corpus scan)
+    * is unaffected. Results are partition-count independent by the
+    * engine's exact-decimal/integer sum discipline.
+    */
+  val KBoundedLoopPartitions = 8
+
+  /** Combined loop scope: AQE off + k-bounded reduce partitions. */
+  def kBoundedLoop[A](s: SparkSession)(body: => A): A =
+    withoutAqe(s)(withConf(s, "spark.sql.shuffle.partitions",
+      KBoundedLoopPartitions.toString)(body))
 }

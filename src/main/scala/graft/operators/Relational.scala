@@ -1030,6 +1030,30 @@ object Relational {
   /** Columns profiled by `stats_profile`. */
   val ProfileCols: Seq[String] = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
 
+  /** Round-17 (guide §2.5 "unsplittable file"): fan a SINGLE-SPLIT scan out
+    * before compute-heavy map-side work. The sf fixtures ship each table as
+    * one parquet row group, so every scan is one task and everything below
+    * the first exchange runs serial — for stats_moments that serializes the
+    * exact-decimal quartic arithmetic over the whole
+    * table. The repartition is applied ONLY when the table's total bytes fit
+    * inside one scan split (`spark.sql.files.maxPartitionBytes`): at
+    * production scale the condition is false and the plan is byte-for-byte
+    * unchanged — the knob derives from input size, it is not a local[32]
+    * constant. Results are partition-independent (the host queries are
+    * global aggregates with exact-sum discipline).
+    */
+  private[graft] def fanOutIfSingleSplit(s: SparkSession, df: DataFrame,
+                                         dir: String, table: String): DataFrame = {
+    val bytes = try {
+      val path = new org.apache.hadoop.fs.Path(s"$dir/$table.parquet")
+      val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.getContentSummary(path).getLength
+    } catch { case scala.util.control.NonFatal(_) => Long.MaxValue }
+    val maxSplit = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+      s.conf.get("spark.sql.files.maxPartitionBytes", "128MB"))
+    if (bytes < maxSplit) df.repartition(s.sparkContext.defaultParallelism) else df
+  }
+
   /** `stats_profile`: per-column data-quality profile (row count, nulls,
     * exact distinct count, min/max) for a set of numeric columns, in ONE
     * scan — the validation stage that gates a training-data ingest.
@@ -1050,6 +1074,10 @@ object Relational {
         min(col(c)).as(s"${c}_min"),
         max(col(c)).as(s"${c}_max"))
     }
+    // fan-out probed and REJECTED here (unlike stats_moments): the Expand's
+    // partial count_distinct state is a per-partition value map, so 32-way
+    // fan-out multiplies the partial-agg state shuffled, and the measured
+    // query got slower — the serial scan is the cheaper side of the trade.
     Tables.lineitem(s, dir)
       .agg(count(lit(1)).as("n"), aggs: _*)
       .select(explode(array(ProfileCols.map { c =>
@@ -1089,7 +1117,7 @@ object Relational {
         sum((c2 * c).cast(DecimalType(38, 0))).cast("double").as(s"${name}_s3"),
         sum((c2 * c2).cast(DecimalType(38, 0))).cast("double").as(s"${name}_s4"))
     }
-    Tables.lineitem(s, dir)
+    fanOutIfSingleSplit(s, Tables.lineitem(s, dir), dir, "lineitem")
       .agg(count(lit(1)).as("n"), aggs: _*)
       .select(explode(array(MomentCols.map { c =>
         struct(lit(c).as("col_name"), col("n"),

@@ -435,7 +435,11 @@ object TextOps {
       chunks0: DataFrame, s: SparkSession, dir: String, k: Int): DataFrame = {
     import graft.functions.ScalarAttach._
     import org.apache.spark.sql.types.DecimalType
-    val realToks = (c: Column) => filter(split(c, " "), t => t =!= "")
+    // array_remove(split(...), "") ≡ filter(split(...), t => t =!= "") —
+    // same array for any input — but ArrayRemove is a codegen expression
+    // while the filter HOF is CodegenFallback (interpreted per row, a
+    // closure per element) — round-17, guide §1.2 step 2
+    val realToks = (c: Column) => array_remove(split(c, " "), "")
     // chunk token stream; dl (chunk token count) is a PER-ROW function of
     // the chunk text, computed before the explode — no window, no rejoin.
     // Round-17 (guide §1.2 step 2): the token array is materialized as its

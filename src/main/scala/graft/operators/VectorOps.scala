@@ -950,7 +950,7 @@ object VectorOps {
                                           tol: Double = KmeansTol): DataFrame =
     // AQE scoped off: per-iteration exchanges are (subspaces × k × subdim)-
     // bounded — see graft.functions.Confs (results unaffected)
-    graft.functions.Confs.withoutAqe(emb.sparkSession) {
+    graft.functions.Confs.kBoundedLoop(emb.sparkSession) {
     import org.apache.spark.sql.functions.posexplode
     import org.apache.spark.sql.types.DecimalType
     val s = emb.sparkSession
@@ -2872,7 +2872,7 @@ object VectorOps {
     // k×dim partial-agg rows (corpus-size independent), so adaptive
     // re-planning only adds a per-iteration driver round trip — see
     // graft.functions.Confs. Results are unaffected (physical-only).
-    graft.functions.Confs.withoutAqe(emb.sparkSession) {
+    graft.functions.Confs.kBoundedLoop(emb.sparkSession) {
     import org.apache.spark.sql.types.DecimalType
     var centers = initCenters(emb)
     var moved = Double.MaxValue
@@ -3060,7 +3060,7 @@ object VectorOps {
         (col("event_id") % 997).cast("long").as("y"))
       .cache() // A5: one materialization feeds init + all 8 passes
     // AQE scoped off for the 8 k-bounded iteration jobs (see Confs)
-    try graft.functions.Confs.withoutAqe(s) {
+    try graft.functions.Confs.kBoundedLoop(s) {
       // deterministic init: per residue class event_id % k, the point of
       // the SMALLEST event_id (min_by — unique ids, no tie ambiguity)
       val init = pts
