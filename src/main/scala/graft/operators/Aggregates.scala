@@ -645,7 +645,12 @@ object Aggregates {
     */
   def aggCorr(s: SparkSession, dir: String): DataFrame = {
     val (x, y) = (Num.dec2(col("l_quantity")), Num.dec2(col("l_extendedprice")))
-    Tables.lineitem(s, dir)
+    // round-17 (guide §2.5 single-split fan-out, the stats_moments case):
+    // the five exact-decimal product sums otherwise run serially inside the
+    // one-row-group scan task; hash fan-out parallelizes the partial agg.
+    // Sums are exact decimals — associative, partition-count independent.
+    Relational.fanOutIfSingleSplit(s, Tables.lineitem(s, dir), dir, "lineitem",
+        col("l_orderkey"), col("l_linenumber"))
       .groupBy("l_returnflag")
       .agg(
         count(lit(1)).as("n"),
@@ -678,7 +683,9 @@ object Aggregates {
     */
   def aggRegression(s: SparkSession, dir: String): DataFrame = {
     val (x, y) = (Num.dec2(col("l_quantity")), Num.dec2(col("l_extendedprice")))
-    Tables.lineitem(s, dir)
+    // round-17 single-split fan-out — same rationale and proof as aggCorr
+    Relational.fanOutIfSingleSplit(s, Tables.lineitem(s, dir), dir, "lineitem",
+        col("l_orderkey"), col("l_linenumber"))
       .groupBy("l_returnflag")
       .agg(
         count(lit(1)).as("n"),

@@ -109,8 +109,14 @@ object Joins {
 
   /** C1: inner equi-join orders⋈lineitem, aggregated per order status. */
   def joinInner(s: SparkSession, dir: String): DataFrame =
+    // round-17 (guide §2.5 single-split fan-out): with orders broadcast, the
+    // probe + exact-decimal partial agg otherwise run serially in lineitem's
+    // one-row-group scan task. Decimal sums are associative; results
+    // partition-count independent.
     Tables.orders(s, dir)
-      .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"), "inner")
+      .join(Relational.fanOutIfSingleSplit(s, Tables.lineitem(s, dir), dir,
+          "lineitem", col("l_orderkey")),
+        col("o_orderkey") === col("l_orderkey"), "inner")
       .groupBy("o_orderstatus")
       .agg(
         count(lit(1)).as("n_lines"),
@@ -120,7 +126,9 @@ object Joins {
 
   /** C2: multi-way star join with broadcast dimensions — revenue by region. */
   def joinStar(s: SparkSession, dir: String): DataFrame =
-    Tables.orders(s, dir)
+    // round-17 single-split fan-out on the fact side — see joinInner
+    Relational.fanOutIfSingleSplit(s, Tables.orders(s, dir), dir, "orders",
+        col("o_custkey"))
       .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
       .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
@@ -148,7 +156,9 @@ object Joins {
       .filter(col("o_orderdate") < cutoff)
       .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
       .select("o_orderkey", "o_orderdate", "o_orderpriority")
-    Tables.lineitem(s, dir)
+    // round-17 single-split fan-out on the fact side — see joinInner
+    Relational.fanOutIfSingleSplit(s, Tables.lineitem(s, dir), dir, "lineitem",
+        col("l_orderkey"))
       .filter(col("l_shipdate") > cutoff)
       .select(col("l_orderkey"),
         graft.functions.Num.discounted(col("l_extendedprice"), col("l_discount")).as("disc"))
@@ -178,7 +188,9 @@ object Joins {
       .where(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
         col("o_orderdate") < lit("1996-01-01").cast("timestamp"))
       .select("o_orderkey", "o_custkey")
-    val li = Tables.lineitem(s, dir)
+    // round-17 single-split fan-out on the fact side — see joinInner
+    val li = Relational.fanOutIfSingleSplit(s, Tables.lineitem(s, dir), dir,
+        "lineitem", col("l_orderkey"))
       .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
     val supp = Tables.supplier(s, dir).select("s_suppkey", "s_nationkey")
     val natAsia = Tables.nation(s, dir)
@@ -319,22 +331,33 @@ object Joins {
       last(when(col("side") === 0, col("t")), ignoreNulls = true)
         .over(wBin).as("in_date"))
 
-    // (2) latest order per (key, bin) — null for event-only bins
+    // (2) latest order per (key, bin) — null for event-only bins.
+    // Round-17 (guide §1.2 step 2): this was max(when(side=0, struct(t,
+    // last_orderkey))) — a struct-typed buffer, which forces SortAggregate
+    // (two extra full sorts of the tagged union, the serial one below the
+    // exchange being the expensive one). Orders are pre-reduced to ONE row
+    // per (key, o_orderdate) and bins are calendar days, so a (key, bin)
+    // group holds AT MOST ONE order row — the lexicographic struct max
+    // degenerates to two independent primitive maxes over that single row
+    // (null together on event-only bins), which hash-aggregate.
     val summaries = tagged.groupBy("key", "bin")
-      .agg(max(when(col("side") === 0, struct(col("t"), col("last_orderkey"))))
-        .as("bin_last"))
-    // (3) carry from strictly earlier bins; window rows = active bins per key
+      .agg(max(when(col("side") === 0, col("t"))).as("bin_t"),
+           max(when(col("side") === 0, col("last_orderkey"))).as("bin_key"))
+    // (3) carry from strictly earlier bins; window rows = active bins per
+    // key. bin_t/bin_key are null on exactly the same rows, so the two
+    // last(ignoreNulls) frames resolve to the same source row.
     val wCarry = Window.partitionBy("key").orderBy("bin")
       .rowsBetween(Window.unboundedPreceding, -1)
     val carries = summaries.select(col("key"), col("bin"),
-      last(col("bin_last"), ignoreNulls = true).over(wCarry).as("carry"))
+      last(col("bin_t"), ignoreNulls = true).over(wCarry).as("carry_t"),
+      last(col("bin_key"), ignoreNulls = true).over(wCarry).as("carry_key"))
 
     // (4) resolve: within-bin hit wins, else the carried prior-bin order
     within.filter(col("side") === 1)
       .join(carries, Seq("key", "bin"))
       .select(col("event_id"), col("key").as("user_id"), col("t").as("ts"),
-        coalesce(col("in_date"), col("carry.t")).as("last_order_date"),
-        coalesce(col("in_key"), col("carry.last_orderkey")).as("last_orderkey"))
+        coalesce(col("in_date"), col("carry_t")).as("last_order_date"),
+        coalesce(col("in_key"), col("carry_key")).as("last_orderkey"))
       .oracleSorted("event_id")
   }
 

@@ -618,7 +618,13 @@ object Relational {
     * [ref: timeusage/…/TimeUsage.scala#timeUsageSummary].
     */
   def projectArith(s: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(s, dir)
+    // round-17 (guide §2.5 single-split fan-out): the exact-decimal charged()
+    // arithmetic otherwise runs serially in the one-row-group scan task —
+    // twice, because the terminal sort's range-sampling pass re-executes the
+    // pre-exchange subtree. Per-row projection: row placement is irrelevant
+    // (the terminal sort fixes the order), results identical.
+    fanOutIfSingleSplit(s, Tables.lineitem(s, dir), dir, "lineitem",
+        col("l_orderkey"), col("l_linenumber"))
       .select(
         col("l_orderkey"), col("l_linenumber"),
         graft.functions.Num.money(
@@ -650,7 +656,10 @@ object Relational {
     val (money, rates, qty) = classifiedColumns(li.columns.toSeq)
     require(money.nonEmpty && rates.nonEmpty && qty.nonEmpty,
       s"classification must cover all three groups, got $money / $rates / $qty")
-    li.select(
+    // round-17 single-split fan-out — same rationale and proof as projectArith
+    fanOutIfSingleSplit(s, li, dir, "lineitem",
+        col("l_orderkey"), col("l_linenumber"))
+      .select(
         col("l_orderkey"), col("l_linenumber"),
         Num.money(money.map(c => Num.dec2(col(c))).reduce(_ + _)).as("money_sum"),
         Num.money(rates.map(c => Num.rate2(col(c))).reduce(_ + _)).as("rate_sum"),
@@ -661,7 +670,9 @@ object Relational {
 
   /** H3: math scalars [ref: stackoverflow/…/StackOverflow.scala#euclideanDistance]. */
   def scalarMath(s: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(s, dir)
+    // round-17 single-split fan-out — same rationale and proof as projectArith
+    fanOutIfSingleSplit(s, Tables.lineitem(s, dir), dir, "lineitem",
+        col("l_orderkey"), col("l_linenumber"))
       .select(
         col("l_orderkey"), col("l_linenumber"),
         round(sqrt(col("l_extendedprice")), 4).as("sqrt_price"),
@@ -1043,7 +1054,8 @@ object Relational {
     * global aggregates with exact-sum discipline).
     */
   private[graft] def fanOutIfSingleSplit(s: SparkSession, df: DataFrame,
-                                         dir: String, table: String): DataFrame = {
+                                         dir: String, table: String,
+                                         keys: Column*): DataFrame = {
     val bytes = try {
       val path = new org.apache.hadoop.fs.Path(s"$dir/$table.parquet")
       val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -1051,7 +1063,14 @@ object Relational {
     } catch { case scala.util.control.NonFatal(_) => Long.MaxValue }
     val maxSplit = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
       s.conf.get("spark.sql.files.maxPartitionBytes", "128MB"))
-    if (bytes < maxSplit) df.repartition(s.sparkContext.defaultParallelism) else df
+    if (bytes >= maxSplit) df
+    // hash keys when given (skips round-robin's sort-before-repartition —
+    // SPARK-23207 makes every keyless repartition pre-sort its input so
+    // retries are deterministic; a deterministic key needs no such sort),
+    // round-robin otherwise. The explicit partition count makes this a
+    // REPARTITION_BY_NUM shuffle, which AQE never coalesces back down.
+    else if (keys.nonEmpty) df.repartition(s.sparkContext.defaultParallelism, keys: _*)
+    else df.repartition(s.sparkContext.defaultParallelism)
   }
 
   /** `stats_profile`: per-column data-quality profile (row count, nulls,

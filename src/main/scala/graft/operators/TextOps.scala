@@ -2080,7 +2080,10 @@ object TextOps {
     * terminal sort; at 100 TB this is embarrassingly parallel scan work.
     */
   def textPii(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
+    // round-17 single-split fan-out — the three regex passes are the per-row
+    // cost; same rationale and proof as textRepetition
+    Relational.fanOutIfSingleSplit(s, Tables.documents(s, dir), dir,
+        "documents", col("doc_id"))
       .select(
         col("doc_id"),
         size(expr(s"regexp_extract_all(text, '$EmailRe', 0)")).as("n_emails"),
@@ -2122,7 +2125,12 @@ object TextOps {
     def total(n: Int): Column = greatest(nW - (n - 1), lit(1))
     def repFrac(n: Int): Column =
       round(lit(1.0) - size(hashedShingles(col("text"), n)).cast("double") / total(n), 4)
-    Tables.documents(s, dir)
+    // round-17 (guide §2.5 single-split fan-out): the HashedGrams /
+    // TopGramCount kernels otherwise run serially in the one-row-group scan
+    // task — twice, since the terminal sort's range sampling re-executes the
+    // pre-exchange subtree. Per-row projection; results identical.
+    Relational.fanOutIfSingleSplit(s, Tables.documents(s, dir), dir,
+        "documents", col("doc_id"))
       .select(col("doc_id"), repFrac(2).as("rep2"), repFrac(3).as("rep3"),
         round(graft.plans.TopGramCount.of(col("text"), 2).cast("double") / total(2), 4)
           .as("top_bigram_frac"))
