@@ -376,7 +376,13 @@ object Joins {
       .withColumn("l_salt", pmod(hash(col("l_orderkey"), col("l_linenumber")), lit(S)))
     val ord = Tables.orders(s, dir)
       .withColumn("o_salt", explode(sequence(lit(0), lit(S - 1))))
-    ord.join(li,
+    // round-17 (guide §3.1): pin a SHUFFLED hash join. At fixture size the
+    // planner broadcast the S×-exploded orders side — a serial 1.2M-row
+    // broadcast build that also defeats the demo (salting exists to spread
+    // a hot key across SHUFFLE reducers; a broadcast join has none). The
+    // hint exchanges both sides by (key, salt) — the exact plan the salt is
+    // for — same pinning rationale as join_bucketed's `merge` hint.
+    ord.join(li.hint("shuffle_hash"),
         col("o_orderkey") === col("l_orderkey") && col("o_salt") === col("l_salt"))
       .groupBy("o_orderstatus")
       .agg(count(lit(1)).as("n_lines"),

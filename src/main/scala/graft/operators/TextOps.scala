@@ -140,8 +140,15 @@ object TextOps {
     val lex = array(lexicon.map(lit): _*)
 
     // strategy 1: naive rescan — one job per token (pedagogical exhibit).
+    // Round-17 (guide §1.2 step 2): token membership in split(text, " ")
+    // for a non-empty, space-free token t is EXACTLY a substring match of
+    // " t " against " text " (split-on-single-space boundaries are spaces
+    // or string edges; empty tokens from runs of spaces can never equal t)
+    // — a codegen Contains instead of |lexicon| per-row array
+    // materializations. The anti-pattern exhibited — one full corpus pass
+    // per token — is untouched (StrategySpec asserts the job count).
     val rescan: DataFrame = lexicon.map { t =>
-      t -> docs.where(array_contains(words(col("text")), t)).count()
+      t -> docs.where(concat(lit(" "), col("text"), lit(" ")).contains(s" $t ")).count()
     }.toDF("token", "n_docs")
 
     // strategy 2: inverted index, cached, counts read from the cache.
@@ -339,10 +346,20 @@ object TextOps {
     // materializes the embedding exactly once per chunk (the "build the
     // embedding table" stage every vector pipeline has anyway); it ships
     // ids + 16 floats, far smaller than the chunk text it replaces.
-    val chunks = chunks0
+    // Round-17, two changes to this stage (guide §2.5 + §2.2):
+    //  - single-split fan-out BELOW the embedding so the per-chunk md5+count
+    //    kernel runs parallel instead of inside the one-row-group scan task
+    //    (no-op at production split counts);
+    //  - the barrier keeps an EXPLICIT partition count (scale-adaptive:
+    //    defaultParallelism), because a bare repartition(col) is
+    //    AQE-coalescible and the embedding table is small enough that AQE
+    //    folded it to one partition — serializing the |queries| × |chunks|
+    //    scoring stage and the top-k window above it.
+    val chunks = Relational.fanOutIfSingleSplit(s, chunks0, dir, "documents",
+        col("doc_id"), col("chunk_id"))
       .select(col("doc_id"), col("chunk_id"),
         graft.plans.HashedBow.of(col("chunk"), RagDims).as("vec"))
-      .repartition(col("doc_id"))
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"), col("chunk_id"))
     val queries = Tables.documents(s, dir)
       .where(col("doc_id") % RagQueryMod === 0 && col("doc_id") < RagMaxQueryDoc)
       .select(col("doc_id").as("query_doc"),
@@ -448,7 +465,10 @@ object TextOps {
     // split+filter HOF TWICE per chunk row (the generator input is
     // evaluated in the Generate node, outside the child project's
     // common-subexpression elimination); via an attribute it runs once.
-    val tok = chunks0
+    // round-17 single-split fan-out (guide §2.5): tokenization + the tf
+    // partial aggregation otherwise run inside the one-row-group scan task
+    val tok = Relational.fanOutIfSingleSplit(s, chunks0, dir, "documents",
+        col("doc_id"), col("chunk_id"))
       .select(col("doc_id"), col("chunk_id"), realToks(col("chunk")).as("toks"))
       .select(col("doc_id"), col("chunk_id"),
         size(col("toks")).cast("long").as("dl"),
