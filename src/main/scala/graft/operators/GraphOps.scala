@@ -13,8 +13,10 @@ import org.apache.spark.sql.functions._
   * canonical fixed-point the big-data curriculum builds on the same
   * machinery (re-rank from neighbors until stable). Same engine discipline
   * as `kmeans_clusters`/`dedup_cluster`: a driver-coordinated loop over
-  * DataFrames with a lineage cut per iteration, every per-iteration step a
-  * plain join + partial aggregation.
+  * DataFrames, every per-iteration step a plain join + partial
+  * aggregation. Lineage handling is per-loop (round 17): the fixed-count
+  * pagerank loop builds one inline plan; the data-dependent BFS recursion
+  * cuts per hop — see each loop's comment.
   */
 object GraphOps {
 
@@ -46,8 +48,11 @@ object GraphOps {
     *
     * Scale: node/edge tables here are vocabulary-sized, but the loop body
     * is the general shuffle-by-dst shape — at web scale each iteration is
-    * one shuffle ∝ |edges|, the textbook cost; lineage is cut per
-    * iteration so plan analysis stays linear in step count.
+    * one shuffle ∝ |edges|, the textbook cost. The fixed 15-step loop is
+    * built INLINE (round 17): plan analysis is linear in step count, and
+    * keeping the steps in one plan lets Catalyst see the per-step rank
+    * table's (vocabulary-bounded) size instead of a stats-less lineage
+    * cut — see the loop comment.
     */
   /** Distinct token-transition edges (src = token, dst = its successor
     * within a document) — the ONE edge derivation `graph_pagerank` and
@@ -84,11 +89,18 @@ object GraphOps {
         .groupBy("dst")
         .agg((lit(PrBase) + floor(sum("c") * 85 / 100).cast("long")).as("mass"))
         .withColumnRenamed("dst", "token")
-      // the LAST step stays un-cut so the terminal rank window's
-      // single-partition exchange sits directly over the per-token
-      // aggregate — PlanSweepSpec can then see it moves one row per
-      // group (vocabulary-bounded), not raw rows
-      pr = if (i < PrIters) step.lineageCut(eager = false) else step
+      // Round-17 (guide §2.4/§3.1): the per-iteration lineage cut is GONE.
+      // A cut left each iteration's pr as a LogicalRDD with no size stats,
+      // so every step planned a shuffle join — re-exchanging the edge table
+      // per iteration. Inline, Catalyst sees pr is an aggregate over the
+      // vocabulary-bounded node set and picks the broadcast build itself
+      // (at real-stats web scale it would pick SMJ — the declared-join
+      // discipline from the Joins preamble), leaving ONE exchange per step:
+      // the partial-agg groupBy(dst), the textbook ∝|edges|→|nodes| cost.
+      // The 15-step inline plan stays linear to analyze (measured: 3.16 →
+      // 2.31 s at sf0.1; a per-iteration driver broadcast of pr was also
+      // probed and was WORSE, 4.8 s — 15 blocking broadcast jobs).
+      pr = step
     }
     pr.withColumn("rnk",
         rank().over(org.apache.spark.sql.expressions.Window
@@ -128,6 +140,10 @@ object GraphOps {
         .select(col("dst").as("token")).distinct()
         .join(settled, Seq("token"), "left_anti")
         .select(col("token"), lit(h).as("dist"))
+        // per-hop cuts STAY here (unlike graphPagerank's inline loop):
+        // next feeds both settled and the following frontier, so an uncut
+        // recursion re-expands the whole hop history inside every
+        // consumer (probed round 17: 1.0 -> 1.9 s at sf0.1)
         .lineageCut(eager = false)
       settled = settled.unionByName(next).lineageCut(eager = false)
       frontier = next
