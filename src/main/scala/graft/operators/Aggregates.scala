@@ -22,7 +22,11 @@ object Aggregates {
     * [ref: timeusage/…/TimeUsage.scala#timeUsageGrouped].
     */
   def aggAvg(s: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(s, dir)
+    // round-17 single-split fan-out (guide §2.5): the four exact-decimal
+    // money sums otherwise run serially inside the one-row-group scan
+    // task; exact sums are associative — partition-count independent
+    Relational.fanOutIfSingleSplit(s, Tables.lineitem(s, dir), dir,
+        "lineitem", col("l_orderkey"), col("l_linenumber"))
       .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
@@ -73,6 +77,9 @@ object Aggregates {
 
   /** D6: max-per-group [ref: stackoverflow/…/StackOverflow.scala#scoredPostings]. */
   def aggMaxGroup(s: SparkSession, dir: String): DataFrame =
+    // round-17: group-keyed fan-out probed and REJECTED (0.67 -> 0.85 s —
+    // shuffling raw rows by the near-input-cardinality group key costs
+    // more than the serial partial agg it replaces)
     Tables.lineitem(s, dir)
       .groupBy("l_orderkey")
       .agg(round(max("l_extendedprice"), 2).as("max_price"),
@@ -158,7 +165,10 @@ object Aggregates {
 
   /** D14: rollup over the Q1 grouping. */
   def aggRollup(s: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(s, dir)
+    // round-17 single-split fan-out — Expand (3 replicas/row) + the decimal
+    // partial agg otherwise run serially in the scan task; see aggAvg
+    Relational.fanOutIfSingleSplit(s, Tables.lineitem(s, dir), dir,
+        "lineitem", col("l_orderkey"), col("l_linenumber"))
       // compute the per-row decimal money expression BEFORE the rollup:
       // Expand replicates each row once per grouping set (3× here), and an
       // aggregate-side expression would be re-evaluated per replica —
@@ -216,7 +226,9 @@ object Aggregates {
     * engines. One partial-agg pass.
     */
   def aggWeighted(s: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(s, dir)
+    // round-17 single-split fan-out — same rationale as aggAvg
+    Relational.fanOutIfSingleSplit(s, Tables.lineitem(s, dir), dir,
+        "lineitem", col("l_orderkey"), col("l_linenumber"))
       .groupBy("l_returnflag")
       .agg(
         round(sum(Num.dec2(col("l_extendedprice")) * Num.rate2(col("l_discount"))).cast("double") /
@@ -620,6 +632,8 @@ object Aggregates {
     * produced by aggregation from a NULL in the data.
     */
   def aggGroupingSets(s: SparkSession, dir: String): DataFrame =
+    // round-17: fan-out probed and REJECTED here (0.71 -> 0.89 s — unlike
+    // aggRollup, the raw-row exchange cost more than the serial Expand+agg)
     Tables.lineitem(s, dir)
       .withColumn("price2", Num.dec2(col("l_extendedprice")))
       .groupingSets(

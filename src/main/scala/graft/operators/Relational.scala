@@ -1087,24 +1087,36 @@ object Relational {
     * the values).
     */
   def statsProfile(s: SparkSession, dir: String): DataFrame = {
-    val aggs = ProfileCols.flatMap { c =>
-      Seq(sum(col(c).isNull.cast("long")).as(s"${c}_nulls"),
-        count_distinct(col(c)).as(s"${c}_distinct"),
-        min(col(c)).as(s"${c}_min"),
-        max(col(c)).as(s"${c}_max"))
-    }
-    // fan-out probed and REJECTED here (unlike stats_moments): the Expand's
-    // partial count_distinct state is a per-partition value map, so 32-way
-    // fan-out multiplies the partial-agg state shuffled, and the measured
-    // query got slower — the serial scan is the cheaper side of the trade.
-    Tables.lineitem(s, dir)
-      .agg(count(lit(1)).as("n"), aggs: _*)
-      .select(explode(array(ProfileCols.map { c =>
-        struct(lit(c).as("col_name"), col("n").as("n_rows"),
-          col(s"${c}_nulls").as("n_nulls"), col(s"${c}_distinct").as("n_distinct"),
-          col(s"${c}_min").as("min_val"), col(s"${c}_max").as("max_val"))
-      }: _*)).as("p"))
-      .select(col("p.*"))
+    // Round-17 restructure (guide §2.3/§2.5). The round-7 form was ONE
+    // global aggregate with four exact count_distincts, which rewrites to
+    // Expand (5 replicas/row) + a value-map partial aggregate running
+    // serially inside the one-row-group scan task; a plain fan-out was
+    // probed and REJECTED there (the per-partition partial-distinct maps
+    // inflate the merge shuffle). This form computes the SAME four numbers
+    // per column from an explicit (col, value) two-level aggregation —
+    // the textbook distinct-agg decomposition:
+    //   level 1  groupBy(col, value) → per-value count   (parallel after
+    //            the keyed fan-out; shuffle ∝ distinct (col, value) pairs)
+    //   level 2  groupBy(col): n = Σcnt, nulls = Σcnt[v IS NULL],
+    //            distinct = COUNT(v) over the per-value rows (non-null
+    //            distinct values, = count_distinct's semantics),
+    //            min/max over the value domain (null-ignoring, same as
+    //            min/max over rows).
+    // Identical output, exact integers — and both levels partial-aggregate.
+    val li = fanOutIfSingleSplit(s, Tables.lineitem(s, dir), dir, "lineitem",
+        col("l_orderkey"), col("l_linenumber"))
+    val perVal = li
+      .select(explode(array(ProfileCols.zipWithIndex.map { case (c, i) =>
+        struct(lit(i).as("cid"), col(c).as("v")) }: _*)).as("p"))
+      .groupBy(col("p.cid").as("cid"), col("p.v").as("v"))
+      .agg(count(lit(1)).as("cnt"))
+    perVal.groupBy("cid")
+      .agg(sum("cnt").as("n_rows"),
+        sum(when(col("v").isNull, col("cnt")).otherwise(lit(0L))).as("n_nulls"),
+        count(col("v")).as("n_distinct"),
+        min("v").as("min_val"), max("v").as("max_val"))
+      .select(element_at(array(ProfileCols.map(lit): _*), col("cid") + 1).as("col_name"),
+        col("n_rows"), col("n_nulls"), col("n_distinct"), col("min_val"), col("max_val"))
       .oracleSorted("col_name")
   }
 
