@@ -508,7 +508,13 @@ object Aggregates {
     //     concentration is the same asymptotic class as the old plan's —
     //     exactness at scale is exactly why this query's POINT is the
     //     mergeable-histogram path; the exact arm exists to gate it.)
-    val grid = x.groupBy("c").agg(count(lit(1)).as("cnt"))
+    // round-17: single-split fan-out keyed by c — the distinct-value grid's
+    // dedup otherwise runs serially in the scan task, and hash(c) satisfies
+    // groupBy(c)'s clustering (probed: grid build 0.85 → 0.45 s warm). A
+    // full parallel-prefix rework of `cum` was probed and REJECTED (2.87 →
+    // 3.40 s — the added stages cost more than this one bounded window).
+    val grid = Relational.fanOutIfSingleSplit(s, x, dir, "lineitem", col("c"))
+      .groupBy("c").agg(count(lit(1)).as("cnt"))
       .withColumn("cum", sum("cnt").over(Window.orderBy("c")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .lineageCut(eager = false)
