@@ -1103,8 +1103,11 @@ object Relational {
     //            min/max over the value domain (null-ignoring, same as
     //            min/max over rows).
     // Identical output, exact integers — and both levels partial-aggregate.
+    // fan-out keyed by the profiled columns themselves (they exist on any
+    // lineitem-shaped input, incl. the spec's inline fixture; the near-
+    // unique extendedprice spreads the hash)
     val li = fanOutIfSingleSplit(s, Tables.lineitem(s, dir), dir, "lineitem",
-        col("l_orderkey"), col("l_linenumber"))
+        ProfileCols.map(col): _*)
     val perVal = li
       .select(explode(array(ProfileCols.zipWithIndex.map { case (c, i) =>
         struct(lit(i).as("cid"), col(c).as("v")) }: _*)).as("p"))
