@@ -378,13 +378,16 @@ object Joins {
       .withColumn("l_salt", pmod(hash(col("l_orderkey"), col("l_linenumber")), lit(S)))
     val ord = Tables.orders(s, dir)
       .withColumn("o_salt", explode(sequence(lit(0), lit(S - 1))))
-    // round-17 (guide §3.1): pin a SHUFFLED hash join. At fixture size the
+    // round-17 (guide §3.1): pin a SHUFFLE join. At fixture size the
     // planner broadcast the S×-exploded orders side — a serial 1.2M-row
     // broadcast build that also defeats the demo (salting exists to spread
     // a hot key across SHUFFLE reducers; a broadcast join has none). The
     // hint exchanges both sides by (key, salt) — the exact plan the salt is
-    // for — same pinning rationale as join_bucketed's `merge` hint.
-    ord.join(li.hint("shuffle_hash"),
+    // for — same pinning rationale as join_bucketed's `merge` hint. SMJ
+    // over shuffled-hash by measurement at BOTH scales (sf0.1 warm 0.90 vs
+    // 1.11 s; 100× 25 vs 30 s — the sort spills gracefully where the
+    // per-partition hash build pays GC).
+    ord.join(li.hint("merge"),
         col("o_orderkey") === col("l_orderkey") && col("o_salt") === col("l_salt"))
       .groupBy("o_orderstatus")
       .agg(count(lit(1)).as("n_lines"),

@@ -346,17 +346,17 @@ object TextOps {
     // materializes the embedding exactly once per chunk (the "build the
     // embedding table" stage every vector pipeline has anyway); it ships
     // ids + 16 floats, far smaller than the chunk text it replaces.
-    // Round-17, two changes to this stage (guide §2.5 + §2.2):
-    //  - single-split fan-out BELOW the embedding so the per-chunk md5+count
-    //    kernel runs parallel instead of inside the one-row-group scan task
-    //    (no-op at production split counts);
-    //  - the barrier keeps an EXPLICIT partition count (scale-adaptive:
-    //    defaultParallelism), because a bare repartition(col) is
-    //    AQE-coalescible and the embedding table is small enough that AQE
-    //    folded it to one partition — serializing the |queries| × |chunks|
-    //    scoring stage and the top-k window above it.
-    val chunks = Relational.fanOutIfSingleSplit(s, chunks0, dir, "documents",
-        col("doc_id"), col("chunk_id"))
+    // Round-17 (guide §2.2): the barrier keeps an EXPLICIT partition count
+    // (scale-adaptive: defaultParallelism), because a bare repartition(col)
+    // is AQE-coalescible and the embedding table is small enough that AQE
+    // folded it to one partition — serializing the |queries| × |chunks|
+    // scoring stage and the top-k window above it. A fan-out of the chunk
+    // frame BELOW the embedding was probed and REJECTED at 100× (13 → 29 s:
+    // the single-split condition reads the documents FILE size, but the
+    // chunk explode is ~10× that, so the extra exchange ships ~600 MB of
+    // chunk text); the barrier alone is also the fastest form at sf0.1
+    // (1.15 → 0.55 s warm vs 0.82 s with the fan-out).
+    val chunks = chunks0
       .select(col("doc_id"), col("chunk_id"),
         graft.plans.HashedBow.of(col("chunk"), RagDims).as("vec"))
       .repartition(s.sparkContext.defaultParallelism, col("doc_id"), col("chunk_id"))
