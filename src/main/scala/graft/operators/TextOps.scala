@@ -1072,19 +1072,25 @@ object TextOps {
     var it = 0
     while (!converged && it < ClusterMaxIters) {
       it += 1
-      val nbrMin = edges
+      // Round-18 (guide §2.4 — VERDICT r17 #4): ONE lookup join instead of
+      // separate neighbour-min and pointer-jump joins. Both probes ask the
+      // same question — "what is the label OF node X?" — for X = each
+      // neighbour (dst) and X = the own current label (the jump). Unioning
+      // the two probe streams answers both through a single join + min
+      // aggregate: 2 joins/iteration instead of 3. The self-probe
+      // (src = doc_id, dst = lbl) ALWAYS resolves (labels hold member node
+      // ids), so every labelled doc gets a contribution row and the final
+      // attach join is INNER. Per-iteration update is value-identical:
+      // least(lbl, min(neighbour labels ∪ {label-of-label})) — the same
+      // trajectory, the same fixpoint.
+      val contrib = edges
+        .union(labels.select(col("doc_id").as("src"), col("lbl").as("dst")))
         .join(labels.select(col("doc_id").as("dst"), col("lbl").as("nlbl")), "dst")
-        .groupBy("src").agg(min("nlbl").as("min_nbr"))
-      // pointer jump: the label of my current label (labels always hold
-      // member node ids, so the self-join by lbl = doc_id always resolves)
-      val jump = labels.select(col("doc_id").as("lbl"), col("lbl").as("jmp"))
+        .groupBy("src").agg(min("nlbl").as("min_c"))
       val upd = labels
-        .join(nbrMin.withColumnRenamed("src", "doc_id"), Seq("doc_id"), "left")
-        .join(jump, Seq("lbl"), "left")
+        .join(contrib.withColumnRenamed("src", "doc_id"), Seq("doc_id"))
         .select(col("doc_id"), col("lbl").as("old_lbl"),
-          least(col("lbl"),
-            least(coalesce(col("min_nbr"), col("lbl")),
-              coalesce(col("jmp"), col("lbl")))).as("lbl"))
+          least(col("lbl"), col("min_c")).as("lbl"))
         .lineageCut() // eager: one job per iteration, lineage stays flat
       converged = upd.filter(col("lbl") =!= col("old_lbl")).limit(1).count() == 0
       // bound in-loop growth under graft.lineageCut=cache (each iteration
@@ -2332,10 +2338,10 @@ object TextOps {
     * seeing corpus-scale row counts either way.
     */
   def dedupSimhashPairs(s: SparkSession, dir: String): DataFrame =
-    simhashBandPairs(
+    simhashRadiusPairs(
       Tables.documents(s, dir)
         .select(col("doc_id"), graft.plans.SimHash16.of(col("text")).as("sig")),
-      bandBits = 4)
+      bits = 16)
 
   /** Wide-signature variant of the pairing for corpus scale: the 16-bit
     * space saturates at 65 536 distinct signatures (on a large corpus every
@@ -2352,10 +2358,57 @@ object TextOps {
         .select(col("doc_id"), graft.plans.SimHash60.of(col("text")).as("sig")),
       bandBits = 15)
 
+  /** Round-18 (guide §1.1 first-principles / §2.4): bounded-radius XOR
+    * enumeration for the 16-BIT pairing. The output CONTRACT of the band
+    * form is exactly "all distinct-signature pairs within Hamming ≤ k":
+    * the band-share candidate condition is IMPLIED by the final filter
+    * (pigeonhole — k = 3 differing bits cannot touch all `SimhashBands` = 4
+    * disjoint bands, so every surviving pair shares a band; TextOpsSpec
+    * asserts output == the brute-force radius pair set). On a big corpus
+    * the 16-bit space SATURATES (≤ 65 536 distinct sigs but only 2^4 = 16
+    * bucket values per band), so the band self-join enumerates
+    * Σ_buckets |b|² ≈ (2^16)²/2^4 × 4 ≈ 10⁹ candidate evaluations — 110 s
+    * at 100× (`bench_full100x_r17.json`) for an output it then dedups
+    * band-by-band. This form enumerates the radius DIRECTLY: every sig
+    * explodes into its C(16,1..3) = 696 XOR masks, keeps the `sig < sig^m`
+    * orientation (each unordered pair generated EXACTLY once — no
+    * `distinct()` pass at all), and equi-joins the neighbor value back to
+    * the signature table. Work is 696·|sigs| generated probes against a
+    * ≤ 2^16-row build side (broadcast: the bound is structural — the
+    * SIGNATURE SPACE, not the corpus, caps the relation at any scale), vs
+    * the band join's |sigs|²/16·4. The signature table is computed ONCE
+    * behind a lazy cut (the band form re-ran the SimHash kernel + distinct
+    * on both self-join sides — two full corpus scans).
+    *
+    * Equivalence: pairs = {(sa, sb) : sa < sb distinct sigs,
+    * hamming(sa,sb) ∈ 1..k} on both forms (hamming 0 is impossible across
+    * DISTINCT sigs; doc_a/doc_b are each side's min-doc representative,
+    * keyed to the same sa < sb orientation).
+    */
+  private def simhashRadiusPairs(sigDf: DataFrame, bits: Int): DataFrame = {
+    val masks: Array[Long] = (1 to SimhashHammingK).flatMap(k =>
+      (0 until bits).combinations(k).map(_.map(i => 1L << i).sum)).toArray
+    val sigs = sigDf.groupBy("sig").agg(min("doc_id").as("min_doc"))
+      .lineageCut(eager = false) // one kernel+distinct pass feeds both sides
+    val probes = sigs
+      .select(col("sig"), col("min_doc"), explode(typedLit(masks)).as("m"))
+      .select(col("sig"), col("min_doc"),
+        col("sig").bitwiseXOR(col("m")).as("nsig"))
+      .where(col("sig") < col("nsig"))
+    probes.as("a").join(broadcast(sigs.as("b")), col("a.nsig") === col("b.sig"))
+      .select(col("a.min_doc").as("doc_a"), col("b.min_doc").as("doc_b"),
+        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+      .oracleSorted("doc_a", "doc_b")
+  }
+
   /** Shared band-rotation pairing over a (doc_id, sig) frame: reduce to
     * DISTINCT signatures (min doc_id as representative), explode
     * `SimhashBands` bands of `bandBits` bits, equi-join on any-band
-    * equality, verify exact Hamming ≤ k.
+    * equality, verify exact Hamming ≤ k. Kept for the 60-BIT wide variant,
+    * whose 2^15-value band buckets never saturate (the 16-bit form moved
+    * to [[simhashRadiusPairs]] — C(60,≤3) = 36 051 masks would make radius
+    * enumeration the worse trade here).
     */
   private def simhashBandPairs(sigDf: DataFrame, bandBits: Int): DataFrame = {
     val mask = (1L << bandBits) - 1

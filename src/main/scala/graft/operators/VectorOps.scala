@@ -616,25 +616,53 @@ object VectorOps {
     */
   def multimodalPhashPairs(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions.posexplode
-    val bandCols = (0 to 3).map(b => col(s"band$b"))
-    val e = phashFrame(s, dir)
-      .lineageCut(eager = false) // self-joined: don't re-run the encode twice
-      .select(Seq(col("doc_id")) ++ bandCols :+
-        posexplode(array(bandCols: _*)).as(Seq("b", "v")): _*)
-    val lhs = e.select(col("doc_id").as("doc_a"), col("b"), col("v"),
-      col("band0").as("a0"), col("band1").as("a1"),
-      col("band2").as("a2"), col("band3").as("a3"))
-    val rhs = e.select(col("doc_id").as("doc_b"), col("b"), col("v"),
-      col("band0").as("c0"), col("band1").as("c1"),
-      col("band2").as("c2"), col("band3").as("c3"))
-    lhs.join(rhs, Seq("b", "v"))
-      .where(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b", "a0", "a1", "a2", "a3", "c0", "c1", "c2", "c3")
-      .distinct()
-      .withColumn("hamming", expr(
-        "bit_count(a0 ^ c0) + bit_count(a1 ^ c1) + bit_count(a2 ^ c2) + bit_count(a3 ^ c3)").cast("int"))
-      .where(col("hamming") <= PhashTau)
-      .select("doc_a", "doc_b", "hamming")
+    // Round-18 (guide §2.3/§8.4 — decide on small rows, expand after): the
+    // round-10 form ran the band self-join at DOCUMENT grain, carrying all
+    // 8 band columns on both sides, then distinct'd 10-column candidate
+    // rows — 45 s / 1.3 GB shuffled at 100×, where text-rendered BMPs
+    // collide hard on the hash (hot identical-signature groups make the
+    // per-bucket candidate mass quadratic in the GROUP size, and every
+    // same-signature doc pair re-verified the same hamming). This form
+    // decides at SIGNATURE grain: the 4×16-bit bands pack into ONE long
+    // (disjoint fields, so bit_count(sig_a ^ sig_b) IS the banded hamming
+    // sum), the band self-join + τ-verify runs over DISTINCT signatures
+    // (sig_a ≤ sig_b keeps same-signature groups as ONE self-pair), and
+    // doc pairs come back from two membership equi-joins — each unordered
+    // doc pair maps to exactly ONE unordered sig pair (a doc has one sig),
+    // so the expansion needs no doc-level distinct: cross-sig hits emit
+    // once with least/greatest orientation, same-sig groups emit their
+    // doc_a < doc_b combinations directly. Band-share semantics are
+    // UNCHANGED (τ = 4 can escape every band — the documented banded-LSH
+    // recall trade — so the band condition stays; it is a property of the
+    // signatures alone).
+    val sig = shiftleft(col("band0").cast("long"), 48)
+      .bitwiseOR(shiftleft(col("band1").cast("long"), 32))
+      .bitwiseOR(shiftleft(col("band2").cast("long"), 16))
+      .bitwiseOR(col("band3").cast("long")).as("sig")
+    val m = phashFrame(s, dir).select(col("doc_id"), sig)
+      .lineageCut(eager = false) // membership: feeds the sig dedup + both expansions
+    val sigs = m.groupBy("sig").agg(count(lit(1)).as("n"))
+      .lineageCut(eager = false)
+    val bandsOf = (c: Column) => array((3 to 0 by -1).map(b =>
+      shiftright(c, b * 16).bitwiseAND(lit(0xffffL))): _*)
+    val sb = sigs.select(col("sig"), col("n"),
+      posexplode(bandsOf(col("sig"))).as(Seq("b", "v")))
+    val sigPairs = sb.as("x").join(sb.as("y"),
+        col("x.b") === col("y.b") && col("x.v") === col("y.v") &&
+          col("x.sig") <= col("y.sig") &&
+          bit_count(col("x.sig").bitwiseXOR(col("y.sig"))) <= PhashTau &&
+          // a signature held by ONE doc has no within-group pair to emit
+          (col("x.sig") < col("y.sig") || col("x.n") >= 2))
+      .select(col("x.sig").as("sig_a"), col("y.sig").as("sig_b"))
+      .distinct() // a sig pair can collide on several bands
+      .withColumn("hamming",
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("int"))
+    sigPairs
+      .join(m.select(col("sig").as("sig_a"), col("doc_id").as("da")), "sig_a")
+      .join(m.select(col("sig").as("sig_b"), col("doc_id").as("db")), "sig_b")
+      .where(col("sig_a") =!= col("sig_b") || col("da") < col("db"))
+      .select(least(col("da"), col("db")).as("doc_a"),
+        greatest(col("da"), col("db")).as("doc_b"), col("hamming"))
       .oracleSorted("doc_a", "doc_b")
   }
 
